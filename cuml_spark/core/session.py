@@ -1,0 +1,38 @@
+"""SparkSession factory with scale-oriented defaults.
+
+cuML's ``cuml.Handle`` (reference: python/cuml/common/handle.pyx:32-72) owns the
+CUDA stream and allocators; the Spark-native analog is simply the SparkSession
+plus its config.  The defaults below are what we want on a real cluster too:
+AQE on (runtime re-planning + skew-join handling), Arrow on (every
+pandas-UDF hop is Arrow-batched), sensible shuffle parallelism for local[32].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cuml_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    On a real cluster most of these are cluster-conf; setting them here is
+    harmless (existing session wins) and makes local runs representative.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+    return builder.getOrCreate()

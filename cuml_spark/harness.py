@@ -1,0 +1,328 @@
+"""Driver-facing query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry exercises one operator from SURVEY.md §2 end-to-end on the driver's
+TPC-H-ish parquet tables.  Conventions (driver compare = row-count + schema +
+order-insensitive value-hash, columns sorted by name):
+
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- float aggregates are rounded on BOTH sides so hash equality survives
+  floating-point reduction-order differences (Spark shuffles partials in a
+  different order than DuckDB; exact closed forms agree to ~1e-9 relative,
+  so rounding at 4-6 decimals is far above the noise floor and far below
+  signal);
+- counts/ids stay exact (bigint both sides).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuml_spark.linear_model import LinearRegression, Ridge
+from cuml_spark.metrics import accuracy_score_df, entropy_df, contingency_matrix
+from cuml_spark.ops import (
+    covariance_matrix,
+    describe_matrix,
+    group_topk,
+    histogram,
+    weighted_mean,
+)
+from cuml_spark.ops.labels import label_dictionary
+
+LI_NUM_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Stats primitives (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+def q_stats_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = describe_matrix(li, LI_NUM_COLS)
+    return out.select(
+        "col",
+        F.col("n").cast("long").alias("n"),
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("sum", 3).alias("sum"),
+    )
+
+
+def _sql_stats_describe() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col, count({c})::BIGINT AS n,
+               round(avg({c}), 6) AS mean,
+               round(stddev_samp({c}), 6) AS stddev,
+               round(min({c})::DOUBLE, 6) AS min,
+               round(max({c})::DOUBLE, 6) AS max,
+               round(sum({c}), 3) AS sum
+            FROM lineitem"""
+        for c in LI_NUM_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_stats_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = covariance_matrix(li, LI_NUM_COLS)
+    return out.select("col_x", "col_y", F.round("cov", 4).alias("cov"))
+
+
+def _sql_stats_covariance() -> str:
+    from itertools import combinations_with_replacement
+
+    parts = [
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, round(covar_samp({a}, {b}), 4) AS cov FROM lineitem"
+        for a, b in combinations_with_replacement(LI_NUM_COLS, 2)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram(li, "l_quantity", lo=0.0, hi=50.0, n_bins=25).select(
+        F.col("bin").cast("int").alias("bin"), F.col("count").cast("long").alias("count")
+    )
+
+
+_SQL_HISTOGRAM_QUANTITY = """
+SELECT LEAST(24, GREATEST(0, CAST(floor(l_quantity / 2.0) AS INT))) AS bin,
+       count(*)::BIGINT AS count
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_topk_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = group_topk(
+        li, ["l_returnflag"], "l_extendedprice", k=3,
+        ascending=False, tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag", "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        "l_extendedprice",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_TOPK_REVENUE_BY_FLAG = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         ) AS rank
+  FROM lineitem
+) WHERE rank <= 3
+"""
+
+
+def q_weighted_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_mean(li, "l_extendedprice", "l_quantity").select(
+        F.round("wmean", 6).alias("wmean")
+    )
+
+
+_SQL_WEIGHTED_MEAN_PRICE = """
+SELECT round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wmean
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# Linear models (SURVEY §2.1 #5-6) — closed-form, prime oracle targets
+# --------------------------------------------------------------------------
+
+def q_ols_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    model = LinearRegression(algorithm="eig").fit(li, ["l_quantity"], "l_extendedprice")
+    r2 = model.score(li, ["l_quantity"], "l_extendedprice")
+    return spark.createDataFrame(
+        [(round(float(model.coef_[0]), 6), round(model.intercept_, 6), round(r2, 6))],
+        "slope double, intercept double, r2 double",
+    )
+
+
+_SQL_OLS_PRICE_VS_QUANTITY = """
+SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem
+"""
+
+
+def q_ols_multi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-feature OLS: revenue ~ quantity + discount; oracle = Cramer's rule in SQL."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    model = LinearRegression(algorithm="eig").fit(
+        li, ["l_quantity", "l_discount"], "revenue"
+    )
+    return spark.createDataFrame(
+        [
+            ("intercept", round(model.intercept_, 5)),
+            ("l_discount", round(float(model.coef_[1]), 5)),
+            ("l_quantity", round(float(model.coef_[0]), 5)),
+        ],
+        "term string, coef double",
+    )
+
+
+# Solve the 3x3 normal equations [[n,Sx,Sz],[Sx,Sxx,Sxz],[Sz,Sxz,Szz]]·β = [Sy,Sxy,Szy]
+# by Cramer's rule, entirely in SQL (x=l_quantity, z=l_discount, y=revenue).
+_SQL_OLS_MULTI_REVENUE = """
+WITH s AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(l_quantity) AS sx, sum(l_discount) AS sz,
+         sum(l_quantity*l_quantity) AS sxx, sum(l_quantity*l_discount) AS sxz,
+         sum(l_discount*l_discount) AS szz,
+         sum(l_extendedprice*(1-l_discount)) AS sy,
+         sum(l_quantity*l_extendedprice*(1-l_discount)) AS sxy,
+         sum(l_discount*l_extendedprice*(1-l_discount)) AS szy
+  FROM lineitem
+), d AS (
+  SELECT *,
+     n*(sxx*szz - sxz*sxz) - sx*(sx*szz - sxz*sz) + sz*(sx*sxz - sxx*sz) AS det
+  FROM s
+)
+SELECT 'intercept' AS term,
+       round((sy*(sxx*szz - sxz*sxz) - sx*(sxy*szz - sxz*szy) + sz*(sxy*sxz - sxx*szy)) / det, 5) AS coef FROM d
+UNION ALL
+SELECT 'l_quantity' AS term,
+       round((n*(sxy*szz - szy*sxz) - sy*(sx*szz - sxz*sz) + sz*(sx*szy - sxy*sz)) / det, 5) AS coef FROM d
+UNION ALL
+SELECT 'l_discount' AS term,
+       round((n*(sxx*szy - sxy*sxz) - sx*(sx*szy - sxy*sz) + sy*(sx*sxz - sxx*sz)) / det, 5) AS coef FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# Metrics (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+def q_accuracy_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "pred", F.when(F.col("l_discount") > 0.05, "R").otherwise("N")
+    )
+    return accuracy_score_df(li, "l_returnflag", "pred").select(
+        F.round("accuracy", 6).alias("accuracy")
+    )
+
+
+_SQL_ACCURACY_RULE = """
+SELECT round(avg(CASE WHEN (CASE WHEN l_discount > 0.05 THEN 'R' ELSE 'N' END) = l_returnflag
+                 THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM lineitem
+"""
+
+
+def q_entropy_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return entropy_df(li, "l_returnflag").select(F.round("entropy", 6).alias("entropy"))
+
+
+_SQL_ENTROPY_RETURNFLAG = """
+WITH c AS (SELECT l_returnflag, count(*)::DOUBLE AS n FROM lineitem GROUP BY 1),
+     t AS (SELECT sum(n) AS s FROM c)
+SELECT round(-sum((n/s) * ln(n/s)), 6) AS entropy FROM c, t
+"""
+
+
+def q_contingency_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return contingency_matrix(li, "l_returnflag", "l_linestatus").select(
+        "y", "y_pred", F.col("n").cast("long").alias("n")
+    )
+
+
+_SQL_CONTINGENCY_FLAGS = """
+SELECT l_returnflag AS y, l_linestatus AS y_pred, count(*)::BIGINT AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Preprocessing (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+def q_label_encode_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return label_dictionary(cust, "c_mktsegment")
+
+
+_SQL_LABEL_ENCODE_MKTSEGMENT = """
+SELECT label, CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS code
+FROM (SELECT DISTINCT c_mktsegment AS label FROM customer)
+"""
+
+
+def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (Knuth multiplicative) so both engines agree.
+
+    cuML's train_test_split (model_selection.py:26) is seeded-random; value
+    parity across engines requires a deterministic assignment, so the harness
+    pins membership via integer arithmetic on the row key.  Sizes are checked
+    exactly; the same technique scales (a pure map, no shuffle).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 2654435761
+    bucket = (key % 4294967296) % 10
+    return (
+        li.withColumn("split", F.when(bucket < 8, "train").otherwise("test"))
+        .groupBy("split").agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_TRAIN_TEST_SPLIT_COUNTS = """
+SELECT CASE WHEN (((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296) % 10 < 8
+            THEN 'train' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stats_describe": q_stats_describe,
+    "stats_covariance": q_stats_covariance,
+    "histogram_quantity": q_histogram_quantity,
+    "topk_revenue_by_flag": q_topk_revenue_by_flag,
+    "weighted_mean_price": q_weighted_mean_price,
+    "ols_price_vs_quantity": q_ols_price_vs_quantity,
+    "ols_multi_revenue": q_ols_multi_revenue,
+    "accuracy_rule": q_accuracy_rule,
+    "entropy_returnflag": q_entropy_returnflag,
+    "contingency_flags": q_contingency_flags,
+    "label_encode_mktsegment": q_label_encode_mktsegment,
+    "train_test_split_counts": q_train_test_split_counts,
+}
+
+ORACLES: dict[str, str] = {
+    "stats_describe": _sql_stats_describe(),
+    "stats_covariance": _sql_stats_covariance(),
+    "histogram_quantity": _SQL_HISTOGRAM_QUANTITY,
+    "topk_revenue_by_flag": _SQL_TOPK_REVENUE_BY_FLAG,
+    "weighted_mean_price": _SQL_WEIGHTED_MEAN_PRICE,
+    "ols_price_vs_quantity": _SQL_OLS_PRICE_VS_QUANTITY,
+    "ols_multi_revenue": _SQL_OLS_MULTI_REVENUE,
+    "accuracy_rule": _SQL_ACCURACY_RULE,
+    "entropy_returnflag": _SQL_ENTROPY_RETURNFLAG,
+    "contingency_flags": _SQL_CONTINGENCY_FLAGS,
+    "label_encode_mktsegment": _SQL_LABEL_ENCODE_MKTSEGMENT,
+    "train_test_split_counts": _SQL_TRAIN_TEST_SPLIT_COUNTS,
+}

@@ -1,0 +1,7 @@
+from cuml_spark.linear_model.linear_regression import LinearRegression
+from cuml_spark.linear_model.ridge import Ridge
+from cuml_spark.linear_model.lasso import Lasso
+from cuml_spark.linear_model.elastic_net import ElasticNet
+from cuml_spark.linear_model.logistic_regression import LogisticRegression
+
+__all__ = ["LinearRegression", "Ridge", "Lasso", "ElasticNet", "LogisticRegression"]

@@ -1,0 +1,28 @@
+from cuml_spark.ops.stats import (
+    col_means,
+    col_stddev,
+    col_sum,
+    col_minmax,
+    covariance_matrix,
+    correlation_matrix,
+    histogram,
+    weighted_mean,
+    mean_center,
+    describe_matrix,
+)
+from cuml_spark.ops.topk import group_topk, global_topk
+from cuml_spark.ops.labels import unique_labels, make_monotonic, one_vs_rest_labels
+from cuml_spark.ops.distance import (
+    with_sq_norm,
+    pairwise_sq_euclidean,
+    pairwise_cosine_sim,
+)
+
+__all__ = [
+    "col_means", "col_stddev", "col_sum", "col_minmax",
+    "covariance_matrix", "correlation_matrix", "histogram",
+    "weighted_mean", "mean_center", "describe_matrix",
+    "group_topk", "global_topk",
+    "unique_labels", "make_monotonic", "one_vs_rest_labels",
+    "with_sq_norm", "pairwise_sq_euclidean", "pairwise_cosine_sim",
+]

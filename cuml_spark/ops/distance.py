@@ -1,0 +1,101 @@
+"""Pairwise distance primitives over ``array<double>`` embedding columns.
+
+Reference: cuML computes pairwise distances as GEMM with a fused epilogue
+(src_prims/distance/distance.h:33-45; "expanded" L2 = ‖a‖²+‖b‖²−2aᵀb,
+distance/euclidean.h:54).  Spark-native translation of the same algebra:
+
+- precompute each row's squared norm ONCE (``with_sq_norm``) so the join-side
+  expression is a dot product plus two cached scalars — identical FLOP saving
+  to the reference's expanded form;
+- the dot product itself is ``F.zip_with`` + ``F.aggregate`` — JVM-side
+  higher-order functions, no Python in the loop;
+- the cross product is a broadcast nested-loop join when one side is small
+  (queries), or an LSH/blocked join at scale (see cuml_spark.neighbors).
+
+All functions are composable column expressions where possible so Catalyst can
+fuse them into the surrounding plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<double> columns (JVM higher-order fns)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq_norm(a: Column | str) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def with_sq_norm(df: DataFrame, vec_col: str, out_col: str = "sq_norm") -> DataFrame:
+    """Materialize per-row ‖x‖² once — the 'expanded distance' precompute."""
+    return df.withColumn(out_col, sq_norm(F.col(vec_col)))
+
+
+def sq_euclidean(a: Column, b: Column, a_sq: Column, b_sq: Column) -> Column:
+    """‖a−b‖² = ‖a‖²+‖b‖²−2aᵀb with precomputed norms (euclidean.h:54 trick).
+
+    Clamped at 0 to absorb float cancellation, as the reference does before
+    its optional sqrt epilogue.
+    """
+    return F.greatest(F.lit(0.0), a_sq + b_sq - 2.0 * dot(a, b))
+
+
+def cosine_sim(a: Column, b: Column, a_sq: Column, b_sq: Column) -> Column:
+    """Cosine similarity with precomputed squared norms."""
+    return dot(a, b) / (F.sqrt(a_sq) * F.sqrt(b_sq))
+
+
+def pairwise_sq_euclidean(
+    left: DataFrame, right: DataFrame, vec_col: str = "embedding",
+    left_id: str = "vec_id", right_id: str = "vec_id",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """All-pairs squared L2 → (left_id, right_id, sq_dist).
+
+    The small side should be ``right`` — it is broadcast so the big side never
+    shuffles (the analog of the reference tiling the small matrix through
+    shared memory).  For big×big use the LSH/blocked path in neighbors/.
+    """
+    l = with_sq_norm(left, vec_col, "l_sq").select(
+        F.col(left_id).alias("left_id"), F.col(vec_col).alias("l_vec"), "l_sq"
+    )
+    r = with_sq_norm(right, vec_col, "r_sq").select(
+        F.col(right_id).alias("right_id"), F.col(vec_col).alias("r_vec"), "r_sq"
+    )
+    if broadcast_right:
+        r = F.broadcast(r)
+    return l.crossJoin(r).select(
+        "left_id",
+        "right_id",
+        sq_euclidean(F.col("l_vec"), F.col("r_vec"), F.col("l_sq"), F.col("r_sq")).alias("sq_dist"),
+    )
+
+
+def pairwise_cosine_sim(
+    left: DataFrame, right: DataFrame, vec_col: str = "embedding",
+    left_id: str = "vec_id", right_id: str = "vec_id",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """All-pairs cosine similarity → (left_id, right_id, cos_sim)."""
+    l = with_sq_norm(left, vec_col, "l_sq").select(
+        F.col(left_id).alias("left_id"), F.col(vec_col).alias("l_vec"), "l_sq"
+    )
+    r = with_sq_norm(right, vec_col, "r_sq").select(
+        F.col(right_id).alias("right_id"), F.col(vec_col).alias("r_vec"), "r_sq"
+    )
+    if broadcast_right:
+        r = F.broadcast(r)
+    return l.crossJoin(r).select(
+        "left_id",
+        "right_id",
+        cosine_sim(F.col("l_vec"), F.col("r_vec"), F.col("l_sq"), F.col("r_sq")).alias("cos_sim"),
+    )
