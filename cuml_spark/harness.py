@@ -297,6 +297,8 @@ FROM lineitem GROUP BY 1
 # Registry
 # --------------------------------------------------------------------------
 
+from cuml_spark.harness_text import ORACLES_TEXT, QUERIES_TEXT
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_describe": q_stats_describe,
     "stats_covariance": q_stats_covariance,
@@ -326,3 +328,6 @@ ORACLES: dict[str, str] = {
     "label_encode_mktsegment": _SQL_LABEL_ENCODE_MKTSEGMENT,
     "train_test_split_counts": _SQL_TRAIN_TEST_SPLIT_COUNTS,
 }
+
+QUERIES.update(QUERIES_TEXT)
+ORACLES.update(ORACLES_TEXT)

@@ -1,0 +1,330 @@
+"""Harness queries: text analysis, dedup, similarity search, time series.
+
+Same conventions as cuml_spark.harness (aliases match oracles, floats rounded
+both sides).  The minhash/simhash oracles are generated from the same
+coefficient tables as the Spark implementation so the arithmetic is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuml_spark.neighbors import cosine_topk, knn_join
+from cuml_spark.text import (
+    exact_dedup_groups,
+    jaccard_similarity_pairs,
+    language_id,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    normalized_fingerprint,
+    quality_features,
+    simhash,
+)
+from cuml_spark.text.dedup import _A, _B, MINHASH_PRIME, N_BANDS, N_HASHES
+from cuml_spark.text.quality import LANG_STOPWORDS, bpe_ish_token_count, token_count
+from cuml_spark.tsa import kpss_statistic
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_t(spark, sf_dir, "documents")).select(
+        "text_hash", F.col("n_dups").cast("long").alias("n_dups"), "keep_id"
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalized_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+_SQL_SHINGLE_HASH_CTE = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, greatest(1, length(text) - 4))) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s FROM pos
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh
+)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _sql_sig_cte() -> str:
+    """Shingle-hash + minhash-signature CTEs shared by the minhash/LSH oracles."""
+    mins = ",\n  ".join(
+        f"min(({_A[i]} * h + {_B[i]}) % {MINHASH_PRIME}) AS mh{i}" for i in range(N_HASHES)
+    )
+    return _SQL_SHINGLE_HASH_CTE + f", sig AS (SELECT doc_id,\n  {mins}\nFROM h GROUP BY doc_id)"
+
+
+def _sql_minhash() -> str:
+    return _sql_sig_cte() + "\nSELECT * FROM sig"
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lsh_pairs() -> str:
+    r = N_HASHES // N_BANDS
+    band_selects = []
+    for b in range(N_BANDS):
+        sig = " || '_' || ".join(f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r))
+        band_selects.append(f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    return (
+        _sql_sig_cte()
+        + f""", bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band, sig)
+WHERE a.doc_id < b.doc_id
+"""
+    )
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _sql_simhash(n_bits: int = 16) -> str:
+    sums = ",\n  ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(n_bits)
+    )
+    fp = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(n_bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+), s AS (
+  SELECT doc_id, {sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Text quality / tokens / language
+# --------------------------------------------------------------------------
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = quality_features(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_chars", "n_tokens",
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def _sql_doc_quality() -> str:
+    stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+  round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+        / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS mean_token_len,
+  round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6) AS digit_ratio,
+  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6) AS upper_ratio,
+  round(len(list_filter(regexp_extract_all(text, '\\S+'),
+                        x -> list_contains([{stop}], lower(x))))::DOUBLE
+        / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+_SQL_DOC_TOKENS = """
+SELECT doc_id,
+  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(regexp_extract_all(text, '\\S+'), "
+            f"x -> list_contains([{words}], lower(x)))) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "'unknown'"
+    for l in reversed(langs):
+        pred = f"CASE WHEN score_{l} = best AND best > 0 THEN '{l}' ELSE {pred} END"
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents),
+     b AS (SELECT doc_id, {best} AS best, * FROM s)
+SELECT doc_id, {pred} AS pred_lang, best::BIGINT AS score FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = knn_join(emb, queries, k=5, metric="sqeuclidean")
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("distance", 6).alias("distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_KNN_EMBEDDINGS = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+     i AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS iv FROM embeddings),
+     d AS (
+  SELECT query_id, neighbor_id,
+         greatest(0.0, list_dot_product(qv, qv) + list_dot_product(iv, iv)
+                        - 2 * list_dot_product(qv, iv)) AS dist
+  FROM q, i WHERE query_id <> neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM d
+)
+SELECT query_id, neighbor_id, round(dist, 6) AS distance, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+     i AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS iv FROM embeddings),
+     d AS (
+  SELECT query_id, neighbor_id,
+         1.0 - (list_dot_product(qv, iv)
+                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv)))) AS dist
+  FROM q, i WHERE query_id <> neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM d
+)
+SELECT query_id, neighbor_id, round(1.0 - dist, 6) AS cos_sim, rank FROM r WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Time series: KPSS (SURVEY §2.1 #25)
+# --------------------------------------------------------------------------
+
+def q_kpss_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS): read as long nanoseconds
+    # (runtime-settable legacy conf), bucket by integer day index — exact
+    # arithmetic that DuckDB reproduces with epoch_ns // day.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.expr("ts div 86400000000000").alias("t"),
+    ).agg(F.avg("value").alias("y"))
+    out = kpss_statistic(series, "series_id", "t", "y", lags=0)
+    return out.select("series_id", "n", F.round("kpss_stat", 6).alias("kpss_stat"))
+
+
+_SQL_KPSS_EVENTS = """
+WITH s AS (
+  SELECT event_type AS series_id, epoch_ns(ts) // 86400000000000 AS t, avg(value) AS y
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT series_id, t, y - avg(y) OVER (PARTITION BY series_id) AS e FROM s
+), c AS (
+  SELECT series_id, e,
+         sum(e) OVER (PARTITION BY series_id ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum
+  FROM e
+)
+SELECT series_id, count(*)::BIGINT AS n,
+       round((sum(s_cum * s_cum) / (count(*) * count(*))) / (sum(e * e) / count(*)), 6) AS kpss_stat
+FROM c GROUP BY series_id
+"""
+
+
+QUERIES_TEXT = {
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash_docs": q_simhash_docs,
+    "doc_quality": q_doc_quality,
+    "doc_tokens": q_doc_tokens,
+    "lang_id": q_lang_id,
+    "knn_embeddings": q_knn_embeddings,
+    "cosine_topk": q_cosine_topk,
+    "kpss_events": q_kpss_events,
+}
+
+ORACLES_TEXT = {
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+    "minhash_signatures": _sql_minhash(),
+    "lsh_pairs": _sql_lsh_pairs(),
+    "simhash_docs": _sql_simhash(),
+    "doc_quality": _sql_doc_quality(),
+    "doc_tokens": _SQL_DOC_TOKENS,
+    "lang_id": _sql_lang_id(),
+    "knn_embeddings": _SQL_KNN_EMBEDDINGS,
+    "cosine_topk": _SQL_COSINE_TOPK,
+    "kpss_events": _SQL_KPSS_EVENTS,
+}

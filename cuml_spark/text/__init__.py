@@ -1,0 +1,16 @@
+from cuml_spark.text.dedup import (
+    exact_dedup_groups,
+    normalized_fingerprint,
+    shingles,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    jaccard_similarity_pairs,
+    simhash,
+)
+from cuml_spark.text.quality import quality_features, language_id, token_count
+
+__all__ = [
+    "exact_dedup_groups", "normalized_fingerprint", "shingles",
+    "minhash_signatures", "lsh_candidate_pairs", "jaccard_similarity_pairs",
+    "simhash", "quality_features", "language_id", "token_count",
+]

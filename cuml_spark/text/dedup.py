@@ -1,0 +1,187 @@
+"""Deduplication operators for large-scale text corpora.
+
+Not present in the cuML reference (its data model is dense numeric matrices) —
+these are the training-data-pipeline operators the rebuild adds as first-class
+citizens.  All deterministic (md5-derived hashing, fixed coefficient tables) so
+they are exactly reproducible across engines and runs — a requirement for both
+the DuckDB oracle harness and for incremental 100 TB dedup runs.
+
+Scale design:
+- exact dedup: hash → groupBy(hash) — one shuffle on a 16-byte key, standard
+  map-side combine.
+- MinHash/LSH: shingle explode (map-side), per-doc min-aggregate (shuffle by
+  doc_id), band signatures (map-side), bucket self-join (shuffle by
+  (band, signature) — only bucket-mates ever pair, so the O(N²) all-pairs
+  never materializes).  AQE handles skewed buckets (e.g. boilerplate docs).
+- SimHash: explode tokens → 16 conditional-sum aggregates per doc — one
+  shuffle, no joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed MinHash coefficient tables (deterministic across runs/engines).
+# h' = (a*h + b) mod P over the 32-bit shingle hash; a,b < 2^31 keeps
+# a*h + b < 2^63 (no overflow in either engine's BIGINT).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+_A = [1664525, 22695477, 1103515245, 134775813, 214013, 69069, 1013904223,
+      32310901, 1284865837, 1481765933, 1664525, 99991, 7368787, 65537,
+      2038074743, 104729]
+_B = [1013904223, 1, 12345, 1, 2531011, 0, 4541, 17, 251, 8191, 524287,
+      2147483629, 131071, 8388617, 100003, 999983]
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def _hash32(col: Column) -> Column:
+    """Deterministic 32-bit hash of a string: first 8 hex chars of md5.
+
+    Chosen over Spark's xxhash64 because DuckDB computes the identical value
+    (md5 is engine-agnostic), which makes every downstream op oracle-checkable.
+    """
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: (text_hash, n_dups, keep_id) with keep = min id.
+
+    The canonical keep-first dedup: a groupBy on the md5 — at 100 TB this is
+    one shuffle of (hash, id) pairs, never the document bodies.
+    """
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def normalized_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace/case-normalized content fingerprint per doc (near-exact dedup)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return df.select(
+        F.col(id_col), F.md5(norm.cast("binary")).alias("fingerprint")
+    )
+
+
+def shingles(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
+             distinct: bool = True) -> DataFrame:
+    """Character k-gram shingle set per document → (id, shingle).
+
+    Pure map-side explode (sequence + transform are JVM codegen'd); the
+    distinct is per-document and combines map-side before any shuffle.
+    """
+    arr = F.expr(
+        f"transform(sequence(1, greatest(1, length({text_col}) - {k - 1})), "
+        f"i -> substring({text_col}, i, {k}))"
+    )
+    out = df.select(F.col(id_col), F.explode(arr).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+def minhash_signatures(df: DataFrame, k: int = 5, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash signature per doc → (id, mh0..mh{n-1}).
+
+    One explode + one groupBy(id) with n_hashes min-aggregates — the classic
+    one-pass distributed MinHash.
+    """
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    h = _hash32(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(_A[i]) * h + F.lit(_B[i])) % MINHASH_PRIME).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, k: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id", n_bands: int = N_BANDS) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 identical band → (id_a, id_b).
+
+    Band signature = concat of r=n_hashes/n_bands minhashes; bucket join is a
+    self-join on (band, signature) — only same-bucket docs pair up.
+    """
+    sig = minhash_signatures(df, k=k, text_col=text_col, id_col=id_col)
+    r = N_HASHES // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+        bands.append(
+            sig.select(
+                F.col(id_col), F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("sig"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionAll(b)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, on=["band", "sig"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_similarity_pairs(df: DataFrame, k: int = 5, threshold: float = 0.0,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             candidates: DataFrame | None = None) -> DataFrame:
+    """n-gram Jaccard similarity for doc pairs → (id_a, id_b, jaccard).
+
+    Without ``candidates``: all pairs sharing ≥1 shingle (the shingle join
+    prunes disjoint pairs for free).  With ``candidates`` (e.g. LSH output):
+    verifies only those — the scalable two-stage near-dup pipeline.
+    """
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"), on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="inner")
+    out = (
+        inter
+        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens → (id, simhash).
+
+    bit_j(doc) = 1 iff Σ_tokens (2·bit_j(hash(tok)) − 1) > 0; fingerprint is
+    the n_bits-wide integer.  One explode + one aggregate; near-dup candidates
+    are then docs at small Hamming distance.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")).alias("tok"),
+    )
+    h = _hash32(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(n_bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(n_bits):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,83 @@
+"""KNN / similarity search vs numpy brute force (reference: FAISS-backed
+brute_force_knn, knn.cu:57 — exact, ties by index)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuml_spark.neighbors import NearestNeighbors, cosine_topk, knn_join
+
+
+@pytest.fixture(scope="module")
+def emb_np(embeddings):
+    pdf = embeddings.orderBy("vec_id").toPandas()
+    return pdf["vec_id"].to_numpy(), np.array(pdf["embedding"].tolist(), dtype=np.float64)
+
+
+def _np_knn(ids, X, query_ids, k):
+    out = {}
+    for qi in query_ids:
+        q = X[ids == qi][0]
+        d = ((X - q) ** 2).sum(axis=1)
+        order = sorted((float(d[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != qi)
+        out[qi] = [nid for _, nid in order[:k]]
+    return out
+
+
+def test_knn_exact_matches_numpy(embeddings, emb_np):
+    ids, X = emb_np
+    queries = embeddings.where(F.col("vec_id") < 5)
+    got = knn_join(embeddings, queries, k=4).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    expected = _np_knn(ids, X, range(5), 4)
+    assert by_q == expected
+
+
+def test_knn_distances_correct(embeddings, emb_np):
+    ids, X = emb_np
+    queries = embeddings.where(F.col("vec_id") == 0)
+    got = knn_join(embeddings, queries, k=3).collect()
+    q = X[ids == 0][0]
+    for r in got:
+        nb = X[ids == r["neighbor_id"]][0]
+        assert r["distance"] == pytest.approx(((q - nb) ** 2).sum(), rel=1e-9)
+
+
+def test_cosine_topk_matches_numpy(embeddings, emb_np):
+    ids, X = emb_np
+    queries = embeddings.where(F.col("vec_id") == 1)
+    got = cosine_topk(embeddings, queries, k=3).orderBy("rank").collect()
+    q = X[ids == 1][0]
+    sims = X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        ((-float(sims[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != 1)
+    )[:3]
+    assert [r["neighbor_id"] for r in got] == [nid for _, nid in order]
+    assert got[0]["cos_sim"] == pytest.approx(-order[0][0], rel=1e-9)
+
+
+def test_lsh_ann_recall(embeddings, emb_np):
+    """ANN mode: recall@10 vs exact must clear a floor (approximate by design)."""
+    ids, X = emb_np
+    nn = NearestNeighbors(n_neighbors=10, algorithm="lsh", n_planes=6, n_tables=6)
+    nn.fit(embeddings)
+    queries = embeddings.where(F.col("vec_id") < 20)
+    got = nn.kneighbors(queries).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact = _np_knn(ids, X, range(20), 10)
+    recalls = [len(by_q.get(q, set()) & set(exact[q])) / 10 for q in range(20)]
+    assert float(np.mean(recalls)) > 0.25
+
+
+def test_brute_class_api(embeddings):
+    nn = NearestNeighbors(n_neighbors=2).fit(embeddings)
+    out = nn.kneighbors(embeddings.where(F.col("vec_id") == 3))
+    rows = out.collect()
+    assert len(rows) == 2
+    assert {r["rank"] for r in rows} == {1, 2}

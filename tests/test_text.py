@@ -1,0 +1,99 @@
+"""Text dedup / quality operators vs python-computed oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from cuml_spark.text import (
+    exact_dedup_groups,
+    jaccard_similarity_pairs,
+    language_id,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    normalized_fingerprint,
+    quality_features,
+    simhash,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (3, "Der schnelle braune Fuchs und der faule Hund und das ist gut"),
+        (4, "completely different content about spark engines 123!"),
+        (5, "THE QUICK  BROWN FOX jumps over the lazy dog"),   # case/space variant
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["text_hash"]: (r["n_dups"], r["keep_id"]) for r in exact_dedup_groups(docs).collect()}
+    h = hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert out[h] == (2, 0)
+    assert sum(n for n, _ in out.values()) == 6
+
+
+def test_normalized_fingerprint(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in normalized_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    # case-normalized + whitespace-collapsed variant maps to the same print
+    assert fp[0] == fp[5]
+    assert fp[0] != fp[4]
+
+
+def test_jaccard_pairs(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_similarity_pairs(docs, k=5).collect()
+    }
+    assert out[(0, 1)] == pytest.approx(1.0)
+
+    def sh(s, k=5):
+        return {s[i : i + k] for i in range(max(1, len(s) - k + 1))}
+
+    a = sh("the quick brown fox jumps over the lazy dog")
+    b = sh("the quick brown fox jumped over the lazy dog")
+    expected = len(a & b) / len(a | b)
+    assert out[(0, 2)] == pytest.approx(expected, rel=1e-9)
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
+            for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[4]
+
+
+def test_lsh_catches_exact_and_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs          # identical docs always collide in every band
+    assert (0, 4) not in pairs      # unrelated docs shouldn't bucket together
+
+
+def test_simhash_hamming(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[0] == fp[1]
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_quality_features(docs):
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    text0 = "the quick brown fox jumps over the lazy dog"
+    assert q[0]["n_chars"] == len(text0)
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+    assert q[4]["digit_ratio"] == pytest.approx(3 / q[4]["n_chars"])
+    assert q[3]["upper_ratio"] > 0
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
