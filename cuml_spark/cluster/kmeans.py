@@ -1,0 +1,121 @@
+"""KMeans — cuML ``KMeans`` (python/cuml/cluster/kmeans.pyx:114) on MLlib.
+
+Reference semantics: Lloyd EM with scalable k-means|| init
+(cpp/src/kmeans/sg_impl.cuh:41 EM loop, :273 init, "8 rounds is sufficient"
+:353), params n_clusters=8, max_iter=300, tol=1e-4, oversampling_factor=2,
+metric fixed to squared-L2 (kmeans.pyx:297).  Outputs ``labels_``,
+``cluster_centers_``, ``inertia_``, ``n_iter_``.
+
+MLlib's ``ml.clustering.KMeans`` implements the IDENTICAL algorithm family
+(initMode='k-means||', distanceMeasure='euclidean', treeAggregate of per-
+partition partial sums per iteration — the distributed shape of the
+reference's per-batch minClusterAndDistance + key-grouped centroid update).
+This wrapper adds the pieces MLlib lacks: ``transform`` (distance-to-centers
+matrix, kmeans.pyx:502) and ``score`` (negative inertia, :574), both as pure
+column expressions over the broadcast centers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.ml.clustering import KMeans as MLKMeans
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cuml_spark.core.base import Base
+from cuml_spark.core.validation import check_features
+
+
+class KMeans(Base):
+    def __init__(self, n_clusters: int = 8, max_iter: int = 300, tol: float = 1e-4,
+                 random_state: int = 1, init: str = "scalable-k-means++",
+                 n_init: int = 1, oversampling_factor: float = 2.0, **kwargs):
+        super().__init__(**kwargs)
+        self.n_clusters = n_clusters
+        self.max_iter = max_iter
+        self.tol = tol
+        self.random_state = random_state
+        self.init = init
+        self.n_init = n_init
+        self.oversampling_factor = oversampling_factor
+        self.cluster_centers_: np.ndarray | None = None
+        self.inertia_: float | None = None
+        self.n_iter_: int | None = None
+        self._cols: list[str] | None = None
+        self._model = None
+
+    def _assemble(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        keep = [c for c in df.columns if c not in cols]
+        casted = df.select(*keep, *[F.col(c).cast("double").alias(c) for c in cols])
+        return VectorAssembler(inputCols=cols, outputCol="__features").transform(casted)
+
+    def fit(self, df: DataFrame, feature_cols: list[str]) -> "KMeans":
+        check_features(df, feature_cols)  # dtype validation only
+        init_mode = "k-means||" if "k-means" in self.init else "random"
+        km = MLKMeans(
+            k=self.n_clusters, maxIter=self.max_iter, tol=self.tol,
+            seed=self.random_state, initMode=init_mode,
+            featuresCol="__features", predictionCol="__cluster",
+            distanceMeasure="euclidean",
+        )
+        assembled = self._assemble(df, feature_cols)
+        self._model = km.fit(assembled)
+        self.cluster_centers_ = np.array(
+            [c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+             for c in self._model.clusterCenters()]
+        )
+        summary = self._model.summary
+        self.inertia_ = float(summary.trainingCost)  # sum of squared distances
+        self.n_iter_ = summary.numIter
+        self._cols = list(feature_cols)
+        return self
+
+    # -- scoring expressions over broadcast centers (no shuffle) ------------
+    def _sq_dist_expr(self, center: np.ndarray, cols: list[str]) -> Column:
+        d = F.lit(0.0)
+        for c, v in zip(cols, center):
+            d = d + (F.col(c).cast("double") - float(v)) ** 2
+        return d
+
+    def predict(self, df: DataFrame, feature_cols: list[str] | None = None,
+                out_col: str = "label") -> DataFrame:
+        """Nearest-center assignment as a pure expression (labels_, pyx:392)."""
+        cols = feature_cols or self._cols
+        if self.cluster_centers_ is None:
+            raise RuntimeError("model not fitted")
+        dists = [self._sq_dist_expr(c, cols) for c in self.cluster_centers_]
+        best = F.lit(0)
+        best_d = dists[0]
+        for i in range(1, len(dists)):
+            cond = dists[i] < best_d
+            best = F.when(cond, F.lit(i)).otherwise(best)
+            best_d = F.when(cond, dists[i]).otherwise(best_d)
+        return df.withColumn(out_col, best.cast("int"))
+
+    def fit_predict(self, df: DataFrame, feature_cols: list[str],
+                    out_col: str = "label") -> DataFrame:
+        return self.fit(df, feature_cols).predict(df, feature_cols, out_col)
+
+    def transform(self, df: DataFrame, feature_cols: list[str] | None = None) -> DataFrame:
+        """Distance-to-each-center columns (kmeans.pyx:502 semantics: the
+        n×k transformed matrix), euclidean distances."""
+        cols = feature_cols or self._cols
+        if self.cluster_centers_ is None:
+            raise RuntimeError("model not fitted")
+        return df.select(
+            *df.columns,
+            *[
+                F.sqrt(self._sq_dist_expr(c, cols)).alias(f"dist_{i}")
+                for i, c in enumerate(self.cluster_centers_)
+            ],
+        )
+
+    def score(self, df: DataFrame, feature_cols: list[str] | None = None) -> float:
+        """Negative inertia on the given frame (kmeans.pyx:574)."""
+        cols = feature_cols or self._cols
+        dists = [self._sq_dist_expr(c, cols) for c in self.cluster_centers_]
+        min_d = dists[0]
+        for d in dists[1:]:
+            min_d = F.least(min_d, d)
+        return -df.agg(F.sum(min_d)).first()[0]

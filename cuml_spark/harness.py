@@ -331,3 +331,8 @@ ORACLES: dict[str, str] = {
 
 QUERIES.update(QUERIES_TEXT)
 ORACLES.update(ORACLES_TEXT)
+
+from cuml_spark.harness_ml import ORACLES_ML, QUERIES_ML  # noqa: E402
+
+QUERIES.update(QUERIES_ML)
+ORACLES.update(ORACLES_ML)

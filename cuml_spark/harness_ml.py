@@ -1,0 +1,170 @@
+"""Harness queries: decomposition / clustering / RF / preprocessing.
+
+PCA and TSVD on 2 features are exactly SQL-checkable: the 2×2 (co)variance
+matrix eigenvalues have the closed form λ = m ± sqrt(m² − det), so the oracle
+computes them with plain aggregates — a full-fidelity D-class check of the
+distributed moment pass + driver eig.  KMeans/RF are S-class (seeded
+stochastic): they get rows-only entries (the driver records the weaker check;
+quality is asserted in pytest instead, mirroring the reference's ARI/accuracy
+tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuml_spark.cluster import KMeans
+from cuml_spark.decomposition import PCA, TruncatedSVD
+from cuml_spark.ensemble import RandomForestClassifier
+from cuml_spark.preprocessing import StandardScaler, train_test_split
+
+PCA_COLS = ["l_quantity", "l_tax"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pca_variance_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pca = PCA(n_components=2).fit(li, PCA_COLS)
+    rows = [
+        (i, round(float(pca.explained_variance_[i]), 6),
+         round(float(pca.explained_variance_ratio_[i]), 6),
+         round(float(pca.singular_values_[i]), 4))
+        for i in range(2)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, explained_variance double, explained_variance_ratio double, singular_value double"
+    )
+
+
+_SQL_PCA_VARIANCE_2D = f"""
+WITH s AS (
+  SELECT covar_samp({PCA_COLS[0]}, {PCA_COLS[0]}) AS a,
+         covar_samp({PCA_COLS[0]}, {PCA_COLS[1]}) AS b,
+         covar_samp({PCA_COLS[1]}, {PCA_COLS[1]}) AS c,
+         count(*)::DOUBLE AS n
+  FROM lineitem
+), e AS (
+  SELECT (a + c) / 2 + sqrt(((a - c) / 2) ^ 2 + b ^ 2) AS l1,
+         (a + c) / 2 - sqrt(((a - c) / 2) ^ 2 + b ^ 2) AS l2,
+         a + c AS tot, n
+  FROM s
+)
+SELECT 0 AS component, round(l1, 6) AS explained_variance,
+       round(l1 / tot, 6) AS explained_variance_ratio,
+       round(sqrt(l1 * (n - 1)), 4) AS singular_value FROM e
+UNION ALL
+SELECT 1, round(l2, 6), round(l2 / tot, 6), round(sqrt(l2 * (n - 1)), 4) FROM e
+"""
+
+
+def q_tsvd_singular_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    tsvd = TruncatedSVD(n_components=2).fit(li, PCA_COLS)
+    rows = [(i, round(float(tsvd.singular_values_[i]), 4)) for i in range(2)]
+    return spark.createDataFrame(rows, "component int, singular_value double")
+
+
+_SQL_TSVD_SINGULAR_2D = f"""
+WITH s AS (
+  SELECT sum({PCA_COLS[0]} * {PCA_COLS[0]}) AS a,
+         sum({PCA_COLS[0]} * {PCA_COLS[1]}) AS b,
+         sum({PCA_COLS[1]} * {PCA_COLS[1]}) AS c
+  FROM lineitem
+), e AS (
+  SELECT (a + c) / 2 + sqrt(((a - c) / 2) ^ 2 + b ^ 2) AS l1,
+         (a + c) / 2 - sqrt(((a - c) / 2) ^ 2 + b ^ 2) AS l2
+  FROM s
+)
+SELECT 0 AS component, round(sqrt(l1), 4) AS singular_value FROM e
+UNION ALL
+SELECT 1, round(sqrt(greatest(l2, 0)), 4) FROM e
+"""
+
+
+def q_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    scaler = StandardScaler().fit(li, ["l_quantity"])
+    out = scaler.transform(li.where(F.col("l_orderkey") < 100), ["l_quantity"])
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.round("l_quantity", 6).alias("scaled_quantity"),
+    )
+
+
+_SQL_STANDARD_SCALER = """
+WITH stats AS (
+  SELECT avg(l_quantity) AS m, stddev_pop(l_quantity) AS s FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round((l_quantity - m) / s, 6) AS scaled_quantity
+FROM lineitem, stats WHERE l_orderkey < 100
+"""
+
+
+def q_split_exact_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    train, test = train_test_split(li, train_size=0.8, seed=7, exact=True)
+    return spark.createDataFrame(
+        [("test", test.count()), ("train", train.count())], "split string, n long"
+    )
+
+
+_SQL_SPLIT_EXACT_SIZES = """
+SELECT 'train' AS split, CAST(floor(0.8 * count(*)) AS BIGINT) AS n FROM lineitem
+UNION ALL
+SELECT 'test', count(*) - CAST(floor(0.8 * count(*)) AS BIGINT) FROM lineitem
+"""
+
+
+# -- S-class (seeded stochastic): rows-only driver check, quality in pytest --
+
+def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans on scaled (acctbal, total spend) per customer; outputs k cluster
+    sizes.  Stochastic init → no value oracle; schema + non-degeneracy only."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    feats = cust.join(spend, cust.c_custkey == spend.o_custkey, "inner").select(
+        "c_custkey", "c_acctbal", "spend"
+    )
+    scaled = StandardScaler().fit_transform(feats, ["c_acctbal", "spend"])
+    km = KMeans(n_clusters=4, random_state=42)
+    labeled = km.fit_predict(scaled, ["c_acctbal", "spend"])
+    return (
+        labeled.groupBy("label").agg(F.count("*").alias("n_points"))
+        .select(F.col("label").cast("int").alias("cluster"), "n_points")
+    )
+
+
+def q_rf_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RF classifier on lineitem → single accuracy row (S-class, rows-only)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "is_high", (F.col("l_extendedprice") > 30000).cast("double")
+    )
+    rf = RandomForestClassifier(n_estimators=10, max_depth=8, n_bins=16, random_state=7)
+    rf.fit(li, ["l_quantity", "l_discount", "l_tax"], "is_high")
+    acc = rf.score(li, ["l_quantity", "l_discount", "l_tax"], "is_high")
+    return spark.createDataFrame([(float(acc),)], "accuracy double")
+
+
+QUERIES_ML = {
+    "pca_variance_2d": q_pca_variance_2d,
+    "tsvd_singular_2d": q_tsvd_singular_2d,
+    "standard_scaler": q_standard_scaler,
+    "split_exact_sizes": q_split_exact_sizes,
+    "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
+    "rf_accuracy": q_rf_accuracy,
+}
+
+ORACLES_ML = {
+    "pca_variance_2d": _SQL_PCA_VARIANCE_2D,
+    "tsvd_singular_2d": _SQL_TSVD_SINGULAR_2D,
+    "standard_scaler": _SQL_STANDARD_SCALER,
+    "split_exact_sizes": _SQL_SPLIT_EXACT_SIZES,
+    # kmeans_cluster_sizes / rf_accuracy: stochastic → rows-only (no oracle)
+}

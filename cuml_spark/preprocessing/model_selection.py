@@ -1,0 +1,60 @@
+"""train_test_split — cuML python/cuml/preprocessing/model_selection.py:26.
+
+Reference semantics: 4-way (X_train, X_test, y_train, y_test) split with
+``train_size`` proportional or absolute, optional shuffle, seeded.  The Spark
+frame keeps X and y together, so this returns (train_df, test_df).
+
+Two modes:
+- ``exact=False`` (default): seeded Bernoulli split via ``rand(seed)`` —
+  one map-only pass, fully scalable, sizes binomially distributed around the
+  proportion (the classic ``randomSplit`` trade-off).
+- ``exact=True``: exact sizes via seeded rank — a window over ``rand(seed)``
+  assigns row numbers; cost is one shuffle.  Mirrors the reference's exact
+  row-count contract (model_selection.py computes exact train_size rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def train_test_split(
+    df: DataFrame,
+    train_size: float | int = 0.8,
+    shuffle: bool = True,
+    seed: int = 0,
+    exact: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    if not shuffle:
+        # reference: unshuffled split takes the first train_size rows in order;
+        # Spark frames are unordered, so require an explicit ordering column —
+        # use a deterministic global row_number over the existing order.
+        w = Window.orderBy(F.monotonically_increasing_id())
+        total = df.count()
+        k = int(train_size * total) if isinstance(train_size, float) else train_size
+        numbered = df.withColumn("__rn", F.row_number().over(w))
+        train = numbered.filter(F.col("__rn") <= k).drop("__rn")
+        test = numbered.filter(F.col("__rn") > k).drop("__rn")
+        return train, test
+    if exact:
+        # rand(seed) is re-evaluated independently in the train and test plans
+        # (Spark marks it non-deterministic), which can place a row on both
+        # sides.  Instead derive the shuffle key deterministically from row
+        # CONTENT: xxhash64 of all columns + seed.  Identical rows tie, but any
+        # tie-break among identical rows yields the same multiset split, so
+        # disjointness/completeness hold regardless of partitioning.
+        total = df.count()
+        k = int(train_size * total) if isinstance(train_size, float) else train_size
+        cols = [F.col(c) for c in df.columns]
+        key = F.xxhash64(*cols, F.lit(seed))
+        w = Window.orderBy(key, *cols)
+        numbered = df.withColumn("__rn", F.row_number().over(w))
+        train = numbered.filter(F.col("__rn") <= k).drop("__rn")
+        test = numbered.filter(F.col("__rn") > k).drop("__rn")
+        return train, test
+    p = float(train_size) if isinstance(train_size, float) else train_size / df.count()
+    # randomSplit sorts within partitions first, making the seeded sample
+    # deterministic and the two sides disjoint by construction.
+    train, test = df.randomSplit([p, 1.0 - p], seed=seed)
+    return train, test

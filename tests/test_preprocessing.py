@@ -1,0 +1,81 @@
+"""train_test_split / LabelEncoder / scalers — D-class semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cuml_spark.preprocessing import LabelEncoder, MinMaxScaler, StandardScaler, train_test_split
+
+
+def test_split_exact_sizes(lineitem):
+    n = lineitem.count()
+    train, test = train_test_split(lineitem, train_size=0.8, seed=3, exact=True)
+    assert train.count() == int(0.8 * n)
+    assert test.count() == n - int(0.8 * n)
+
+
+def test_split_disjoint_and_complete(lineitem):
+    train, test = train_test_split(lineitem, train_size=0.7, seed=1, exact=True)
+    # (l_orderkey, l_linenumber) is NOT unique in the generated data — full
+    # rows are.  Disjointness is therefore checked on the full row.
+    n_overlap = train.intersect(test).count()
+    assert n_overlap == 0
+    assert train.count() + test.count() == lineitem.count()
+    assert train.union(test).exceptAll(lineitem).count() == 0
+
+
+def test_split_proportional_mode(lineitem):
+    n = lineitem.count()
+    train, test = train_test_split(lineitem, train_size=0.8, seed=3)
+    frac = train.count() / n
+    assert 0.75 < frac < 0.85  # binomial around 0.8
+
+
+def test_split_absolute_size(lineitem):
+    train, test = train_test_split(lineitem, train_size=1000, seed=2, exact=True)
+    assert train.count() == 1000
+
+
+def test_label_encoder_alphabetical(spark):
+    df = spark.createDataFrame(
+        [("banana",), ("apple",), ("cherry",), ("apple",)], "fruit string"
+    )
+    le = LabelEncoder().fit(df, "fruit")
+    assert le.classes_ == ["apple", "banana", "cherry"]
+    out = {r["fruit"]: r["code"] for r in le.transform(df).collect()}
+    assert out == {"apple": 0, "banana": 1, "cherry": 2}
+
+
+def test_label_encoder_unseen_raises(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "x string")
+    le = LabelEncoder().fit(df, "x")
+    new = spark.createDataFrame([("c",)], "x string")
+    with pytest.raises(KeyError):
+        le.transform(new)
+
+
+def test_label_encoder_inverse(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("b",)], "x string")
+    le = LabelEncoder().fit(df, "x")
+    coded = le.transform(df)
+    back = le.inverse_transform(coded.select("code"))
+    assert sorted(r["x"] for r in back.collect()) == ["a", "b", "b"]
+
+
+def test_standard_scaler(lineitem):
+    sc = StandardScaler().fit(lineitem, ["l_quantity", "l_tax"])
+    out = sc.transform(lineitem)
+    stats = out.selectExpr(
+        "avg(l_quantity) m", "stddev_pop(l_quantity) s"
+    ).first()
+    assert stats["m"] == pytest.approx(0.0, abs=1e-9)
+    assert stats["s"] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_minmax_scaler(lineitem):
+    sc = MinMaxScaler(feature_range=(0.0, 1.0)).fit(lineitem, ["l_quantity"])
+    out = sc.transform(lineitem)
+    stats = out.selectExpr("min(l_quantity) lo", "max(l_quantity) hi").first()
+    assert stats["lo"] == pytest.approx(0.0, abs=1e-12)
+    assert stats["hi"] == pytest.approx(1.0, rel=1e-12)
