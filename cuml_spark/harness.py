@@ -336,3 +336,8 @@ from cuml_spark.harness_ml import ORACLES_ML, QUERIES_ML  # noqa: E402
 
 QUERIES.update(QUERIES_ML)
 ORACLES.update(ORACLES_ML)
+
+from cuml_spark.harness_tsa import ORACLES_TSA, QUERIES_TSA  # noqa: E402
+
+QUERIES.update(QUERIES_TSA)
+ORACLES.update(ORACLES_TSA)

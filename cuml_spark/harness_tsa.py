@@ -1,0 +1,94 @@
+"""Harness queries: time-series family (Kalman / Holt-Winters / ARIMA).
+
+``kalman_local_level`` is D-class: the scalar local-level Kalman recursion is
+replayed in DuckDB as a recursive CTE performing the SAME float operations in
+the SAME order, so rounded values hash-match exactly.  Holt-Winters and ARIMA
+are A-class (iterative optimizers) → rows-only driver check; their numeric
+quality is asserted in tests/test_tsa.py against numpy replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuml_spark.tsa import ARIMA, ExponentialSmoothing, grid_search, kalman_filter_series
+
+_DAY_NS = 86_400_000_000_000
+_KF_Q, _KF_R, _KF_P0 = 0.01, 1.0, 1e6
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.expr(f"ts div {_DAY_NS}").alias("t"),
+    ).agg(F.avg("value").alias("y"))
+
+
+def q_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = _daily_series(spark, sf_dir)
+    out = kalman_filter_series(series, q=_KF_Q, r=_KF_R)
+    return out.select("series_id", "t", F.round("x", 6).alias("x"))
+
+
+_SQL_KALMAN_LOCAL_LEVEL = f"""
+WITH RECURSIVE s AS (
+  SELECT event_type AS series_id, epoch_ns(ts) // {_DAY_NS} AS t, avg(value) AS y
+  FROM events GROUP BY 1, 2
+), numbered AS (
+  SELECT series_id, t, y,
+         row_number() OVER (PARTITION BY series_id ORDER BY t) AS rn
+  FROM s
+), kf AS (
+  SELECT series_id, rn, t, y,
+         y AS x,
+         (1.0 - ({_KF_P0} + {_KF_Q}) / ({_KF_P0} + {_KF_Q} + {_KF_R}))
+           * ({_KF_P0} + {_KF_Q}) AS p
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.series_id, n.rn, n.t, n.y,
+         kf.x + ((kf.p + {_KF_Q}) / (kf.p + {_KF_Q} + {_KF_R})) * (n.y - kf.x) AS x,
+         (1.0 - (kf.p + {_KF_Q}) / (kf.p + {_KF_Q} + {_KF_R})) * (kf.p + {_KF_Q}) AS p
+  FROM kf JOIN numbered n ON n.series_id = kf.series_id AND n.rn = kf.rn + 1
+)
+SELECT series_id, t, round(x, 6) AS x FROM kf
+"""
+
+
+def q_holtwinters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonal HW fit per event_type, 7-day forecast (A-class)."""
+    series = _daily_series(spark, sf_dir)
+    hw = ExponentialSmoothing(seasonal="additive", seasonal_periods=7).fit(series)
+    return hw.forecast(7).select(
+        "series_id", "step", F.round("yhat", 4).alias("yhat")
+    )
+
+
+def q_arima_grid_aic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series best (p,q) by AIC over a 2×2 grid (A-class)."""
+    series = _daily_series(spark, sf_dir)
+    best = grid_search(series, d=0, max_p=2, max_q=1, criterion="aic")
+    return best.select("series_id", "p", "d", "q", F.round("aic", 2).alias("aic"))
+
+
+def q_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = _daily_series(spark, sf_dir)
+    model = ARIMA(order=(1, 0, 1)).fit(series)
+    return model.forecast(5).select(
+        "series_id", "step", F.round("yhat", 4).alias("yhat")
+    )
+
+
+QUERIES_TSA = {
+    "kalman_local_level": q_kalman_local_level,
+    "holtwinters_forecast": q_holtwinters_forecast,
+    "arima_grid_aic": q_arima_grid_aic,
+    "arima_forecast": q_arima_forecast,
+}
+
+ORACLES_TSA = {
+    "kalman_local_level": _SQL_KALMAN_LOCAL_LEVEL,
+    # holtwinters_forecast / arima_*: iterative optimizers → rows-only
+}

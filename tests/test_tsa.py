@@ -47,3 +47,153 @@ def test_stationarity_decision(series_df):
     got = {r["series_id"]: r["d"] for r in stationarity(df, lags=4).collect()}
     assert got[0] == 0  # white noise: stationary, no differencing
     assert got[1] == 1  # random walk: difference once
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters / ARIMA / Kalman — distributed run vs local numpy replays
+# ---------------------------------------------------------------------------
+
+from cuml_spark.tsa import (  # noqa: E402
+    ARIMA,
+    ExponentialSmoothing,
+    KalmanFilter,
+    grid_search,
+    kalman_filter_series,
+    local_level_filter,
+)
+from cuml_spark.tsa.holtwinters import _fit_one_series, _hw_run  # noqa: E402
+
+
+def _seasonal_series(rng, n=120, m=12, trend=0.3, base=100.0, noise=0.5):
+    t = np.arange(n)
+    season = 8.0 * np.sin(2 * np.pi * t / m)
+    return base + trend * t + season + noise * rng.standard_normal(n)
+
+
+@pytest.fixture(scope="module")
+def hw_df(spark):
+    rng = np.random.RandomState(11)
+    rows, raw = [], {}
+    for sid in range(3):
+        y = _seasonal_series(rng)
+        raw[str(sid)] = y
+        rows += [(str(sid), t, float(y[t])) for t in range(len(y))]
+    return spark.createDataFrame(rows, "series_id string, t int, y double"), raw
+
+
+def test_holtwinters_matches_local_fit(hw_df):
+    df, raw = hw_df
+    hw = ExponentialSmoothing(seasonal="additive", seasonal_periods=12).fit(df)
+    got = {r["series_id"]: r for r in hw.params_.collect()}
+    for sid, y in raw.items():
+        local = _fit_one_series(y, 12, False)
+        # identical deterministic optimizer in both → identical optimum
+        assert got[sid]["sse"] == pytest.approx(local["sse"], rel=1e-9)
+        assert got[sid]["alpha"] == pytest.approx(local["alpha"], rel=1e-9)
+
+
+def test_holtwinters_forecast_tracks_signal(hw_df):
+    df, raw = hw_df
+    hw = ExponentialSmoothing(seasonal="additive", seasonal_periods=12).fit(df)
+    fc = {(r["series_id"], r["step"]): r["yhat"] for r in hw.forecast(12).collect()}
+    # 12-step forecast of a clean seasonal+trend signal: within a few units
+    y = raw["0"]
+    t_future = np.arange(120, 132)
+    truth = 100.0 + 0.3 * t_future + 8.0 * np.sin(2 * np.pi * t_future / 12)
+    pred = np.array([fc[("0", s)] for s in range(1, 13)])
+    assert np.abs(pred - truth).mean() < 2.0
+
+
+def test_holtwinters_beats_naive_sse(hw_df):
+    df, raw = hw_df
+    hw = ExponentialSmoothing(seasonal="additive", seasonal_periods=12).fit(df)
+    sse = {r["series_id"]: r["sse"] for r in hw.score().collect()}
+    for sid, y in raw.items():
+        naive = float(((y[1:] - y[:-1]) ** 2).sum())
+        assert sse[sid] < naive
+
+
+@pytest.fixture(scope="module")
+def ar_df(spark):
+    rng = np.random.RandomState(5)
+    rows, raw = [], {}
+    for sid in range(2):
+        n = 300
+        y = np.zeros(n)
+        for t in range(1, n):
+            y[t] = 5.0 + 0.7 * (y[t - 1] - 5.0) + rng.standard_normal()
+        raw[str(sid)] = y
+        rows += [(str(sid), t, float(y[t])) for t in range(n)]
+    return spark.createDataFrame(rows, "series_id string, t int, y double"), raw
+
+
+def test_arima_recovers_ar1(ar_df):
+    df, raw = ar_df
+    model = ARIMA(order=(1, 0, 0)).fit(df)
+    got = {r["series_id"]: r for r in model.params_.collect()}
+    for sid in raw:
+        assert got[sid]["ar"][0] == pytest.approx(0.7, abs=0.1)
+        assert got[sid]["mu"] == pytest.approx(5.0, abs=0.5)
+
+
+def test_arima_insample_residuals_small(ar_df):
+    df, raw = ar_df
+    model = ARIMA(order=(1, 0, 0)).fit(df)
+    pred = model.predict_in_sample().toPandas()
+    joined = pred.merge(
+        df.toPandas().rename(columns={"y": "y_true"}),
+        on=["series_id", "t"],
+    )
+    resid = joined["y_true"] - joined["yhat"]
+    # innovations should be ~N(0,1): sample variance near 1
+    assert 0.7 < resid.var() < 1.4
+
+
+def test_arima_grid_search_prefers_ar(ar_df):
+    df, raw = ar_df
+    best = grid_search(df, d=0, max_p=2, max_q=1).toPandas()
+    # AR(1) data: chosen p >= 1 for every series
+    assert (best["p"] >= 1).all()
+    assert len(best) == len(raw)
+
+
+def test_arima_forecast_mean_reverts(ar_df):
+    df, raw = ar_df
+    model = ARIMA(order=(1, 0, 0)).fit(df)
+    fc = model.forecast(50).toPandas()
+    last = fc[fc["step"] == 50]
+    # AR(1) forecast converges to mu ≈ 5
+    assert np.abs(last["yhat"].to_numpy() - 5.0).max() < 1.0
+
+
+def test_kalman_object_matches_scalar():
+    rng = np.random.RandomState(3)
+    y = np.cumsum(rng.standard_normal(50)) + 10.0
+    kf = KalmanFilter(dim_x=1, dim_z=1)
+    kf.x[0, 0] = y[0]
+    kf.H[0, 0] = 1.0
+    kf.P[0, 0] = 1e6
+    kf.Q[0, 0] = 1e-3
+    kf.R[0, 0] = 1.0
+    xs = []
+    for z in y:
+        kf.predict()
+        kf.update([z])
+        xs.append(kf.x[0, 0])
+    x_ref, _ = local_level_filter(y, q=1e-3, r=1.0)
+    np.testing.assert_allclose(np.array(xs), x_ref, rtol=1e-9)
+
+
+def test_kalman_series_distributed(spark):
+    rng = np.random.RandomState(9)
+    rows, raw = [], {}
+    for sid in range(3):
+        y = np.cumsum(rng.standard_normal(100))
+        raw[str(sid)] = y
+        rows += [(str(sid), t, float(y[t])) for t in range(100)]
+    df = spark.createDataFrame(rows, "series_id string, t int, y double")
+    out = kalman_filter_series(df, q=0.01, r=1.0).toPandas()
+    for sid, y in raw.items():
+        got = out[out["series_id"] == sid].sort_values("t")["x"].to_numpy()
+        x_ref, _ = local_level_filter(y, q=0.01, r=1.0)
+        np.testing.assert_allclose(got, x_ref, rtol=1e-9)
