@@ -341,3 +341,8 @@ from cuml_spark.harness_tsa import ORACLES_TSA, QUERIES_TSA  # noqa: E402
 
 QUERIES.update(QUERIES_TSA)
 ORACLES.update(ORACLES_TSA)
+
+from cuml_spark.harness_cluster import ORACLES_CLUSTER, QUERIES_CLUSTER  # noqa: E402
+
+QUERIES.update(QUERIES_CLUSTER)
+ORACLES.update(ORACLES_CLUSTER)
