@@ -346,3 +346,8 @@ from cuml_spark.harness_cluster import ORACLES_CLUSTER, QUERIES_CLUSTER  # noqa:
 
 QUERIES.update(QUERIES_CLUSTER)
 ORACLES.update(ORACLES_CLUSTER)
+
+from cuml_spark.harness_proj import ORACLES_PROJ, QUERIES_PROJ  # noqa: E402
+
+QUERIES.update(QUERIES_PROJ)
+ORACLES.update(ORACLES_PROJ)

@@ -168,3 +168,26 @@ ORACLES_ML = {
     "split_exact_sizes": _SQL_SPLIT_EXACT_SIZES,
     # kmeans_cluster_sizes / rf_accuracy: stochastic → rows-only (no oracle)
 }
+
+
+def q_sgd_hinge_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-SVM-objective SGD on lineitem (A-class, rows-only): each epoch
+    is one map-side-combined gradient aggregation with weights as literals."""
+    from cuml_spark.solvers import SGD
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "is_high", (F.col("l_extendedprice") > 30000).cast("double")
+    )
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    sgd = SGD(loss="hinge", epochs=12, eta0=0.2, penalty="l2", alpha=1e-4).fit(
+        li, cols, "is_high"
+    )
+    acc = (
+        sgd.predictClass(li)
+        .selectExpr("avg(cast(prediction = is_high as double)) as acc")
+        .first()["acc"]
+    )
+    return spark.createDataFrame([(float(acc),)], "accuracy double")
+
+
+QUERIES_ML["sgd_hinge_accuracy"] = q_sgd_hinge_accuracy
