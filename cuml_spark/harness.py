@@ -351,3 +351,8 @@ from cuml_spark.harness_proj import ORACLES_PROJ, QUERIES_PROJ  # noqa: E402
 
 QUERIES.update(QUERIES_PROJ)
 ORACLES.update(ORACLES_PROJ)
+
+from cuml_spark.harness_svm_fil import ORACLES_SVM_FIL, QUERIES_SVM_FIL  # noqa: E402
+
+QUERIES.update(QUERIES_SVM_FIL)
+ORACLES.update(ORACLES_SVM_FIL)

@@ -1,0 +1,89 @@
+"""Harness queries: ForestInference (D-class) + kernel SVC (A-class).
+
+A fixed imported forest is a pure decision function — the DuckDB oracle
+replays the trees as CASE expressions, checking the broadcast + pandas-UDF
+traversal end-to-end.  SVC's SMO is iterative → rows-only; its quality gates
+live in tests/test_svm.py (KKT conditions, XOR separation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuml_spark.fil import ForestInference
+from cuml_spark.svm import SVC
+
+# tree0: f0 < 2.5 ? (f1 < 0.5 ? +0.4 : -0.2) : -0.3 ; tree1: f1 < 2.0 ? +0.1 : -0.5
+_TREES = [
+    {
+        "nodeid": 0, "split": "f0", "split_condition": 2.5, "yes": 1, "no": 2,
+        "children": [
+            {"nodeid": 1, "split": "f1", "split_condition": 0.5, "yes": 3, "no": 4,
+             "children": [{"nodeid": 3, "leaf": 0.4}, {"nodeid": 4, "leaf": -0.2}]},
+            {"nodeid": 2, "leaf": -0.3},
+        ],
+    },
+    {
+        "nodeid": 0, "split": "f1", "split_condition": 2.0, "yes": 1, "no": 2,
+        "children": [{"nodeid": 1, "leaf": 0.1}, {"nodeid": 2, "leaf": -0.5}],
+    },
+]
+
+
+def q_fil_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    feats = li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_quantity") / 10.0).alias("f0"),
+        (F.col("l_discount") * 10.0).alias("f1"),
+    )
+    fil = ForestInference.load_from_xgboost_json(_TREES, output="sigmoid")
+    out = fil.predict(feats, ["f0", "f1"], out_col="score")
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+_SQL_FIL_SCORE = """
+WITH f AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity/10.0 AS f0, l_discount*10.0 AS f1
+  FROM lineitem
+), raw AS (
+  SELECT l_orderkey, l_linenumber,
+         (CASE WHEN f0 < 2.5 THEN (CASE WHEN f1 < 0.5 THEN 0.4 ELSE -0.2 END)
+               ELSE -0.3 END)
+         + (CASE WHEN f1 < 2.0 THEN 0.1 ELSE -0.5 END) AS s
+  FROM f
+)
+SELECT l_orderkey, l_linenumber, round(1.0/(1.0 + exp(-s)), 6) AS score
+FROM raw
+"""
+
+
+def q_svc_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVC (exact SMO on a bounded sample, distributed scoring) learning a
+    linear rule on customer features; accuracy row (A-class, rows-only)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey",
+        (F.col("c_acctbal") / 1000.0).alias("x1"),
+        ((F.col("c_custkey") % 89) / 8.9).alias("x2"),
+    ).withColumn("y", ((F.col("x1") + F.col("x2")) > 9.0).cast("double"))
+    train = pts.filter(F.col("c_custkey") % 5 == 0)  # bounded deterministic sample
+    svc = SVC(kernel="linear", C=1.0, max_iter=60).fit(train, ["x1", "x2"], "y")
+    acc = svc.score(pts, ["x1", "x2"], "y")
+    return spark.createDataFrame([(float(round(acc, 4)),)], "accuracy double")
+
+
+QUERIES_SVM_FIL = {
+    "fil_score": q_fil_score,
+    "svc_rule_accuracy": q_svc_rule_accuracy,
+}
+
+ORACLES_SVM_FIL = {
+    "fil_score": _SQL_FIL_SCORE,
+}

@@ -1,0 +1,77 @@
+"""ForestInference vs hand-computed traversals (D-class given a fixed model)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from cuml_spark.fil import ForestInference
+
+# two hand-built xgboost-dump trees:
+# tree0: f0 < 1.0 ? (f1 < 0.5 ? +0.4 : -0.2) : -0.3
+# tree1: f1 < 2.0 ? +0.1 : -0.5
+_TREE0 = {
+    "nodeid": 0, "split": "f0", "split_condition": 1.0, "yes": 1, "no": 2,
+    "children": [
+        {"nodeid": 1, "split": "f1", "split_condition": 0.5, "yes": 3, "no": 4,
+         "children": [{"nodeid": 3, "leaf": 0.4}, {"nodeid": 4, "leaf": -0.2}]},
+        {"nodeid": 2, "leaf": -0.3},
+    ],
+}
+_TREE1 = {
+    "nodeid": 0, "split": "f1", "split_condition": 2.0, "yes": 1, "no": 2,
+    "children": [{"nodeid": 1, "leaf": 0.1}, {"nodeid": 2, "leaf": -0.5}],
+}
+
+
+def _manual_score(x0: float, x1: float) -> float:
+    t0 = (0.4 if x1 < 0.5 else -0.2) if x0 < 1.0 else -0.3
+    t1 = 0.1 if x1 < 2.0 else -0.5
+    return t0 + t1
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    rng = np.random.RandomState(2)
+    rows = [(i, float(rng.uniform(-1, 3)), float(rng.uniform(-1, 3)))
+            for i in range(200)]
+    return spark.createDataFrame(rows, "id int, f0 double, f1 double").cache()
+
+
+def test_fil_raw_matches_manual(points_df):
+    fil = ForestInference.load_from_xgboost_json(
+        json.dumps([_TREE0, _TREE1]), output="raw"
+    )
+    out = fil.predict(points_df, ["f0", "f1"]).toPandas().sort_values("id")
+    expect = [_manual_score(r.f0, r.f1) for r in out.itertuples()]
+    np.testing.assert_allclose(out["prediction"].to_numpy(), expect, rtol=1e-12)
+
+
+def test_fil_sigmoid_and_class(points_df):
+    fil = ForestInference.load_from_xgboost_json([_TREE0, _TREE1], output="sigmoid")
+    out = fil.predict(points_df, ["f0", "f1"]).toPandas().sort_values("id")
+    raw = np.array([_manual_score(r.f0, r.f1) for r in out.itertuples()])
+    np.testing.assert_allclose(
+        out["prediction"].to_numpy(), 1 / (1 + np.exp(-raw)), rtol=1e-12
+    )
+    cls = ForestInference.load_from_xgboost_json([_TREE0, _TREE1], output="class")
+    got = cls.predict(points_df, ["f0", "f1"]).toPandas().sort_values("id")
+    np.testing.assert_array_equal(
+        got["prediction"].to_numpy(), (1 / (1 + np.exp(-raw)) > 0.5).astype(float)
+    )
+
+
+def test_fil_from_arrays_average(points_df):
+    # stumps in array form: f0 < 0 ? 1 : 3  and  constant 2
+    trees = [
+        {"feature": [0, -1, -1], "threshold": [0.0, 0, 0],
+         "left": [1, -1, -1], "right": [2, -1, -1], "value": [0.0, 1.0, 3.0]},
+        {"feature": [-1], "threshold": [0.0], "left": [-1], "right": [-1],
+         "value": [2.0]},
+    ]
+    fil = ForestInference.load_from_arrays(trees, output="raw", average=True)
+    out = fil.predict(points_df, ["f0", "f1"]).toPandas()
+    expect = ((out["f0"] < 0).astype(float) * 1.0 + (out["f0"] >= 0) * 3.0 + 2.0) / 2
+    np.testing.assert_allclose(out["prediction"].to_numpy(), expect.to_numpy(), rtol=1e-12)
