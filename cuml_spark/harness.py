@@ -356,3 +356,8 @@ from cuml_spark.harness_svm_fil import ORACLES_SVM_FIL, QUERIES_SVM_FIL  # noqa:
 
 QUERIES.update(QUERIES_SVM_FIL)
 ORACLES.update(ORACLES_SVM_FIL)
+
+from cuml_spark.harness_manifold import ORACLES_MANIFOLD, QUERIES_MANIFOLD  # noqa: E402
+
+QUERIES.update(QUERIES_MANIFOLD)
+ORACLES.update(ORACLES_MANIFOLD)

@@ -1,0 +1,48 @@
+"""Harness queries: UMAP / TSNE (S-class → rows-only driver check).
+
+Both embed a deterministic 10% sample of the embeddings table (distributed
+KNN graph + driver layout optimization) and report the embedding's
+trustworthiness against the original 64-d space — the reference's own
+embedding-quality metric (trustworthiness.pyx:56)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuml_spark.manifold import TSNE, UMAP
+from cuml_spark.metrics import trustworthiness
+
+
+def _sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").cast("array<double>").alias("x"),
+    ).cache()
+
+
+def q_umap_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _sampled(spark, sf_dir)
+    um = UMAP(n_neighbors=10, n_epochs=50, init="random", random_state=7)
+    out = um.fit_transform(pts, vec_col="x", id_col="pid")
+    emb = out.select("pid", F.col("embedding").alias("x"))
+    t = trustworthiness(pts, emb, n_neighbors=10, id_col="pid")
+    return spark.createDataFrame([(round(float(t), 4),)], "trust double")
+
+
+def q_tsne_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _sampled(spark, sf_dir)
+    ts = TSNE(perplexity=10.0, n_iter=150, random_state=7)
+    out = ts.fit_transform(pts, vec_col="x", id_col="pid")
+    emb = out.select("pid", F.col("embedding").alias("x"))
+    t = trustworthiness(pts, emb, n_neighbors=10, id_col="pid")
+    return spark.createDataFrame([(round(float(t), 4),)], "trust double")
+
+
+QUERIES_MANIFOLD = {
+    "umap_trust": q_umap_trust,
+    "tsne_trust": q_tsne_trust,
+}
+
+ORACLES_MANIFOLD: dict[str, str] = {}

@@ -54,9 +54,10 @@ def trustworthiness(
         F.col(id_col).alias("b_id"),
         F.col(emb_vec).cast("array<double>").alias("e_b"),
     )
+    # cartesian partitions multiply (left × right); keep the product ~cores
     pairs = (
-        o.join(e, "a_id")
-        .crossJoin(o2.join(e2, "b_id"))
+        o.join(e, "a_id").coalesce(8)
+        .crossJoin(o2.join(e2, "b_id").coalesce(4))
         .filter(F.col("a_id") != F.col("b_id"))
         .select(
             "a_id", "b_id",
