@@ -361,3 +361,13 @@ from cuml_spark.harness_manifold import ORACLES_MANIFOLD, QUERIES_MANIFOLD  # no
 
 QUERIES.update(QUERIES_MANIFOLD)
 ORACLES.update(ORACLES_MANIFOLD)
+
+from cuml_spark.harness_similarity import ORACLES_SIMILARITY, QUERIES_SIMILARITY  # noqa: E402
+
+QUERIES.update(QUERIES_SIMILARITY)
+ORACLES.update(ORACLES_SIMILARITY)
+
+from cuml_spark.harness_media import ORACLES_MEDIA, QUERIES_MEDIA  # noqa: E402
+
+QUERIES.update(QUERIES_MEDIA)
+ORACLES.update(ORACLES_MEDIA)

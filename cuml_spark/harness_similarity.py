@@ -1,0 +1,77 @@
+"""Harness queries: embedding near-dup (D) + IVF ANN search (D at full probe).
+
+``ivf_search_exact`` runs the IVF index with nprobe = nlist — every list is
+probed, so the approximate path must return EXACTLY the brute-force top-k,
+which DuckDB computes with a window over all-pairs cosine.  This checks the
+codebook assign + probe join + rerank machinery end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuml_spark.similarity import IVFIndex, embedding_near_duplicates
+
+_TH = 0.35
+
+
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_duplicates(emb, threshold=_TH, method="brute")
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_SQL_NEARDUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {_TH}
+"""
+
+
+def q_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    idx = IVFIndex(nlist=4, nprobe=4, seed=2).fit(emb)
+    out = idx.search(queries, k=5, metric="cosine")
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("cos_sim"), "rank"
+    )
+
+
+_SQL_IVF_EXACT = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.v, e.v)
+         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+           AS cos_sim
+  FROM q JOIN e ON q.vec_id != e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+QUERIES_SIMILARITY = {
+    "neardup_pairs": q_neardup_pairs,
+    "ivf_search_exact": q_ivf_search_exact,
+}
+
+ORACLES_SIMILARITY = {
+    "neardup_pairs": _SQL_NEARDUP,
+    "ivf_search_exact": _SQL_IVF_EXACT,
+}

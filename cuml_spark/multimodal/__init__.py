@@ -1,0 +1,17 @@
+from cuml_spark.multimodal.media import (
+    MEDIA_SCHEMA,
+    decode_image,
+    extract_features,
+    frame_sample,
+    resize_image,
+    with_media_metadata,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "decode_image",
+    "extract_features",
+    "frame_sample",
+    "resize_image",
+    "with_media_metadata",
+]

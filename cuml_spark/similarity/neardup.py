@@ -1,0 +1,119 @@
+"""Embedding-cosine near-duplicate detection.
+
+The fifth dedup modality of the pipeline suite (exact / minhash-LSH /
+simhash / n-gram Jaccard live in cuml_spark.text.dedup): two documents are
+near-duplicates when their embedding cosine similarity ≥ threshold.
+
+Modes:
+- ``method='brute'``: all-pairs with the expanded-norm cosine — O(N²) but
+  exact and DuckDB-checkable (the D-class oracle surface).
+- ``method='lsh'``: random-hyperplane signatures bucket the vectors (only
+  same-bucket pairs are scored — candidate generation is an equi-join on
+  (table, signature)); exact cosine re-ranks candidates, so precision is
+  exact and only recall is approximate.  The 100 TB path.
+
+Output: one row per unordered pair (id_a < id_b, cos_sim), plus a
+``near_dup_groups`` helper that turns pairs into connected groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuml_spark.ops.distance import cosine_sim, with_sq_norm
+
+
+def _pairs_brute(pts: DataFrame) -> DataFrame:
+    a = pts.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                   F.col("sq").alias("sqa"))
+    b = pts.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                   F.col("sq").alias("sqb"))
+    return a.join(b, F.col("id_a") < F.col("id_b"))
+
+
+def _pairs_lsh(pts: DataFrame, dim: int, n_planes: int, n_tables: int,
+               seed: int) -> DataFrame:
+    rng = np.random.RandomState(seed)
+    sigs = []
+    for t in range(n_tables):
+        planes = rng.standard_normal((n_planes, dim))
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in planes[p]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            bucket = bucket * 2 + (proj > 0).cast("long")
+        sigs.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    tagged = pts.withColumn("sig", F.explode(F.array(*sigs)))
+    a = tagged.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                      F.col("sq").alias("sqa"), "sig")
+    b = tagged.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                      F.col("sq").alias("sqb"), "sig")
+    return a.join(b, ["sig"]).filter(F.col("id_a") < F.col("id_b")).drop("sig").distinct()
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "brute",
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """→ (id_a, id_b, cos_sim) for pairs with cosine ≥ threshold, id_a < id_b."""
+    pts = with_sq_norm(
+        df.select(F.col(id_col).alias("vid"),
+                  F.col(vec_col).cast("array<double>").alias("v")),
+        "v", "sq",
+    )
+    if method == "brute":
+        pairs = _pairs_brute(pts)
+    elif method == "lsh":
+        dim = len(df.select(vec_col).first()[0])
+        pairs = _pairs_lsh(pts, dim, n_planes, n_tables, seed)
+    else:
+        raise ValueError("method must be 'brute' or 'lsh'")
+    sim = cosine_sim(F.col("va"), F.col("vb"), F.col("sqa"), F.col("sqb"))
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def near_dup_groups(pairs: DataFrame) -> DataFrame:
+    """Pairs → (vid, group_id = min reachable id): groups via iterative
+    min-label propagation (few rounds — near-dup components are tiny)."""
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.union(edges.select(F.col("id_b").alias("id_a"),
+                                   F.col("id_a").alias("id_b")))
+    labels = (
+        sym.select(F.col("id_a").alias("vid")).distinct()
+        .withColumn("group_id", F.col("vid"))
+    )
+    for _ in range(10):
+        prop = (
+            sym.join(labels.withColumnRenamed("vid", "id_a"), "id_a")
+            .groupBy(F.col("id_b").alias("vid"))
+            .agg(F.min("group_id").alias("ng"))
+        )
+        new_labels = (
+            labels.join(prop, "vid", "left")
+            .select("vid", F.least("group_id", F.coalesce("ng", "group_id")).alias("group_id"))
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "vid")
+            .filter(F.col("n.group_id") != F.col("o.group_id")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

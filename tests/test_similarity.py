@@ -1,0 +1,82 @@
+"""IVF ANN recall vs brute force + embedding near-dup correctness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuml_spark.neighbors.nearest_neighbors import cosine_topk
+from cuml_spark.similarity import IVFIndex, embedding_near_duplicates
+from cuml_spark.similarity.neardup import near_dup_groups
+
+
+def test_ivf_recall_vs_brute(embeddings, spark):
+    emb = embeddings.withColumn("embedding", F.col("embedding").cast("array<double>")).cache()
+    queries = emb.filter(F.col("vec_id") < 30)
+    truth = cosine_topk(emb, queries, k=5).toPandas()
+    idx = IVFIndex(nlist=8, nprobe=3, seed=1).fit(emb)
+    approx = idx.search(queries, k=5, metric="cosine").toPandas()
+    t_sets = truth.groupby("query_id")["neighbor_id"].apply(set)
+    a_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(t_sets[q] & a_sets.get(q, set())) / len(t_sets[q]) for q in t_sets.index
+    ]
+    assert np.mean(recalls) > 0.6  # nprobe=3/8 lists — decent recall
+
+
+def test_ivf_full_probe_equals_brute(embeddings):
+    """nprobe = nlist ⇒ every list probed ⇒ exact results."""
+    emb = embeddings.withColumn("embedding", F.col("embedding").cast("array<double>")).cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = cosine_topk(emb, queries, k=5).toPandas().sort_values(["query_id", "rank"])
+    idx = IVFIndex(nlist=4, nprobe=4, seed=2).fit(emb)
+    got = idx.search(queries, k=5, metric="cosine").toPandas().sort_values(
+        ["query_id", "rank"]
+    )
+    assert got["neighbor_id"].tolist() == truth["neighbor_id"].tolist()
+
+
+@pytest.fixture(scope="module")
+def dup_vecs(spark):
+    rng = np.random.RandomState(13)
+    base = rng.standard_normal((10, 16))
+    rows = []
+    vid = 0
+    truth_pairs = set()
+    for i in range(10):
+        rows.append((vid, base[i].tolist()))
+        orig = vid
+        vid += 1
+        if i < 4:  # first four vectors get a near-duplicate (tiny perturbation)
+            dup = base[i] + 0.001 * rng.standard_normal(16)
+            rows.append((vid, dup.tolist()))
+            truth_pairs.add((orig, vid))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), truth_pairs
+
+
+def test_neardup_brute_finds_planted(dup_vecs):
+    df, truth = dup_vecs
+    got = embedding_near_duplicates(df, threshold=0.999, method="brute").toPandas()
+    got_pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    assert got_pairs == truth
+
+
+def test_neardup_lsh_high_recall_exact_precision(dup_vecs):
+    df, truth = dup_vecs
+    got = embedding_near_duplicates(
+        df, threshold=0.999, method="lsh", n_planes=8, n_tables=8, seed=5
+    ).toPandas()
+    got_pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    assert got_pairs <= truth  # exact rerank ⇒ no false positives
+    assert len(got_pairs) >= len(truth) - 1  # high recall
+
+
+def test_neardup_groups(dup_vecs):
+    df, truth = dup_vecs
+    pairs = embedding_near_duplicates(df, threshold=0.999, method="brute")
+    groups = near_dup_groups(pairs).toPandas()
+    by_group = groups.groupby("group_id")["vid"].apply(sorted)
+    got = {tuple(v) for v in by_group}
+    assert got == {tuple(sorted(p)) for p in truth}
