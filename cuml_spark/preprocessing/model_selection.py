@@ -44,14 +44,39 @@ def train_test_split(
         # CONTENT: xxhash64 of all columns + seed.  Identical rows tie, but any
         # tie-break among identical rows yields the same multiset split, so
         # disjointness/completeness hold regardless of partitioning.
+        #
+        # NO global sort: a global row_number window funnels every row through
+        # one task.  Two-phase bucketed rank instead: (1) distributed counts
+        # per hash bucket, (2) driver finds the cutoff bucket, (3) rows below
+        # it → train, above it → test, and only the one boundary bucket
+        # (≈ n/n_buckets rows) pays a row_number window.
         total = df.count()
         k = int(train_size * total) if isinstance(train_size, float) else train_size
         cols = [F.col(c) for c in df.columns]
         key = F.xxhash64(*cols, F.lit(seed))
-        w = Window.orderBy(key, *cols)
-        numbered = df.withColumn("__rn", F.row_number().over(w))
-        train = numbered.filter(F.col("__rn") <= k).drop("__rn")
-        test = numbered.filter(F.col("__rn") > k).drop("__rn")
+        n_buckets = 1 << 12
+        bucketed = df.withColumn("__b", F.pmod(key, F.lit(n_buckets)))
+        counts = dict(
+            r[0:2] for r in bucketed.groupBy("__b").count().collect()
+        )
+        cum = 0
+        cutoff_bucket, need_in_cutoff = n_buckets, 0
+        for b in range(n_buckets):
+            c = counts.get(b, 0)
+            if cum + c >= k:
+                cutoff_bucket, need_in_cutoff = b, k - cum
+                break
+            cum += c
+        below = F.col("__b") < cutoff_bucket
+        at = F.col("__b") == cutoff_bucket
+        w = Window.partitionBy("__b").orderBy(key, *cols)
+        boundary = bucketed.filter(at).withColumn("__rn", F.row_number().over(w))
+        train = bucketed.filter(below).drop("__b").unionByName(
+            boundary.filter(F.col("__rn") <= need_in_cutoff).drop("__b", "__rn")
+        )
+        test = bucketed.filter(~below & ~at).drop("__b").unionByName(
+            boundary.filter(F.col("__rn") > need_in_cutoff).drop("__b", "__rn")
+        )
         return train, test
     p = float(train_size) if isinstance(train_size, float) else train_size / df.count()
     # randomSplit sorts within partitions first, making the seeded sample

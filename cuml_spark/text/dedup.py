@@ -69,15 +69,18 @@ def shingles(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "d
              distinct: bool = True) -> DataFrame:
     """Character k-gram shingle set per document → (id, shingle).
 
-    Pure map-side explode (sequence + transform are JVM codegen'd); the
-    distinct is per-document and combines map-side before any shuffle.
+    Pure map-side explode (sequence + transform are JVM codegen'd).  The
+    per-document distinct runs INSIDE the row via array_distinct before the
+    explode — global ``(id, shingle)`` distinct equals per-doc distinct, so
+    no shuffle is ever paid for it.
     """
     arr = F.expr(
         f"transform(sequence(1, greatest(1, length({text_col}) - {k - 1})), "
         f"i -> substring({text_col}, i, {k}))"
     )
-    out = df.select(F.col(id_col), F.explode(arr).alias("shingle"))
-    return out.distinct() if distinct else out
+    if distinct:
+        arr = F.array_distinct(arr)
+    return df.select(F.col(id_col), F.explode(arr).alias("shingle"))
 
 
 def minhash_signatures(df: DataFrame, k: int = 5, text_col: str = "text",
