@@ -5,35 +5,92 @@ prim src_prims/metrics/silhouetteScore.h) — s(i) = (b−a)/max(a,b) with
 a = mean intra-cluster distance (self excluded), b = min over other clusters
 of mean distance; singleton clusters score 0.
 
-Spark-native: one pairwise self-join (L2 on the feature array) →
-``groupBy (point, other-cluster)`` mean distances → per-point a/b via
-conditional aggregation.  O(N²) like the reference's kernel; at scale,
-sample first (the same contract sklearn's ``sample_size`` exposes).
-Entirely JVM-side expressions → fully DuckDB-checkable (D-class).
+Spark-native, block-nested-loop: points are hashed into blocks, each block
+packed into one row (collect_list of structs), and the O(N²) distance work
+runs as nblk² block-pair tasks inside an Arrow-batched ``mapInPandas`` —
+vectorized numpy per task instead of N² JVM rows.  Each task emits only
+(point × cluster) partial sums, so the shuffle after the quadratic stage is
+O(N·k), not O(N²).  Per-pair math is the same subtraction/sqrt as a row-at-a-
+time formulation, so results agree with a SQL oracle to fp-sum-order noise.
+O(N²) like the reference's kernel; at scale, sample first (the same contract
+sklearn's ``sample_size`` exposes).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BLOCK_ROWS = 4096  # target points per packed block
+_CHUNK = 512  # a-side rows per numpy broadcast chunk (bounds memory)
 
 
-def _pair_dists(pts: DataFrame) -> DataFrame:
-    a = pts.select(F.col("pid").alias("a_id"), F.col("x").alias("a_x"),
-                   F.col("label").alias("a_label"))
-    b = pts.select(F.col("pid").alias("b_id"), F.col("x").alias("b_x"),
-                   F.col("label").alias("b_label"))
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("a_x"), F.col("b_x"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+def _cluster_sums(pts: DataFrame) -> DataFrame:
+    """→ (pid, label ``a_label``, b_label, sum_dist): total L2 distance from
+    each point to every member of each cluster (self-distance contributes 0)."""
+    n = pts.count()
+    nblk = max(1, -(-n // _BLOCK_ROWS))
+    blocked = pts.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("pid")), F.lit(nblk)).cast("int")
     )
+    packed = blocked.groupBy("blk").agg(
+        F.collect_list(F.struct("pid", "x", "label")).alias("rows")
+    )
+    pairs = (
+        packed.select(F.col("rows").alias("a_rows"))
+        .crossJoin(F.broadcast(packed.select(F.col("rows").alias("b_rows"))))
+        .repartition(max(nblk * nblk // 4, 1))
+    )
+
+    pid_type = pts.schema["pid"].dataType
+    label_type = pts.schema["label"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("pid", pid_type),
+            T.StructField("a_label", label_type),
+            T.StructField("b_label", label_type),
+            T.StructField("part_sum", T.DoubleType()),
+        ]
+    )
+
+    def block_dists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i in range(len(pdf)):
+                a_rows, b_rows = pdf["a_rows"].iloc[i], pdf["b_rows"].iloc[i]
+                A = np.asarray([r["x"] for r in a_rows], dtype=np.float64)
+                B = np.asarray([r["x"] for r in b_rows], dtype=np.float64)
+                a_pid = [r["pid"] for r in a_rows]
+                a_lab = [r["label"] for r in a_rows]
+                b_lab = np.asarray([r["label"] for r in b_rows])
+                labels = sorted(set(b_lab.tolist()))
+                masks = [b_lab == lab for lab in labels]
+                sums = np.zeros((len(A), len(labels)))
+                for s in range(0, len(A), _CHUNK):
+                    diff = A[s : s + _CHUNK, None, :] - B[None, :, :]
+                    D = np.sqrt(np.einsum("ijk,ijk->ij", diff, diff))
+                    for j, m in enumerate(masks):
+                        sums[s : s + _CHUNK, j] = D[:, m].sum(axis=1)
+                na = len(A)
+                yield pd.DataFrame(
+                    {
+                        "pid": np.repeat(np.asarray(a_pid, dtype=object), len(labels)),
+                        "a_label": np.repeat(
+                            np.asarray(a_lab, dtype=object), len(labels)
+                        ),
+                        "b_label": np.tile(np.asarray(labels, dtype=object), na),
+                        "part_sum": sums.ravel(),
+                    }
+                )
+
     return (
-        a.crossJoin(b)
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "a_label", "b_label", dist.alias("dist"))
+        pairs.mapInPandas(block_dists, out_schema)
+        .groupBy("pid", "a_label", "b_label")
+        .agg(F.sum("part_sum").alias("sum_dist"))
     )
 
 
@@ -49,14 +106,9 @@ def silhouette_samples(
     sizes = pts.groupBy(F.col("label").alias("b_label")).agg(
         F.count("*").alias("cluster_n")
     )
-    # mean distance from each point to each cluster
-    to_cluster = (
-        _pair_dists(pts)
-        .groupBy("a_id", "a_label", "b_label")
-        .agg(F.sum("dist").alias("sum_dist"), F.count("*").alias("n_pairs"))
-        .join(F.broadcast(sizes), "b_label")
-    )
-    # intra: divide by (cluster_n - 1) — self excluded; inter: by cluster_n
+    to_cluster = _cluster_sums(pts).join(F.broadcast(sizes), "b_label")
+    # intra: divide by (cluster_n - 1) — self excluded (its distance-0 term
+    # contributes nothing to the sum); inter: by cluster_n
     intra = F.when(
         F.col("a_label") == F.col("b_label"),
         F.when(F.col("cluster_n") > 1, F.col("sum_dist") / (F.col("cluster_n") - 1)),
@@ -64,7 +116,7 @@ def silhouette_samples(
     inter = F.when(
         F.col("a_label") != F.col("b_label"), F.col("sum_dist") / F.col("cluster_n")
     )
-    per_point = to_cluster.groupBy("a_id").agg(
+    per_point = to_cluster.groupBy("pid").agg(
         F.max(intra).alias("a_val"),  # at most one non-null
         F.min(inter).alias("b_val"),
     )
@@ -73,7 +125,7 @@ def silhouette_samples(
     ).otherwise(
         (F.col("b_val") - F.col("a_val")) / F.greatest("a_val", "b_val")
     )
-    return per_point.select(F.col("a_id").alias(id_col), s.alias("silhouette"))
+    return per_point.select(F.col("pid").alias(id_col), s.alias("silhouette"))
 
 
 def silhouette_score(
