@@ -18,19 +18,78 @@ Output: one row per unordered pair (id_a < id_b, cos_sim), plus a
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cuml_spark.ops.distance import cosine_sim, with_sq_norm
 
+_BLOCK_ROWS = 2048
 
-def _pairs_brute(pts: DataFrame) -> DataFrame:
-    a = pts.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
-                   F.col("sq").alias("sqa"))
-    b = pts.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
-                   F.col("sq").alias("sqb"))
-    return a.join(b, F.col("id_a") < F.col("id_b"))
+
+def _pairs_brute(pts: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine ≥ threshold as a block-nested loop: vectors hash into
+    packed blocks, upper-triangle block pairs (a_blk ≤ b_blk — each unordered
+    pair scored once) fan out through mapInPandas where one GEMM scores the
+    whole block; only surviving pairs (a vanishing fraction) ever become rows.
+    """
+    n = pts.count()
+    nblk = max(1, -(-n // _BLOCK_ROWS))
+    blocked = pts.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(nblk)).cast("int")
+    )
+    packed = blocked.groupBy("blk").agg(
+        F.collect_list(F.struct("vid", "v")).alias("rows")
+    )
+    tasks = (
+        packed.select(F.col("blk").alias("a_blk"), F.col("rows").alias("a_rows"))
+        .crossJoin(
+            F.broadcast(
+                packed.select(F.col("blk").alias("b_blk"), F.col("rows").alias("b_rows"))
+            )
+        )
+        .filter(F.col("a_blk") <= F.col("b_blk"))
+        .repartition(max(nblk * (nblk + 1) // 4, 1))
+    )
+    vid_type = pts.schema["vid"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", vid_type),
+            T.StructField("id_b", vid_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i in range(len(pdf)):
+                same = pdf["a_blk"].iloc[i] == pdf["b_blk"].iloc[i]
+                a_rows, b_rows = pdf["a_rows"].iloc[i], pdf["b_rows"].iloc[i]
+                A = np.asarray([r["v"] for r in a_rows], dtype=np.float64)
+                B = np.asarray([r["v"] for r in b_rows], dtype=np.float64)
+                ida = np.asarray([r["vid"] for r in a_rows])
+                idb = np.asarray([r["vid"] for r in b_rows])
+                na = np.sqrt(np.einsum("ij,ij->i", A, A))
+                nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (A @ B.T) / np.outer(na, nb)
+                mask = S >= threshold
+                ii, jj = np.nonzero(mask)
+                lo, hi = ida[ii], idb[jj]
+                if same:
+                    keep = lo < hi
+                else:
+                    keep = lo != hi
+                    lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+                yield pd.DataFrame(
+                    {"id_a": lo[keep], "id_b": hi[keep], "cos_sim": S[ii, jj][keep]}
+                )
+
+    return tasks.mapInPandas(score, schema)
 
 
 def _pairs_lsh(pts: DataFrame, dim: int, n_planes: int, n_tables: int,
@@ -76,7 +135,7 @@ def embedding_near_duplicates(
         "v", "sq",
     )
     if method == "brute":
-        pairs = _pairs_brute(pts)
+        return _pairs_brute(pts.drop("sq"), threshold)
     elif method == "lsh":
         dim = len(df.select(vec_col).first()[0])
         pairs = _pairs_lsh(pts, dim, n_planes, n_tables, seed)
