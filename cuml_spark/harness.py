@@ -371,3 +371,8 @@ from cuml_spark.harness_media import ORACLES_MEDIA, QUERIES_MEDIA  # noqa: E402
 
 QUERIES.update(QUERIES_MEDIA)
 ORACLES.update(ORACLES_MEDIA)
+
+from cuml_spark.harness_graph import ORACLES_GRAPH, QUERIES_GRAPH  # noqa: E402
+
+QUERIES.update(QUERIES_GRAPH)
+ORACLES.update(ORACLES_GRAPH)

@@ -1,0 +1,137 @@
+"""Harness entries: sparse graph prims, cluster dispersion, scalar functions.
+
+Covers SURVEY §2.4 sparse COO/CSR rows (coo.h / csr.h), Stats::dispersion
+(src_prims/metrics/dispersion.h:53-129) and the src_prims/functions scalar
+layer — each with a DuckDB oracle.
+
+Graph construction for the oracle-checkable CC query: nations grouped by
+region form disjoint star graphs (hub = min nationkey per region), so the
+weak-CC answer is closed-form in SQL (component = min nationkey over the
+region) — no recursive CTE needed, and the Spark side still exercises the
+real iterative min-label propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuml_spark.functions import sigmoid, soft_threshold
+from cuml_spark.metrics.dispersion import cluster_dispersion_df
+from cuml_spark.ops.sparse import connected_components, row_normalize_l1
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak CC (csr.h:853) on the nation-region star graph."""
+    nation = _t(spark, sf_dir, "nation")
+    hub = nation.groupBy("n_regionkey").agg(F.min("n_nationkey").alias("hub"))
+    edges = (
+        nation.join(hub, "n_regionkey")
+        .filter(F.col("n_nationkey") != F.col("hub"))
+        .select(F.col("n_nationkey").alias("src"), F.col("hub").alias("dst"))
+    )
+    out = connected_components(edges, src="src", dst="dst")
+    return out.select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+_SQL_GRAPH_CONNECTED_COMPONENTS = """
+SELECT n_nationkey::BIGINT AS vertex,
+       (min(n_nationkey) OVER (PARTITION BY n_regionkey))::BIGINT AS component
+FROM nation
+-- singleton regions have no edges, hence no vertex in the CC output
+QUALIFY count(*) OVER (PARTITION BY n_regionkey) > 1
+"""
+
+
+def q_sparse_row_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csr_row_normalize_l1 (csr.h:299) over the order→supplier quantity
+    bipartite edge list; checked per-edge."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        F.col("l_orderkey").alias("row"), F.col("l_suppkey").alias("col")
+    ).agg(F.sum("l_quantity").alias("value"))
+    out = row_normalize_l1(edges, row="row", value="value")
+    return out.select(
+        F.col("row").cast("long").alias("row"),
+        F.col("col").cast("long").alias("col"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+_SQL_SPARSE_ROW_NORMALIZE = """
+WITH e AS (
+  SELECT l_orderkey AS row, l_suppkey AS col, sum(l_quantity) AS value
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT row::BIGINT AS row, col::BIGINT AS col,
+       round(value / sum(abs(value)) OVER (PARTITION BY row), 6) AS value
+FROM e
+"""
+
+
+def q_cluster_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats::dispersion (dispersion.h:53-129) with l_returnflag as labels."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = cluster_dispersion_df(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], "l_returnflag"
+    )
+    return out.select(F.round("dispersion", 4).alias("dispersion"))
+
+
+_SQL_CLUSTER_DISPERSION = """
+WITH c AS (
+  SELECT l_returnflag, count(*)::DOUBLE AS n,
+         avg(l_quantity) AS c1, avg(l_extendedprice) AS c2, avg(l_discount) AS c3
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT sum(n * c1) / sum(n) AS m1, sum(n * c2) / sum(n) AS m2,
+         sum(n * c3) / sum(n) AS m3
+  FROM c
+)
+SELECT round(sqrt(sum(n * ((c1-m1)*(c1-m1) + (c2-m2)*(c2-m2) + (c3-m3)*(c3-m3)))), 4)
+       AS dispersion
+FROM c, m
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src_prims/functions scalar layer as codegen'd Column exprs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sum(sigmoid(F.col("l_discount") * 10)), 4).alias("sum_sigmoid"),
+        F.round(F.sum(soft_threshold(F.col("l_discount") - 0.05, 0.02)), 4).alias(
+            "sum_softthres"
+        ),
+    )
+
+
+_SQL_SCALAR_FUNCTIONS = """
+SELECT round(sum(1.0 / (1.0 + exp(-(l_discount * 10)))), 4) AS sum_sigmoid,
+       round(sum(CASE WHEN abs(l_discount - 0.05) > 0.02
+                      THEN (CASE WHEN l_discount - 0.05 >= 0 THEN 1 ELSE -1 END)
+                           * (abs(l_discount - 0.05) - 0.02)
+                      ELSE 0 END), 4) AS sum_softthres
+FROM lineitem
+"""
+
+
+QUERIES_GRAPH = {
+    "graph_connected_components": q_graph_connected_components,
+    "sparse_row_normalize": q_sparse_row_normalize,
+    "cluster_dispersion": q_cluster_dispersion,
+    "scalar_functions": q_scalar_functions,
+}
+
+ORACLES_GRAPH = {
+    "graph_connected_components": _SQL_GRAPH_CONNECTED_COMPONENTS,
+    "sparse_row_normalize": _SQL_SPARSE_ROW_NORMALIZE,
+    "cluster_dispersion": _SQL_CLUSTER_DISPERSION,
+    "scalar_functions": _SQL_SCALAR_FUNCTIONS,
+}

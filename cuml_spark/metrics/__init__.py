@@ -4,6 +4,7 @@ from cuml_spark.metrics.regression import (
 from cuml_spark.metrics.classification import accuracy_score, accuracy_score_df, log_loss
 from cuml_spark.metrics.silhouette import silhouette_samples, silhouette_score
 from cuml_spark.metrics.trustworthiness import trustworthiness
+from cuml_spark.metrics.dispersion import cluster_dispersion, cluster_dispersion_df
 from cuml_spark.metrics.cluster import (
     contingency_matrix,
     adjusted_rand_score,
@@ -22,4 +23,5 @@ __all__ = [
     "entropy_df", "mutual_info_score", "homogeneity_completeness_v_measure",
     "kl_divergence",
     "silhouette_samples", "silhouette_score", "trustworthiness",
+    "cluster_dispersion", "cluster_dispersion_df",
 ]

@@ -17,8 +17,18 @@ from cuml_spark.ops.distance import (
     pairwise_sq_euclidean,
     pairwise_cosine_sim,
 )
+from cuml_spark.ops.sparse import (
+    coo_sort,
+    coo_remove_zeros,
+    coo_symmetrize,
+    row_normalize_l1,
+    row_normalize_max,
+    connected_components,
+)
 
 __all__ = [
+    "coo_sort", "coo_remove_zeros", "coo_symmetrize",
+    "row_normalize_l1", "row_normalize_max", "connected_components",
     "col_means", "col_stddev", "col_sum", "col_minmax",
     "covariance_matrix", "correlation_matrix", "histogram",
     "weighted_mean", "mean_center", "describe_matrix",

@@ -149,30 +149,11 @@ def embedding_near_duplicates(
 
 
 def near_dup_groups(pairs: DataFrame) -> DataFrame:
-    """Pairs → (vid, group_id = min reachable id): groups via iterative
-    min-label propagation (few rounds — near-dup components are tiny)."""
-    edges = pairs.select("id_a", "id_b")
-    sym = edges.union(edges.select(F.col("id_b").alias("id_a"),
-                                   F.col("id_a").alias("id_b")))
-    labels = (
-        sym.select(F.col("id_a").alias("vid")).distinct()
-        .withColumn("group_id", F.col("vid"))
-    )
-    for _ in range(10):
-        prop = (
-            sym.join(labels.withColumnRenamed("vid", "id_a"), "id_a")
-            .groupBy(F.col("id_b").alias("vid"))
-            .agg(F.min("group_id").alias("ng"))
-        )
-        new_labels = (
-            labels.join(prop, "vid", "left")
-            .select("vid", F.least("group_id", F.coalesce("ng", "group_id")).alias("group_id"))
-        )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "vid")
-            .filter(F.col("n.group_id") != F.col("o.group_id")).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    """Pairs → (vid, group_id = min reachable id): weak connected components
+    over the near-dup edge list (ops.sparse.connected_components — the
+    weak_cc prim; near-dup components are tiny so few rounds converge)."""
+    from cuml_spark.ops.sparse import connected_components
+
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    return labels.select(F.col("vertex").alias("vid"),
+                         F.col("component").alias("group_id"))
