@@ -376,3 +376,8 @@ from cuml_spark.harness_graph import ORACLES_GRAPH, QUERIES_GRAPH  # noqa: E402
 
 QUERIES.update(QUERIES_GRAPH)
 ORACLES.update(ORACLES_GRAPH)
+
+from cuml_spark.harness_linear import ORACLES_LINEAR, QUERIES_LINEAR  # noqa: E402
+
+QUERIES.update(QUERIES_LINEAR)
+ORACLES.update(ORACLES_LINEAR)
