@@ -122,11 +122,57 @@ FROM lineitem
 """
 
 
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LinAlg gemm-accumulated XᵀX (gemm.h:78 via ops.linalg.gram_matrix) —
+    one shuffle-free aggregate pass; D-class.  Entries are reported
+    scale-free (column cosine g_ij/√(g_ii·g_jj) + log10 magnitude) because
+    raw sums ~1e14 are not reproducible to fixed decimals across reduction
+    orders."""
+    import math
+
+    from cuml_spark.ops.linalg import gram_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    g = gram_matrix(li, cols)
+    rows = [
+        (i, j,
+         round(float(g[i, j] / math.sqrt(g[i, i] * g[j, j])), 6),
+         round(math.log10(float(g[i, j])), 6))
+        for i in range(3)
+        for j in range(3)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cosine double, log10_value double")
+
+
+_SQL_GRAM_MATRIX = """
+WITH s AS (
+  SELECT sum(l_quantity*l_quantity) AS g00,
+         sum(l_quantity*l_extendedprice) AS g01,
+         sum(l_quantity*l_discount) AS g02,
+         sum(l_extendedprice*l_extendedprice) AS g11,
+         sum(l_extendedprice*l_discount) AS g12,
+         sum(l_discount*l_discount) AS g22
+  FROM lineitem
+)
+SELECT 0 AS i, 0 AS j, round(g00/sqrt(g00*g00), 6) AS cosine, round(log10(g00), 6) AS log10_value FROM s
+UNION ALL SELECT 0, 1, round(g01/sqrt(g00*g11), 6), round(log10(g01), 6) FROM s
+UNION ALL SELECT 0, 2, round(g02/sqrt(g00*g22), 6), round(log10(g02), 6) FROM s
+UNION ALL SELECT 1, 0, round(g01/sqrt(g00*g11), 6), round(log10(g01), 6) FROM s
+UNION ALL SELECT 1, 1, round(g11/sqrt(g11*g11), 6), round(log10(g11), 6) FROM s
+UNION ALL SELECT 1, 2, round(g12/sqrt(g11*g22), 6), round(log10(g12), 6) FROM s
+UNION ALL SELECT 2, 0, round(g02/sqrt(g00*g22), 6), round(log10(g02), 6) FROM s
+UNION ALL SELECT 2, 1, round(g12/sqrt(g11*g22), 6), round(log10(g12), 6) FROM s
+UNION ALL SELECT 2, 2, round(g22/sqrt(g22*g22), 6), round(log10(g22), 6) FROM s
+"""
+
+
 QUERIES_GRAPH = {
     "graph_connected_components": q_graph_connected_components,
     "sparse_row_normalize": q_sparse_row_normalize,
     "cluster_dispersion": q_cluster_dispersion,
     "scalar_functions": q_scalar_functions,
+    "gram_matrix": q_gram_matrix,
 }
 
 ORACLES_GRAPH = {
@@ -134,4 +180,5 @@ ORACLES_GRAPH = {
     "sparse_row_normalize": _SQL_SPARSE_ROW_NORMALIZE,
     "cluster_dispersion": _SQL_CLUSTER_DISPERSION,
     "scalar_functions": _SQL_SCALAR_FUNCTIONS,
+    "gram_matrix": _SQL_GRAM_MATRIX,
 }

@@ -17,6 +17,15 @@ from cuml_spark.ops.distance import (
     pairwise_sq_euclidean,
     pairwise_cosine_sim,
 )
+from cuml_spark.ops.linalg import (
+    gram_matrix,
+    gram_vector,
+    row_norms,
+    col_norms,
+    tall_skinny_qr,
+    svd_tall,
+    randomized_svd,
+)
 from cuml_spark.ops.sparse import (
     coo_sort,
     coo_remove_zeros,
@@ -27,6 +36,8 @@ from cuml_spark.ops.sparse import (
 )
 
 __all__ = [
+    "gram_matrix", "gram_vector", "row_norms", "col_norms",
+    "tall_skinny_qr", "svd_tall", "randomized_svd",
     "coo_sort", "coo_remove_zeros", "coo_symmetrize",
     "row_normalize_l1", "row_normalize_max", "connected_components",
     "col_means", "col_stddev", "col_sum", "col_minmax",
