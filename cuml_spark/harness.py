@@ -71,16 +71,40 @@ def _sql_stats_describe() -> str:
 
 
 def q_stats_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix reported scale-free (same treatment as gram_matrix):
+    raw covariances are ~1e7-1e9, so fp reduction-order noise between Spark's
+    shuffled partials and DuckDB exceeds any fixed-decimal rounding.  We emit
+    the correlation (cov normalized by the diagonal, bounded in [-1,1]) plus
+    the diagonal's log10 magnitude — together they determine the matrix."""
     li = _t(spark, sf_dir, "lineitem")
     out = covariance_matrix(li, LI_NUM_COLS)
-    return out.select("col_x", "col_y", F.round("cov", 4).alias("cov"))
+    diag = out.filter(F.col("col_x") == F.col("col_y")).select(
+        F.col("col_x").alias("k"), F.col("cov").alias("var")
+    )
+    vx = diag.select(F.col("k").alias("col_x"), F.col("var").alias("vx"))
+    vy = diag.select(F.col("k").alias("col_y"), F.col("var").alias("vy"))
+    res = out.join(F.broadcast(vx), "col_x").join(F.broadcast(vy), "col_y")
+    return res.select(
+        "col_x",
+        "col_y",
+        F.round(F.col("cov") / F.sqrt(F.col("vx") * F.col("vy")), 5).alias("corr"),
+        F.round(
+            F.when(F.col("col_x") == F.col("col_y"), F.log10("cov")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("log10_var"),
+    )
 
 
 def _sql_stats_covariance() -> str:
     from itertools import combinations_with_replacement
 
     parts = [
-        f"SELECT '{a}' AS col_x, '{b}' AS col_y, round(covar_samp({a}, {b}), 4) AS cov FROM lineitem"
+        f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
+               round(covar_samp({a}, {b}) / sqrt(var_samp({a}) * var_samp({b})), 5) AS corr,
+               round(CASE WHEN '{a}' = '{b}' THEN log10(var_samp({a})) ELSE 0.0 END, 6) AS log10_var
+            FROM lineitem"""
         for a, b in combinations_with_replacement(LI_NUM_COLS, 2)
     ]
     return " UNION ALL ".join(parts)
