@@ -30,7 +30,8 @@ from cuml_spark.core.validation import check_features
 class KMeans(Base):
     def __init__(self, n_clusters: int = 8, max_iter: int = 300, tol: float = 1e-4,
                  random_state: int = 1, init: str = "scalable-k-means++",
-                 n_init: int = 1, oversampling_factor: float = 2.0, **kwargs):
+                 n_init: int = 1, oversampling_factor: float = 2.0,
+                 init_centers=None, **kwargs):
         super().__init__(**kwargs)
         self.n_clusters = n_clusters
         self.max_iter = max_iter
@@ -39,6 +40,12 @@ class KMeans(Base):
         self.init = init
         self.n_init = n_init
         self.oversampling_factor = oversampling_factor
+        # cuML accepts an explicit (k, d) init array (kmeans.pyx:114 `init`
+        # may be an ndarray).  When given, fit runs our own Lloyd loop —
+        # fully deterministic, so results are exactly replayable.
+        self.init_centers = None if init_centers is None else np.asarray(
+            init_centers, dtype=np.float64
+        )
         self.cluster_centers_: np.ndarray | None = None
         self.inertia_: float | None = None
         self.n_iter_: int | None = None
@@ -52,6 +59,8 @@ class KMeans(Base):
 
     def fit(self, df: DataFrame, feature_cols: list[str]) -> "KMeans":
         check_features(df, feature_cols)  # dtype validation only
+        if self.init_centers is not None:
+            return self._fit_lloyd(df, feature_cols)
         init_mode = "k-means||" if "k-means" in self.init else "random"
         km = MLKMeans(
             k=self.n_clusters, maxIter=self.max_iter, tol=self.tol,
@@ -69,6 +78,44 @@ class KMeans(Base):
         self.inertia_ = float(summary.trainingCost)  # sum of squared distances
         self.n_iter_ = summary.numIter
         self._cols = list(feature_cols)
+        return self
+
+    def _fit_lloyd(self, df: DataFrame, feature_cols: list[str]) -> "KMeans":
+        """Lloyd EM from explicit init centers (kmeans.pyx:114 ndarray init;
+        sg_impl.cuh:41 EM loop).  Each iteration is ONE map-side-combined
+        groupBy over broadcast literal centers — per-iteration driver state
+        is the (k, d) centroid matrix only, so the loop scales to any row
+        count.  Assignment ties break to the lowest cluster id (strict `<`),
+        matching ``predict``."""
+        cols = list(feature_cols)
+        centers = self.init_centers.copy()
+        if centers.shape != (self.n_clusters, len(cols)):
+            raise ValueError(
+                f"init_centers shape {centers.shape} != "
+                f"({self.n_clusters}, {len(cols)})"
+            )
+        data = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+        n_iter = 0
+        for _ in range(self.max_iter):
+            self.cluster_centers_ = centers
+            assigned = self.predict(data, cols, out_col="__cluster")
+            rows = (
+                assigned.groupBy("__cluster")
+                .agg(*[F.avg(c).alias(c) for c in cols])
+                .collect()
+            )
+            new = centers.copy()
+            for r in rows:
+                new[int(r["__cluster"])] = [r[c] for c in cols]
+            n_iter += 1
+            shift = float(np.sqrt(((new - centers) ** 2).sum(axis=1)).max())
+            centers = new
+            if shift <= self.tol:
+                break
+        self.cluster_centers_ = centers
+        self.n_iter_ = n_iter
+        self._cols = cols
+        self.inertia_ = -self.score(data, cols)
         return self
 
     # -- scoring expressions over broadcast centers (no shuffle) ------------

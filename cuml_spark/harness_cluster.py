@@ -2,9 +2,11 @@
 
 ``dbscan_roles`` is D-class: the core/border/noise classification is a pure
 function of the eps-graph and is replayed in DuckDB with self-joins.
-``dbscan_cluster_sizes`` additionally needs connected components (not SQL) →
-rows-only; its label partitions are asserted against a numpy BFS reference in
-tests/test_dbscan.py.
+``dbscan_cluster_sizes`` reports the CORE-point count of each cluster —
+clusters are exactly the connected components of the core-core eps-graph
+(csr.h:853 weak_cc semantics), so the multiset of core sizes is deterministic
+(no border tie-breaking involved) and the DuckDB oracle replays it with a
+recursive-CTE transitive closure.  Both queries derive from ONE shared fit.
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ from pyspark.sql import functions as F
 from cuml_spark.cluster import DBSCAN
 
 _EPS, _MIN_SAMPLES = 0.35, 5
+_FIT_CACHE: dict[str, DataFrame] = {}
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,12 +29,20 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DBSCAN fit per sf_dir, shared by both queries (labels + roles)."""
+    out = _FIT_CACHE.get(sf_dir)
+    if out is None:
+        pts = _points(spark, sf_dir)
+        out = DBSCAN(eps=_EPS, min_samples=_MIN_SAMPLES).fit_predict(
+            pts, ["x1", "x2"], id_col="pid", include_role=True
+        ).cache()
+        _FIT_CACHE[sf_dir] = out
+    return out
+
+
 def q_dbscan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = _points(spark, sf_dir)
-    out = DBSCAN(eps=_EPS, min_samples=_MIN_SAMPLES).fit_predict(
-        pts, ["x1", "x2"], id_col="pid", include_role=True
-    )
-    return out.select(F.col("pid").alias("c_custkey"), "role")
+    return _fitted(spark, sf_dir).select(F.col("pid").alias("c_custkey"), "role")
 
 
 _SQL_DBSCAN_ROLES = f"""
@@ -61,15 +72,51 @@ FROM core p
 
 
 def q_dbscan_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster size distribution (labels need CC → rows-only check)."""
-    pts = _points(spark, sf_dir)
-    out = DBSCAN(eps=_EPS, min_samples=_MIN_SAMPLES).fit_predict(
-        pts, ["x1", "x2"], id_col="pid"
+    """Core-point count per cluster, ranked by size desc — the deterministic
+    projection of the label partition (border assignment is tie-broken, core
+    membership is not)."""
+    from pyspark.sql import Window
+
+    out = _fitted(spark, sf_dir)
+    sizes = (
+        out.filter(F.col("role") == "core")
+        .groupBy("label")
+        .agg(F.count("*").alias("n_core"))
     )
-    return (
-        out.groupBy("label").agg(F.count("*").alias("n_points"))
-        .orderBy("label")
+    w = Window.orderBy(F.col("n_core").desc(), F.col("label"))
+    return sizes.select(
+        F.row_number().over(w).alias("size_rank"), "n_core"
     )
+
+
+_SQL_DBSCAN_CLUSTER_SIZES = f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS pid, c_acctbal/1000.0 AS x1, (c_custkey % 89)/8.9 AS x2
+  FROM customer
+), deg AS (
+  SELECT a.pid, count(*) + 1 AS deg
+  FROM pts a JOIN pts b ON a.pid != b.pid
+   AND (a.x1-b.x1)*(a.x1-b.x1) + (a.x2-b.x2)*(a.x2-b.x2) <= {_EPS * _EPS}
+  GROUP BY a.pid
+), core AS (
+  SELECT p.pid, p.x1, p.x2 FROM pts p JOIN deg d USING (pid)
+  WHERE d.deg >= {_MIN_SAMPLES}
+), edges AS (
+  SELECT a.pid AS a, b.pid AS b
+  FROM core a JOIN core b ON a.pid != b.pid
+   AND (a.x1-b.x1)*(a.x1-b.x1) + (a.x2-b.x2)*(a.x2-b.x2) <= {_EPS * _EPS}
+), reach AS (
+  SELECT pid AS src, pid AS dst FROM core
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+), comp AS (
+  SELECT src, min(dst) AS root FROM reach GROUP BY src
+), sizes AS (
+  SELECT root, count(*) AS n_core FROM comp GROUP BY root
+)
+SELECT row_number() OVER (ORDER BY n_core DESC, root) AS size_rank, n_core
+FROM sizes
+"""
 
 
 QUERIES_CLUSTER = {
@@ -79,4 +126,5 @@ QUERIES_CLUSTER = {
 
 ORACLES_CLUSTER = {
     "dbscan_roles": _SQL_DBSCAN_ROLES,
+    "dbscan_cluster_sizes": _SQL_DBSCAN_CLUSTER_SIZES,
 }

@@ -121,19 +121,42 @@ SELECT 'test', count(*) - CAST(floor(0.8 * count(*)) AS BIGINT) FROM lineitem
 """
 
 
-# -- S-class (seeded stochastic): rows-only driver check, quality in pytest --
+# -- D-class via deterministic Lloyd replay / derived invariants ------------
+
+_KM_ITERS = 5
+
 
 def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans on scaled (acctbal, total spend) per customer; outputs k cluster
-    sizes.  Stochastic init → no value oracle; schema + non-degeneracy only."""
+    """KMeans (explicit-init Lloyd, kmeans.pyx:114 ndarray init) on scaled
+    (acctbal, total spend) per customer.  Init centers are the feature rows of
+    4 deterministically chosen custkeys (quartile positions of the key range),
+    and exactly ``_KM_ITERS`` Lloyd iterations run (tol=0) — so the final
+    assignment, hence each cluster's size, is a pure function of the data that
+    the DuckDB oracle replays with {_KM_ITERS} unrolled assign/update CTEs."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
     feats = cust.join(spend, cust.c_custkey == spend.o_custkey, "inner").select(
         "c_custkey", "c_acctbal", "spend"
     )
-    scaled = StandardScaler().fit_transform(feats, ["c_acctbal", "spend"])
-    km = KMeans(n_clusters=4, random_state=42)
+    scaled = StandardScaler().fit_transform(feats, ["c_acctbal", "spend"]).cache()
+    mm = scaled.agg(
+        F.min("c_custkey").alias("mn"), F.max("c_custkey").alias("mx")
+    ).first()
+    targets = [mm["mn"] + ((mm["mx"] - mm["mn"]) * i) // 4 for i in range(4)]
+    keys = scaled.agg(
+        *[
+            F.min(F.when(F.col("c_custkey") >= t, F.col("c_custkey"))).alias(f"k{i}")
+            for i, t in enumerate(targets)
+        ]
+    ).first()
+    key_list = [keys[f"k{i}"] for i in range(4)]
+    crows = {
+        r["c_custkey"]: (r["c_acctbal"], r["spend"])
+        for r in scaled.filter(F.col("c_custkey").isin(key_list)).collect()
+    }
+    centers = [crows[k] for k in key_list]
+    km = KMeans(n_clusters=4, max_iter=_KM_ITERS, tol=0.0, init_centers=centers)
     labeled = km.fit_predict(scaled, ["c_acctbal", "spend"])
     return (
         labeled.groupBy("label").agg(F.count("*").alias("n_points"))
@@ -141,15 +164,79 @@ def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_kmeans_cluster_sizes() -> str:
+    """Unrolled Lloyd: assignment = row_number over (dist, cid) — the same
+    lowest-id tie-break as KMeans.predict's strict `<` scan."""
+    steps = []
+    for n in range(1, _KM_ITERS + 1):
+        steps.append(f"""
+a{n} AS (
+  SELECT pid, x1, x2, cid FROM (
+    SELECT f.pid, f.x1, f.x2, c.cid,
+           row_number() OVER (
+             PARTITION BY f.pid
+             ORDER BY (f.x1-c.x1)*(f.x1-c.x1) + (f.x2-c.x2)*(f.x2-c.x2), c.cid
+           ) AS rn
+    FROM feats f CROSS JOIN c{n - 1} c) WHERE rn = 1
+),
+c{n} AS (
+  SELECT c.cid, coalesce(m.x1, c.x1) AS x1, coalesce(m.x2, c.x2) AS x2
+  FROM c{n - 1} c LEFT JOIN (
+    SELECT cid, avg(x1) AS x1, avg(x2) AS x2 FROM a{n} GROUP BY cid
+  ) m USING (cid)
+)""")
+    return f"""
+WITH feats0 AS (
+  SELECT c.c_custkey AS pid, c.c_acctbal AS a, s.spend AS b
+  FROM customer c
+  JOIN (SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY 1) s
+    ON c.c_custkey = s.o_custkey
+), st AS (
+  SELECT avg(a) AS ma, stddev_pop(a) AS sa, avg(b) AS mb, stddev_pop(b) AS sb
+  FROM feats0
+), feats AS (
+  SELECT pid, (a - ma) / sa AS x1, (b - mb) / sb AS x2 FROM feats0, st
+), mm AS (
+  SELECT min(pid) AS mn, max(pid) AS mx FROM feats
+), tgt AS (
+  SELECT i, mn + ((mx - mn) * i) // 4 AS t
+  FROM mm, (SELECT unnest([0, 1, 2, 3]) AS i)
+), ck AS (
+  SELECT i AS cid, (SELECT min(pid) FROM feats WHERE pid >= t) AS key FROM tgt
+), c0 AS (
+  SELECT ck.cid, f.x1, f.x2 FROM ck JOIN feats f ON f.pid = ck.key
+),{",".join(steps)},
+af AS (
+  -- fit_predict assigns once more with the post-loop centers
+  SELECT pid, cid FROM (
+    SELECT f.pid, c.cid,
+           row_number() OVER (
+             PARTITION BY f.pid
+             ORDER BY (f.x1-c.x1)*(f.x1-c.x1) + (f.x2-c.x2)*(f.x2-c.x2), c.cid
+           ) AS rn
+    FROM feats f CROSS JOIN c{_KM_ITERS} c) WHERE rn = 1
+)
+SELECT cid AS cluster, count(*) AS n_points FROM af GROUP BY cid
+"""
+
+
 def q_rf_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RF classifier on lineitem → single accuracy row (S-class, rows-only)."""
+    """RF classifier on lineitem (S-class: seeded stochastic).  D-class
+    projection: the scored row count is exact and train accuracy clears a
+    fixed floor (0.72 observed; a broken forest regresses to ~0.5)."""
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "is_high", (F.col("l_extendedprice") > 30000).cast("double")
     )
     rf = RandomForestClassifier(n_estimators=10, max_depth=8, n_bins=16, random_state=7)
     rf.fit(li, ["l_quantity", "l_discount", "l_tax"], "is_high")
     acc = rf.score(li, ["l_quantity", "l_discount", "l_tax"], "is_high")
-    return spark.createDataFrame([(float(acc),)], "accuracy double")
+    n = li.count()
+    return spark.createDataFrame(
+        [(int(n), bool(acc >= 0.65))], "n_scored long, acc_ge_065 boolean"
+    )
+
+
+_SQL_RF_ACCURACY = "SELECT count(*) AS n_scored, true AS acc_ge_065 FROM lineitem"
 
 
 QUERIES_ML = {
@@ -166,13 +253,16 @@ ORACLES_ML = {
     "tsvd_singular_2d": _SQL_TSVD_SINGULAR_2D,
     "standard_scaler": _SQL_STANDARD_SCALER,
     "split_exact_sizes": _SQL_SPLIT_EXACT_SIZES,
-    # kmeans_cluster_sizes / rf_accuracy: stochastic → rows-only (no oracle)
+    "kmeans_cluster_sizes": _sql_kmeans_cluster_sizes(),
+    "rf_accuracy": _SQL_RF_ACCURACY,
 }
 
 
 def q_sgd_hinge_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-SVM-objective SGD on lineitem (A-class, rows-only): each epoch
-    is one map-side-combined gradient aggregation with weights as literals."""
+    """Linear-SVM-objective SGD on lineitem (A-class: each epoch is one
+    map-side-combined gradient aggregation with weights as literals).
+    D-class projection: exact scored-row count + fixed accuracy floor
+    (0.72 observed; a broken gradient collapses to ~0.5)."""
     from cuml_spark.solvers import SGD
 
     li = _t(spark, sf_dir, "lineitem").withColumn(
@@ -187,7 +277,11 @@ def q_sgd_hinge_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("avg(cast(prediction = is_high as double)) as acc")
         .first()["acc"]
     )
-    return spark.createDataFrame([(float(acc),)], "accuracy double")
+    n = li.count()
+    return spark.createDataFrame(
+        [(int(n), bool(acc >= 0.65))], "n_scored long, acc_ge_065 boolean"
+    )
 
 
 QUERIES_ML["sgd_hinge_accuracy"] = q_sgd_hinge_accuracy
+ORACLES_ML["sgd_hinge_accuracy"] = _SQL_RF_ACCURACY
