@@ -111,7 +111,9 @@ FROM b
 
 def q_logreg_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression (OWL-QN path, penalty='l1') learning a
-    discount-threshold rule; A-class, rows-only (no SQL twin trains a GLM)."""
+    discount-threshold rule.  A-class fit; D-class projection: exact scored
+    count + accuracy floor (1.00 observed — the rule is separable; any
+    solver regression drops it)."""
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "lbl", (F.col("l_discount") > 0.05).cast("int")
     )
@@ -119,10 +121,19 @@ def q_logreg_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_discount", "l_quantity"], "lbl"
     )
     pred = m.predict(li, ["l_discount", "l_quantity"])
-    return pred.agg(
-        F.round(F.avg((F.col("prediction") == F.col("lbl")).cast("double")), 2)
-        .alias("accuracy")
+    row = pred.agg(
+        F.count("*").alias("n"),
+        F.avg((F.col("prediction") == F.col("lbl")).cast("double")).alias("acc"),
+    ).first()
+    return spark.createDataFrame(
+        [(int(row["n"]), bool(row["acc"] >= 0.95))],
+        "n_scored long, acc_ge_095 boolean",
     )
+
+
+_SQL_LOGREG_RULE_ACCURACY = (
+    "SELECT count(*) AS n_scored, true AS acc_ge_095 FROM lineitem"
+)
 
 
 QUERIES_LINEAR = {
@@ -136,4 +147,5 @@ ORACLES_LINEAR = {
     "ridge_closed_form": _SQL_RIDGE_CLOSED_FORM,
     "lasso_closed_form": _SQL_LASSO_CLOSED_FORM,
     "elasticnet_closed_form": _SQL_ELASTICNET_CLOSED_FORM,
+    "logreg_rule_accuracy": _SQL_LOGREG_RULE_ACCURACY,
 }

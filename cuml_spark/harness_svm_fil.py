@@ -66,7 +66,9 @@ FROM raw
 
 def q_svc_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SVC (exact SMO on a bounded sample, distributed scoring) learning a
-    linear rule on customer features; accuracy row (A-class, rows-only)."""
+    linear rule on customer features.  A-class fit; D-class projection:
+    exact scored-row count + fixed accuracy floor (0.98 observed; a broken
+    SMO or kernel regresses toward the 0.5 base rate)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     pts = cust.select(
         "c_custkey",
@@ -76,7 +78,13 @@ def q_svc_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = pts.filter(F.col("c_custkey") % 5 == 0)  # bounded deterministic sample
     svc = SVC(kernel="linear", C=1.0, max_iter=60).fit(train, ["x1", "x2"], "y")
     acc = svc.score(pts, ["x1", "x2"], "y")
-    return spark.createDataFrame([(float(round(acc, 4)),)], "accuracy double")
+    n = pts.count()
+    return spark.createDataFrame(
+        [(int(n), bool(acc >= 0.9))], "n_scored long, acc_ge_090 boolean"
+    )
+
+
+_SQL_SVC_RULE_ACCURACY = "SELECT count(*) AS n_scored, true AS acc_ge_090 FROM customer"
 
 
 QUERIES_SVM_FIL = {
@@ -86,4 +94,5 @@ QUERIES_SVM_FIL = {
 
 ORACLES_SVM_FIL = {
     "fil_score": _SQL_FIL_SCORE,
+    "svc_rule_accuracy": _SQL_SVC_RULE_ACCURACY,
 }

@@ -3,8 +3,9 @@
 ``kalman_local_level`` is D-class: the scalar local-level Kalman recursion is
 replayed in DuckDB as a recursive CTE performing the SAME float operations in
 the SAME order, so rounded values hash-match exactly.  Holt-Winters and ARIMA
-are A-class (iterative optimizers) → rows-only driver check; their numeric
-quality is asserted in tests/test_tsa.py against numpy replays.
+are A-class (iterative optimizers); their driver checks are D-class
+projections (per-series analytic envelopes / grid-membership booleans) and
+the full numeric quality is asserted in tests/test_tsa.py via numpy replays.
 """
 
 from __future__ import annotations
@@ -57,28 +58,76 @@ SELECT series_id, t, round(x, 6) AS x FROM kf
 """
 
 
-def q_holtwinters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly-seasonal HW fit per event_type, 7-day forecast (A-class)."""
-    series = _daily_series(spark, sf_dir)
-    hw = ExponentialSmoothing(seasonal="additive", seasonal_periods=7).fit(series)
-    return hw.forecast(7).select(
-        "series_id", "step", F.round("yhat", 4).alias("yhat")
+def _envelope_check(series: DataFrame, fc: DataFrame) -> DataFrame:
+    """D-class projection of an A-class forecast: each ŷ must land inside the
+    per-series analytic envelope [min − range, max + range] of the observed
+    values — deterministically true for any sane fit, flipped by divergence,
+    NaN, or a broken seasonal/AR recursion."""
+    stats = series.groupBy("series_id").agg(
+        F.min("y").alias("mn"), F.max("y").alias("mx")
+    )
+    return (
+        fc.join(stats, "series_id")
+        .select(
+            "series_id",
+            "step",
+            (
+                F.col("yhat").isNotNull()
+                & (F.col("yhat") >= F.col("mn") - (F.col("mx") - F.col("mn")))
+                & (F.col("yhat") <= F.col("mx") + (F.col("mx") - F.col("mn")))
+            ).alias("in_envelope"),
+        )
     )
 
 
+_SQL_SERIES = f"""
+  SELECT event_type AS series_id, epoch_ns(ts) // {_DAY_NS} AS t, avg(value) AS y
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _sql_envelope(steps: int) -> str:
+    return f"""
+WITH s AS ({_SQL_SERIES}),
+ids AS (SELECT DISTINCT series_id FROM s)
+SELECT series_id, CAST(step AS INT) AS step, true AS in_envelope
+FROM ids CROSS JOIN (SELECT unnest(generate_series(1, {steps})) AS step)
+"""
+
+
+def q_holtwinters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonal HW fit per event_type, 7-day forecast (A-class fit,
+    D-class envelope check)."""
+    series = _daily_series(spark, sf_dir)
+    hw = ExponentialSmoothing(seasonal="additive", seasonal_periods=7).fit(series)
+    return _envelope_check(series, hw.forecast(7))
+
+
 def q_arima_grid_aic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series best (p,q) by AIC over a 2×2 grid (A-class)."""
+    """Per-series best (p,q) by AIC over a 2×2 grid.  D-class projection:
+    the chosen order lies in the searched grid and the AIC is finite —
+    per-series rows, so a lost/duplicated series flips rowcount."""
     series = _daily_series(spark, sf_dir)
     best = grid_search(series, d=0, max_p=2, max_q=1, criterion="aic")
-    return best.select("series_id", "p", "d", "q", F.round("aic", 2).alias("aic"))
+    return best.select(
+        "series_id",
+        (
+            F.col("p").between(0, 2) & (F.col("d") == 0) & F.col("q").between(0, 1)
+        ).alias("order_in_grid"),
+        (~F.isnan(F.col("aic")) & F.col("aic").isNotNull()).alias("aic_finite"),
+    )
+
+
+_SQL_ARIMA_GRID_AIC = f"""
+WITH s AS ({_SQL_SERIES})
+SELECT DISTINCT series_id, true AS order_in_grid, true AS aic_finite FROM s
+"""
 
 
 def q_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = _daily_series(spark, sf_dir)
     model = ARIMA(order=(1, 0, 1)).fit(series)
-    return model.forecast(5).select(
-        "series_id", "step", F.round("yhat", 4).alias("yhat")
-    )
+    return _envelope_check(series, model.forecast(5))
 
 
 QUERIES_TSA = {
@@ -90,5 +139,7 @@ QUERIES_TSA = {
 
 ORACLES_TSA = {
     "kalman_local_level": _SQL_KALMAN_LOCAL_LEVEL,
-    # holtwinters_forecast / arima_*: iterative optimizers → rows-only
+    "holtwinters_forecast": _sql_envelope(7),
+    "arima_grid_aic": _SQL_ARIMA_GRID_AIC,
+    "arima_forecast": _sql_envelope(5),
 }
