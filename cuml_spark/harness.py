@@ -405,3 +405,13 @@ from cuml_spark.harness_linear import ORACLES_LINEAR, QUERIES_LINEAR  # noqa: E4
 
 QUERIES.update(QUERIES_LINEAR)
 ORACLES.update(ORACLES_LINEAR)
+
+from cuml_spark.harness_metrics import ORACLES_METRICS, QUERIES_METRICS  # noqa: E402
+
+QUERIES.update(QUERIES_METRICS)
+ORACLES.update(ORACLES_METRICS)
+
+from cuml_spark.harness_datasets import ORACLES_DATASETS, QUERIES_DATASETS  # noqa: E402
+
+QUERIES.update(QUERIES_DATASETS)
+ORACLES.update(ORACLES_DATASETS)
