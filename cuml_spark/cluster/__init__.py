@@ -1,4 +1,5 @@
 from cuml_spark.cluster.dbscan import DBSCAN
 from cuml_spark.cluster.kmeans import KMeans
+from cuml_spark.cluster.spectral import SpectralClustering, spectral_embedding
 
-__all__ = ["DBSCAN", "KMeans"]
+__all__ = ["DBSCAN", "KMeans", "SpectralClustering", "spectral_embedding"]

@@ -119,12 +119,57 @@ FROM sizes
 """
 
 
+def q_spectral_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral clustering (spectral.hpp:40 fit_clusters) on customers split
+    into 3 constructed, well-separated groups (offset 25·(custkey%3) ≫ the
+    feature spread).  D-class projection: each constructed group must map to
+    exactly ONE predicted cluster and the three clusters must be distinct —
+    a pure function of the data for any working spectral pipeline.  At
+    sf0.01 this runs the exact KNN-graph path; at sf0.1 the Nyström
+    landmark path (max_exact=2000)."""
+    from cuml_spark.cluster import SpectralClustering
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (F.col("c_acctbal") / 1000.0 + 25.0 * (F.col("c_custkey") % 3)).alias("x1"),
+        ((F.col("c_custkey") % 89) / 8.9).alias("x2"),
+        (F.col("c_custkey") % 3).alias("grp"),
+    )
+    sc = SpectralClustering(
+        n_clusters=3, n_neighbors=8, max_exact=2000, n_landmarks=500,
+        random_state=5,
+    )
+    out = sc.fit_predict(pts, ["x1", "x2"], "pid")
+    joined = pts.join(out, "pid")
+    n_labels = joined.select("label").distinct().count()
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_members"),
+            (F.countDistinct("label") == 1).alias("single_label"),
+        )
+        .withColumn("labels_total", F.lit(int(n_labels)))
+        .select(F.col("grp").cast("int").alias("grp"), "n_members",
+                "single_label", "labels_total")
+    )
+
+
+_SQL_SPECTRAL_BLOBS = """
+SELECT CAST(c_custkey % 3 AS INT) AS grp, count(*) AS n_members,
+       true AS single_label, 3 AS labels_total
+FROM customer GROUP BY 1
+"""
+
+
 QUERIES_CLUSTER = {
     "dbscan_roles": q_dbscan_roles,
     "dbscan_cluster_sizes": q_dbscan_cluster_sizes,
+    "spectral_blobs": q_spectral_blobs,
 }
 
 ORACLES_CLUSTER = {
     "dbscan_roles": _SQL_DBSCAN_ROLES,
     "dbscan_cluster_sizes": _SQL_DBSCAN_CLUSTER_SIZES,
+    "spectral_blobs": _SQL_SPECTRAL_BLOBS,
 }

@@ -124,7 +124,7 @@ class UMAP(Base):
 
         # 3. init embedding
         rng = np.random.RandomState(self.random_state)
-        if self.init == "spectral" and n <= 2000:
+        if self.init == "spectral":
             Y = self._spectral_init(n, heads, tails, weights)
         else:
             Y = rng.uniform(-10.0, 10.0, size=(n, self.n_components))
@@ -140,17 +140,20 @@ class UMAP(Base):
         return self
 
     def _spectral_init(self, n, heads, tails, weights) -> np.ndarray:
-        """Normalized-Laplacian eigenmaps (dense eigh — small-n path; the
-        reference calls nvgraph spectral, spectral_algo.h:44)."""
-        A = np.zeros((n, n))
-        A[heads, tails] = weights
-        A[tails, heads] = weights
-        deg = A.sum(1)
-        deg[deg == 0] = 1.0
-        Dm = 1.0 / np.sqrt(deg)
-        L = np.eye(n) - (Dm[:, None] * A) * Dm[None, :]
-        vals, vecs = np.linalg.eigh(L)
-        comp = vecs[:, 1 : 1 + self.n_components]
+        """Normalized-Laplacian eigenmaps over the COO graph (the reference
+        calls nvgraph spectral, spectral_algo.h:44).  Orthogonal iteration on
+        the edge list — O(E·k) per sweep, no dense n×n — so the init works at
+        any n the driver-held edge list itself allows."""
+        from cuml_spark.cluster.spectral import _topk_eig
+
+        rows = np.concatenate([heads, tails])
+        cols = np.concatenate([tails, heads])
+        vals = np.concatenate([weights, weights])
+        Y, _ = _topk_eig(
+            n, rows, cols, vals, self.n_components,
+            seed=self.random_state, deflate_trivial=True,
+        )
+        comp = Y[:, : self.n_components]
         # scale to the optimizer's working range
         return 10.0 * comp / (np.abs(comp).max() + 1e-12)
 
