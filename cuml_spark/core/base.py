@@ -5,14 +5,37 @@ handle, verbosity, and the ``get_params``/``set_params`` contract.  Here the
 "handle" is the SparkSession (resolved lazily from the active session) and
 params are plain constructor attributes discovered by introspection, exactly
 like base.pyx:114-143 does with ``self.__init__.__code__.co_varnames``.
+
+Persistence (base.pyx:145-154 ``__getstate__`` strips the handle; round-trip
+coverage mirrors python/cuml/test/test_pickle.py):
+
+* plain ``pickle`` works for every estimator whose learned state is bounded
+  host state (coefficients, centers, trees, support vectors).  Unpicklable
+  runtime handles — SparkSession, MLlib JavaModel wrappers, DataFrames — are
+  stripped and restored as ``None``.
+* ``save(path)`` / ``load(path)`` is the full-fidelity API: DataFrame-valued
+  state is written as parquet (scales — model state never has to fit on the
+  driver), MLlib models via their native writers, the rest pickled.
 """
 
 from __future__ import annotations
 
 import inspect
+import os
+import pickle
 from typing import Any
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _is_java_model(v: Any) -> bool:
+    try:
+        from pyspark.ml.util import JavaMLWritable
+        from pyspark.ml.wrapper import JavaParams
+
+        return isinstance(v, JavaParams) and isinstance(v, JavaMLWritable)
+    except Exception:
+        return False
 
 
 class Base:
@@ -56,3 +79,60 @@ class Base:
     def __repr__(self) -> str:  # sklearn-ish repr
         params = ", ".join(f"{k}={v!r}" for k, v in sorted(self.get_params().items()))
         return f"{type(self).__name__}({params})"
+
+    # -- persistence (base.pyx:145-154) -------------------------------------
+    def __getstate__(self) -> dict:
+        state, dropped = {}, []
+        for k, v in self.__dict__.items():
+            if isinstance(v, DataFrame) or isinstance(v, SparkSession) or _is_java_model(v):
+                dropped.append(k)
+            else:
+                state[k] = v
+        state["__stripped__"] = dropped
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        dropped = state.pop("__stripped__", [])
+        self.__dict__.update(state)
+        for k in dropped:
+            self.__dict__[k] = None
+
+    def save(self, path: str) -> None:
+        """Persist to a directory: parquet for DataFrame state, native MLlib
+        writers for JavaModel state, pickle for everything else."""
+        os.makedirs(path, exist_ok=True)
+        heavy: dict[str, tuple] = {}
+        for k, v in self.__dict__.items():
+            if isinstance(v, DataFrame):
+                v.write.mode("overwrite").parquet(f"{path}/df__{k}")
+                heavy[k] = ("df",)
+            elif _is_java_model(v):
+                v.write().overwrite().save(f"{path}/java__{k}")
+                heavy[k] = ("java", type(v).__module__, type(v).__name__)
+        with open(f"{path}/state.pkl", "wb") as f:
+            pickle.dump({"obj": self, "heavy": heavy}, f)
+
+    @classmethod
+    def load(cls, path: str, spark: SparkSession | None = None) -> "Base":
+        """Inverse of :meth:`save`; re-reads parquet/MLlib state lazily."""
+        with open(f"{path}/state.pkl", "rb") as f:
+            blob = pickle.load(f)
+        obj = blob["obj"]
+        if not isinstance(obj, cls):
+            raise TypeError(f"{path} holds a {type(obj).__name__}, not {cls.__name__}")
+        if spark is None:
+            sess = SparkSession.getActiveSession()
+            if sess is None:
+                from cuml_spark.core.session import get_spark
+
+                sess = get_spark()
+            spark = sess
+        for k, spec in blob["heavy"].items():
+            if spec[0] == "df":
+                obj.__dict__[k] = spark.read.parquet(f"{path}/df__{k}")
+            else:
+                import importlib
+
+                klass = getattr(importlib.import_module(spec[1]), spec[2])
+                obj.__dict__[k] = klass.load(f"{path}/java__{k}")
+        return obj

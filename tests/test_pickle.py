@@ -1,0 +1,244 @@
+"""Persistence round-trips (base.pyx:145-154; sweep mirrors
+python/cuml/test/test_pickle.py:118-300).
+
+Two tiers, matching the Base contract:
+* plain pickle — estimators with bounded host state (coefs, centers, trees,
+  support vectors): dumps/loads then re-predict, outputs must be identical.
+* save/load — estimators whose learned state includes DataFrames or MLlib
+  JavaModels (parquet / native writers under a directory).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuml_spark.cluster import KMeans
+from cuml_spark.decomposition import PCA, GaussianRandomProjection, TruncatedSVD
+from cuml_spark.ensemble import RandomForestClassifier
+from cuml_spark.fil import ForestInference
+from cuml_spark.linear_model import (
+    ElasticNet,
+    Lasso,
+    LinearRegression,
+    LogisticRegression,
+    Ridge,
+)
+from cuml_spark.neighbors import NearestNeighbors
+from cuml_spark.preprocessing import LabelEncoder, MinMaxScaler, StandardScaler
+from cuml_spark.solvers import SGD
+from cuml_spark.svm import SVC
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    rng = np.random.RandomState(0)
+    X = rng.normal(size=(300, 3))
+    y = X @ [2.0, -1.0, 0.5] + 0.3 + rng.normal(scale=0.01, size=300)
+    lbl = (X[:, 0] + X[:, 1] > 0).astype(float)
+    return spark.createDataFrame(
+        [(i, *[float(v) for v in X[i]], float(y[i]), float(lbl[i]))
+         for i in range(300)],
+        "id long, f0 double, f1 double, f2 double, y double, lbl double",
+    ).cache()
+
+
+COLS = ["f0", "f1", "f2"]
+
+
+def _rows(df, cols):
+    return sorted(tuple(round(float(x), 9) if isinstance(x, float) else x for x in r)
+                  for r in df.select(*cols).collect())
+
+
+def _roundtrip(model):
+    return pickle.loads(pickle.dumps(model))
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (LinearRegression, {}),
+    (Ridge, {"alpha": 1.0}),
+    (Lasso, {"alpha": 0.01}),
+    (ElasticNet, {"alpha": 0.01, "l1_ratio": 0.5}),
+])
+def test_pickle_linear_family(spark, xy, cls, kw):
+    m = cls(**kw).fit(xy, COLS, "y")
+    m2 = _roundtrip(m)
+    np.testing.assert_allclose(m2.coef_, m.coef_)
+    a = _rows(m.predict(xy, COLS), ["prediction"])
+    b = _rows(m2.predict(xy, COLS), ["prediction"])
+    assert a == b
+
+
+def test_pickle_sgd(spark, xy):
+    m = SGD(loss="hinge", epochs=5, eta0=0.1).fit(xy, COLS, "lbl")
+    m2 = _roundtrip(m)
+    assert _rows(m.predictClass(xy), ["prediction"]) == \
+        _rows(m2.predictClass(xy), ["prediction"])
+
+
+def test_pickle_svc(spark, xy):
+    m = SVC(kernel="linear", C=1.0, max_iter=30).fit(
+        xy.limit(80), COLS, "lbl"
+    )
+    m2 = _roundtrip(m)
+    assert _rows(m.predict(xy), ["prediction"]) == \
+        _rows(m2.predict(xy), ["prediction"])
+
+
+def test_pickle_kmeans_lloyd(spark, xy):
+    init = [[-1.0, -1.0, 0.0], [1.0, 1.0, 0.0]]
+    m = KMeans(n_clusters=2, max_iter=5, tol=0.0, init_centers=init).fit(xy, COLS)
+    m2 = _roundtrip(m)
+    np.testing.assert_allclose(m2.cluster_centers_, m.cluster_centers_)
+    assert _rows(m.predict(xy, COLS), ["label"]) == \
+        _rows(m2.predict(xy, COLS), ["label"])
+
+
+def test_pickle_mllib_kmeans_predicts_from_centers(spark, xy):
+    # MLlib-fitted KMeans: java model is stripped, but predict runs off the
+    # extracted centers
+    m = KMeans(n_clusters=2, random_state=1).fit(xy, COLS)
+    m2 = _roundtrip(m)
+    assert m2._model is None
+    assert _rows(m.predict(xy, COLS), ["label"]) == \
+        _rows(m2.predict(xy, COLS), ["label"])
+
+
+@pytest.mark.parametrize("cls", [PCA, TruncatedSVD])
+def test_pickle_decomposition(spark, xy, cls):
+    m = cls(n_components=2).fit(xy, COLS)
+    m2 = _roundtrip(m)
+    cols = [c for c in m.transform(xy, COLS).columns if c not in xy.columns]
+    assert _rows(m.transform(xy, COLS), cols) == _rows(m2.transform(xy, COLS), cols)
+
+
+def test_pickle_scalers(spark, xy):
+    for cls in (StandardScaler, MinMaxScaler):
+        m = cls().fit(xy, COLS)
+        m2 = _roundtrip(m)
+        assert _rows(m.transform(xy, COLS), COLS) == \
+            _rows(m2.transform(xy, COLS), COLS)
+
+
+def test_pickle_random_projection(spark, xy):
+    m = GaussianRandomProjection(n_components=2, random_state=3).fit(xy, cols=COLS)
+    m2 = _roundtrip(m)
+    assert _rows(m.transform(xy), ["projection"]) == \
+        _rows(m2.transform(xy), ["projection"])
+
+
+def test_pickle_fil(spark, xy):
+    trees = [{
+        "nodeid": 0, "split": "f0", "split_condition": 0.0, "yes": 1, "no": 2,
+        "children": [{"nodeid": 1, "leaf": -0.4}, {"nodeid": 2, "leaf": 0.4}],
+    }]
+    m = ForestInference.load_from_xgboost_json(trees, output="sigmoid")
+    m2 = _roundtrip(m)
+    assert _rows(m.predict(xy, COLS, out_col="score"), ["score"]) == \
+        _rows(m2.predict(xy, COLS, out_col="score"), ["score"])
+
+
+# ---- save/load tier: DataFrame / JavaModel state --------------------------
+
+def test_saveload_random_forest(spark, xy, tmp_path):
+    m = RandomForestClassifier(n_estimators=5, max_depth=4, random_state=3)
+    m.fit(xy, COLS, "lbl")
+    m.save(str(tmp_path / "rf"))
+    m2 = RandomForestClassifier.load(str(tmp_path / "rf"), spark)
+    assert _rows(m.predict(xy, COLS), ["prediction"]) == \
+        _rows(m2.predict(xy, COLS), ["prediction"])
+
+
+def test_saveload_logreg(spark, xy, tmp_path):
+    m = LogisticRegression(C=1.0).fit(xy, COLS, "lbl")
+    m.save(str(tmp_path / "lr"))
+    m2 = LogisticRegression.load(str(tmp_path / "lr"), spark)
+    np.testing.assert_allclose(m2.coef_, m.coef_)
+    assert _rows(m.predict(xy, COLS), ["prediction"]) == \
+        _rows(m2.predict(xy, COLS), ["prediction"])
+
+
+def test_saveload_label_encoder(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("a",)], "fruit string"
+    )
+    le = LabelEncoder().fit(df, "fruit")
+    le.save(str(tmp_path / "le"))
+    le2 = LabelEncoder.load(str(tmp_path / "le"), spark)
+    assert _rows(le.transform(df), ["code"]) == _rows(le2.transform(df), ["code"])
+
+
+def test_saveload_nearest_neighbors(spark, tmp_path):
+    rng = np.random.RandomState(1)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=4)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    nn = NearestNeighbors(n_neighbors=3).fit(emb)
+    nn.save(str(tmp_path / "nn"))
+    nn2 = NearestNeighbors.load(str(tmp_path / "nn"), spark)
+    q = emb.where(F.col("vec_id") < 5)
+    assert _rows(nn.kneighbors(q), ["query_id", "neighbor_id", "rank"]) == \
+        _rows(nn2.kneighbors(q), ["query_id", "neighbor_id", "rank"])
+
+
+def test_saveload_ivf(spark, tmp_path):
+    from cuml_spark.similarity import IVFIndex
+
+    rng = np.random.RandomState(2)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=4)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IVFIndex(nlist=4, nprobe=4, seed=1).fit(emb)
+    idx.save(str(tmp_path / "ivf"))
+    idx2 = IVFIndex.load(str(tmp_path / "ivf"), spark)
+    q = emb.where(F.col("vec_id") < 5)
+    assert _rows(idx.search(q, k=3, metric="cosine"), ["query_id", "neighbor_id"]) == \
+        _rows(idx2.search(q, k=3, metric="cosine"), ["query_id", "neighbor_id"])
+
+
+def test_saveload_holtwinters(spark, tmp_path):
+    from cuml_spark.tsa import ExponentialSmoothing
+
+    rows = [("s", t, float(10.0 + 3.0 * np.sin(2 * np.pi * t / 12) + 0.1 * t))
+            for t in range(48)]
+    df = spark.createDataFrame(rows, "series_id string, t long, y double")
+    hw = ExponentialSmoothing(seasonal="additive", seasonal_periods=12).fit(df)
+    hw.save(str(tmp_path / "hw"))
+    hw2 = ExponentialSmoothing.load(str(tmp_path / "hw"), spark)
+    assert _rows(hw.forecast(6), ["series_id", "step", "yhat"]) == \
+        _rows(hw2.forecast(6), ["series_id", "step", "yhat"])
+
+
+def test_saveload_arima(spark, tmp_path):
+    from cuml_spark.tsa import ARIMA
+
+    rng = np.random.RandomState(3)
+    rows = [("s", t, float(50 + rng.normal())) for t in range(80)]
+    df = spark.createDataFrame(rows, "series_id string, t long, y double")
+    m = ARIMA(order=(1, 0, 0)).fit(df)
+    m.save(str(tmp_path / "arima"))
+    m2 = ARIMA.load(str(tmp_path / "arima"), spark)
+    assert _rows(m.forecast(4), ["series_id", "step", "yhat"]) == \
+        _rows(m2.forecast(4), ["series_id", "step", "yhat"])
+
+
+def test_saveload_umap(spark, tmp_path):
+    from cuml_spark.manifold import UMAP
+
+    rng = np.random.RandomState(4)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=4)]) for i in range(60)],
+        "pid long, x array<double>",
+    )
+    um = UMAP(n_neighbors=5, n_epochs=10, random_state=1)
+    um.fit(emb, vec_col="x", id_col="pid")
+    um.save(str(tmp_path / "umap"))
+    um2 = UMAP.load(str(tmp_path / "umap"), spark)
+    assert _rows(um.transform(emb, vec_col="x", id_col="pid"), ["pid"]) == \
+        _rows(um2.transform(emb, vec_col="x", id_col="pid"), ["pid"])
