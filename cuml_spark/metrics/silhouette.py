@@ -94,15 +94,38 @@ def _cluster_sums(pts: DataFrame) -> DataFrame:
     )
 
 
+def _hash_sample(pts: DataFrame, sample_size: int | None, seed: int) -> DataFrame:
+    """Deterministic seeded subsample by hash threshold — no sort, no
+    collect, stable across partitioning.  This is the 100 TB contract: the
+    metric is inherently O(N²), so above ``sample_size`` points the score is
+    estimated on a hash-selected subset (sklearn ``sample_size`` semantics)."""
+    if sample_size is None:
+        return pts
+    n = pts.count()
+    if n <= sample_size:
+        return pts
+    # keep ≈ sample_size rows: uniform 64-bit hash, threshold at the fraction
+    frac = sample_size / n
+    bound = int(frac * (1 << 32))
+    h = F.pmod(F.xxhash64(F.col("pid"), F.lit(seed)), F.lit(1 << 32))
+    return pts.filter(h < bound)
+
+
 def silhouette_samples(
-    df: DataFrame, cols: list[str], label_col: str, id_col: str
+    df: DataFrame, cols: list[str], label_col: str, id_col: str,
+    sample_size: int | None = None, seed: int = 42,
 ) -> DataFrame:
-    """→ (id_col, silhouette) per point."""
+    """→ (id_col, silhouette) per point.
+
+    ``sample_size``: optional cap — when set, both the scored points and the
+    reference clusters are restricted to a deterministic hash sample, keeping
+    the quadratic stage O(sample²) regardless of input size."""
     pts = df.select(
         F.col(id_col).alias("pid"),
         F.array(*[F.col(c).cast("double") for c in cols]).alias("x"),
         F.col(label_col).alias("label"),
     )
+    pts = _hash_sample(pts, sample_size, seed)
     sizes = pts.groupBy(F.col("label").alias("b_label")).agg(
         F.count("*").alias("cluster_n")
     )
@@ -129,8 +152,11 @@ def silhouette_samples(
 
 
 def silhouette_score(
-    df: DataFrame, cols: list[str], label_col: str, id_col: str
+    df: DataFrame, cols: list[str], label_col: str, id_col: str,
+    sample_size: int | None = None, seed: int = 42,
 ) -> float:
-    """Mean silhouette over all samples (metrics.hpp:93)."""
-    out = silhouette_samples(df, cols, label_col, id_col)
+    """Mean silhouette over all samples (metrics.hpp:93); ``sample_size``
+    bounds the O(N²) stage at scale."""
+    out = silhouette_samples(df, cols, label_col, id_col,
+                             sample_size=sample_size, seed=seed)
     return out.agg(F.avg("silhouette")).first()[0]

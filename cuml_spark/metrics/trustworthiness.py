@@ -35,8 +35,15 @@ def trustworthiness(
     orig_vec: str = "x",
     emb_vec: str = "x",
     id_col: str = "pid",
+    sample_size: int | None = None,
+    seed: int = 42,
 ) -> float:
-    """T(k) ∈ [0,1]; 1 = embedding preserves all k-neighborhoods."""
+    """T(k) ∈ [0,1]; 1 = embedding preserves all k-neighborhoods.
+
+    ``sample_size``: optional cap — the metric is O(N²); above the cap a
+    deterministic hash sample of points is scored (the sklearn/cuML
+    sample-first contract at scale).  Requires ``n_neighbors < n/2``
+    (the normalizer changes sign beyond that, sklearn raises too)."""
     k = int(n_neighbors)
     o = orig.select(
         F.col(id_col).alias("pid"),
@@ -47,11 +54,23 @@ def trustworthiness(
         F.col(emb_vec).cast("array<double>").alias("e_vec"),
     )
     joined = o.join(e, "pid")
+    if sample_size is not None:
+        total = joined.count()
+        if total > sample_size:
+            frac = sample_size / total
+            bound = int(frac * (1 << 32))
+            h = F.pmod(F.xxhash64(F.col("pid"), F.lit(seed)), F.lit(1 << 32))
+            joined = joined.filter(h < bound)
 
     ref = joined.toPandas()
     n = len(ref)
     if n == 0:
         return 1.0
+    if k >= n / 2.0:
+        raise ValueError(
+            f"n_neighbors ({k}) must be < n/2 ({n / 2:.0f}): the "
+            "trustworthiness normalizer 2/(n·k·(2n−3k−1)) is undefined there"
+        )
     ref = ref.sort_values("pid").reset_index(drop=True)  # id-order columns:
     # a STABLE argsort over distance rows then breaks ties by position = id,
     # matching the oracle's ORDER BY dist, id without any per-row lexsort.

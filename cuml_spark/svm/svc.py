@@ -110,7 +110,8 @@ class SVC(Base):
     def __init__(self, C: float = 1.0, kernel: str = "rbf", degree: int = 3,
                  gamma: str | float = "auto", coef0: float = 0.0,
                  tol: float = 1e-3, max_iter: int = 200, mode: str = "exact",
-                 n_rff: int = 128, seed: int = 42, **kwargs):
+                 n_rff: int = 128, seed: int = 42,
+                 max_exact_rows: int = 50_000, **kwargs):
         super().__init__(**kwargs)
         if kernel not in ("linear", "poly", "rbf", "sigmoid"):
             raise ValueError(f"unknown kernel {kernel!r}")
@@ -128,6 +129,7 @@ class SVC(Base):
         self.mode = mode
         self.n_rff = n_rff
         self.seed = seed
+        self.max_exact_rows = max_exact_rows
 
     def _gamma_value(self, d: int) -> float:
         return 1.0 / d if self.gamma == "auto" else float(self.gamma)
@@ -139,6 +141,14 @@ class SVC(Base):
         self._cols = list(feature_cols)
         if self.mode == "rff":
             return self._fit_rff(df, feature_cols, label_col)
+        n_rows = data.count()
+        if n_rows > self.max_exact_rows:
+            raise ValueError(
+                f"mode='exact' collects the training set to the driver (SMO "
+                f"is sequential); {n_rows} rows > max_exact_rows="
+                f"{self.max_exact_rows}. Use mode='rff' (distributed random-"
+                f"feature solver) or raise max_exact_rows explicitly."
+            )
         pdf = data.toPandas()
         X = pdf[feature_cols].to_numpy(dtype=np.float64)
         y01 = pdf[label_col].to_numpy(dtype=np.float64)

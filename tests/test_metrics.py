@@ -96,3 +96,35 @@ def test_kl_divergence(spark):
     df = spark.createDataFrame(rows, "p double, q double")
     expected = sum(p * math.log(p / q) for p, q in rows)
     assert kl_divergence(df, "p", "q") == pytest.approx(expected, rel=1e-9)
+
+
+def test_silhouette_sample_size_guard(spark):
+    import numpy as np
+
+    from cuml_spark.metrics import silhouette_score
+
+    rng = np.random.RandomState(0)
+    rows = [(i, float(rng.normal() + 8 * (i % 2)), float(rng.normal()), i % 2)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "pid long, x1 double, x2 double, lbl int")
+    full = silhouette_score(df, ["x1", "x2"], "lbl", "pid")
+    sampled = silhouette_score(df, ["x1", "x2"], "lbl", "pid", sample_size=150)
+    # sampled estimate must track the full score on well-separated clusters
+    assert abs(full - sampled) < 0.1
+    assert full > 0.7
+
+
+def test_trustworthiness_sample_size_and_k_guard(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from cuml_spark.metrics import trustworthiness
+
+    rng = np.random.RandomState(1)
+    pts = [(i, [float(v) for v in rng.normal(size=4)]) for i in range(200)]
+    df = spark.createDataFrame(pts, "pid long, x array<double>")
+    # identity embedding → perfect trustworthiness, sampled or not
+    t = trustworthiness(df, df, n_neighbors=5, sample_size=80)
+    assert t == _pt.approx(1.0)
+    with _pt.raises(ValueError, match="n_neighbors"):
+        trustworthiness(df, df, n_neighbors=120)

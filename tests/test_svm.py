@@ -75,3 +75,17 @@ def test_poly_and_sigmoid_run(sep_df):
     for kern in ("poly", "sigmoid"):
         svc = SVC(kernel=kern, C=1.0, gamma=0.5).fit(sep_df, ["f0", "f1"], "label")
         assert svc.score(sep_df, ["f0", "f1"], "label") > 0.9
+
+
+def test_exact_mode_row_cap(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from cuml_spark.svm import SVC
+
+    rng = np.random.RandomState(0)
+    rows = [(float(rng.normal()), float(rng.normal()), float(i % 2))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    with _pt.raises(ValueError, match="rff"):
+        SVC(kernel="linear", max_exact_rows=100).fit(df, ["x1", "x2"], "y")
