@@ -73,20 +73,38 @@ def decode_image(df: DataFrame, content_col: str = "content",
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                w = int(row["meta"]["width"])
-                h = int(row["meta"]["height"])
-                img = _fake_decode(row[content_col], w, h)
-                out.append(
-                    {
-                        "media_id": row[id_col],
-                        "pixels": img.ravel().astype(np.int64).tolist(),
-                        "width": w,
-                        "height": h,
-                    }
-                )
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            metas = pdf["meta"].to_numpy()
+            ws = np.fromiter((m["width"] for m in metas), dtype=np.int64,
+                             count=len(pdf))
+            hs = np.fromiter((m["height"] for m in metas), dtype=np.int64,
+                             count=len(pdf))
+            bufs = pdf[content_col].to_numpy()
+            if ws.min() == ws.max() and hs.min() == hs.max():
+                # uniform dims: one (n, w·h) matrix, single astype — the
+                # whole batch decodes as one numpy op per stage
+                need = int(ws[0] * hs[0])
+                M = np.stack([
+                    np.resize(
+                        np.frombuffer(b, dtype=np.uint8) if len(b)
+                        else np.zeros(1, dtype=np.uint8),
+                        need,
+                    )
+                    for b in bufs
+                ]).astype(np.int64)
+                pixels = list(M)
+            else:
+                pixels = [
+                    _fake_decode(b, int(w), int(h)).ravel().astype(np.int64)
+                    for b, w, h in zip(bufs, ws, hs)
+                ]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].to_numpy(),
+                "pixels": pixels,
+                "width": ws.astype(np.int32),
+                "height": hs.astype(np.int32),
+            })
 
     return df.mapInPandas(
         kernel, "media_id long, pixels array<bigint>, width int, height int"
@@ -98,22 +116,33 @@ def resize_image(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                w, h = int(row["width"]), int(row["height"])
-                img = np.asarray(row["pixels"], dtype=np.int64).reshape(h, w)
+            if not len(pdf):
+                continue
+            ws = pdf["width"].to_numpy()
+            hs = pdf["height"].to_numpy()
+            px = pdf["pixels"].to_numpy()
+            if ws.min() == ws.max() and hs.min() == hs.max():
+                # uniform dims: resize the whole batch with ONE fancy-index
+                w, h = int(ws[0]), int(hs[0])
+                imgs = np.stack([np.asarray(p, dtype=np.int64) for p in px])
+                imgs = imgs.reshape(len(pdf), h, w)
                 yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                res = img[np.ix_(yi, xi)]
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "pixels": res.ravel().tolist(),
-                        "width": out_w,
-                        "height": out_h,
-                    }
-                )
-            yield pd.DataFrame(out)
+                res = imgs[:, yi][:, :, xi].reshape(len(pdf), -1)
+                pixels = list(res)
+            else:
+                pixels = []
+                for p, w, h in zip(px, ws, hs):
+                    img = np.asarray(p, dtype=np.int64).reshape(int(h), int(w))
+                    yi = (np.arange(out_h) * int(h) // out_h).clip(0, int(h) - 1)
+                    xi = (np.arange(out_w) * int(w) // out_w).clip(0, int(w) - 1)
+                    pixels.append(img[np.ix_(yi, xi)].ravel())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "pixels": pixels,
+                "width": np.full(len(pdf), out_w, dtype=np.int32),
+                "height": np.full(len(pdf), out_h, dtype=np.int32),
+            })
 
     return decoded.mapInPandas(
         kernel, "media_id long, pixels array<bigint>, width int, height int"
@@ -126,20 +155,32 @@ def extract_features(decoded: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                px = np.asarray(row["pixels"], dtype=np.float64)
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "n_pixels": int(px.size),
-                        "mean_px": float(px.mean()),
-                        "std_px": float(px.std()),
-                        "min_px": float(px.min()),
-                        "max_px": float(px.max()),
-                    }
-                )
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            px = pdf["pixels"].to_numpy()
+            sizes = np.fromiter((len(p) for p in px), dtype=np.int64,
+                                count=len(pdf))
+            if sizes.min() == sizes.max():
+                # uniform length: one (n, p) matrix, axis-1 reductions
+                M = np.stack([np.asarray(p, dtype=np.float64) for p in px])
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_pixels": sizes.astype(np.int32),
+                    "mean_px": M.mean(axis=1),
+                    "std_px": M.std(axis=1),
+                    "min_px": M.min(axis=1),
+                    "max_px": M.max(axis=1),
+                })
+            else:
+                arrs = [np.asarray(p, dtype=np.float64) for p in px]
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_pixels": sizes.astype(np.int32),
+                    "mean_px": np.array([a.mean() for a in arrs]),
+                    "std_px": np.array([a.std() for a in arrs]),
+                    "min_px": np.array([a.min() for a in arrs]),
+                    "max_px": np.array([a.max() for a in arrs]),
+                })
 
     return decoded.mapInPandas(
         kernel,
@@ -158,18 +199,29 @@ def frame_sample(df: DataFrame, every_n: int = 2, content_col: str = "content",
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                buf = bytes(row[content_col])
-                n_frames = max(1, len(buf) // frame_bytes)
-                for fi in range(0, n_frames, every_n):
-                    out.append(
-                        {
-                            "media_id": row[id_col],
-                            "frame_idx": fi,
-                            "frame": buf[fi * frame_bytes : (fi + 1) * frame_bytes],
-                        }
-                    )
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            bufs = [bytes(b) for b in pdf[content_col]]
+            counts = np.maximum(
+                np.fromiter((len(b) for b in bufs), dtype=np.int64,
+                            count=len(bufs)) // frame_bytes,
+                1,
+            )
+            kept = -(-counts // every_n)  # frames kept per row (ceil)
+            out_ids = np.repeat(ids, kept)
+            idxs = np.concatenate(
+                [np.arange(0, c, every_n, dtype=np.int64) for c in counts]
+            )
+            frames = [
+                b[fi * frame_bytes:(fi + 1) * frame_bytes]
+                for b, c in zip(bufs, counts)
+                for fi in range(0, c, every_n)
+            ]
+            yield pd.DataFrame({
+                "media_id": out_ids,
+                "frame_idx": idxs.astype(np.int32),
+                "frame": frames,
+            })
 
     return df.mapInPandas(kernel, "media_id long, frame_idx int, frame binary")
