@@ -47,3 +47,4 @@ __all__ = [
     "unique_labels", "make_monotonic", "one_vs_rest_labels",
     "with_sq_norm", "pairwise_sq_euclidean", "pairwise_cosine_sim",
 ]
+from cuml_spark.ops.matrix import sort_cols_per_row, gather, matrix_math

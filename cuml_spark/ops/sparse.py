@@ -93,13 +93,18 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """→ (vertex, component = min reachable vertex id): weak CC
-    (csr.h:853 ``weak_cc_batched``) via iterative min-label propagation.
+    (csr.h:853 ``weak_cc_batched``) via min-label propagation with pointer
+    doubling.
 
-    Each round: push every vertex's current label across its (symmetrized)
-    edges, take the min, join back.  Rounds needed = graph diameter in the
-    label-doubling sense — small for the near-dup / adjacency graphs this
-    serves.  Converged when no label changes (checked with a count, which
-    also materializes the round and truncates the lineage chain).
+    Each round: (1) push every vertex's current label across its
+    (symmetrized) edges and take the min; (2) shortcut — re-resolve each
+    label through the label table itself (label[label]).  The shortcut makes
+    labels hop 2^r vertices after r rounds, so convergence is O(log diameter)
+    rounds, not O(diameter) — a 1M-hop chain converges in ~20 rounds.
+    Converged when no label changes (checked with a count, which also
+    materializes the round and truncates the lineage chain).  Raises if
+    ``max_iter`` is exhausted before convergence — a silently split
+    component would corrupt every consumer (dedup groups, DBSCAN labels).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -111,18 +116,32 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .cache()
     )
+    changed = 1
     for _ in range(max_iter):
         prop = (
             sym.join(labels.withColumnRenamed("vertex", "a"), "a")
             .groupBy(F.col("b").alias("vertex"))
             .agg(F.min("component").alias("nc"))
         )
-        new_labels = (
+        stepped = (
             labels.join(prop, "vertex", "left")
             .select(
                 "vertex",
                 F.least(F.col("component"),
                         F.coalesce("nc", "component")).alias("component"),
+            )
+        )
+        # pointer doubling: component ids ARE vertex ids, so re-resolve each
+        # label through the table itself (label[label]) to halve path lengths
+        roots = stepped.select(
+            F.col("vertex").alias("component"), F.col("component").alias("root")
+        )
+        new_labels = (
+            stepped.join(roots, "component", "left")
+            .select(
+                "vertex",
+                F.least(F.col("component"),
+                        F.coalesce("root", "component")).alias("component"),
             )
             .cache()
         )
@@ -135,4 +154,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(labels still changing); raise max_iter"
+        )
     return labels

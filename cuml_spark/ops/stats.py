@@ -114,19 +114,35 @@ def weighted_mean(df: DataFrame, col: str, weight: str) -> DataFrame:
     )
 
 
-def mean_center(df: DataFrame, cols: list[str], add: bool = False) -> DataFrame:
+def mean_center(df: DataFrame, cols: list[str], add: bool = False,
+                means: dict[str, float] | None = None) -> DataFrame:
     """Subtract (or add back) per-column means; passthrough of other columns.
 
     Reference: src_prims/stats/mean_center.h:41 (meanCenter) / :64 (meanAdd).
     Implemented as a broadcast join against the 1-row means aggregate — NOT a
     window over the whole frame (``avg(c) over ()`` forces a single-partition
     window at scale; the tiny-aggregate + broadcast keeps the big side intact).
+
+    ``means``: optional precomputed per-column means (the reference's ``mu``
+    argument).  Required for a meanAdd round-trip: ``add=True`` on an
+    already-centered frame must add back the ORIGINAL means, which cannot be
+    recomputed from the centered data (they are ~0 there).
     """
-    means = df.agg(*[F.avg(c).alias(f"__mean_{c}") for c in cols])
+    if means is not None:
+        missing = [c for c in cols if c not in means]
+        if missing:
+            raise ValueError(f"means missing for columns {missing}")
+        sess = df.sparkSession
+        means_df = sess.createDataFrame(
+            [tuple(float(means[c]) for c in cols)],
+            ", ".join(f"__mean_{c} double" for c in cols),
+        )
+    else:
+        means_df = df.agg(*[F.avg(c).alias(f"__mean_{c}") for c in cols])
     op = (lambda c: F.col(c) + F.col(f"__mean_{c}")) if add else (
         lambda c: F.col(c) - F.col(f"__mean_{c}")
     )
-    out = df.crossJoin(F.broadcast(means))
+    out = df.crossJoin(F.broadcast(means_df))
     return out.select(
         *[c for c in df.columns if c not in cols],
         *[op(c).alias(c) for c in cols],

@@ -51,11 +51,17 @@ class IVFIndex(Base):
             id_col: str = "vec_id") -> "IVFIndex":
         pts = df.select(F.col(id_col).alias("vid"),
                         F.col(vec_col).cast("array<double>").alias("v"))
-        # seeded deterministic sample for the codebook (tiny driver state)
-        sample = (
-            pts.withColumn("__r", F.xxhash64("vid", F.lit(self.seed)))
-            .orderBy("__r").limit(self.train_size).drop("__r").toPandas()
-        )
+        # seeded deterministic sample for the codebook (tiny driver state):
+        # hash-threshold filter — map-only, no global sort, stable across
+        # partitioning.  Lands ≈ train_size rows (codebook training only
+        # needs a representative sample, not an exact count).
+        n = pts.count()
+        frac = min(1.0, self.train_size / max(n, 1))
+        bound = int(frac * (1 << 32))
+        h = F.pmod(F.xxhash64("vid", F.lit(self.seed)), F.lit(1 << 32))
+        sample = pts.filter(h < bound).toPandas()
+        if len(sample) < self.nlist:  # degenerate tiny input: take head
+            sample = pts.limit(max(self.train_size, self.nlist)).toPandas()
         X = np.vstack(sample["v"].to_numpy())
         self.centroids_ = _kmeans_codebook(X, self.nlist, self.kmeans_iters, self.seed)
         cents = self.centroids_

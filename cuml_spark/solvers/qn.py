@@ -46,8 +46,6 @@ class QN(Base):
             if total == 0.0:
                 penalty, C, l1_ratio = "none", 1.0, None
             else:
-                n = df.count()
-                C = 1.0 / (n * total)
                 l1_ratio = self.l1_strength / total
                 penalty = (
                     "l1" if l1_ratio == 1.0

@@ -91,3 +91,16 @@ def test_describe_matrix(lineitem, li_pd):
         assert got[c]["n"] == len(li_pd)
         assert got[c]["mean"] == pytest.approx(li_pd[c].mean(), rel=1e-9)
         assert got[c]["sum"] == pytest.approx(li_pd[c].sum(), rel=1e-9)
+
+
+def test_mean_center_roundtrip_with_mu(spark):
+    from cuml_spark.ops import mean_center
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    mu = {"v": 20.0}
+    centered = mean_center(df, ["v"])
+    restored = mean_center(centered, ["v"], add=True, means=mu)
+    got = {r["id"]: r["v"] for r in restored.collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}
