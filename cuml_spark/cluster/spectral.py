@@ -144,9 +144,12 @@ class SpectralClustering(Base):
         ecols = [c for c in emb.columns if c.startswith("se")]
         # NJW row normalization as a pure expression
         nrm = F.sqrt(sum(F.col(c) * F.col(c) for c in ecols) + F.lit(1e-12))
+        # cache: KMeans iterates over this frame many times — without the
+        # cache every Lloyd round re-runs the Nyström extension UDF / KNN
+        # pipeline upstream
         normed = emb.select(
             id_col, *[(F.col(c) / nrm).alias(c) for c in ecols]
-        )
+        ).cache()
         from cuml_spark.cluster.kmeans import KMeans
 
         km = KMeans(n_clusters=self.n_clusters, random_state=self.random_state,

