@@ -415,3 +415,8 @@ from cuml_spark.harness_datasets import ORACLES_DATASETS, QUERIES_DATASETS  # no
 
 QUERIES.update(QUERIES_DATASETS)
 ORACLES.update(ORACLES_DATASETS)
+
+from cuml_spark.harness_linalg import ORACLES_LINALG, QUERIES_LINALG  # noqa: E402
+
+QUERIES.update(QUERIES_LINALG)
+ORACLES.update(ORACLES_LINALG)

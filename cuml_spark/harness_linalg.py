@@ -1,0 +1,216 @@
+"""Harness queries: linalg prims (QR / randomized SVD / COO symmetrize) +
+ANN recall + n-gram Jaccard verification.
+
+``qr_factor`` and ``coo_symmetrize_check`` are exact D-class replays (a 3×3
+Cholesky has a closed form DuckDB can evaluate; symmetrize is a full-outer
+join).  ``rsvd_agreement`` and ``ann_lsh_recall`` are D-class projections of
+randomized algorithms (agreement/recall gates).  ``ngram_jaccard`` replays
+character shingling with a lateral generate_series.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_QR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_qr_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tall-skinny QR (qr.h:40): emit the R factor column-normalized
+    (R[i,j]/√G[j,j] ∈ [−1,1] — scale-free, so fp reduction-order noise stays
+    below the rounding) plus a Q-orthonormality boolean computed from one
+    Gram pass over the Q columns."""
+    from cuml_spark.ops.linalg import gram_matrix, tall_skinny_qr
+
+    li = _t(spark, sf_dir, "lineitem")
+    q, r = tall_skinny_qr(li, _QR_COLS)
+    d = len(_QR_COLS)
+    qcols = [f"q_{j}" for j in range(d)]
+    qtq = gram_matrix(q, qcols)
+    q_ok = bool(np.abs(qtq - np.eye(d)).max() < 1e-6)
+    col_norms = np.sqrt(np.diag(r.T @ r))  # = sqrt(diag(Gram))
+    rows = [
+        (i, j, round(float(r[i, j] / col_norms[j]), 6), q_ok)
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    return spark.createDataFrame(
+        rows, "i int, j int, r_norm double, q_orthonormal boolean"
+    )
+
+
+def _sql_qr_factor() -> str:
+    a, b, c = _QR_COLS
+    return f"""
+WITH g AS (
+  SELECT sum({a}*{a}) AS g11, sum({b}*{a}) AS g21, sum({c}*{a}) AS g31,
+         sum({b}*{b}) AS g22, sum({c}*{b}) AS g32, sum({c}*{c}) AS g33
+  FROM lineitem
+), l AS (
+  SELECT sqrt(g11) AS l11, g21/sqrt(g11) AS l21, g31/sqrt(g11) AS l31,
+         g11, g21, g31, g22, g32, g33
+  FROM g
+), l2 AS (
+  SELECT *, sqrt(g22 - l21*l21) AS l22 FROM l
+), l3 AS (
+  SELECT *, (g32 - l31*l21)/l22 AS l32 FROM l2
+), l4 AS (
+  SELECT *, sqrt(g33 - l31*l31 - l32*l32) AS l33 FROM l3
+)
+-- R = Lᵀ (upper), normalized by column norms sqrt(g_jj)
+SELECT 0 AS i, 0 AS j, round(l11/sqrt(g11), 6) AS r_norm, true AS q_orthonormal FROM l4
+UNION ALL SELECT 0, 1, round(l21/sqrt(g22), 6), true FROM l4
+UNION ALL SELECT 0, 2, round(l31/sqrt(g33), 6), true FROM l4
+UNION ALL SELECT 1, 1, round(l22/sqrt(g22), 6), true FROM l4
+UNION ALL SELECT 1, 2, round(l32/sqrt(g33), 6), true FROM l4
+UNION ALL SELECT 2, 2, round(l33/sqrt(g33), 6), true FROM l4
+"""
+
+
+def q_rsvd_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized SVD (rsvd.h:55) vs exact Gram-eig SVD (svd.h:101) on the
+    same matrix: with oversampling ≥ d the sketch is exact up to fp, so
+    per-component relative σ agreement and |v·v| alignment are deterministic
+    booleans."""
+    from cuml_spark.ops.linalg import randomized_svd, svd_tall
+
+    li = _t(spark, sf_dir, "lineitem")
+    _, sv_exact, vt_exact = svd_tall(li, _QR_COLS, k=2)
+    sv_r, vt_r = randomized_svd(li, _QR_COLS, k=2, n_oversamples=8, seed=11)
+    rows = []
+    for comp in range(2):
+        rel = abs(sv_r[comp] - sv_exact[comp]) / max(sv_exact[comp], 1e-300)
+        align = abs(float(np.dot(vt_r[comp], vt_exact[comp])))
+        rows.append((comp, bool(rel < 1e-8), bool(align > 0.999999)))
+    return spark.createDataFrame(
+        rows, "component int, sv_agree boolean, v_align boolean"
+    )
+
+
+_SQL_RSVD_AGREEMENT = """
+SELECT CAST(c AS INT) AS component, true AS sv_agree, true AS v_align
+FROM (SELECT unnest([0, 1]) AS c)
+"""
+
+
+def q_coo_symmetrize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coo_symmetrize (sparse/coo.h:797, default averaging op) on an edge
+    list aggregated from lineitem — exact full-outer-join replay."""
+    from cuml_spark.ops.sparse import coo_symmetrize
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.groupBy(
+            (F.col("l_orderkey") % 97).alias("row"),
+            (F.col("l_partkey") % 97).alias("col"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+    sym = coo_symmetrize(edges)
+    return sym.select("row", "col", F.round("value", 4).alias("value"))
+
+
+_SQL_COO_SYMMETRIZE = """
+WITH e AS (
+  SELECT l_orderkey % 97 AS r, l_partkey % 97 AS c, sum(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT coalesce(f.r, rv.c) AS row, coalesce(f.c, rv.r) AS col,
+       round((coalesce(f.v, 0) + coalesce(rv.v, 0)) / 2.0, 4) AS value
+FROM e f FULL OUTER JOIN e rv ON f.r = rv.c AND f.c = rv.r
+"""
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (bucketed candidates + exact re-rank) against the
+    brute-force kNN ground truth: recall@10 over a deterministic query slice
+    must clear 0.5 (0.70 observed with 4 planes × 8 tables; a broken
+    bucketing or re-rank collapses it)."""
+    from cuml_spark.neighbors import NearestNeighbors
+    from cuml_spark.neighbors.nearest_neighbors import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).cache()
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = knn_join(emb, q, k=10)
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    nn = NearestNeighbors(
+        n_neighbors=10, algorithm="lsh", n_planes=4, n_tables=8, seed=7
+    ).fit(emb)
+    got = {(r["query_id"], r["neighbor_id"]) for r in nn.kneighbors(q).collect()}
+    recall = len(got & bset) / max(len(bset), 1)
+    n_queries = q.count()
+    return spark.createDataFrame(
+        [(int(n_queries), bool(recall >= 0.5))],
+        "n_queries long, recall_ge_05 boolean",
+    )
+
+
+_SQL_ANN_LSH_RECALL = """
+SELECT count(*) AS n_queries, true AS recall_ge_05
+FROM embeddings WHERE vec_id % 100 = 0
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup verify: 5-gram Jaccard over the LSH candidate
+    pairs (the scalable pipeline — candidates bound the pair count, shingle
+    joins are pair-first).  DuckDB replays the shingling with a lateral
+    generate_series and the candidate set with the same banded-minhash SQL
+    that backs ``lsh_pairs``."""
+    from cuml_spark.text.dedup import jaccard_similarity_pairs, lsh_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs)
+    out = jaccard_similarity_pairs(docs, k=5, candidates=cand)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _sql_ngram_jaccard() -> str:
+    from cuml_spark.harness_text import _sql_lsh_pairs
+
+    return f"""
+WITH cand AS ({_sql_lsh_pairs()}),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, length(text) - 4))) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_int
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(n_int / (sa.n_sh + sb.n_sh - n_int), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+"""
+
+
+QUERIES_LINALG = {
+    "qr_factor": q_qr_factor,
+    "rsvd_agreement": q_rsvd_agreement,
+    "coo_symmetrize_check": q_coo_symmetrize_check,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ngram_jaccard": q_ngram_jaccard,
+}
+
+ORACLES_LINALG = {
+    "qr_factor": _sql_qr_factor(),
+    "rsvd_agreement": _SQL_RSVD_AGREEMENT,
+    "coo_symmetrize_check": _SQL_COO_SYMMETRIZE,
+    "ann_lsh_recall": _SQL_ANN_LSH_RECALL,
+    "ngram_jaccard": _sql_ngram_jaccard(),
+}

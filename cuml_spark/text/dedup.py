@@ -141,17 +141,31 @@ def jaccard_similarity_pairs(df: DataFrame, k: int = 5, threshold: float = 0.0,
     """
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("a").join(sh.alias("b"), on="shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="inner")
+        # pair-first plan: join the candidate list to each side's shingles
+        # and count matches per pair — cost is O(|candidates| · doc_len),
+        # independent of global shingle document frequency.  The shingle
+        # self-join below is O(Σ df²) and melts on common shingles at scale.
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+            .join(
+                sh.select(F.col(id_col).alias("id_b"), "shingle"),
+                on=["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            sh.alias("a").join(sh.alias("b"), on="shingle")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         inter
         .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
