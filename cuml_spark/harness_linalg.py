@@ -168,7 +168,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuml_spark.text.dedup import jaccard_similarity_pairs, lsh_candidate_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(docs)
+    # candidates are small (band-bucket pairs) — cache so the minhash
+    # pipeline runs once, not inside every branch of the verify join
+    cand = lsh_candidate_pairs(docs).cache()
     out = jaccard_similarity_pairs(docs, k=5, candidates=cand)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

@@ -117,7 +117,7 @@ def connected_components(
         .cache()
     )
     changed = 1
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = (
             sym.join(labels.withColumnRenamed("vertex", "a"), "a")
             .groupBy(F.col("b").alias("vertex"))
@@ -131,20 +131,28 @@ def connected_components(
                         F.coalesce("nc", "component")).alias("component"),
             )
         )
-        # pointer doubling: component ids ARE vertex ids, so re-resolve each
-        # label through the table itself (label[label]) to halve path lengths
-        roots = stepped.select(
-            F.col("vertex").alias("component"), F.col("component").alias("root")
-        )
-        new_labels = (
-            stepped.join(roots, "component", "left")
-            .select(
-                "vertex",
-                F.least(F.col("component"),
-                        F.coalesce("root", "component")).alias("component"),
+        if (it + 1) % 4 == 0:
+            # pointer doubling every 4th round: component ids ARE vertex
+            # ids, so re-resolving labels through the table itself
+            # (label[label]) squares reachable path length — keeping total
+            # rounds O(log diameter) for deep chains without paying the
+            # self-join on the plain rounds that shallow graphs finish in
+            stepped = stepped.cache()  # read twice below (self-join)
+            roots = stepped.select(
+                F.col("vertex").alias("component"),
+                F.col("component").alias("root"),
             )
-            .cache()
-        )
+            new_labels = (
+                stepped.join(roots, "component", "left")
+                .select(
+                    "vertex",
+                    F.least(F.col("component"),
+                            F.coalesce("root", "component")).alias("component"),
+                )
+                .cache()
+            )
+        else:
+            new_labels = stepped.cache()
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "vertex")
             .filter(F.col("n.component") != F.col("o.component"))
