@@ -201,7 +201,94 @@ JOIN sizes sb ON sb.doc_id = i.id_b
 """
 
 
+def q_prims_matrix_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leftover §2.4 prims in one pass over `part`: sort_cols_per_row
+    (columnWiseSort.h — per-row median of 3 = exact SQL), matrix_math
+    (math.h seqRoot), reduce_cols_by_key (reduce_cols_by_key.h — width-wise
+    key sums), Matrix::gather (gather.h:142 — fixed index map incl. a
+    duplicate), Rng uniform/normal (rng.h — moment envelopes), permute
+    (permute.h — rank permutation identities)."""
+    from cuml_spark.ops.matrix import gather, matrix_math, sort_cols_per_row
+    from cuml_spark.ops.rng import (permute, reduce_cols_by_key, rng_normal,
+                                    rng_uniform)
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", F.col("p_retailprice").cast("double")
+    ).withColumn("p_mod", (F.col("p_partkey") % 97).cast("double"))
+    cols3 = ["p_retailprice", "p_size", "p_mod"]
+
+    med_sum = (
+        sort_cols_per_row(part, cols3, "s")
+        .select(F.sum(F.col("s")[1]).alias("v")).first()["v"]
+    )
+    sqrt_sum = (
+        matrix_math(part, ["p_retailprice"], "sqrt")
+        .select(F.sum("p_retailprice").alias("v")).first()["v"]
+    )
+    red = reduce_cols_by_key(part, cols3, [0, 1, 0]).select(
+        F.sum("k0").alias("k0"), F.sum("k1").alias("k1")
+    ).first()
+    idx = spark.range(1, 51).select(F.col("id").alias("idx")).union(
+        spark.createDataFrame([(7,)], "idx long")
+    )
+    g = gather(part, idx, "p_partkey").select(
+        F.count("*").alias("n"), F.sum("p_partkey").alias("s")
+    ).first()
+    u = rng_uniform(part, "u", seed=7).select(
+        F.avg("u").alias("m"), F.stddev("u").alias("s")
+    ).first()
+    nm = rng_normal(part, "z", seed=9).select(
+        F.avg("z").alias("m"), F.stddev("z").alias("s")
+    ).first()
+    n = part.count()
+    pm = permute(part, ["p_partkey"], seed=5).select(
+        F.count(F.col("pos")).alias("cnt"),
+        F.sum("pos").alias("possum"),
+        F.avg(F.when(F.col("pos") != F.col("p_partkey"), 1.0)
+              .otherwise(0.0)).alias("moved"),
+    ).first()
+    return spark.createDataFrame(
+        [(
+            round(float(med_sum), 4), round(float(sqrt_sum), 4),
+            round(float(red["k0"]), 4), round(float(red["k1"]), 4),
+            int(g["n"]), int(g["s"]),
+            bool(0.45 < u["m"] < 0.55 and 0.25 < u["s"] < 0.33),
+            bool(abs(nm["m"]) < 0.05 and 0.9 < nm["s"] < 1.1),
+            bool(pm["cnt"] == n
+                 and pm["possum"] == n * (n + 1) // 2
+                 and pm["moved"] > 0.5),
+        )],
+        "med_sum double, sqrt_sum double, k0_sum double, k1_sum double, "
+        "gather_n long, gather_sum long, unif_ok boolean, norm_ok boolean, "
+        "perm_ok boolean",
+    )
+
+
+_SQL_PRIMS_MATRIX_RNG = """
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(p_retailprice AS DOUBLE) AS pr,
+         CAST(p_partkey % 97 AS DOUBLE) AS pm
+  FROM part
+)
+SELECT
+  round(sum(pr + p_size + pm
+            - greatest(pr, p_size, pm)
+            - least(pr, p_size, pm)), 4) AS med_sum,
+  round(sum(sqrt(pr)), 4) AS sqrt_sum,
+  round(sum(pr + pm), 4) AS k0_sum,
+  round(sum(CAST(p_size AS DOUBLE)), 4) AS k1_sum,
+  (SELECT CAST(count(*) + 1 AS BIGINT)
+   FROM p WHERE p_partkey BETWEEN 1 AND 50) AS gather_n,
+  (SELECT CAST(sum(p_partkey) + 7 AS BIGINT)
+   FROM p WHERE p_partkey BETWEEN 1 AND 50) AS gather_sum,
+  true AS unif_ok, true AS norm_ok, true AS perm_ok
+FROM p
+"""
+
+
 QUERIES_LINALG = {
+    "prims_matrix_rng": q_prims_matrix_rng,
     "qr_factor": q_qr_factor,
     "rsvd_agreement": q_rsvd_agreement,
     "coo_symmetrize_check": q_coo_symmetrize_check,
@@ -210,6 +297,7 @@ QUERIES_LINALG = {
 }
 
 ORACLES_LINALG = {
+    "prims_matrix_rng": _SQL_PRIMS_MATRIX_RNG,
     "qr_factor": _sql_qr_factor(),
     "rsvd_agreement": _SQL_RSVD_AGREEMENT,
     "coo_symmetrize_check": _SQL_COO_SYMMETRIZE,

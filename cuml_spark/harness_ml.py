@@ -285,3 +285,75 @@ def q_sgd_hinge_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_ML["sgd_hinge_accuracy"] = q_sgd_hinge_accuracy
 ORACLES_ML["sgd_hinge_accuracy"] = _SQL_RF_ACCURACY
+
+
+def q_rf_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomForestRegressor (randomforestregressor.pyx:25, variance
+    criterion) on lineitem: extendedprice from quantity/discount/tax.
+    The synthetic testdata has no quantity↔price correlation, so the
+    target is a deterministic function of the features (y = q·(1+tax) +
+    100·disc — learnable by construction; observed R²≈0.91).  S-class
+    fit; D-class projection: exact scored-row count + R² floor."""
+    from cuml_spark.ensemble import RandomForestRegressor
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "y", F.col("l_quantity") * (1 + F.col("l_tax"))
+        + 100 * F.col("l_discount")
+    )
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    rf = RandomForestRegressor(n_estimators=10, max_depth=8, n_bins=16,
+                               random_state=7)
+    rf.fit(li, cols, "y")
+    r2 = rf.score(li, cols, "y")
+    n = li.count()
+    return spark.createDataFrame(
+        [(int(n), bool(r2 >= 0.5))], "n_scored long, r2_ge_05 boolean"
+    )
+
+
+_SQL_RF_REGRESSION = "SELECT count(*) AS n_scored, true AS r2_ge_05 FROM lineitem"
+
+
+def q_mbsgd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBSGDClassifier/MBSGDRegressor (mbsgd_classifier.pyx:25,
+    mbsgd_regressor.pyx:25): seeded Bernoulli mini-batches over the SGD
+    solver.  D-class projection: exact row count + hinge accuracy floor +
+    regressor R² floor on an exactly-linear target (y = 3·qn + 0.1,
+    observed R²≈0.84; broken sampling or gradients collapse both)."""
+    from cuml_spark.linear_model.mbsgd import MBSGDClassifier, MBSGDRegressor
+    from cuml_spark.metrics.regression import r2_score
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "is_high", (F.col("l_extendedprice") > 30000).cast("double")
+    )
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    clf = MBSGDClassifier(loss="hinge", epochs=12, eta0=0.2, alpha=1e-4,
+                          batch_fraction=0.5, seed=11).fit(li, cols, "is_high")
+    acc = (
+        clf.predict(li)
+        .selectExpr("avg(cast(prediction = is_high as double)) as acc")
+        .first()["acc"]
+    )
+    dfr = li.withColumn("qn", F.col("l_quantity") / 50.0).withColumn(
+        "yl", 3 * F.col("qn") + 0.1
+    )
+    reg = MBSGDRegressor(epochs=20, eta0=0.5, alpha=1e-4,
+                         batch_fraction=0.5, seed=11).fit(dfr, ["qn"], "yl")
+    r2 = r2_score(reg.predict(dfr), "yl", "prediction")
+    n = li.count()
+    return spark.createDataFrame(
+        [(int(n), bool(acc >= 0.65), bool(r2 >= 0.5))],
+        "n_scored long, acc_ge_065 boolean, r2_ge_05 boolean",
+    )
+
+
+_SQL_MBSGD_FIT = (
+    "SELECT count(*) AS n_scored, true AS acc_ge_065, true AS r2_ge_05 "
+    "FROM lineitem"
+)
+
+
+QUERIES_ML["rf_regression"] = q_rf_regression
+ORACLES_ML["rf_regression"] = _SQL_RF_REGRESSION
+QUERIES_ML["mbsgd_fit"] = q_mbsgd_fit
+ORACLES_ML["mbsgd_fit"] = _SQL_MBSGD_FIT

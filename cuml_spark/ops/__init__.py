@@ -48,3 +48,9 @@ __all__ = [
     "with_sq_norm", "pairwise_sq_euclidean", "pairwise_cosine_sim",
 ]
 from cuml_spark.ops.matrix import sort_cols_per_row, gather, matrix_math
+from cuml_spark.ops.rng import (
+    rng_uniform,
+    rng_normal,
+    permute,
+    reduce_cols_by_key,
+)
