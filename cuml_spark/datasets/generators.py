@@ -74,6 +74,52 @@ def make_blobs(
     return base.mapInPandas(gen, schema=schema)
 
 
+def make_mvg(
+    spark: SparkSession,
+    n_samples: int,
+    mu: np.ndarray,
+    sigma: np.ndarray,
+    random_state: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Multivariate-gaussian sampler — the MVG prim
+    (src_prims/random/mvg.h:102 ``MultiVarGaussian``, chol_decomp mode
+    :104): x = μ + L·z with Σ = L·Lᵀ.  The d×d Cholesky factor is driver
+    numpy (tiny, like the reference's cusolver potrf on one matrix); the
+    z-draws and the affine map are distributed, blockwise-deterministic
+    like the other generators.  → DataFrame[id, f0..f{d-1}]."""
+    mu = np.asarray(mu, dtype=float)
+    sigma = np.asarray(sigma, dtype=float)
+    d = mu.shape[0]
+    if sigma.shape != (d, d):
+        raise ValueError(f"sigma must be {d}x{d}, got {sigma.shape}")
+    L = np.linalg.cholesky(sigma)
+    mu_b = spark.sparkContext.broadcast(mu)
+    L_b = spark.sparkContext.broadcast(L)
+    schema = ", ".join(["id long"] + [f"f{i} double" for i in range(d)])
+    seed = random_state
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            Z = np.empty((len(ids), d))
+            for blk in np.unique(ids // _BLOCK):
+                mask = ids // _BLOCK == blk
+                off = (ids[mask] - blk * _BLOCK).astype(int)
+                r = _blockwise_rng(seed, int(blk))
+                Z[mask] = r.standard_normal((_BLOCK, d))[off]
+            X = mu_b.value + Z @ L_b.value.T
+            res = pd.DataFrame({"id": ids})
+            for i in range(d):
+                res[f"f{i}"] = X[:, i]
+            yield res
+
+    base = spark.range(n_samples, numPartitions=partitions)
+    return base.mapInPandas(gen, schema=schema)
+
+
 def make_regression(
     spark: SparkSession,
     n_samples: int = 100,

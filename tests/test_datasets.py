@@ -50,3 +50,29 @@ def test_regression_noiseless_exact(spark):
     np.testing.assert_allclose(
         pdf[["f0", "f1"]].to_numpy() @ w, pdf["y"].to_numpy(), rtol=1e-12
     )
+
+
+def test_mvg_moments_and_determinism(spark):
+    from cuml_spark.datasets import make_mvg
+
+    mu = np.array([1.0, -2.0])
+    sigma = np.array([[2.0, 0.8], [0.8, 1.0]])
+    df = make_mvg(spark, n_samples=20000, mu=mu, sigma=sigma, random_state=5)
+    pdf = df.toPandas()
+    emp_mu = pdf[["f0", "f1"]].mean().to_numpy()
+    emp_cov = np.cov(pdf[["f0", "f1"]].to_numpy().T)
+    np.testing.assert_allclose(emp_mu, mu, atol=0.05)
+    np.testing.assert_allclose(emp_cov, sigma, atol=0.08)
+    # blockwise-deterministic: same seed reproduces row 0 exactly,
+    # regardless of partitioning
+    r1 = df.filter(df.id == 0).first()
+    r2 = make_mvg(spark, n_samples=20000, mu=mu, sigma=sigma,
+                  random_state=5, partitions=7).filter("id = 0").first()
+    assert r1["f0"] == r2["f0"] and r1["f1"] == r2["f1"]
+
+
+def test_mvg_bad_sigma_raises(spark):
+    from cuml_spark.datasets import make_mvg
+
+    with pytest.raises(ValueError):
+        make_mvg(spark, 10, np.zeros(2), np.eye(3))
