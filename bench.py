@@ -31,10 +31,11 @@ def main() -> None:
     for name, fn in QUERIES.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count() if hasattr(df, "count") else len(df)
-        _ = df.collect()
+        # one collect = one execution; len() gives the row count without
+        # paying a second run of the plan the way count()+collect() would
+        rows = df.collect() if hasattr(df, "collect") else list(df)
         timings[name] = round(time.time() - t0, 3)
-        del n
+        del rows
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
