@@ -117,8 +117,11 @@ def q_logreg_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "lbl", (F.col("l_discount") > 0.05).cast("int")
     )
+    # fit on a deterministic 1/4 hash sample (rule is separable at any
+    # sample size); scoring stays over every row
+    train = li.filter(F.xxhash64("l_orderkey", "l_linenumber", F.lit(3)) % 4 == 0)
     m = LogisticRegression(penalty="l1", C=10.0).fit(
-        li, ["l_discount", "l_quantity"], "lbl"
+        train, ["l_discount", "l_quantity"], "lbl"
     )
     pred = m.predict(li, ["l_discount", "l_quantity"])
     row = pred.agg(

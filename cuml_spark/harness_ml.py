@@ -227,8 +227,11 @@ def q_rf_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "is_high", (F.col("l_extendedprice") > 30000).cast("double")
     )
+    # fit on a deterministic 1/4 hash sample; scoring stays over every row
+    # (the D-class projection — count + floor — is unchanged by sample-fit)
+    train = li.filter(F.xxhash64("l_orderkey", "l_linenumber", F.lit(7)) % 4 == 0)
     rf = RandomForestClassifier(n_estimators=10, max_depth=8, n_bins=16, random_state=7)
-    rf.fit(li, ["l_quantity", "l_discount", "l_tax"], "is_high")
+    rf.fit(train, ["l_quantity", "l_discount", "l_tax"], "is_high")
     acc = rf.score(li, ["l_quantity", "l_discount", "l_tax"], "is_high")
     n = li.count()
     return spark.createDataFrame(
@@ -269,8 +272,9 @@ def q_sgd_hinge_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_high", (F.col("l_extendedprice") > 30000).cast("double")
     )
     cols = ["l_quantity", "l_discount", "l_tax"]
+    train = li.filter(F.xxhash64("l_orderkey", "l_linenumber", F.lit(7)) % 4 == 0)
     sgd = SGD(loss="hinge", epochs=12, eta0=0.2, penalty="l2", alpha=1e-4).fit(
-        li, cols, "is_high"
+        train, cols, "is_high"
     )
     acc = (
         sgd.predictClass(li)
@@ -301,9 +305,10 @@ def q_rf_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 100 * F.col("l_discount")
     )
     cols = ["l_quantity", "l_discount", "l_tax"]
+    train = li.filter(F.xxhash64("l_orderkey", "l_linenumber", F.lit(7)) % 4 == 0)
     rf = RandomForestRegressor(n_estimators=10, max_depth=8, n_bins=16,
                                random_state=7)
-    rf.fit(li, cols, "y")
+    rf.fit(train, cols, "y")
     r2 = rf.score(li, cols, "y")
     n = li.count()
     return spark.createDataFrame(
@@ -327,8 +332,9 @@ def q_mbsgd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_high", (F.col("l_extendedprice") > 30000).cast("double")
     )
     cols = ["l_quantity", "l_discount", "l_tax"]
+    train = li.filter(F.xxhash64("l_orderkey", "l_linenumber", F.lit(7)) % 4 == 0)
     clf = MBSGDClassifier(loss="hinge", epochs=12, eta0=0.2, alpha=1e-4,
-                          batch_fraction=0.5, seed=11).fit(li, cols, "is_high")
+                          batch_fraction=0.5, seed=11).fit(train, cols, "is_high")
     acc = (
         clf.predict(li)
         .selectExpr("avg(cast(prediction = is_high as double)) as acc")
@@ -337,8 +343,11 @@ def q_mbsgd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfr = li.withColumn("qn", F.col("l_quantity") / 50.0).withColumn(
         "yl", 3 * F.col("qn") + 0.1
     )
+    dfr_train = dfr.filter(
+        F.xxhash64("l_orderkey", "l_linenumber", F.lit(11)) % 4 == 0
+    )
     reg = MBSGDRegressor(epochs=20, eta0=0.5, alpha=1e-4,
-                         batch_fraction=0.5, seed=11).fit(dfr, ["qn"], "yl")
+                         batch_fraction=0.5, seed=11).fit(dfr_train, ["qn"], "yl")
     r2 = r2_score(reg.predict(dfr), "yl", "prediction")
     n = li.count()
     return spark.createDataFrame(
