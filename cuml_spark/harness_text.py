@@ -270,14 +270,15 @@ SELECT query_id, neighbor_id, round(1.0 - dist, 6) AS cos_sim, rank FROM r WHERE
 # --------------------------------------------------------------------------
 
 def q_kpss_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS): read as long nanoseconds
-    # (runtime-settable legacy conf), bucket by integer day index — exact
-    # arithmetic that DuckDB reproduces with epoch_ns // day.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Bucket by integer day index — exact arithmetic that DuckDB reproduces
+    # with epoch_ns // day.  Handles both TIMESTAMP(NANOS)-as-long (legacy
+    # nanosAsLong) and micro-precision TIMESTAMP_NTZ parquet.
+    from cuml_spark.harness_tsa import _day_index
+
     ev = _t(spark, sf_dir, "events")
     series = ev.groupBy(
         F.col("event_type").alias("series_id"),
-        F.expr("ts div 86400000000000").alias("t"),
+        _day_index(ev).alias("t"),
     ).agg(F.avg("value").alias("y"))
     out = kpss_statistic(series, "series_id", "t", "y", lags=0)
     return out.select("series_id", "n", F.round("kpss_stat", 6).alias("kpss_stat"))

@@ -19,12 +19,22 @@ _DAY_NS = 86_400_000_000_000
 _KF_Q, _KF_R, _KF_P0 = 0.01, 1.0, 1e6
 
 
+def _day_index(ev: DataFrame) -> F.Column:
+    """Integer day-since-epoch for ``ts``, whatever physical type the parquet
+    carries: TIMESTAMP(NANOS) surfaces as ``bigint`` under the nanosAsLong
+    flag; micro/milli timestamps surface as TIMESTAMP(_NTZ).  The date cast
+    is timezone-free for NTZ, matching DuckDB's naive ``epoch_ns // day``."""
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return F.expr(f"ts div {_DAY_NS}")
+    return F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))).cast("long")
+
+
 def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
         F.col("event_type").alias("series_id"),
-        F.expr(f"ts div {_DAY_NS}").alias("t"),
+        _day_index(ev).alias("t"),
     ).agg(F.avg("value").alias("y"))
 
 
