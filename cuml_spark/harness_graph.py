@@ -52,16 +52,29 @@ QUALIFY count(*) OVER (PARTITION BY n_regionkey) > 1
 
 def q_sparse_row_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """csr_row_normalize_l1 (csr.h:299) over the order→supplier quantity
-    bipartite edge list; checked per-edge."""
+    bipartite edge list.  Still checked per-edge, but reported as bucketed
+    exact-integer checksums: each edge contributes round(value·1e6) —
+    an exact bigint on both engines — to its row-hash bucket, so any single
+    edge's row/col/value changing flips a bucket, while the result stays
+    bounded (997 rows) instead of scaling with the edge count."""
     li = _t(spark, sf_dir, "lineitem")
     edges = li.groupBy(
         F.col("l_orderkey").alias("row"), F.col("l_suppkey").alias("col")
     ).agg(F.sum("l_quantity").alias("value"))
     out = row_normalize_l1(edges, row="row", value="value")
-    return out.select(
-        F.col("row").cast("long").alias("row"),
-        F.col("col").cast("long").alias("col"),
-        F.round("value", 6).alias("value"),
+    micro = F.round(F.col("value") * 1e6, 0).cast("long")
+    return (
+        out.select(
+            (F.col("row") % 997).cast("int").alias("bucket"),
+            micro.alias("micro"),
+            (micro * ((F.col("row") * 31 + F.col("col")) % 100003)).alias("term"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum("micro").alias("sum_micro"),
+            F.sum("term").alias("chk"),
+        )
     )
 
 
@@ -69,10 +82,16 @@ _SQL_SPARSE_ROW_NORMALIZE = """
 WITH e AS (
   SELECT l_orderkey AS row, l_suppkey AS col, sum(l_quantity) AS value
   FROM lineitem GROUP BY 1, 2
+), norm AS (
+  SELECT row, col,
+         round(1e6 * value / sum(abs(value)) OVER (PARTITION BY row))::BIGINT
+           AS micro
+  FROM e
 )
-SELECT row::BIGINT AS row, col::BIGINT AS col,
-       round(value / sum(abs(value)) OVER (PARTITION BY row), 6) AS value
-FROM e
+SELECT (row % 997)::INT AS bucket, count(*) AS n_edges,
+       sum(micro)::BIGINT AS sum_micro,
+       sum(micro * ((row * 31 + col) % 100003))::BIGINT AS chk
+FROM norm GROUP BY 1
 """
 
 

@@ -84,8 +84,22 @@ def _sql_minhash() -> str:
     return _sql_sig_cte() + "\nSELECT * FROM sig"
 
 
+_LSH_CACHE: dict[str, DataFrame] = {}
+
+
+def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs computed once per sf_dir — shared by ``lsh_pairs``
+    and the ``ngram_jaccard`` verify stage (the two halves of the two-stage
+    near-dup pipeline run over the same candidate set)."""
+    out = _LSH_CACHE.get(sf_dir)
+    if out is None:
+        out = lsh_candidate_pairs(_t(spark, sf_dir, "documents")).cache()
+        _LSH_CACHE[sf_dir] = out
+    return out
+
+
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    return lsh_pairs_cached(spark, sf_dir)
 
 
 def _sql_lsh_pairs() -> str:

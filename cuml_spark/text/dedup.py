@@ -108,18 +108,19 @@ def lsh_candidate_pairs(df: DataFrame, k: int = 5, text_col: str = "text",
     """
     sig = minhash_signatures(df, k=k, text_col=text_col, id_col=id_col)
     r = N_HASHES // n_bands
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
-        bands.append(
-            sig.select(
-                F.col(id_col), F.lit(b).alias("band"),
-                F.concat_ws("_", *cols).alias("sig"),
-            )
+    # One posexplode over the array of band signatures: the minhash
+    # pipeline (shingle explode + 64 min-aggregates) runs ONCE, not once
+    # per band as a per-band union would — at scale that's an 8× saving on
+    # the dominant stage.
+    band_sigs = F.array(*[
+        F.concat_ws(
+            "_", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
         )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionAll(b)
+        for b in range(n_bands)
+    ])
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_sigs).alias("band", "sig")
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
