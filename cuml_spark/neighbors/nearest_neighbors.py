@@ -20,6 +20,7 @@ Spark-native design, same merge pattern:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -119,26 +120,29 @@ class NearestNeighbors(Base):
             F.col(self._id_col).alias(id_alias),
             F.col(self._vec_col).cast("array<double>").alias("__vec"),
         )
-        rows = []
-        for t in range(self.n_tables):
-            planes = rng.standard_normal((self.n_planes, dim))
-            bucket = F.lit(0).cast("long")
-            for p in range(self.n_planes):
-                proj = F.aggregate(
-                    F.zip_with(
-                        F.col("__vec"),
-                        F.array(*[F.lit(float(v)) for v in planes[p]]),
-                        lambda x, w: x * w,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
-            rows.append(out.select(id_alias, "__vec", F.lit(t).alias("table"), bucket.alias("bucket")))
-        all_rows = rows[0]
-        for r in rows[1:]:
-            all_rows = all_rows.unionAll(r)
-        return all_rows
+        # all tables' buckets in ONE vectorized pass: a single Arrow-batched
+        # matmul X @ P.T computes every (table, plane) projection at once,
+        # then sign bits pack into per-table bucket ids.  (A per-plane
+        # higher-order-function dot product is interpreted per element in
+        # Spark — ~10× slower; a per-table union would rescan the input
+        # n_tables times.)
+        P = rng.standard_normal((self.n_tables * self.n_planes, dim))
+        n_planes = self.n_planes
+        pow2 = np.power(2, np.arange(n_planes), dtype=np.int64)
+
+        @F.pandas_udf("array<long>")
+        def _buckets(vecs: pd.Series) -> pd.Series:
+            X = np.asarray(vecs.tolist(), dtype=np.float64)
+            if X.size == 0:
+                return pd.Series([], dtype=object)
+            bits = (X @ P.T) > 0  # (n, tables*planes)
+            b = bits.reshape(len(X), -1, n_planes).astype(np.int64) @ pow2
+            return pd.Series(list(b))
+
+        return out.select(
+            id_alias, "__vec",
+            F.posexplode(_buckets(F.col("__vec"))).alias("table", "bucket"),
+        )
 
     def kneighbors(self, queries: DataFrame, query_id: str | None = None) -> DataFrame:
         if self._index is None:
@@ -152,17 +156,31 @@ class NearestNeighbors(Base):
         if self.algorithm != "lsh":
             raise ValueError(f"unknown algorithm {self.algorithm!r}")
         dim = len(self._index.select(self._vec_col).first()[0])
-        idx_b = self._bucketed(self._index, dim, "neighbor_id")
+        # bucket join carries ONLY ids — the pair-distinct shuffles small
+        # int pairs, never the vectors; vectors re-attach via equi-joins on
+        # id afterwards (co-partitionable / broadcastable at scale)
+        idx_b = self._bucketed(self._index, dim, "neighbor_id").select(
+            "neighbor_id", "table", "bucket"
+        )
         q_b = self._bucketed(
             queries.select(F.col(qid).alias(self._id_col), F.col(self._vec_col)),
             dim, "query_id",
-        )
-        cand = (
-            idx_b.join(q_b.withColumnRenamed("__vec", "__qvec"), on=["table", "bucket"])
+        ).select("query_id", "table", "bucket")
+        pairs = (
+            idx_b.join(q_b, on=["table", "bucket"])
             .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "__qvec", "neighbor_id", "__vec")
+            .select("query_id", "neighbor_id")
             .distinct()
         )
+        idx_vec = self._index.select(
+            F.col(self._id_col).alias("neighbor_id"),
+            F.col(self._vec_col).cast("array<double>").alias("__vec"),
+        )
+        q_vec = queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(self._vec_col).cast("array<double>").alias("__qvec"),
+        )
+        cand = pairs.join(q_vec, "query_id").join(idx_vec, "neighbor_id")
         cand = cand.withColumn("q_sq", F.aggregate("__qvec", F.lit(0.0), lambda a, v: a + v * v))
         cand = cand.withColumn("i_sq", F.aggregate("__vec", F.lit(0.0), lambda a, v: a + v * v))
         if self.metric == "cosine":
