@@ -228,10 +228,12 @@ class DBSCAN(Base):
                 F.col("pid").alias("b_id"), F.col("x").alias("b_x"), "cell_key"
             )
             joined = a_probe.join(b_home, "cell_key").filter(F.col("a_id") != F.col("b_id"))
-        dist2 = F.aggregate(
-            F.zip_with(F.col("a_x"), F.col("b_x"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        # plain element_at arithmetic, not a higher-order fold: HOFs are
+        # interpreted per element; this stays inside whole-stage codegen
+        # over the pair stream (the hot loop of the grid join)
+        dist2 = sum(
+            (F.element_at("a_x", i + 1) - F.element_at("b_x", i + 1)) ** 2
+            for i in range(d)
         )
         degrees = (
             joined.filter(dist2 <= F.lit(eps2))
