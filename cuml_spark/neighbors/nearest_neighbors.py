@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cuml_spark.core.base import Base
-from cuml_spark.ops.distance import cosine_sim, sq_euclidean, with_sq_norm
+from cuml_spark.ops.distance import cosine_sim, sq_euclidean, sq_norm, with_sq_norm
 
 
 def knn_join(
@@ -36,28 +36,34 @@ def knn_join(
     index_id: str = "vec_id",
     query_id: str = "vec_id",
     metric: str = "sqeuclidean",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query → (query_id, neighbor_id, distance, rank).
 
     Ties broken by neighbor id (reference uses index order).  Queries are
     broadcast — index side never shuffles until the k-bounded window.
+    ``dim`` (sniffed from the small query side when not given) unrolls the
+    pair-loop dot product into codegen arithmetic.
     """
+    if dim is None:
+        first = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first is not None else None
     idx = with_sq_norm(
         index.select(F.col(index_id).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("i_vec")),
-        "i_vec", "i_sq",
+        "i_vec", "i_sq", dim=dim,
     )
     q = with_sq_norm(
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")),
-        "q_vec", "q_sq",
+        "q_vec", "q_sq", dim=dim,
     )
     joined = idx.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     if metric in ("sqeuclidean", "euclidean", "l2"):
-        d = sq_euclidean(F.col("q_vec"), F.col("i_vec"), F.col("q_sq"), F.col("i_sq"))
+        d = sq_euclidean(F.col("q_vec"), F.col("i_vec"), F.col("q_sq"), F.col("i_sq"), dim=dim)
         if metric == "euclidean":
             d = F.sqrt(d)
         order = [F.col("distance").asc(), F.col("neighbor_id").asc()]
     elif metric == "cosine":
-        d = 1.0 - cosine_sim(F.col("q_vec"), F.col("i_vec"), F.col("q_sq"), F.col("i_sq"))
+        d = 1.0 - cosine_sim(F.col("q_vec"), F.col("i_vec"), F.col("q_sq"), F.col("i_sq"), dim=dim)
         order = [F.col("distance").asc(), F.col("neighbor_id").asc()]
     else:
         raise ValueError(f"unsupported metric {metric!r}")
@@ -181,12 +187,12 @@ class NearestNeighbors(Base):
             F.col(self._vec_col).cast("array<double>").alias("__qvec"),
         )
         cand = pairs.join(q_vec, "query_id").join(idx_vec, "neighbor_id")
-        cand = cand.withColumn("q_sq", F.aggregate("__qvec", F.lit(0.0), lambda a, v: a + v * v))
-        cand = cand.withColumn("i_sq", F.aggregate("__vec", F.lit(0.0), lambda a, v: a + v * v))
+        cand = cand.withColumn("q_sq", sq_norm(F.col("__qvec"), dim=dim))
+        cand = cand.withColumn("i_sq", sq_norm(F.col("__vec"), dim=dim))
         if self.metric == "cosine":
-            d = 1.0 - cosine_sim(F.col("__qvec"), F.col("__vec"), F.col("q_sq"), F.col("i_sq"))
+            d = 1.0 - cosine_sim(F.col("__qvec"), F.col("__vec"), F.col("q_sq"), F.col("i_sq"), dim=dim)
         else:
-            d = sq_euclidean(F.col("__qvec"), F.col("__vec"), F.col("q_sq"), F.col("i_sq"))
+            d = sq_euclidean(F.col("__qvec"), F.col("__vec"), F.col("q_sq"), F.col("i_sq"), dim=dim)
         scored = cand.select("query_id", "neighbor_id", d.alias("distance"))
         w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
         return scored.withColumn("rank", F.row_number().over(w)).filter(

@@ -102,19 +102,22 @@ class IVFIndex(Base):
         cand = probed.join(self._index, "list_id").filter(
             F.col("query_id") != F.col("vid")
         )
-        dot = F.aggregate(
-            F.zip_with(F.col("q"), F.col("v"), lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
+        # unrolled codegen arithmetic — dim is known from the codebook
+        dim = int(cents.shape[1])
+        from cuml_spark.ops.distance import dot as dot_expr
+        from cuml_spark.ops.distance import sq_norm
+
+        dot = dot_expr(F.col("q"), F.col("v"), dim=dim)
         if metric == "cosine":
-            nq = F.sqrt(F.aggregate(F.col("q"), F.lit(0.0), lambda a, x: a + x * x))
-            nv = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-            score = dot / (nq * nv)
+            score = dot / (
+                F.sqrt(sq_norm(F.col("q"), dim=dim))
+                * F.sqrt(sq_norm(F.col("v"), dim=dim))
+            )
             order = F.col("score").desc()
         elif metric in ("sqeuclidean", "l2"):
-            score = F.aggregate(
-                F.zip_with(F.col("q"), F.col("v"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x,
+            score = sum(
+                (F.element_at("q", i + 1) - F.element_at("v", i + 1)) ** 2
+                for i in range(dim)
             )
             order = F.col("score").asc()
         else:
