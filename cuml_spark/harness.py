@@ -420,3 +420,9 @@ from cuml_spark.harness_linalg import ORACLES_LINALG, QUERIES_LINALG  # noqa: E4
 
 QUERIES.update(QUERIES_LINALG)
 ORACLES.update(ORACLES_LINALG)
+
+from cuml_spark.harness_streaming import (ORACLES_STREAMING,  # noqa: E402
+                                          QUERIES_STREAMING)
+
+QUERIES.update(QUERIES_STREAMING)
+ORACLES.update(ORACLES_STREAMING)

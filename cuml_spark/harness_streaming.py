@@ -1,0 +1,129 @@
+"""Harness queries: Structured Streaming pipeline operators.
+
+Both queries run a REAL streaming query (file source → watermark/stateful
+op → memory sink, ``trigger(availableNow=True)``) and report a batch
+aggregate of the sink — the streaming backfill over a static directory must
+equal the batch SQL answer, which is exactly the replayability contract a
+100 TB ingest pipeline needs (reprocessing a day of files gives the same
+table the live stream produced).
+
+``streaming_dedup_docs`` is set-deterministic: WHICH duplicate survives is
+engine-dependent, but the surviving fingerprint SET is not, so the query
+reports per-prefix distinct-fingerprint counts + an order-insensitive
+integer checksum over the set.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuml_spark.streaming import streaming_dedup, streaming_windowed_stats
+
+_DAY_NS = 86_400_000_000_000
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+# ts declared as (ltz) TIMESTAMP: watermarks require it, and with the
+# session timezone pinned UTC the instant equals the parquet's naive micros
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _read_stream(spark: SparkSession, sf_dir: str, table: str, schema: str) -> DataFrame:
+    # the file stream source requires a directory basePath; the sf dir holds
+    # one parquet FILE per table, so point at the dir and glob the file
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _run_to_memory(out: DataFrame, mode: str) -> DataFrame:
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out.sparkSession.table(name)
+
+
+def q_streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
+    survivors = _run_to_memory(streaming_dedup(stream), "append")
+    return (
+        survivors.groupBy(F.substring("fingerprint", 1, 1).alias("prefix"))
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.min("fingerprint").alias("min_fp"),
+            F.max("fingerprint").alias("max_fp"),
+            F.sum(F.conv(F.substring("fingerprint", 1, 8), 16, 10).cast("long"))
+            .alias("chk"),
+        )
+    )
+
+
+_SQL_STREAMING_DEDUP_DOCS = """
+WITH fp AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         AS fingerprint
+  FROM documents
+)
+SELECT substr(fingerprint, 1, 1) AS prefix,
+       count(*) AS n_fp,
+       min(fingerprint) AS min_fp,
+       max(fingerprint) AS max_fp,
+       sum(('0x' || substr(fingerprint, 1, 8))::UBIGINT)::BIGINT AS chk
+FROM fp GROUP BY 1
+"""
+
+
+def q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _read_stream(spark, sf_dir, "events", _EVENTS_SCHEMA)
+    out = streaming_windowed_stats(
+        stream, ts_col="ts", key_col="event_type", value_col="value",
+        window="1 day", watermark="1 day",
+    )
+    # complete mode so every window (including the still-open last one) is
+    # in the sink — the backfill answer must equal the batch GROUP BY
+    sink = _run_to_memory(out, "complete")
+    return sink.select(
+        F.datediff(F.col("window_start").cast("date"), F.to_date(F.lit("1970-01-01")))
+        .cast("long").alias("day_idx"),
+        F.col("key"),
+        "n",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
+_SQL_STREAMING_WINDOW_STATS = f"""
+SELECT epoch_ns(ts) // {_DAY_NS} AS day_idx,
+       event_type AS key,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES_STREAMING = {
+    "streaming_dedup_docs": q_streaming_dedup_docs,
+    "streaming_window_stats": q_streaming_window_stats,
+}
+
+ORACLES_STREAMING = {
+    "streaming_dedup_docs": _SQL_STREAMING_DEDUP_DOCS,
+    "streaming_window_stats": _SQL_STREAMING_WINDOW_STATS,
+}

@@ -64,3 +64,128 @@ def test_streaming_kalman_matches_batch(spark, tmpdir):
         got = out[out["series_id"] == s].sort_values("t")["x"].to_numpy()
         x_ref, _ = local_level_filter(y, q=0.01, r=1.0)
         np.testing.assert_allclose(got, x_ref, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# streaming training-data pipeline (pipeline.py)
+# ---------------------------------------------------------------------------
+
+def _write_chunk(spark, tmpdir, in_dir, name, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmpdir / "stage" / name))
+    src = next((tmpdir / "stage" / name).glob("*.parquet"))
+    shutil.copy(src, in_dir / f"{name}.parquet")
+
+
+def test_streaming_dedup_state_across_batches(spark, tmpdir):
+    """A duplicate arriving in a LATER micro-batch is still suppressed —
+    the fingerprint state store carries across batches."""
+    from cuml_spark.streaming import streaming_dedup
+
+    schema = "doc_id long, text string"
+    in_dir = tmpdir / "in"
+    in_dir.mkdir()
+    chk = str(tmpdir / "chk")
+    _write_chunk(spark, tmpdir, in_dir, "b1",
+                 [(1, "Alpha  beta"), (2, "gamma delta"), (3, "alpha BETA")],
+                 schema)
+
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    query = (
+        streaming_dedup(stream)
+        .writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", chk).outputMode("append").start()
+    )
+    try:
+        query.processAllAvailable()
+        n1 = spark.sql("select count(*) n from dedup_out").first()["n"]
+        # batch 2: one cross-batch duplicate + one new doc
+        _write_chunk(spark, tmpdir, in_dir, "b2",
+                     [(4, "ALPHA beta"), (5, "epsilon zeta")], schema)
+        query.processAllAvailable()
+        out = spark.sql("select * from dedup_out").toPandas()
+    finally:
+        query.stop()
+
+    assert n1 == 2  # alpha-beta normalized-dups collapse within batch 1
+    assert len(out) == 3  # + only 'epsilon zeta' from batch 2
+    assert sorted(out["fingerprint"].unique()) == sorted(out["fingerprint"])
+
+
+def test_streaming_windowed_stats_append_finalization(spark, tmpdir):
+    """Append mode: a window is emitted exactly once, with its final
+    aggregate, after the watermark passes its end."""
+    from datetime import datetime
+
+    from cuml_spark.streaming import streaming_windowed_stats
+
+    schema = "ts timestamp, event_type string, value double"
+    in_dir = tmpdir / "in"
+    in_dir.mkdir()
+    chk = str(tmpdir / "chk")
+    day1 = [
+        (datetime(2024, 1, 1, 3, 0), "a", 1.0),
+        (datetime(2024, 1, 1, 9, 0), "a", 3.0),
+        (datetime(2024, 1, 1, 12, 0), "b", 10.0),
+    ]
+    _write_chunk(spark, tmpdir, in_dir, "b1", day1, schema)
+
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    out = streaming_windowed_stats(
+        stream, ts_col="ts", key_col="event_type", value_col="value",
+        window="1 day", watermark="1 hour",
+    )
+    query = (
+        out.writeStream.format("memory").queryName("win_out")
+        .option("checkpointLocation", chk).outputMode("append").start()
+    )
+    try:
+        query.processAllAvailable()
+        n_before = spark.sql("select count(*) n from win_out").first()["n"]
+        # far-future row advances the watermark past day1's window end
+        _write_chunk(spark, tmpdir, in_dir, "b2",
+                     [(datetime(2024, 1, 5, 0, 0), "a", 7.0)], schema)
+        query.processAllAvailable()
+        got = spark.sql("select * from win_out order by window_start, key").toPandas()
+    finally:
+        query.stop()
+
+    assert n_before == 0  # day1 window still open before the watermark moves
+    assert len(got) == 2  # day1×a and day1×b finalized; day5 window still open
+    a = got[got["key"] == "a"].iloc[0]
+    assert a["n"] == 2 and a["avg_value"] == 2.0 and a["max_value"] == 3.0
+    b = got[got["key"] == "b"].iloc[0]
+    assert b["n"] == 1 and b["min_value"] == 10.0
+
+
+def test_streaming_dedup_with_watermark_bounded_state(spark, tmpdir):
+    """ts-col mode: dropDuplicatesWithinWatermark absorbs re-deliveries
+    inside the horizon (state is evictable — the 100 TB/day contract)."""
+    from datetime import datetime
+
+    from cuml_spark.streaming import streaming_dedup
+
+    schema = "doc_id long, ts timestamp, text string"
+    in_dir = tmpdir / "in"
+    in_dir.mkdir()
+    chk = str(tmpdir / "chk")
+    _write_chunk(spark, tmpdir, in_dir, "b1", [
+        (1, datetime(2024, 1, 1, 0, 0), "same text"),
+        (2, datetime(2024, 1, 1, 0, 5), "Same  TEXT"),
+        (3, datetime(2024, 1, 1, 0, 9), "other doc"),
+    ], schema)
+
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    query = (
+        streaming_dedup(stream, ts_col="ts", watermark="10 minutes")
+        .writeStream.format("memory").queryName("dedup_wm_out")
+        .option("checkpointLocation", chk).outputMode("append").start()
+    )
+    try:
+        query.processAllAvailable()
+        out = spark.sql("select * from dedup_wm_out").toPandas()
+    finally:
+        query.stop()
+
+    assert len(out) == 2
+    assert set(out["doc_id"]) == {1, 3}
