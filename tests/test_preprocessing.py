@@ -79,3 +79,22 @@ def test_minmax_scaler(lineitem):
     stats = out.selectExpr("min(l_quantity) lo", "max(l_quantity) hi").first()
     assert stats["lo"] == pytest.approx(0.0, abs=1e-12)
     assert stats["hi"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_top_level_api_surface():
+    """Reference-parity imports: every name exposed at the package root of
+    python/cuml/__init__.py:17-68 resolves at cuml_spark's root too."""
+    import cuml_spark
+
+    for name in (
+        "Base", "DBSCAN", "KMeans", "make_blobs", "make_regression", "PCA",
+        "TruncatedSVD", "KalmanFilter", "ElasticNet", "Lasso",
+        "LinearRegression", "LogisticRegression", "MBSGDClassifier",
+        "MBSGDRegressor", "Ridge", "r2_score", "accuracy_score",
+        "adjusted_rand_score", "NearestNeighbors", "CD", "SGD", "QN",
+        "ExponentialSmoothing", "UMAP", "TSNE", "GaussianRandomProjection",
+        "SparseRandomProjection", "johnson_lindenstrauss_min_dim",
+        "train_test_split", "LabelEncoder", "ForestInference",
+        "RandomForestClassifier", "RandomForestRegressor",
+    ):
+        assert getattr(cuml_spark, name) is not None
