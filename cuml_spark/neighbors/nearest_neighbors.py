@@ -20,12 +20,12 @@ Spark-native design, same merge pattern:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cuml_spark.core.base import Base
-from cuml_spark.ops.distance import cosine_sim, sq_euclidean, sq_norm, with_sq_norm
+from cuml_spark.ops.distance import (cosine_sim, hyperplane_buckets,
+                                     sq_euclidean, sq_norm, with_sq_norm)
 
 
 def knn_join(
@@ -121,33 +121,14 @@ class NearestNeighbors(Base):
 
     def _bucketed(self, df: DataFrame, dim: int, id_alias: str) -> DataFrame:
         """Attach (table, bucket) LSH keys: sign pattern of n_planes projections."""
-        rng = np.random.RandomState(self.seed)
         out = df.select(
             F.col(self._id_col).alias(id_alias),
             F.col(self._vec_col).cast("array<double>").alias("__vec"),
         )
-        # all tables' buckets in ONE vectorized pass: a single Arrow-batched
-        # matmul X @ P.T computes every (table, plane) projection at once,
-        # then sign bits pack into per-table bucket ids.  (A per-plane
-        # higher-order-function dot product is interpreted per element in
-        # Spark — ~10× slower; a per-table union would rescan the input
-        # n_tables times.)
-        P = rng.standard_normal((self.n_tables * self.n_planes, dim))
-        n_planes = self.n_planes
-        pow2 = np.power(2, np.arange(n_planes), dtype=np.int64)
-
-        @F.pandas_udf("array<long>")
-        def _buckets(vecs: pd.Series) -> pd.Series:
-            X = np.asarray(vecs.tolist(), dtype=np.float64)
-            if X.size == 0:
-                return pd.Series([], dtype=object)
-            bits = (X @ P.T) > 0  # (n, tables*planes)
-            b = bits.reshape(len(X), -1, n_planes).astype(np.int64) @ pow2
-            return pd.Series(list(b))
-
+        buckets = hyperplane_buckets(self.n_planes, self.n_tables, dim, self.seed)
         return out.select(
             id_alias, "__vec",
-            F.posexplode(_buckets(F.col("__vec"))).alias("table", "bucket"),
+            F.posexplode(buckets(F.col("__vec"))).alias("table", "bucket"),
         )
 
     def kneighbors(self, queries: DataFrame, query_id: str | None = None) -> DataFrame:

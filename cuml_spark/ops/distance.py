@@ -18,6 +18,8 @@ fuse them into the surrounding plan.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,6 +47,31 @@ def sq_norm(a: Column | str, dim: int | None = None) -> Column:
     if dim is not None:
         return sum(F.element_at(a, i + 1) ** 2 for i in range(dim))
     return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def hyperplane_buckets(n_planes: int, n_tables: int, dim: int, seed: int):
+    """Factory: returns a UDF mapping the vector column to an ``array<long>``
+    of random-hyperplane LSH bucket ids, one per table.
+
+    All (table, plane) projections happen in ONE Arrow-batched matmul
+    X @ P.T — per-plane higher-order-function dot products are interpreted
+    per element (~10× slower), and per-table unions rescan the input
+    n_tables times.  Bit order: plane p contributes 2^p.
+    """
+    rng = np.random.RandomState(seed)
+    P = rng.standard_normal((n_tables * n_planes, dim))
+    pow2 = np.power(2, np.arange(n_planes), dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (X @ P.T) > 0
+        b = bits.reshape(len(X), -1, n_planes).astype(np.int64) @ pow2
+        return pd.Series(list(b))
+
+    return _buckets
 
 
 def with_sq_norm(df: DataFrame, vec_col: str, out_col: str = "sq_norm",

@@ -94,28 +94,28 @@ def _pairs_brute(pts: DataFrame, threshold: float) -> DataFrame:
 
 def _pairs_lsh(pts: DataFrame, dim: int, n_planes: int, n_tables: int,
                seed: int) -> DataFrame:
-    rng = np.random.RandomState(seed)
-    sigs = []
-    for t in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim))
-        bucket = F.lit(0).cast("long")
-        for p in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.array(*[F.lit(float(x)) for x in planes[p]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            bucket = bucket * 2 + (proj > 0).cast("long")
-        sigs.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
-    tagged = pts.withColumn("sig", F.explode(F.array(*sigs)))
-    a = tagged.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
-                      F.col("sq").alias("sqa"), "sig")
-    b = tagged.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
-                      F.col("sq").alias("sqb"), "sig")
-    return a.join(b, ["sig"]).filter(F.col("id_a") < F.col("id_b")).drop("sig").distinct()
+    """Bucketed candidate pairs: one vectorized Arrow matmul computes every
+    table's bucket (ops/distance.hyperplane_buckets); the bucket join and
+    pair-distinct carry ONLY ids, and vectors re-attach by equi-join — at
+    scale the wide rows never shuffle through the candidate explosion."""
+    from cuml_spark.ops.distance import hyperplane_buckets
+
+    buckets = hyperplane_buckets(n_planes, n_tables, dim, seed)
+    tagged = pts.select(
+        "vid", F.posexplode(buckets(F.col("v"))).alias("t", "b")
+    )
+    pairs = (
+        tagged.alias("a")
+        .join(tagged.alias("b"), ["t", "b"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    va = pts.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                    F.col("sq").alias("sqa"))
+    vb = pts.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                    F.col("sq").alias("sqb"))
+    return pairs.join(va, "id_a").join(vb, "id_b")
 
 
 def embedding_near_duplicates(
