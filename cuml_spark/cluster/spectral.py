@@ -52,7 +52,9 @@ def _topk_eig(
     sweep; slow-mixing graphs get many sweeps)."""
     if n <= dense_cutoff:
         A = np.zeros((n, n))
-        A[rows, cols] = vals
+        # accumulate duplicates (same semantics as the COO tier's
+        # np.add.at) — plain fancy-index assignment would last-write-win
+        np.add.at(A, (rows, cols), vals)
         deg = A.sum(1)
         deg[deg == 0] = 1.0
         dm = 1.0 / np.sqrt(deg)

@@ -29,6 +29,9 @@ def get_spark(app_name: str = "cuml_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pin tz so LTZ timestamp <-> date/day bucketing is host-independent
+        # (and matches DuckDB's naive-timestamp arithmetic in the oracles)
+        .config("spark.sql.session.timeZone", "UTC")
         # driver testdata writes TIMESTAMP(NANOS) parquet; Spark reads them as
         # long nanoseconds with this legacy flag (no nanos timestamp type yet)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -235,10 +235,12 @@ def q_prims_matrix_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gather(part, idx, "p_partkey").select(
         F.count("*").alias("n"), F.sum("p_partkey").alias("s")
     ).first()
-    u = rng_uniform(part, "u", seed=7).select(
+    # keyed draws (id_cols): a pure function of p_partkey, so the moment
+    # gates are the same fixed numbers in any session/partitioning
+    u = rng_uniform(part, "u", seed=7, id_cols=["p_partkey"]).select(
         F.avg("u").alias("m"), F.stddev("u").alias("s")
     ).first()
-    nm = rng_normal(part, "z", seed=9).select(
+    nm = rng_normal(part, "z", seed=9, id_cols=["p_partkey"]).select(
         F.avg("z").alias("m"), F.stddev("z").alias("s")
     ).first()
     n = part.count()

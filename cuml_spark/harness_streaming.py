@@ -25,12 +25,6 @@ from cuml_spark.streaming import streaming_dedup, streaming_windowed_stats
 _DAY_NS = 86_400_000_000_000
 
 _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
-# ts declared as (ltz) TIMESTAMP: watermarks require it, and with the
-# session timezone pinned UTC the instant equals the parquet's naive micros
-_EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
-    "value double, props string"
-)
 
 
 def _read_stream(spark: SparkSession, sf_dir: str, table: str, schema: str) -> DataFrame:
@@ -40,6 +34,33 @@ def _read_stream(spark: SparkSession, sf_dir: str, table: str, schema: str) -> D
         spark.readStream.schema(schema)
         .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf_dir)
+    )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as a stream with an (ltz) TIMESTAMP ``ts`` — watermarks
+    require TimestampType.  Day bucketing must be host-independent, so the
+    session tz is pinned UTC here (the driver's session may not be ours).
+    Robust to either physical ts encoding the testdata generator has used:
+    TIMESTAMP(NANOS) surfaces as long under nanosAsLong; micro/milli
+    timestamps stream directly."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    )["ts"]
+    if ts_type in ("bigint", "long"):
+        raw = _read_stream(
+            spark, sf_dir, "events",
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return _read_stream(
+        spark, sf_dir, "events",
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
     )
 
 
@@ -87,7 +108,7 @@ FROM fp GROUP BY 1
 
 
 def q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _read_stream(spark, sf_dir, "events", _EVENTS_SCHEMA)
+    stream = _events_stream(spark, sf_dir)
     out = streaming_windowed_stats(
         stream, ts_col="ts", key_col="event_type", value_col="value",
         window="1 day", watermark="1 day",

@@ -104,11 +104,10 @@ def _hash_sample(pts: DataFrame, sample_size: int | None, seed: int) -> DataFram
     n = pts.count()
     if n <= sample_size:
         return pts
-    # keep ≈ sample_size rows: uniform 64-bit hash, threshold at the fraction
-    frac = sample_size / n
-    bound = int(frac * (1 << 32))
-    h = F.pmod(F.xxhash64(F.col("pid"), F.lit(seed)), F.lit(1 << 32))
-    return pts.filter(h < bound)
+    # keep ≈ sample_size rows — the shared deterministic sample contract
+    from cuml_spark.ops.sampling import hash_sample_pred
+
+    return pts.filter(hash_sample_pred("pid", sample_size / n, seed))
 
 
 def silhouette_samples(

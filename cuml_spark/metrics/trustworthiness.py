@@ -57,10 +57,11 @@ def trustworthiness(
     if sample_size is not None:
         total = joined.count()
         if total > sample_size:
-            frac = sample_size / total
-            bound = int(frac * (1 << 32))
-            h = F.pmod(F.xxhash64(F.col("pid"), F.lit(seed)), F.lit(1 << 32))
-            joined = joined.filter(h < bound)
+            from cuml_spark.ops.sampling import hash_sample_pred
+
+            joined = joined.filter(
+                hash_sample_pred("pid", sample_size / total, seed)
+            )
 
     ref = joined.toPandas()
     n = len(ref)

@@ -47,7 +47,8 @@ def knn_join(
     """
     if dim is None:
         first = queries.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(first["d"]) if first is not None else None
+        d = None if first is None else first["d"]
+        dim = int(d) if d is not None and d >= 0 else None
     idx = with_sq_norm(
         index.select(F.col(index_id).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("i_vec")),
         "i_vec", "i_sq", dim=dim,

@@ -35,6 +35,15 @@ from cuml_spark.ops.sparse import (
     connected_components,
 )
 
+from cuml_spark.ops.matrix import sort_cols_per_row, gather, matrix_math
+from cuml_spark.ops.rng import (
+    rng_uniform,
+    rng_normal,
+    permute,
+    reduce_cols_by_key,
+)
+from cuml_spark.ops.sampling import hash_sample
+
 __all__ = [
     "gram_matrix", "gram_vector", "row_norms", "col_norms",
     "tall_skinny_qr", "svd_tall", "randomized_svd",
@@ -46,11 +55,7 @@ __all__ = [
     "group_topk", "global_topk",
     "unique_labels", "make_monotonic", "one_vs_rest_labels",
     "with_sq_norm", "pairwise_sq_euclidean", "pairwise_cosine_sim",
+    "sort_cols_per_row", "gather", "matrix_math",
+    "rng_uniform", "rng_normal", "permute", "reduce_cols_by_key",
+    "hash_sample",
 ]
-from cuml_spark.ops.matrix import sort_cols_per_row, gather, matrix_math
-from cuml_spark.ops.rng import (
-    rng_uniform,
-    rng_normal,
-    permute,
-    reduce_cols_by_key,
-)

@@ -20,18 +20,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def rng_uniform(df: DataFrame, out_col: str, seed: int,
-                low: float = 0.0, high: float = 1.0) -> DataFrame:
-    """Append a U(low, high) column (rng.h uniform kernel)."""
-    return df.withColumn(
-        out_col, F.lit(low) + (F.lit(high) - F.lit(low)) * F.rand(seed)
+_HASH_RANGE = float(1 << 53)
+
+
+def _hash_u01(id_cols: list[str], seed: int, salt: int) -> F.Column:
+    """U(0,1) as a pure function of (row key, seed): counter-based like the
+    reference's Philox (rng.h) — the draw depends ONLY on the key, never on
+    partitioning, so results replay identically on any cluster layout."""
+    h = F.pmod(
+        F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed), F.lit(salt)),
+        F.lit(1 << 53),
     )
+    return (h.cast("double") + 0.5) / F.lit(_HASH_RANGE)
+
+
+def rng_uniform(df: DataFrame, out_col: str, seed: int,
+                low: float = 0.0, high: float = 1.0,
+                id_cols: list[str] | None = None) -> DataFrame:
+    """Append a U(low, high) column (rng.h uniform kernel).
+
+    With ``id_cols`` the draw is keyed (partitioning-independent, exactly
+    reproducible anywhere); without, it falls back to ``F.rand`` whose
+    stream is fixed only for a fixed seed AND partitioning.
+    """
+    u = _hash_u01(id_cols, seed, 0) if id_cols else F.rand(seed)
+    return df.withColumn(out_col, F.lit(low) + (F.lit(high) - F.lit(low)) * u)
 
 
 def rng_normal(df: DataFrame, out_col: str, seed: int,
-               mu: float = 0.0, sigma: float = 1.0) -> DataFrame:
+               mu: float = 0.0, sigma: float = 1.0,
+               id_cols: list[str] | None = None) -> DataFrame:
     """Append an N(mu, sigma²) column (rng.h normal kernel, Box-Muller)."""
-    return df.withColumn(out_col, F.lit(mu) + F.lit(sigma) * F.randn(seed))
+    if id_cols:
+        u1 = _hash_u01(id_cols, seed, 1)
+        u2 = _hash_u01(id_cols, seed, 2)
+        z = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)
+    else:
+        z = F.randn(seed)
+    return df.withColumn(out_col, F.lit(mu) + F.lit(sigma) * z)
 
 
 def permute(df: DataFrame, key_cols: list[str], seed: int,

@@ -55,11 +55,11 @@ class IVFIndex(Base):
         # hash-threshold filter — map-only, no global sort, stable across
         # partitioning.  Lands ≈ train_size rows (codebook training only
         # needs a representative sample, not an exact count).
+        from cuml_spark.ops.sampling import hash_sample_pred
+
         n = pts.count()
         frac = min(1.0, self.train_size / max(n, 1))
-        bound = int(frac * (1 << 32))
-        h = F.pmod(F.xxhash64("vid", F.lit(self.seed)), F.lit(1 << 32))
-        sample = pts.filter(h < bound).toPandas()
+        sample = pts.filter(hash_sample_pred("vid", frac, self.seed)).toPandas()
         if len(sample) < self.nlist:  # degenerate tiny input: take head
             sample = pts.limit(max(self.train_size, self.nlist)).toPandas()
         X = np.vstack(sample["v"].to_numpy())
