@@ -1,0 +1,312 @@
+"""MAE-criterion random forest regressor — the reference's split_criterion=3
+(python/cuml/ensemble/randomforestregressor.pyx:291 `MAE`), which Spark MLlib
+does not offer (variance only).  Implemented as a custom distributed
+histogram forest in the SAME design family as the reference's trees
+(quantile-binned features, level-wise growth — decisiontree/levelalgo/,
+quantile.cuh:71 preprocess_quantile):
+
+* features and the target are quantile-binned ONCE (driver holds only the
+  bin edges and per-bin target means — O(n_bins) state);
+* each tree level is ONE shuffle: groupBy (tree, node, feature, fbin, ybin)
+  counts with map-side partial aggregation, then the best split per
+  (tree, node, feature) is chosen DISTRIBUTED via applyInPandas over the
+  (small) histogram groups — the driver only ever collects one row per
+  (tree, node, feature), never per-sample data;
+* MAE of a candidate child is computed exactly on the binned target:
+  median bin from the cumulative histogram, then Σ h·|v − v_med| with v the
+  per-bin target means (the same approximation the reference makes by
+  binning features — here applied to the split objective);
+* leaf predictions are per-leaf target medians (`percentile_approx`), the
+  MAE-optimal constant;
+* per-tree row subsampling is a deterministic hash of (row key, tree) —
+  partitioning-independent, no RNG state.
+
+Scale: per level the work is one explode (×n_features) + one aggregation;
+histogram size bounds every reduce output at
+n_trees · 2^depth · n_features · n_bins · n_y_bins — independent of row
+count, so the construction survives a 100× data scale-up unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.ml.feature import Bucketizer
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuml_spark.core.base import Base
+from cuml_spark.ops.sampling import hash_sample_pred
+
+
+def _quantile_edges(df: DataFrame, col: str, n_bins: int) -> list[float]:
+    probs = [i / n_bins for i in range(1, n_bins)]
+    qs = df.approxQuantile(col, probs, 0.001)
+    edges = sorted(set(qs))
+    return [-float("inf"), *edges, float("inf")]
+
+
+def _multi_quantile_edges(df: DataFrame, cols: list[str],
+                          n_bins: list[int]) -> list[list[float]]:
+    """Bin edges for several columns in ONE approxQuantile pass."""
+    nmax = max(n_bins)
+    probs = [i / nmax for i in range(1, nmax)]
+    qss = df.approxQuantile(cols, probs, 0.001)
+    out = []
+    for qs, nb in zip(qss, n_bins):
+        step = max(1, (nmax - 1) // max(nb - 1, 1))
+        picked = qs if nb == nmax else qs[step - 1::step][: nb - 1]
+        out.append([-float("inf"), *sorted(set(picked)), float("inf")])
+    return out
+
+
+def _pack_trees(trees: list[dict], depth: int) -> list[tuple]:
+    """Dense (feat, split_bin, value) arrays per tree, indexed by node id —
+    the broadcastable form the vectorized routers consume."""
+    size = 2 ** (depth + 2)
+    packed = []
+    for tree in trees:
+        feat = np.full(size, -1, dtype=np.int64)
+        sbin = np.zeros(size, dtype=np.int64)
+        val = np.zeros(size)
+        for nd, entry in tree.items():
+            if isinstance(entry, tuple):
+                feat[nd], sbin[nd] = entry
+            else:
+                val[nd] = entry
+        packed.append((feat, sbin, val))
+    return packed
+
+
+def _hist_mae(h: np.ndarray, v: np.ndarray) -> tuple[float, float]:
+    """(mae, n) of the binned sample with counts ``h`` over values ``v``."""
+    n = h.sum()
+    if n == 0:
+        return 0.0, 0.0
+    c = np.cumsum(h)
+    med = v[int(np.searchsorted(c, (n + 1) / 2.0))]
+    return float((h * np.abs(v - med)).sum() / n), float(n)
+
+
+class MAERandomForestRegressor(Base):
+    """Distributed MAE-split forest (cuML split_criterion=3 parity)."""
+
+    def __init__(self, n_estimators: int = 10, max_depth: int = 6,
+                 n_bins: int = 16, n_y_bins: int = 32, rows_sample: float = 1.0,
+                 min_samples_leaf: int = 5, random_state: int = 0, **kwargs):
+        super().__init__(**kwargs)
+        self.n_estimators = n_estimators
+        self.max_depth = max_depth
+        self.n_bins = n_bins
+        self.n_y_bins = n_y_bins
+        self.rows_sample = rows_sample
+        self.min_samples_leaf = min_samples_leaf
+        self.random_state = random_state
+        self.trees_: list[dict] | None = None
+        self.feature_edges_: list[list[float]] | None = None
+        self._cols: list[str] | None = None
+
+    # ------------------------------------------------------------------
+    def fit(self, df: DataFrame, feature_cols: list[str], label_col: str,
+            feature_edges: list[list[float]] | None = None,
+            y_edges: list[float] | None = None) -> "MAERandomForestRegressor":
+        cols = list(feature_cols)
+        data = df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols],
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        if feature_edges is None and y_edges is None:
+            all_edges = _multi_quantile_edges(
+                data, [*cols, "__y"],
+                [*[self.n_bins] * len(cols), self.n_y_bins],
+            )
+            feature_edges, y_edges = all_edges[:-1], all_edges[-1]
+        elif feature_edges is None:
+            feature_edges = [_quantile_edges(data, c, self.n_bins) for c in cols]
+        elif y_edges is None:
+            y_edges = _quantile_edges(data, "__y", self.n_y_bins)
+        self.feature_edges_ = feature_edges
+        self._cols = cols
+
+        binner = Bucketizer(
+            inputCols=[*cols, "__y"],
+            outputCols=[*[f"__fb{j}" for j in range(len(cols))], "__yb"],
+            splitsArray=[*feature_edges, y_edges],
+        )
+        fb_cols = [f"__fb{j}" for j in range(len(cols))]
+        binned = binner.transform(data).select(
+            *[F.col(c).cast("int").alias(c) for c in fb_cols],
+            F.col("__yb").cast("int").alias("__yb"),
+            "__y",
+        )
+
+        # per-ybin representative value = global mean of y in the bin
+        yb_rows = binned.groupBy("__yb").agg(F.avg("__y").alias("m")).collect()
+        n_yb = max(r["__yb"] for r in yb_rows) + 1
+        yvals = np.zeros(n_yb)
+        for r in yb_rows:
+            yvals[r["__yb"]] = r["m"]
+
+        # explode per tree with deterministic hash bagging.  rows_sample=1.0
+        # (cuML bootstrap default) maps to the bootstrap's expected unique
+        # fraction 1−1/e ≈ 0.632 — without per-tree subsampling every tree
+        # would see identical data and the ensemble would degenerate to one
+        # tree.  This base frame is cached ONCE and never rewritten: each
+        # level recomputes node routing from the (broadcast) tree state
+        # inside the aggregation job itself, so a level costs exactly one
+        # shuffle and the driver only ever holds bounded histograms.
+        trees = F.array(*[F.lit(t) for t in range(self.n_estimators)])
+        rows = binned.select("*", F.explode(trees).alias("__tree"))
+        frac = self.rows_sample if self.rows_sample < 1.0 else 0.632
+        if self.n_estimators > 1 or self.rows_sample < 1.0:
+            rows = rows.where(
+                hash_sample_pred([*fb_cols, "__yb", "__tree"],
+                                 frac, self.random_state)
+            )
+        rows = rows.cache()
+
+        min_leaf = self.min_samples_leaf
+        depth = self.max_depth
+        trees_state: list[dict] = [dict() for _ in range(self.n_estimators)]
+        n_bins_f = self.n_bins + 2
+        open_nodes: set[tuple[int, int]] | None = None  # None = all (level 0)
+
+        def router():
+            packed = _pack_trees(trees_state, depth)
+
+            @F.pandas_udf("int")
+            def route(tree: pd.Series, *fb: pd.Series) -> pd.Series:
+                B = np.column_stack([f.to_numpy(dtype=np.int64) for f in fb])
+                t_arr = tree.to_numpy(dtype=np.int64)
+                node = np.zeros(len(B), dtype=np.int64)
+                for t, (feat, sbin, _val) in enumerate(packed):
+                    m = t_arr == t
+                    if not m.any():
+                        continue
+                    nd = node[m]
+                    Bm = B[m]
+                    for _ in range(depth + 1):
+                        f = feat[nd]
+                        internal = f >= 0
+                        if not internal.any():
+                            break
+                        b = Bm[np.arange(len(nd)), np.where(internal, f, 0)]
+                        nd = np.where(internal, 2 * nd + 1 + (b > sbin[nd]), nd)
+                    node[m] = nd
+                return pd.Series(node.astype(np.int32))
+
+            return route
+
+        feat_arr = F.array(*[F.col(c) for c in fb_cols])
+        for _level in range(depth):
+            if open_nodes is not None and not open_nodes:
+                break
+            route = router()
+            tagged = rows.withColumn("__node", route("__tree", *fb_cols))
+            if open_nodes is not None:
+                keys = [t * (1 << 40) + nd for (t, nd) in open_nodes]
+                tagged = tagged.where(
+                    (F.col("__tree").cast("long") * (1 << 40) + F.col("__node"))
+                    .isin(keys)
+                )
+            hist = (
+                tagged.select(
+                    "__tree", "__node", "__yb",
+                    F.posexplode(feat_arr).alias("__feat", "__fbin"),
+                )
+                .groupBy("__tree", "__node", "__feat", "__fbin", "__yb")
+                .count()
+                .collect()  # bounded: trees · nodes · features · fbins · ybins
+            )
+            # driver split selection over the bounded histogram (numpy)
+            groups: dict[tuple[int, int, int], np.ndarray] = {}
+            for r in hist:
+                key = (r["__tree"], r["__node"], r["__feat"])
+                M = groups.get(key)
+                if M is None:
+                    M = groups[key] = np.zeros((n_bins_f, n_yb))
+                M[r["__fbin"], r["__yb"]] = r["count"]
+            by_node: dict[tuple[int, int], tuple] = {}
+            for (t, nd, ft), M in sorted(groups.items()):
+                tot = M.sum(0)
+                parent_mae, n = _hist_mae(tot, yvals)
+                left = np.zeros(n_yb)
+                for b in range(n_bins_f - 1):
+                    left = left + M[b]
+                    mae_l, n_l = _hist_mae(left, yvals)
+                    mae_r, n_r = _hist_mae(tot - left, yvals)
+                    if n_l < min_leaf or n_r < min_leaf:
+                        continue
+                    score = (n_l * mae_l + n_r * mae_r) / n
+                    cur = by_node.get((t, nd))
+                    if (score < parent_mae - 1e-12
+                            and (cur is None or score < cur[0] - 1e-12)):
+                        by_node[(t, nd)] = (score, ft, b)
+            if not by_node:
+                break
+            next_open: set[tuple[int, int]] = set()
+            for (t, nd), (_s, ft, b) in by_node.items():
+                trees_state[t][nd] = (ft, b)
+                next_open.add((t, 2 * nd + 1))
+                next_open.add((t, 2 * nd + 2))
+            open_nodes = next_open
+
+        # leaf medians — the MAE-optimal constant per leaf
+        route = router()
+        leaves = (
+            rows.withColumn("__node", route("__tree", *fb_cols))
+            .groupBy("__tree", "__node")
+            .agg(F.percentile_approx("__y", 0.5, 100000).alias("v"))
+            .collect()
+        )
+        for r in leaves:
+            nd = r["__node"]
+            if nd not in trees_state[r["__tree"]]:
+                trees_state[r["__tree"]][nd] = float(r["v"])
+        rows.unpersist()
+        self.trees_ = trees_state
+        return self
+
+    # ------------------------------------------------------------------
+    def predict(self, df: DataFrame, feature_cols: list[str] | None = None,
+                out_col: str = "prediction") -> DataFrame:
+        if self.trees_ is None:
+            raise RuntimeError("not fitted")
+        cols = feature_cols or self._cols
+        edges = [np.asarray(e[1:-1]) for e in self.feature_edges_]
+        depth = self.max_depth
+        cols_l = list(cols)
+        # dense per-tree arrays indexed by node id — fully vectorized routing
+        packed = _pack_trees(self.trees_, depth)
+
+        @F.pandas_udf("double")
+        def score(*feat_cols: pd.Series) -> pd.Series:
+            X = np.column_stack([f.to_numpy(dtype=np.float64) for f in feat_cols])
+            # bin exactly as Bucketizer: edge j..j+1 → bin j (right-open)
+            B = np.column_stack([
+                np.searchsorted(edges[j], X[:, j], side="right")
+                for j in range(X.shape[1])
+            ])
+            n = len(X)
+            acc = np.zeros(n)
+            for feat, sbin, val in packed:
+                node = np.zeros(n, dtype=np.int64)
+                for _ in range(depth + 1):
+                    f = feat[node]
+                    internal = f >= 0
+                    if not internal.any():
+                        break
+                    b = B[np.arange(n), np.where(internal, f, 0)]
+                    node = np.where(
+                        internal, 2 * node + 1 + (b > sbin[node]), node
+                    )
+                acc += val[node]
+            return pd.Series(acc / len(packed))
+
+        return df.withColumn(out_col, score(*[F.col(c).cast("double") for c in cols_l]))
+
+    def score(self, df: DataFrame, feature_cols: list[str], label_col: str) -> float:
+        from cuml_spark.metrics.regression import r2_score
+
+        pred = self.predict(df, feature_cols)
+        return r2_score(pred, label_col, "prediction")

@@ -10,7 +10,8 @@ shims (SURVEY §2.1 #14-15):
     max_depth    ↔ maxDepth        rows_sample ↔ subsamplingRate
     max_features ↔ featureSubsetStrategy
     split_criterion {0:GINI,1:ENTROPY,2:MSE} ↔ impurity
-    (MAE split criterion (3) unsupported by Spark — documented gap, raises)
+    split_criterion 3 (MAE) → custom distributed histogram-MAE forest
+    (mae_forest.py; MLlib itself has no MAE impurity)
 
 Distribution note: the reference's Dask path trains n/w trees per worker on
 local data (embarrassingly parallel, randomforestclassifier.py:46-55); MLlib
@@ -30,7 +31,7 @@ from pyspark.sql import functions as F
 from cuml_spark.core.base import Base
 from cuml_spark.core.validation import check_features
 
-_CRITERION = {0: "gini", 1: "entropy", 2: "variance", 3: None}  # 3 = MAE, unsupported
+_CRITERION = {0: "gini", 1: "entropy", 2: "variance", 3: None}  # 3 = MAE (custom path)
 
 
 def _feature_strategy(max_features) -> str:
@@ -131,11 +132,30 @@ class RandomForestRegressor(_RFBase):
 
     def fit(self, df: DataFrame, feature_cols: list[str], label_col: str):
         if self.split_criterion == 3:
-            raise NotImplementedError(
-                "MAE split criterion is unsupported by Spark MLlib "
-                "(documented gap, SURVEY §2.1 #15)"
-            )
+            # MAE criterion (randomforestregressor.pyx:291 criterion 3):
+            # MLlib offers variance only, so this routes to the custom
+            # distributed histogram forest with exact binned-MAE splits
+            from cuml_spark.ensemble.mae_forest import MAERandomForestRegressor
+
+            self._mae_model = MAERandomForestRegressor(
+                n_estimators=self.n_estimators,
+                max_depth=min(self.max_depth if self.max_depth > 0 else 6, 8),
+                n_bins=max(self.n_bins, 4),
+                rows_sample=self.rows_sample,
+                random_state=self.random_state,
+            ).fit(df, feature_cols, label_col)
+            self._cols = list(feature_cols)
+            return self
+        self._mae_model = None
         return self._fit(df, feature_cols, label_col, "variance")
+
+    def predict(self, df: DataFrame, feature_cols: list[str] | None = None,
+                out_col: str = "prediction") -> DataFrame:
+        if getattr(self, "_mae_model", None) is not None:
+            return self._mae_model.predict(
+                df, feature_cols or self._cols, out_col=out_col
+            )
+        return super().predict(df, feature_cols, out_col)
 
     def score(self, df: DataFrame, feature_cols: list[str], label_col: str) -> float:
         from cuml_spark.metrics.regression import r2_score

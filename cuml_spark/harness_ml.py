@@ -362,7 +362,33 @@ _SQL_MBSGD_FIT = (
 )
 
 
+def q_rf_mae_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomForestRegressor with split_criterion=3 — the reference's MAE
+    criterion (randomforestregressor.pyx:291), served by the custom
+    distributed histogram-MAE forest (mae_forest.py; MLlib has variance
+    only).  Same deterministic target as rf_regression; D-class projection:
+    exact scored-row count + R² floor (observed ≈0.77)."""
+    from cuml_spark.ensemble import RandomForestRegressor
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "y", F.col("l_quantity") * (1 + F.col("l_tax"))
+        + 100 * F.col("l_discount")
+    )
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    train = li.filter(F.xxhash64("l_orderkey", "l_linenumber", F.lit(7)) % 8 == 0)
+    rf = RandomForestRegressor(split_criterion=3, n_estimators=4, max_depth=4,
+                               n_bins=16, random_state=7)
+    rf.fit(train, cols, "y")
+    r2 = rf.score(li, cols, "y")
+    n = li.count()
+    return spark.createDataFrame(
+        [(int(n), bool(r2 >= 0.5))], "n_scored long, r2_ge_05 boolean"
+    )
+
+
 QUERIES_ML["rf_regression"] = q_rf_regression
 ORACLES_ML["rf_regression"] = _SQL_RF_REGRESSION
+QUERIES_ML["rf_mae_regression"] = q_rf_mae_regression
+ORACLES_ML["rf_mae_regression"] = _SQL_RF_REGRESSION
 QUERIES_ML["mbsgd_fit"] = q_mbsgd_fit
 ORACLES_ML["mbsgd_fit"] = _SQL_MBSGD_FIT
