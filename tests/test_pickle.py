@@ -242,3 +242,13 @@ def test_saveload_umap(spark, tmp_path):
     um2 = UMAP.load(str(tmp_path / "umap"), spark)
     assert _rows(um.transform(emb, vec_col="x", id_col="pid"), ["pid"]) == \
         _rows(um2.transform(emb, vec_col="x", id_col="pid"), ["pid"])
+
+
+def test_pickle_mae_forest(spark, xy):
+    from cuml_spark.ensemble.mae_forest import MAERandomForestRegressor
+
+    m = MAERandomForestRegressor(n_estimators=2, max_depth=3,
+                                 random_state=1).fit(xy, COLS, "y")
+    m2 = _roundtrip(m)
+    assert _rows(m.predict(xy, COLS), ["prediction"]) == \
+        _rows(m2.predict(xy, COLS), ["prediction"])
