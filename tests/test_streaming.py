@@ -189,3 +189,54 @@ def test_streaming_dedup_with_watermark_bounded_state(spark, tmpdir):
 
     assert len(out) == 2
     assert set(out["doc_id"]) == {1, 3}
+
+
+def test_streaming_fil_inference_matches_batch(spark, tmpdir):
+    """Model scoring is a stateless pandas-UDF projection, so the SAME
+    ForestInference call runs on a stream unchanged — streaming inference
+    over micro-batches must equal the batch scores row-for-row."""
+    import json
+
+    import numpy as np
+
+    from cuml_spark.fil import ForestInference
+
+    tree = {
+        "nodeid": 0, "split": "f0", "split_condition": 0.5, "yes": 1, "no": 2,
+        "children": [{"nodeid": 1, "leaf": 1.5}, {"nodeid": 2, "leaf": -2.0}],
+    }
+    fil = ForestInference.load_from_xgboost_json(json.dumps([tree]), output="raw")
+
+    rng = np.random.RandomState(9)
+    rows = [(i, float(rng.uniform(-1, 2)), float(rng.uniform(-1, 2)))
+            for i in range(120)]
+    schema = "id long, f0 double, f1 double"
+    in_dir = tmpdir / "in"
+    in_dir.mkdir()
+    chk = str(tmpdir / "chk")
+    _write_chunk(spark, tmpdir, in_dir, "b1", rows[:60], schema)
+    _write_chunk(spark, tmpdir, in_dir, "b2", rows[60:], schema)
+
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    query = (
+        fil.predict(stream, ["f0", "f1"])
+        .writeStream.format("memory").queryName("fil_stream_out")
+        .option("checkpointLocation", chk).outputMode("append").start()
+    )
+    try:
+        query.processAllAvailable()
+        got = spark.sql(
+            "select id, prediction from fil_stream_out order by id"
+        ).toPandas()
+    finally:
+        query.stop()
+
+    batch_df = spark.createDataFrame(rows, schema)
+    want = (
+        fil.predict(batch_df, ["f0", "f1"])
+        .select("id", "prediction").toPandas().sort_values("id")
+    )
+    assert len(got) == 120
+    np.testing.assert_allclose(
+        got["prediction"].to_numpy(), want["prediction"].to_numpy(), rtol=0
+    )
