@@ -30,6 +30,7 @@ from cuml_spark.ops.sparse import (
     coo_sort,
     coo_remove_zeros,
     coo_symmetrize,
+    csr_add,
     row_normalize_l1,
     row_normalize_max,
     connected_components,
@@ -48,7 +49,7 @@ __all__ = [
     "gram_matrix", "gram_vector", "row_norms", "col_norms",
     "tall_skinny_qr", "svd_tall", "randomized_svd",
     "coo_sort", "coo_remove_zeros", "coo_symmetrize",
-    "row_normalize_l1", "row_normalize_max", "connected_components",
+    "csr_add", "row_normalize_l1", "row_normalize_max", "connected_components",
     "col_means", "col_stddev", "col_sum", "col_minmax",
     "covariance_matrix", "correlation_matrix", "histogram",
     "weighted_mean", "mean_center", "describe_matrix",

@@ -65,6 +65,20 @@ def coo_symmetrize(
     )
 
 
+def csr_add(a: DataFrame, b: DataFrame, row: str = "row", col: str = "col",
+            value: str = "value") -> DataFrame:
+    """Sparse matrix addition on edge lists (csr.h:535 csr_add_calc_inds /
+    csr_add_finalize semantics): union of the two structures, values summed
+    where both carry an entry.  One groupBy — the union never materializes
+    an index structure the way the CSR kernel must."""
+    cols = [row, col, value]
+    return (
+        a.select(*cols).unionAll(b.select(*cols))
+        .groupBy(row, col)
+        .agg(F.sum(value).alias(value))
+    )
+
+
 def row_normalize_l1(edges: DataFrame, row: str = "row",
                      value: str = "value") -> DataFrame:
     """value / Σ_row |value| (csr.h:299)."""

@@ -122,3 +122,17 @@ def test_elasticnet_penalty_scalar(spark):
         elasticnet_penalty("sabs", "ssq", alpha=0.5, l1_ratio=0.4).alias("p")
     ).first().p
     assert got == pytest.approx(0.5 * 0.4 * 3.0 + 0.5 * 0.6 * 5.0)
+
+
+def test_csr_add_merges_structures(spark):
+    """csr_add (csr.h:535): union of structures, values summed on overlap."""
+    a = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0)], "row int, col int, value double"
+    )
+    b = spark.createDataFrame(
+        [(0, 1, 10.0), (2, 0, 5.0)], "row int, col int, value double"
+    )
+    from cuml_spark.ops.sparse import csr_add
+
+    got = {(r["row"], r["col"]): r["value"] for r in csr_add(a, b).collect()}
+    assert got == {(0, 0): 1.0, (0, 1): 12.0, (1, 1): 3.0, (2, 0): 5.0}
