@@ -228,13 +228,11 @@ class DBSCAN(Base):
                 F.col("pid").alias("b_id"), F.col("x").alias("b_x"), "cell_key"
             )
             joined = a_probe.join(b_home, "cell_key").filter(F.col("a_id") != F.col("b_id"))
-        # plain element_at arithmetic, not a higher-order fold: HOFs are
-        # interpreted per element; this stays inside whole-stage codegen
-        # over the pair stream (the hot loop of the grid join)
-        dist2 = sum(
-            (F.element_at("a_x", i + 1) - F.element_at("b_x", i + 1)) ** 2
-            for i in range(d)
-        )
+        # unrolled codegen arithmetic, not a higher-order fold — the hot
+        # loop of the grid join (HOFs are interpreted per element)
+        from cuml_spark.ops.distance import sq_euclidean_direct
+
+        dist2 = sq_euclidean_direct("a_x", "b_x", d)
         degrees = (
             joined.filter(dist2 <= F.lit(eps2))
             .groupBy("a_id")

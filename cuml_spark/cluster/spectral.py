@@ -143,7 +143,7 @@ class SpectralClustering(Base):
             n_landmarks=self.n_landmarks, gamma=self.gamma,
             seed=self.random_state, drop_first=False,
         )
-        ecols = [c for c in emb.columns if c.startswith("se")]
+        ecols = [f"se{j}" for j in range(self.n_components)]
         # NJW row normalization as a pure expression
         nrm = F.sqrt(sum(F.col(c) * F.col(c) for c in ecols) + F.lit(1e-12))
         # cache: KMeans iterates over this frame many times — without the
@@ -193,7 +193,7 @@ def _embed_exact(data, cols, id_col, n, k, n_neighbors, seed, drop_first):
         F.col(id_col).alias("vec_id"),
         F.array(*[F.col(c) for c in cols]).alias("embedding"),
     )
-    knn = knn_join(vec, vec, k=n_neighbors, metric="sqeuclidean")
+    knn = knn_join(vec, vec, k=n_neighbors, metric="sqeuclidean", dim=len(cols))
     edges = knn.select(
         F.col("query_id").alias("row"),
         F.col("neighbor_id").alias("col"),

@@ -95,6 +95,13 @@ class MAERandomForestRegressor(Base):
                  n_bins: int = 16, n_y_bins: int = 32, rows_sample: float = 1.0,
                  min_samples_leaf: int = 5, random_state: int = 0, **kwargs):
         super().__init__(**kwargs)
+        if max_depth > 16:
+            # node arrays are dense 2^(depth+2); beyond the reference's own
+            # default ceiling (max_depth=16) that representation explodes
+            raise ValueError(
+                f"max_depth={max_depth} > 16 unsupported for the MAE forest "
+                "(dense node arrays; use the variance criterion for deeper trees)"
+            )
         self.n_estimators = n_estimators
         self.max_depth = max_depth
         self.n_bins = n_bins
@@ -109,11 +116,15 @@ class MAERandomForestRegressor(Base):
     # ------------------------------------------------------------------
     def fit(self, df: DataFrame, feature_cols: list[str], label_col: str,
             feature_edges: list[list[float]] | None = None,
-            y_edges: list[float] | None = None) -> "MAERandomForestRegressor":
+            y_edges: list[float] | None = None,
+            bag_cols: list[str] | None = None,
+            bootstrap: bool = True) -> "MAERandomForestRegressor":
         cols = list(feature_cols)
+        extra_bag = [c for c in (bag_cols or []) if c not in cols]
         data = df.select(
             *[F.col(c).cast("double").alias(c) for c in cols],
             F.col(label_col).cast("double").alias("__y"),
+            *extra_bag,
         )
         if feature_edges is None and y_edges is None:
             all_edges = _multi_quantile_edges(
@@ -138,6 +149,16 @@ class MAERandomForestRegressor(Base):
             *[F.col(c).cast("int").alias(c) for c in fb_cols],
             F.col("__yb").cast("int").alias("__yb"),
             "__y",
+            *[F.col(c).alias(f"__bag{j}") for j, c in enumerate(cols)],
+            *extra_bag,
+        )
+        # per-tree bagging key: caller-provided row identity when available,
+        # else the RAW feature/label doubles — far finer-grained than the
+        # bins (hashing binned values would keep or drop whole feature-cell
+        # × label-bin strata per tree, biasing the split histograms)
+        bag_key = (
+            extra_bag if extra_bag
+            else [*[f"__bag{j}" for j in range(len(cols))], "__y"]
         )
 
         # per-ybin representative value = global mean of y in the bin
@@ -158,12 +179,13 @@ class MAERandomForestRegressor(Base):
         trees = F.array(*[F.lit(t) for t in range(self.n_estimators)])
         rows = binned.select("*", F.explode(trees).alias("__tree"))
         frac = self.rows_sample if self.rows_sample < 1.0 else 0.632
-        if self.n_estimators > 1 or self.rows_sample < 1.0:
+        if self.rows_sample < 1.0 or (bootstrap and self.n_estimators > 1):
             rows = rows.where(
-                hash_sample_pred([*fb_cols, "__yb", "__tree"],
-                                 frac, self.random_state)
+                hash_sample_pred([*bag_key, "__tree"], frac, self.random_state)
             )
-        rows = rows.cache()
+        rows = rows.select(
+            *fb_cols, "__yb", "__y", "__tree"
+        ).cache()
 
         min_leaf = self.min_samples_leaf
         depth = self.max_depth

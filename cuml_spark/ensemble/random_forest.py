@@ -139,11 +139,11 @@ class RandomForestRegressor(_RFBase):
 
             self._mae_model = MAERandomForestRegressor(
                 n_estimators=self.n_estimators,
-                max_depth=min(self.max_depth if self.max_depth > 0 else 6, 8),
+                max_depth=self.max_depth if self.max_depth > 0 else 16,
                 n_bins=max(self.n_bins, 4),
                 rows_sample=self.rows_sample,
                 random_state=self.random_state,
-            ).fit(df, feature_cols, label_col)
+            ).fit(df, feature_cols, label_col, bootstrap=self.bootstrap)
             self._cols = list(feature_cols)
             return self
         self._mae_model = None

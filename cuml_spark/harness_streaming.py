@@ -54,9 +54,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id long, ts long, user_id long, event_type string, "
             "value double, props string",
         )
-        return raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division — `/` would round-trip the ~1.7e18 ns value
+        # through double (ULP 256 ns) and day-boundary events could land in
+        # the wrong window vs the oracle's exact integer arithmetic
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return _read_stream(
         spark, sf_dir, "events",
         "event_id long, ts timestamp, user_id long, event_type string, "

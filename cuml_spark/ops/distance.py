@@ -74,6 +74,15 @@ def hyperplane_buckets(n_planes: int, n_tables: int, dim: int, seed: int):
     return _buckets
 
 
+def sq_euclidean_direct(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Unrolled Σ(aᵢ−bᵢ)² over two array columns — stays in whole-stage
+    codegen (for pair-join hot loops where precomputed norms don't pay)."""
+    return sum(
+        (F.element_at(a, i + 1) - F.element_at(b, i + 1)) ** 2
+        for i in range(dim)
+    )
+
+
 def with_sq_norm(df: DataFrame, vec_col: str, out_col: str = "sq_norm",
                  dim: int | None = None) -> DataFrame:
     """Materialize per-row ‖x‖² once — the 'expanded distance' precompute."""

@@ -131,6 +131,7 @@ def connected_components(
         .cache()
     )
     changed = 1
+    stepped_cached = None
     for it in range(max_iter):
         prop = (
             sym.join(labels.withColumnRenamed("vertex", "a"), "a")
@@ -152,6 +153,7 @@ def connected_components(
             # rounds O(log diameter) for deep chains without paying the
             # self-join on the plain rounds that shallow graphs finish in
             stepped = stepped.cache()  # read twice below (self-join)
+            stepped_cached = stepped
             roots = stepped.select(
                 F.col("vertex").alias("component"),
                 F.col("component").alias("root"),
@@ -173,6 +175,12 @@ def connected_components(
             .count()
         )
         labels.unpersist()
+        if stepped_cached is not None:
+            # the doubling round's intermediate is consumed once new_labels
+            # materialized (the count above) — release it so peak cached
+            # storage stays at two label frames regardless of round count
+            stepped_cached.unpersist()
+            stepped_cached = None
         labels = new_labels
         if changed == 0:
             break

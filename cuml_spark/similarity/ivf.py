@@ -105,7 +105,7 @@ class IVFIndex(Base):
         # unrolled codegen arithmetic — dim is known from the codebook
         dim = int(cents.shape[1])
         from cuml_spark.ops.distance import dot as dot_expr
-        from cuml_spark.ops.distance import sq_norm
+        from cuml_spark.ops.distance import sq_euclidean_direct, sq_norm
 
         dot = dot_expr(F.col("q"), F.col("v"), dim=dim)
         if metric == "cosine":
@@ -115,10 +115,7 @@ class IVFIndex(Base):
             )
             order = F.col("score").desc()
         elif metric in ("sqeuclidean", "l2"):
-            score = sum(
-                (F.element_at("q", i + 1) - F.element_at("v", i + 1)) ** 2
-                for i in range(dim)
-            )
+            score = sq_euclidean_direct("q", "v", dim)
             order = F.col("score").asc()
         else:
             raise ValueError(f"unsupported metric {metric!r}")
