@@ -57,3 +57,39 @@ def test_kmeans_score_is_negative_inertia(blobs):
     s = km.score(blobs)
     assert s < 0
     assert -s == pytest.approx(km.inertia_, rel=1e-2)  # same data → same cost
+
+
+import pytest as _pytest
+
+from tests.conftest import quality_param, stress_param, unit_param
+
+
+@_pytest.mark.parametrize("n", [
+    unit_param(1000), quality_param(20000), stress_param(500000),
+])
+def test_kmeans_size_tiers(spark, n):
+    """Size-tiered KMeans recovery (reference tier pattern:
+    test_kmeans.py:32-34 unit/quality/stress params): 3 well-separated
+    blobs must be recovered with the right cluster sizes at every tier."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.cluster import KMeans
+
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 3).alias("g"),
+            ((F.col("id") % 3) * 20.0
+             + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)) / 1000.0).alias("x1"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)) / 1000.0).alias("x2"),
+        )
+    )
+    km = KMeans(n_clusters=3, random_state=1, max_iter=50).fit(df, ["x1", "x2"])
+    sizes = sorted(
+        r["n"] for r in km.predict(df, ["x1", "x2"])
+        .groupBy("label").agg(F.count("*").alias("n")).collect()
+    )
+    want = sorted((n + 2) // 3 if g < n % 3 or n % 3 == 0 else n // 3
+                  for g in range(3))
+    assert sizes == sorted([n - 2 * (n // 3), n // 3, n // 3]) or sizes == want
