@@ -97,3 +97,41 @@ def test_language_id(docs):
     out = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
     assert out[0] == "en"
     assert out[3] == "de"
+
+
+import pytest as _pytest
+
+from tests.conftest import quality_param, unit_param
+
+
+@_pytest.mark.parametrize("n_docs", [unit_param(2000), quality_param(20000)])
+def test_lsh_dedup_recall_at_scale(spark, n_docs):
+    """Planted-duplicate recall of the full MinHash→banded-LSH pipeline on
+    synthetic corpora beyond the 500-doc fixture: every planted pair (one
+    char edit on a ~120-char doc, Jaccard ≈ 0.9) must surface as an LSH
+    candidate; with b=8 bands, r=8 rows the hit probability per pair is
+    1−(1−0.9^8)^8 ≈ 0.98, so ≥90% recall is a conservative floor."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.text.dedup import lsh_candidate_pairs
+
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("document body "),
+            *[F.conv(F.xxhash64("id", F.lit(s)).cast("string"), 10, 16)
+              for s in range(8)],
+        ).alias("text"),
+    )
+    # plant: every 20th doc gets a near-copy (append one char) with id+n_docs
+    dups = base.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("x")).alias("text"),
+    )
+    docs = base.unionAll(dups)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(docs).collect()}
+    planted = {(i, i + n_docs) for i in range(0, n_docs, 20)}
+    found = {p for p in planted if p in pairs or (p[1], p[0]) in pairs}
+    recall = len(found) / len(planted)
+    assert recall >= 0.9, recall
