@@ -29,23 +29,80 @@ from cuml_spark.neighbors.nearest_neighbors import knn_join
 SMOOTH_K_TOL = 1e-5
 
 
-def _smooth_knn_dist(dists: np.ndarray, k: float, n_iter: int = 64) -> tuple[float, float]:
-    """(rho, sigma) per point — binary search Σexp(−(d−ρ)/σ) = log2(k)
-    (fuzzy_simpl_set/naive.h smooth_knn_dist semantics)."""
+def _smooth_knn_dist_all(D: np.ndarray, k: float, n_iter: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """(rho, sigma) for EVERY point at once — the smooth-knn-dist binary
+    search (fuzzy_simpl_set/naive.h) run as one vectorized solve over the
+    padded (n, kmax) distance matrix (np.inf padding contributes exp(-inf)=0
+    to the membership sum, exactly like an absent neighbor).
+    """
     target = np.log2(k)
-    rho = dists[dists > 0].min() if (dists > 0).any() else 0.0
-    lo, hi, mid = 0.0, np.inf, 1.0
+    finite = np.isfinite(D)
+    pos = finite & (D > 0)
+    Dpos = np.where(pos, D, np.inf)
+    rho = np.where(pos.any(axis=1), Dpos.min(axis=1), 0.0)
+    n = D.shape[0]
+    lo = np.zeros(n)
+    hi = np.full(n, np.inf)
+    mid = np.ones(n)
+    done = np.zeros(n, dtype=bool)
+    shifted = np.maximum(D - rho[:, None], 0.0)  # inf stays inf
     for _ in range(n_iter):
-        psum = np.exp(-np.maximum(dists - rho, 0.0) / mid).sum()
-        if abs(psum - target) < SMOOTH_K_TOL:
+        with np.errstate(over="ignore"):
+            psum = np.where(finite, np.exp(-shifted / mid[:, None]), 0.0).sum(axis=1)
+        done |= np.abs(psum - target) < SMOOTH_K_TOL
+        if done.all():
             break
-        if psum > target:
-            hi = mid
-            mid = (lo + hi) / 2.0
-        else:
-            lo = mid
-            mid = mid * 2.0 if hi == np.inf else (lo + hi) / 2.0
-    return float(rho), float(mid)
+        high = ~done & (psum > target)
+        hi[high] = mid[high]
+        mid[high] = (lo[high] + hi[high]) / 2.0
+        low = ~done & (psum <= target)
+        lo[low] = mid[low]
+        inf_hi = low & np.isinf(hi)
+        mid[inf_hi] *= 2.0
+        fin_hi = low & ~np.isinf(hi)
+        mid[fin_hi] = (lo[fin_hi] + hi[fin_hi]) / 2.0
+    return rho, mid
+
+
+def _fuzzy_simplicial_set(
+    qi: np.ndarray, ni: np.ndarray, dist: np.ndarray, n: int, k: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """k-sparse KNN edge list → symmetric fuzzy graph (heads, tails, weights).
+
+    Fully vectorized: padded-matrix smooth-knn-dist solve, membership
+    strengths by fancy-indexing rho/sigma back onto edges, and the
+    symmetrization w + wᵀ − w∘wᵀ (coo_symmetrize, sparse/coo.h:797) via a
+    sorted-key searchsorted match of each edge against its reverse — no
+    Python dicts, O(E log E).
+    """
+    m = len(qi)
+    if m == 0:
+        z = np.zeros(0)
+        return z.astype(np.int64), z.astype(np.int64), z
+    # pad edges into (n, kmax) rows ordered by arrival within each query
+    order = np.argsort(qi, kind="stable")
+    counts = np.bincount(qi, minlength=n)
+    kmax = int(counts.max())
+    slot = np.arange(m) - np.repeat(np.cumsum(counts) - counts, counts)
+    D = np.full((n, kmax), np.inf)
+    D[qi[order], slot] = dist[order]
+    rho, sigma = _smooth_knn_dist_all(D, k)
+    w = np.exp(-np.maximum(dist - rho[qi], 0.0) / sigma[qi])
+    # match each directed edge with its reverse (if present)
+    key = qi.astype(np.int64) * n + ni.astype(np.int64)
+    rkey = ni.astype(np.int64) * n + qi.astype(np.int64)
+    korder = np.argsort(key)
+    skey, sw = key[korder], w[korder]
+    pos = np.searchsorted(skey, rkey)
+    pos_c = np.minimum(pos, m - 1)
+    found = skey[pos_c] == rkey
+    wt = np.where(found, sw[pos_c], 0.0)
+    sym_w = w + wt - w * wt
+    # dedupe to one row per unordered pair (both directions agree on sym_w)
+    a = np.minimum(qi, ni).astype(np.int64)
+    b = np.maximum(qi, ni).astype(np.int64)
+    _, first = np.unique(a * n + b, return_index=True)
+    return a[first], b[first], sym_w[first]
 
 
 def _find_ab_params(spread: float, min_dist: float) -> tuple[float, float]:
@@ -103,24 +160,8 @@ class UMAP(Base):
         dist = edges["distance"].to_numpy()
 
         # 2. fuzzy simplicial set: per-point rho/sigma + membership strengths
-        w = np.zeros(len(dist))
-        for i in range(n):
-            sel = qi == i
-            if not sel.any():
-                continue
-            rho, sigma = _smooth_knn_dist(dist[sel], k)
-            w[sel] = np.exp(-np.maximum(dist[sel] - rho, 0.0) / sigma)
-        # symmetrize: w_sym = w + wT − w∘wT  (coo_symmetrize, sparse/coo.h:797)
-        W = {}
-        for a, b, v in zip(qi, ni, w):
-            W[(a, b)] = v
-        sym = {}
-        for (a, b), v in W.items():
-            vt = W.get((b, a), 0.0)
-            sym[(min(a, b), max(a, b))] = v + vt - v * vt
-        heads = np.array([e[0] for e in sym])
-        tails = np.array([e[1] for e in sym])
-        weights = np.array(list(sym.values()))
+        #    — one vectorized binary search over the padded (n, kmax) matrix
+        heads, tails, weights = _fuzzy_simplicial_set(qi, ni, dist, n, k)
 
         # 3. init embedding
         rng = np.random.RandomState(self.random_state)
@@ -158,34 +199,46 @@ class UMAP(Base):
         return 10.0 * comp / (np.abs(comp).max() + 1e-12)
 
     def _optimize(self, Y, heads, tails, weights, a, b, rng) -> np.ndarray:
+        """Negative-sampling SGD layout (simpl_set_embed/algo.h semantics),
+        batched per epoch: active edges gather into arrays, attractive and
+        repulsive gradients compute as single vectorized expressions, and
+        updates scatter back with np.add.at — the same concurrent-update
+        model as the reference's parallel kernel (racy adds within a step),
+        with ONE RNG draw per epoch for all negative samples."""
         n = Y.shape[0]
         lr0 = self.learning_rate
+        nsr = self.negative_sample_rate
         wmax = weights.max() if len(weights) else 1.0
         # per-edge epochs-per-sample schedule (algo.h): stronger edges move more
         eps_per_sample = wmax / np.maximum(weights, 1e-12)
         next_step = eps_per_sample.copy()
         for epoch in range(self.n_epochs):
             alpha = lr0 * (1.0 - epoch / self.n_epochs)
-            active = next_step <= epoch + 1
-            for e in np.where(active)[0]:
-                i, j = heads[e], tails[e]
-                diff = Y[i] - Y[j]
-                d2 = float(diff @ diff)
-                if d2 > 0.0:
-                    grad_coef = (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2**b)
-                    g = np.clip(grad_coef * diff, -4.0, 4.0)
-                    Y[i] += alpha * g
-                    Y[j] -= alpha * g
-                for _ in range(self.negative_sample_rate):
-                    t = rng.randint(n)
-                    if t == i:
-                        continue
-                    diff = Y[i] - Y[t]
-                    d2 = float(diff @ diff)
-                    grad_coef = (2.0 * b) / ((0.001 + d2) * (1.0 + a * d2**b))
-                    g = np.clip(grad_coef * diff, -4.0, 4.0)
-                    Y[i] += alpha * g
-                next_step[e] += eps_per_sample[e]
+            act = np.where(next_step <= epoch + 1)[0]
+            if len(act) == 0:
+                continue
+            i, j = heads[act], tails[act]
+            # attractive phase
+            diff = Y[i] - Y[j]
+            d2 = np.einsum("ij,ij->i", diff, diff)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                coef = np.where(
+                    d2 > 0.0,
+                    (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2**b),
+                    0.0,
+                )
+            g = np.clip(coef[:, None] * diff, -4.0, 4.0)
+            np.add.at(Y, i, alpha * g)
+            np.add.at(Y, j, -alpha * g)
+            # repulsive phase: one draw for every (edge, negative sample)
+            t = rng.randint(n, size=(len(act), nsr))
+            diff_n = Y[i][:, None, :] - Y[t]
+            d2n = np.einsum("ijk,ijk->ij", diff_n, diff_n)
+            coef_n = (2.0 * b) / ((0.001 + d2n) * (1.0 + a * d2n**b))
+            gn = np.clip(coef_n[:, :, None] * diff_n, -4.0, 4.0)
+            gn[t == i[:, None]] = 0.0  # skip self as negative
+            np.add.at(Y, np.repeat(i, nsr), alpha * gn.reshape(-1, Y.shape[1]))
+            next_step[act] += eps_per_sample[act]
         return Y
 
     # ------------------------------------------------------------------

@@ -19,13 +19,101 @@ Spark-native design, same merge pattern:
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cuml_spark.core.base import Base
 from cuml_spark.ops.distance import (cosine_sim, hyperplane_buckets,
                                      sq_euclidean, sq_norm, with_sq_norm)
+
+# Above this many query rows the GEMM path (which holds the query matrix in
+# every task) would stop being "broadcast the small side" — fall back to the
+# pair-join formulation.  20k × d=64 doubles ≈ 10 MB per task: comfortably
+# executor-resident, same regime as a Spark broadcast join threshold.
+_GEMM_QUERY_CAP = 20_000
+
+
+def _knn_gemm(
+    index: DataFrame,
+    q_ids: np.ndarray,
+    Q: np.ndarray,
+    qid_type: T.DataType,
+    k: int,
+    vec_col: str,
+    index_id: str,
+    metric: str,
+) -> DataFrame:
+    """Brute top-k via one BLAS GEMM per Arrow batch (the reference's
+    shard-then-merge, knn.hpp:77): every index partition scores its slice
+    against the full query matrix, keeps its LOCAL top-k per query, and the
+    tiny per-shard winners (n_batches · m · k rows) merge in one window.
+
+    No per-pair row is ever materialized and nothing here depends on
+    whole-stage codegen limits — the hot loop is numpy matmul.
+    """
+    q_sq = np.einsum("ij,ij->i", Q, Q)
+    euclidean = metric == "euclidean"
+    cosine = metric == "cosine"
+    k_local = k
+    src = index.select(
+        F.col(index_id).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("i_vec"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type),
+            T.StructField("neighbor_id", src.schema["neighbor_id"].dataType),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["i_vec"].tolist(), dtype=np.float64)
+            nid = pdf["neighbor_id"].to_numpy()
+            G = X @ Q.T  # (batch, m) — the one GEMM
+            if cosine:
+                x_n = np.sqrt(np.einsum("ij,ij->i", X, X))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = 1.0 - G / (x_n[:, None] * np.sqrt(q_sq)[None, :])
+            else:
+                x_sq = np.einsum("ij,ij->i", X, X)
+                D = np.maximum(0.0, x_sq[:, None] + q_sq[None, :] - 2.0 * G)
+                if euclidean:
+                    D = np.sqrt(D)
+            D[nid[:, None] == q_ids[None, :]] = np.inf  # self-pair exclusion
+            kk = min(k_local, len(nid))
+            out_q, out_n, out_d = [], [], []
+            for j in range(len(q_ids)):
+                dj = D[:, j]
+                top = np.lexsort((nid, dj))[:kk]  # exact (distance, id) order
+                keep = np.isfinite(dj[top])
+                top = top[keep]
+                out_q.append(np.full(len(top), q_ids[j]))
+                out_n.append(nid[top])
+                out_d.append(dj[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q) if out_q else [],
+                    "neighbor_id": np.concatenate(out_n) if out_n else [],
+                    "distance": np.concatenate(out_d) if out_d else [],
+                }
+            )
+
+    shards = src.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("neighbor_id").asc()
+    )
+    return shards.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def knn_join(
@@ -40,34 +128,57 @@ def knn_join(
 ) -> DataFrame:
     """Exact top-k neighbors per query → (query_id, neighbor_id, distance, rank).
 
-    Ties broken by neighbor id (reference uses index order).  Queries are
-    broadcast — index side never shuffles until the k-bounded window.
-    ``dim`` (sniffed from the small query side when not given) unrolls the
-    pair-loop dot product into codegen arithmetic.
+    Ties broken by neighbor id (reference uses index order).  Default path:
+    the query side (small by contract) is collected ONCE and shipped in the
+    scorer closure; the index side streams through an Arrow-batched GEMM and
+    only per-shard top-k rows reach the merge window (``_knn_gemm``).  A
+    query side larger than ``_GEMM_QUERY_CAP`` falls back to the broadcast
+    pair-join with expanded-norm distances.
     """
-    if dim is None:
-        first = queries.select(F.size(F.col(vec_col)).alias("d")).first()
-        d = None if first is None else first["d"]
-        dim = int(d) if d is not None and d >= 0 else None
+    if metric not in ("sqeuclidean", "euclidean", "l2", "cosine"):
+        raise ValueError(f"unsupported metric {metric!r}")
+    q_src = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    q_rows = q_src.limit(_GEMM_QUERY_CAP + 1).collect()
+    if len(q_rows) <= _GEMM_QUERY_CAP:
+        if not q_rows:
+            return (
+                q_src.select(
+                    F.col("query_id"),
+                    F.col("query_id").alias("neighbor_id"),
+                    F.lit(0.0).alias("distance"),
+                    F.lit(1).alias("rank"),
+                )
+                .limit(0)
+            )
+        q_ids = np.asarray([r["query_id"] for r in q_rows])
+        Q = np.asarray([r["q_vec"] for r in q_rows], dtype=np.float64)
+        return _knn_gemm(
+            index, q_ids, Q, q_src.schema["query_id"].dataType,
+            k, vec_col, index_id, metric,
+        )
+    # ------- fallback: broadcast pair-join (query side too big to ship) ----
+    # HOF distances above dim 16: the unrolled element_at tree at high dim
+    # blows whole-stage-codegen method limits (janino compile dominates).
+    if dim is not None and dim > 16:
+        dim = None
     idx = with_sq_norm(
         index.select(F.col(index_id).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("i_vec")),
         "i_vec", "i_sq", dim=dim,
     )
     q = with_sq_norm(
-        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")),
-        "q_vec", "q_sq", dim=dim,
+        q_src, "q_vec", "q_sq", dim=dim,
     )
     joined = idx.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     if metric in ("sqeuclidean", "euclidean", "l2"):
         d = sq_euclidean(F.col("q_vec"), F.col("i_vec"), F.col("q_sq"), F.col("i_sq"), dim=dim)
         if metric == "euclidean":
             d = F.sqrt(d)
-        order = [F.col("distance").asc(), F.col("neighbor_id").asc()]
-    elif metric == "cosine":
-        d = 1.0 - cosine_sim(F.col("q_vec"), F.col("i_vec"), F.col("q_sq"), F.col("i_sq"), dim=dim)
-        order = [F.col("distance").asc(), F.col("neighbor_id").asc()]
     else:
-        raise ValueError(f"unsupported metric {metric!r}")
+        d = 1.0 - cosine_sim(F.col("q_vec"), F.col("i_vec"), F.col("q_sq"), F.col("i_sq"), dim=dim)
+    order = [F.col("distance").asc(), F.col("neighbor_id").asc()]
     scored = joined.select("query_id", "neighbor_id", d.alias("distance"))
     w = Window.partitionBy("query_id").orderBy(*order)
     return (
@@ -113,11 +224,14 @@ class NearestNeighbors(Base):
         self._index: DataFrame | None = None
         self._vec_col = "embedding"
         self._id_col = "vec_id"
+        self._dim: int | None = None
 
-    def fit(self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> "NearestNeighbors":
+    def fit(self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+            dim: int | None = None) -> "NearestNeighbors":
         self._index = df
         self._vec_col = vec_col
         self._id_col = id_col
+        self._dim = dim  # sniffed lazily (once) when not supplied
         return self
 
     def _bucketed(self, df: DataFrame, dim: int, id_alias: str) -> DataFrame:
@@ -143,7 +257,9 @@ class NearestNeighbors(Base):
             )
         if self.algorithm != "lsh":
             raise ValueError(f"unknown algorithm {self.algorithm!r}")
-        dim = len(self._index.select(self._vec_col).first()[0])
+        if self._dim is None:
+            self._dim = len(self._index.select(self._vec_col).first()[0])
+        dim = self._dim
         # bucket join carries ONLY ids — the pair-distinct shuffles small
         # int pairs, never the vectors; vectors re-attach via equi-joins on
         # id afterwards (co-partitionable / broadcastable at scale)
