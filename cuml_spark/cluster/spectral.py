@@ -186,14 +186,15 @@ def spectral_embedding(
 
 
 def _embed_exact(data, cols, id_col, n, k, n_neighbors, seed, drop_first):
-    from cuml_spark.neighbors.nearest_neighbors import knn_join
+    from cuml_spark.neighbors.nearest_neighbors import self_knn_graph
     from cuml_spark.ops.sparse import coo_symmetrize
 
     vec = data.select(
         F.col(id_col).alias("vec_id"),
         F.array(*[F.col(c) for c in cols]).alias("embedding"),
     )
-    knn = knn_join(vec, vec, k=n_neighbors, metric="sqeuclidean", dim=len(cols))
+    knn = self_knn_graph(vec, k=n_neighbors, metric="sqeuclidean",
+                         n_rows=n, seed=seed)
     edges = knn.select(
         F.col("query_id").alias("row"),
         F.col("neighbor_id").alias("col"),

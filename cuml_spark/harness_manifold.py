@@ -42,6 +42,24 @@ def q_umap_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_umap_supervised_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised UMAP (fit(X, y), runner.h:139 / umap.pyx:395): categorical
+    intersection attenuates inter-class fuzzy edges.  Label = sign of the
+    first embedding coordinate (deterministic, geometry-aligned), so the
+    supervised layout must still clear the unsupervised trust floor."""
+    pts = _sampled(spark, sf_dir).withColumn(
+        "cls", (F.element_at("x", 1) >= 0).cast("int")
+    )
+    um = UMAP(n_neighbors=10, n_epochs=50, init="random", random_state=7)
+    out = um.fit_transform(pts, vec_col="x", id_col="pid", y_col="cls")
+    emb = out.select("pid", F.col("embedding").alias("x"))
+    t = trustworthiness(pts, emb, n_neighbors=10, id_col="pid")
+    n = pts.count()
+    return spark.createDataFrame(
+        [(int(n), bool(t >= 0.55))], "n_embedded long, trust_ge_055 boolean"
+    )
+
+
 def q_tsne_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-class embedding; D-class projection as in ``q_umap_trust``
     (0.57 observed for TSNE at this sample → floor 0.50)."""
@@ -58,10 +76,12 @@ def q_tsne_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_MANIFOLD = {
     "umap_trust": q_umap_trust,
+    "umap_supervised_trust": q_umap_supervised_trust,
     "tsne_trust": q_tsne_trust,
 }
 
 ORACLES_MANIFOLD: dict[str, str] = {
     "umap_trust": _SQL_TRUST.format(flag="trust_ge_058"),
+    "umap_supervised_trust": _SQL_TRUST.format(flag="trust_ge_055"),
     "tsne_trust": _SQL_TRUST.format(flag="trust_ge_050"),
 }

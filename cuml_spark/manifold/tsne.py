@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cuml_spark.core.base import Base
-from cuml_spark.neighbors.nearest_neighbors import knn_join
+from cuml_spark.neighbors.nearest_neighbors import self_knn_graph
 
 
 def _binary_search_beta(d2: np.ndarray, perplexity: float, n_iter: int = 64) -> np.ndarray:
@@ -59,6 +59,17 @@ class TSNE(Base):
         super().__init__(**kwargs)
         if n_components != 2:
             raise ValueError("reference supports n_components=2 (t_sne.pyx:186)")
+        if method != "exact":
+            # the reference's default is barnes_hut (t_sne.pyx:186, CUDA
+            # quadtree bh_kernels.h); this engine implements the exact
+            # gradient only, under the sample-then-embed contract — refuse
+            # loudly rather than silently running a different algorithm.
+            raise NotImplementedError(
+                f"method={method!r} is not implemented: this engine computes "
+                "the exact t-SNE gradient over a driver-held sample "
+                "(sample-then-embed contract). Use method='exact', and "
+                "sample large inputs before embedding."
+            )
         self.n_components = n_components
         self.perplexity = perplexity
         self.early_exaggeration = early_exaggeration
@@ -71,9 +82,11 @@ class TSNE(Base):
                       id_col: str = "pid") -> DataFrame:
         pts = df.select(F.col(id_col).alias("pid"),
                         F.col(vec_col).cast("array<double>").alias("x")).cache()
-        k = min(int(3 * self.perplexity), max(2, pts.count() - 1))
-        knn = knn_join(pts, pts, k=k, vec_col="x",
-                       index_id="pid", query_id="pid", metric="sqeuclidean")
+        n_rows = pts.count()
+        k = min(int(3 * self.perplexity), max(2, n_rows - 1))
+        knn = self_knn_graph(pts, k=k, vec_col="x", id_col="pid",
+                             metric="sqeuclidean", n_rows=n_rows,
+                             seed=self.random_state)
         edges = knn.select("query_id", "neighbor_id", "distance", "rank").toPandas()
 
         ids = pts.select("pid").toPandas()["pid"].to_numpy()

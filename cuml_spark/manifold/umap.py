@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from cuml_spark.core.base import Base
 from cuml_spark.core.optim import nelder_mead
-from cuml_spark.neighbors.nearest_neighbors import knn_join
+from cuml_spark.neighbors.nearest_neighbors import knn_join, self_knn_graph
 
 SMOOTH_K_TOL = 1e-5
 
@@ -105,6 +105,38 @@ def _fuzzy_simplicial_set(
     return a[first], b[first], sym_w[first]
 
 
+def _categorical_intersection(
+    labels: np.ndarray,
+    heads: np.ndarray,
+    tails: np.ndarray,
+    weights: np.ndarray,
+    unknown_dist: float = 1.0,
+    far_dist: float = 5.0,
+) -> np.ndarray:
+    """Supervised reweighting of the fuzzy graph by a categorical target
+    (reference: categorical simplicial-set intersection behind runner.h:139
+    ``_fit(X, y)`` / umap.pyx:395): edges whose endpoints carry DIFFERENT
+    labels are attenuated by exp(−far_dist), edges with a missing label by
+    exp(−unknown_dist), same-label edges pass through — so layout attraction
+    concentrates within classes while the ambient geometry still orders
+    points inside each class."""
+    la, lb = labels[heads], labels[tails]
+    la_na = pd_isnull(la)
+    lb_na = pd_isnull(lb)
+    unknown = la_na | lb_na
+    far = ~unknown & (la != lb)
+    out = weights.copy()
+    out[unknown] *= np.exp(-unknown_dist)
+    out[far] *= np.exp(-far_dist)
+    return out
+
+
+def pd_isnull(x: np.ndarray) -> np.ndarray:
+    import pandas as pd
+
+    return pd.isnull(x)
+
+
 def _find_ab_params(spread: float, min_dist: float) -> tuple[float, float]:
     """Fit 1/(1+a·d^(2b)) to the desired fuzzy curve (optimize.h:175
     find_params_ab) — least squares on a grid via Nelder-Mead."""
@@ -143,16 +175,26 @@ class UMAP(Base):
         self.random_state = random_state
 
     # ------------------------------------------------------------------
-    def fit(self, df: DataFrame, vec_col: str = "x", id_col: str = "pid") -> "UMAP":
-        pts = df.select(F.col(id_col).alias("pid"),
-                        F.col(vec_col).cast("array<double>").alias("x")).cache()
+    def fit(self, df: DataFrame, vec_col: str = "x", id_col: str = "pid",
+            y_col: str | None = None) -> "UMAP":
+        """Unsupervised fit, or supervised when ``y_col`` names a categorical
+        label column (reference: runner.h:139 ``_fit(X, y)`` exposed via
+        umap.pyx:395) — labels sharpen the fuzzy graph by categorical
+        intersection before layout."""
+        sel = [F.col(id_col).alias("pid"),
+               F.col(vec_col).cast("array<double>").alias("x")]
+        if y_col is not None:
+            sel.append(F.col(y_col).alias("y"))
+        pts = df.select(*sel).cache()
         k = self.n_neighbors
-        # 1. distributed KNN graph (shard-and-merge top-k, no full crossJoin)
-        knn = knn_join(pts, pts, k=k, vec_col="x", index_id="pid",
-                       query_id="pid", metric="euclidean")
+        # 1. distributed KNN graph: exact GEMM shards up to the cap, LSH
+        #    candidates + exact re-rank above it (no full-table broadcast)
+        knn = self_knn_graph(pts, k=k, vec_col="x", id_col="pid",
+                             metric="euclidean", seed=self.random_state)
         edges = knn.select("query_id", "neighbor_id", "distance").toPandas()
 
-        ids = pts.select("pid").toPandas()["pid"].to_numpy()
+        meta = pts.select("pid", *(["y"] if y_col is not None else [])).toPandas()
+        ids = meta["pid"].to_numpy()
         order = {pid: i for i, pid in enumerate(ids)}
         n = len(ids)
         qi = edges["query_id"].map(order).to_numpy()
@@ -162,6 +204,9 @@ class UMAP(Base):
         # 2. fuzzy simplicial set: per-point rho/sigma + membership strengths
         #    — one vectorized binary search over the padded (n, kmax) matrix
         heads, tails, weights = _fuzzy_simplicial_set(qi, ni, dist, n, k)
+        if y_col is not None:
+            labels = meta["y"].to_numpy()
+            weights = _categorical_intersection(labels, heads, tails, weights)
 
         # 3. init embedding
         rng = np.random.RandomState(self.random_state)
@@ -243,8 +288,8 @@ class UMAP(Base):
 
     # ------------------------------------------------------------------
     def fit_transform(self, df: DataFrame, vec_col: str = "x",
-                      id_col: str = "pid") -> DataFrame:
-        self.fit(df, vec_col, id_col)
+                      id_col: str = "pid", y_col: str | None = None) -> DataFrame:
+        self.fit(df, vec_col, id_col, y_col=y_col)
         spark = df.sparkSession
         rows = [
             (int(pid), [float(v) for v in self.embedding_[i]])

@@ -187,6 +187,41 @@ def knn_join(
     )
 
 
+def self_knn_graph(
+    pts: DataFrame,
+    k: int = 15,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "sqeuclidean",
+    exact_max_rows: int = _GEMM_QUERY_CAP,
+    n_tables: int = 8,
+    seed: int = 42,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """KNN graph of a dataset against itself → (query_id, neighbor_id,
+    distance, rank) — the graph-build primitive behind UMAP / TSNE / spectral.
+
+    Up to ``exact_max_rows`` the exact GEMM-sharded scorer runs (every task
+    holds the n×d query matrix — bounded by the cap, no broadcast join).
+    Above it, candidates come from multi-table hyperplane LSH (id-only bucket
+    joins) with exact re-rank — the 100 TB path: nothing all-pairs, nothing
+    that ships the full dataset to every task.  Plane count scales with n to
+    keep expected bucket size ~512 rows.
+    """
+    n = pts.count() if n_rows is None else n_rows
+    if n <= exact_max_rows:
+        return knn_join(pts, pts, k=k, vec_col=vec_col, index_id=id_col,
+                        query_id=id_col, metric=metric)
+    n_planes = max(4, int(np.ceil(np.log2(max(n, 2) / 512.0))))
+    nn = NearestNeighbors(
+        n_neighbors=k, algorithm="lsh", metric=metric,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
+    )
+    return nn.fit(pts, vec_col=vec_col, id_col=id_col).kneighbors(
+        pts, query_id=id_col
+    )
+
+
 def cosine_topk(
     index: DataFrame,
     queries: DataFrame,
@@ -285,12 +320,14 @@ class NearestNeighbors(Base):
             F.col(self._vec_col).cast("array<double>").alias("__qvec"),
         )
         cand = pairs.join(q_vec, "query_id").join(idx_vec, "neighbor_id")
-        cand = cand.withColumn("q_sq", sq_norm(F.col("__qvec"), dim=dim))
-        cand = cand.withColumn("i_sq", sq_norm(F.col("__vec"), dim=dim))
+        # exact re-rank: Arrow-batched pair scorer (one einsum per batch —
+        # no dim-unrolled codegen tree, no janino compile per query)
+        from cuml_spark.ops.distance import pair_distance_udf
+
+        scorer = pair_distance_udf(self.metric)
+        d = scorer(F.col("__qvec"), F.col("__vec"))
         if self.metric == "cosine":
-            d = 1.0 - cosine_sim(F.col("__qvec"), F.col("__vec"), F.col("q_sq"), F.col("i_sq"), dim=dim)
-        else:
-            d = sq_euclidean(F.col("__qvec"), F.col("__vec"), F.col("q_sq"), F.col("i_sq"), dim=dim)
+            d = 1.0 - d
         scored = cand.select("query_id", "neighbor_id", d.alias("distance"))
         w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
         return scored.withColumn("rank", F.row_number().over(w)).filter(

@@ -74,6 +74,45 @@ def hyperplane_buckets(n_planes: int, n_tables: int, dim: int, seed: int):
     return _buckets
 
 
+def pair_distance_udf(metric: str):
+    """Arrow-batched row-wise distance over two array<double> columns —
+    the candidate-pair scorer for LSH / IVF re-rank joins.  One einsum per
+    batch instead of a dim-unrolled codegen tree (which at d≥32 blows the
+    whole-stage-codegen method limit and pays janino compile per query).
+
+    metric ∈ {'sqeuclidean', 'euclidean', 'l2', 'cosine'} → distance column
+    ('cosine' returns SIMILARITY, matching cosine_sim's orientation callers
+    negate themselves).
+    """
+    cosine = metric == "cosine"
+    euclid = metric == "euclidean"
+    if metric not in ("sqeuclidean", "euclidean", "l2", "cosine"):
+        raise ValueError(f"unsupported metric {metric!r}")
+
+    @F.pandas_udf("double")
+    def _score(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.asarray(a.tolist(), dtype=np.float64)
+        B = np.asarray(b.tolist(), dtype=np.float64)
+        d = np.einsum("ij,ij->i", A, B)
+        if cosine:
+            na = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = d / (na * nb)
+        else:
+            out = np.maximum(
+                0.0,
+                np.einsum("ij,ij->i", A, A) + np.einsum("ij,ij->i", B, B) - 2.0 * d,
+            )
+            if euclid:
+                out = np.sqrt(out)
+        return pd.Series(out)
+
+    return _score
+
+
 def sq_euclidean_direct(a: Column | str, b: Column | str, dim: int) -> Column:
     """Unrolled Σ(aᵢ−bᵢ)² over two array columns — stays in whole-stage
     codegen (for pair-join hot loops where precomputed norms don't pay)."""

@@ -48,16 +48,18 @@ class IVFIndex(Base):
         self.seed = seed
 
     def fit(self, df: DataFrame, vec_col: str = "embedding",
-            id_col: str = "vec_id") -> "IVFIndex":
+            id_col: str = "vec_id", n_rows: int | None = None) -> "IVFIndex":
         pts = df.select(F.col(id_col).alias("vid"),
                         F.col(vec_col).cast("array<double>").alias("v"))
         # seeded deterministic sample for the codebook (tiny driver state):
         # hash-threshold filter — map-only, no global sort, stable across
         # partitioning.  Lands ≈ train_size rows (codebook training only
-        # needs a representative sample, not an exact count).
+        # needs a representative sample, not an exact count).  ``n_rows``
+        # lets callers who already know the cardinality skip the count job.
         from cuml_spark.ops.sampling import hash_sample_pred
 
-        n = pts.count()
+        n = pts.count() if n_rows is None else n_rows
+        self.n_rows_ = n
         frac = min(1.0, self.train_size / max(n, 1))
         sample = pts.filter(hash_sample_pred("vid", frac, self.seed)).toPandas()
         if len(sample) < self.nlist:  # degenerate tiny input: take head
@@ -102,20 +104,14 @@ class IVFIndex(Base):
         cand = probed.join(self._index, "list_id").filter(
             F.col("query_id") != F.col("vid")
         )
-        # unrolled codegen arithmetic — dim is known from the codebook
-        dim = int(cents.shape[1])
-        from cuml_spark.ops.distance import dot as dot_expr
-        from cuml_spark.ops.distance import sq_euclidean_direct, sq_norm
+        # Arrow-batched pair scorer — one einsum per batch, no codegen tree
+        from cuml_spark.ops.distance import pair_distance_udf
 
-        dot = dot_expr(F.col("q"), F.col("v"), dim=dim)
+        scorer = pair_distance_udf(metric)
+        score = scorer(F.col("q"), F.col("v"))
         if metric == "cosine":
-            score = dot / (
-                F.sqrt(sq_norm(F.col("q"), dim=dim))
-                * F.sqrt(sq_norm(F.col("v"), dim=dim))
-            )
             order = F.col("score").desc()
         elif metric in ("sqeuclidean", "l2"):
-            score = sq_euclidean_direct("q", "v", dim)
             order = F.col("score").asc()
         else:
             raise ValueError(f"unsupported metric {metric!r}")

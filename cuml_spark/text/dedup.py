@@ -131,15 +131,34 @@ def lsh_candidate_pairs(df: DataFrame, k: int = 5, text_col: str = "text",
     )
 
 
+_JACCARD_ALLPAIRS_MAX_DOCS = 100_000
+
+
 def jaccard_similarity_pairs(df: DataFrame, k: int = 5, threshold: float = 0.0,
                              text_col: str = "text", id_col: str = "doc_id",
-                             candidates: DataFrame | None = None) -> DataFrame:
+                             candidates: DataFrame | None = None,
+                             max_allpairs_docs: int = _JACCARD_ALLPAIRS_MAX_DOCS) -> DataFrame:
     """n-gram Jaccard similarity for doc pairs → (id_a, id_b, jaccard).
 
     Without ``candidates``: all pairs sharing ≥1 shingle (the shingle join
     prunes disjoint pairs for free).  With ``candidates`` (e.g. LSH output):
     verifies only those — the scalable two-stage near-dup pipeline.
+
+    The no-candidates shingle self-join is O(Σ df²) — one shingle common to
+    f documents alone yields f² join rows — so it is guarded: above
+    ``max_allpairs_docs`` documents it raises and points at the LSH
+    two-stage plan instead of silently melting at scale.
     """
+    if candidates is None:
+        n_docs = df.select(id_col).count()
+        if n_docs > max_allpairs_docs:
+            raise ValueError(
+                f"jaccard_similarity_pairs without candidates is an all-pairs "
+                f"shingle self-join (O(sum df^2)); refusing at {n_docs} docs "
+                f"(> max_allpairs_docs={max_allpairs_docs}). Generate "
+                f"candidates first (minhash_signatures -> lsh_candidate_pairs) "
+                f"and pass candidates=, or raise max_allpairs_docs explicitly."
+            )
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is not None:

@@ -69,6 +69,30 @@ def test_umap_transform_places_near_train(blob_vecs):
     assert sep > 1.5
 
 
+def test_umap_supervised_tightens_classes(blob_vecs):
+    """Supervised fit (categorical intersection, runner.h:139 semantics):
+    labels attenuate inter-class edges, so class separation in the layout
+    must not degrade vs the unsupervised fit on the same data."""
+    um_u = UMAP(n_neighbors=10, n_epochs=100, init="spectral", random_state=3)
+    out_u = um_u.fit_transform(blob_vecs, vec_col="x", id_col="pid").toPandas()
+    um_s = UMAP(n_neighbors=10, n_epochs=100, init="spectral", random_state=3)
+    out_s = um_s.fit_transform(
+        blob_vecs, vec_col="x", id_col="pid", y_col="label"
+    ).toPandas()
+    pdf = blob_vecs.select("pid", "label").toPandas()
+    sep_u = _cluster_separation(out_u.merge(pdf, on="pid"),
+                                out_u.merge(pdf, on="pid")["label"].to_numpy())
+    sep_s = _cluster_separation(out_s.merge(pdf, on="pid"),
+                                out_s.merge(pdf, on="pid")["label"].to_numpy())
+    assert sep_s >= sep_u * 0.95  # supervision must not hurt separation
+    assert sep_s > 2.0
+
+
+def test_tsne_barnes_hut_raises():
+    with pytest.raises(NotImplementedError, match="exact"):
+        TSNE(method="barnes_hut")
+
+
 def test_tsne_preserves_blob_structure(blob_vecs):
     ts = TSNE(perplexity=15.0, n_iter=300, random_state=5)
     out = ts.fit_transform(blob_vecs, vec_col="x", id_col="pid").toPandas()

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cuml_spark.neighbors import NearestNeighbors, cosine_topk, knn_join
+from cuml_spark.neighbors.nearest_neighbors import self_knn_graph
 
 
 @pytest.fixture(scope="module")
@@ -73,6 +74,58 @@ def test_lsh_ann_recall(embeddings, emb_np):
     exact = _np_knn(ids, X, range(20), 10)
     recalls = [len(by_q.get(q, set()) & set(exact[q])) / 10 for q in range(20)]
     assert float(np.mean(recalls)) > 0.25
+
+
+def test_self_knn_graph_exact_path(embeddings, emb_np):
+    """Below the cap the graph is the exact GEMM top-k — spot-check vs numpy."""
+    ids, X = emb_np
+    got = self_knn_graph(embeddings, k=4).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    expected = _np_knn(ids, X, range(5), 4)
+    for q in range(5):
+        assert by_q[q] == expected[q]
+
+
+@pytest.mark.parametrize(
+    "n_pts",
+    [
+        pytest.param(2_000, id="unit-2000"),
+        pytest.param(20_000, marks=pytest.mark.quality, id="quality-20000"),
+    ],
+)
+def test_self_knn_graph_lsh_path_recall(spark, n_pts):
+    """Above the exact cap the graph routes through LSH candidates + exact
+    re-rank — no full-table broadcast.  Recall vs brute on sampled queries
+    must clear a floor, and every point must still get k ranked neighbors."""
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    lab = rng.randint(8, size=n_pts)
+    X = centers[lab] + rng.standard_normal((n_pts, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n_pts)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8).cache()
+    k = 5
+    ann = self_knn_graph(df, k=k, exact_max_rows=500, n_tables=8, seed=3,
+                         n_rows=n_pts)
+    pdf = ann.toPandas()
+    # every point got neighbors, ranks within 1..k, no self-pairs
+    assert pdf["rank"].between(1, k).all()
+    assert (pdf["query_id"] != pdf["neighbor_id"]).all()
+    assert pdf.groupby("query_id").size().max() <= k
+    assert pdf["query_id"].nunique() >= n_pts * 0.95  # LSH may orphan a few
+    # recall vs exact brute on a query sample
+    sample_q = list(range(0, n_pts, max(1, n_pts // 50)))[:50]
+    exact = knn_join(df, df.where(F.col("vec_id").isin(sample_q)), k=k).toPandas()
+    got = pdf[pdf["query_id"].isin(sample_q)]
+    by_q = got.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    ex_q = exact.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    recalls = [
+        len(by_q.get(q, set()) & ex_q[q]) / k for q in ex_q
+    ]
+    assert float(np.mean(recalls)) > 0.5
 
 
 def test_brute_class_api(embeddings):

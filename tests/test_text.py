@@ -62,6 +62,18 @@ def test_jaccard_pairs(docs):
     assert out[(0, 2)] == pytest.approx(expected, rel=1e-9)
 
 
+def test_jaccard_allpairs_guard(docs):
+    """The no-candidates shingle self-join is O(Σ df²) — above the document
+    cap it must refuse and point at the LSH candidate plan."""
+    with pytest.raises(ValueError, match="candidates"):
+        jaccard_similarity_pairs(docs, k=5, max_allpairs_docs=2)
+    # with candidates the same cap is irrelevant — the pair-first plan runs
+    cands = docs.sparkSession.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = jaccard_similarity_pairs(docs, k=5, candidates=cands,
+                                   max_allpairs_docs=2).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == pytest.approx(1.0)
+
+
 def test_minhash_identical_docs_identical_sigs(docs):
     sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
             for r in minhash_signatures(docs).collect()}
