@@ -7,11 +7,13 @@ quantile.cuh:71 preprocess_quantile):
 
 * features and the target are quantile-binned ONCE (driver holds only the
   bin edges and per-bin target means — O(n_bins) state);
-* each tree level is ONE shuffle: groupBy (tree, node, feature, fbin, ybin)
-  counts with map-side partial aggregation, then the best split per
-  (tree, node, feature) is chosen DISTRIBUTED via applyInPandas over the
-  (small) histogram groups — the driver only ever collects one row per
-  (tree, node, feature), never per-sample data;
+* each tree level aggregates groupBy (tree, node, feature, fbin, ybin)
+  counts with map-side partial aggregation; split selection is ADAPTIVE:
+  when the level's exact histogram bound (open-nodes · features · fbins ·
+  ybins) fits ``max_driver_hist_rows`` the driver collects it and selects
+  locally (one job), otherwise each (tree, node, feature) group reduces to
+  its ONE best-split row via distributed applyInPandas argmax before the
+  collect — driver state is bounded either way, never per-sample;
 * MAE of a candidate child is computed exactly on the binned target:
   median bin from the cumulative histogram, then Σ h·|v − v_med| with v the
   per-bin target means (the same approximation the reference makes by
@@ -88,12 +90,56 @@ def _hist_mae(h: np.ndarray, v: np.ndarray) -> tuple[float, float]:
     return float((h * np.abs(v - med)).sum() / n), float(n)
 
 
+def _best_split_fn(n_bins_f: int, n_yb: int, yvals: np.ndarray, min_leaf: int):
+    """Factory: the per-(tree, node, feature) split reducer.  Receives that
+    group's (fbin, ybin, count) rows, scans the cumulative histogram for the
+    best MAE-weighted split, and emits ONE row (or none when no admissible
+    split improves on the parent) — the distributed argmax that keeps the
+    driver collect at trees · nodes · features rows."""
+
+    def best_split(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.zeros((n_bins_f, n_yb))
+        M[pdf["__fbin"].to_numpy(), pdf["__yb"].to_numpy()] = pdf["count"].to_numpy()
+        tot = M.sum(0)
+        parent_mae, n = _hist_mae(tot, yvals)
+        best_score, best_bin = None, None
+        left = np.zeros(n_yb)
+        for b in range(n_bins_f - 1):
+            left = left + M[b]
+            mae_l, n_l = _hist_mae(left, yvals)
+            mae_r, n_r = _hist_mae(tot - left, yvals)
+            if n_l < min_leaf or n_r < min_leaf:
+                continue
+            score = (n_l * mae_l + n_r * mae_r) / n
+            if score < parent_mae - 1e-12 and (
+                best_score is None or score < best_score - 1e-12
+            ):
+                best_score, best_bin = score, b
+        if best_score is None:
+            return pd.DataFrame(
+                columns=["t", "nd", "ft", "score", "bin"]
+            ).astype({"t": np.int64, "nd": np.int64, "ft": np.int64,
+                      "score": np.float64, "bin": np.int64})
+        return pd.DataFrame(
+            {
+                "t": [int(pdf["__tree"].iloc[0])],
+                "nd": [int(pdf["__node"].iloc[0])],
+                "ft": [int(pdf["__feat"].iloc[0])],
+                "score": [best_score],
+                "bin": [best_bin],
+            }
+        )
+
+    return best_split
+
+
 class MAERandomForestRegressor(Base):
     """Distributed MAE-split forest (cuML split_criterion=3 parity)."""
 
     def __init__(self, n_estimators: int = 10, max_depth: int = 6,
                  n_bins: int = 16, n_y_bins: int = 32, rows_sample: float = 1.0,
-                 min_samples_leaf: int = 5, random_state: int = 0, **kwargs):
+                 min_samples_leaf: int = 5, random_state: int = 0,
+                 max_driver_hist_rows: int = 2_000_000, **kwargs):
         super().__init__(**kwargs)
         if max_depth > 16:
             # node arrays are dense 2^(depth+2); beyond the reference's own
@@ -109,6 +155,7 @@ class MAERandomForestRegressor(Base):
         self.rows_sample = rows_sample
         self.min_samples_leaf = min_samples_leaf
         self.random_state = random_state
+        self.max_driver_hist_rows = max_driver_hist_rows
         self.trees_: list[dict] | None = None
         self.feature_edges_: list[list[float]] | None = None
         self._cols: list[str] | None = None
@@ -231,39 +278,51 @@ class MAERandomForestRegressor(Base):
                     (F.col("__tree").cast("long") * (1 << 40) + F.col("__node"))
                     .isin(keys)
                 )
-            hist = (
+            hist_df = (
                 tagged.select(
                     "__tree", "__node", "__yb",
                     F.posexplode(feat_arr).alias("__feat", "__fbin"),
                 )
                 .groupBy("__tree", "__node", "__feat", "__fbin", "__yb")
                 .count()
-                .collect()  # bounded: trees · nodes · features · fbins · ybins
             )
-            # driver split selection over the bounded histogram (numpy)
-            groups: dict[tuple[int, int, int], np.ndarray] = {}
-            for r in hist:
-                key = (r["__tree"], r["__node"], r["__feat"])
-                M = groups.get(key)
-                if M is None:
-                    M = groups[key] = np.zeros((n_bins_f, n_yb))
-                M[r["__fbin"], r["__yb"]] = r["count"]
+            # exact upper bound on this level's histogram rows — open nodes
+            # are tracked, so the bound is live, not the 2^depth worst case
+            n_open = (
+                len(open_nodes) if open_nodes is not None else self.n_estimators
+            )
+            hist_bound = n_open * len(cols) * n_bins_f * n_yb
+            reducer = _best_split_fn(n_bins_f, n_yb, yvals, min_leaf)
+            if hist_bound <= self.max_driver_hist_rows:
+                # small level: collect the histogram and select on the driver
+                # (one job, no per-group Python round-trips)
+                hist = hist_df.collect()
+                pdf = pd.DataFrame(
+                    [(r["__tree"], r["__node"], r["__feat"], r["__fbin"],
+                      r["__yb"], r["count"]) for r in hist],
+                    columns=["__tree", "__node", "__feat", "__fbin", "__yb",
+                             "count"],
+                )
+                splits = [
+                    row
+                    for _, grp in pdf.groupby(["__tree", "__node", "__feat"])
+                    for row in reducer(grp).to_dict("records")
+                ]
+            else:
+                # big level: DISTRIBUTED argmax — each (tree, node, feature)
+                # group reduces its (fbin × ybin) histogram to ONE best-split
+                # row inside applyInPandas, so the driver collect is bounded
+                # by trees · open-nodes · features rows, never the
+                # ybin-resolved histogram
+                splits = hist_df.groupBy("__tree", "__node", "__feat").applyInPandas(
+                    reducer, "t long, nd long, ft long, score double, bin long"
+                ).collect()
             by_node: dict[tuple[int, int], tuple] = {}
-            for (t, nd, ft), M in sorted(groups.items()):
-                tot = M.sum(0)
-                parent_mae, n = _hist_mae(tot, yvals)
-                left = np.zeros(n_yb)
-                for b in range(n_bins_f - 1):
-                    left = left + M[b]
-                    mae_l, n_l = _hist_mae(left, yvals)
-                    mae_r, n_r = _hist_mae(tot - left, yvals)
-                    if n_l < min_leaf or n_r < min_leaf:
-                        continue
-                    score = (n_l * mae_l + n_r * mae_r) / n
-                    cur = by_node.get((t, nd))
-                    if (score < parent_mae - 1e-12
-                            and (cur is None or score < cur[0] - 1e-12)):
-                        by_node[(t, nd)] = (score, ft, b)
+            for r in sorted(splits, key=lambda r: (r["t"], r["nd"], r["ft"])):
+                t, nd, ft = r["t"], r["nd"], r["ft"]
+                cur = by_node.get((t, nd))
+                if cur is None or r["score"] < cur[0] - 1e-12:
+                    by_node[(t, nd)] = (r["score"], ft, r["bin"])
             if not by_node:
                 break
             next_open: set[tuple[int, int]] = set()

@@ -51,6 +51,7 @@ class _RFBase(Base):
     def __init__(self, n_estimators: int = 10, max_depth: int = 16, n_bins: int = 8,
                  max_features: str | float = "auto", rows_sample: float = 1.0,
                  split_criterion: int | None = None, bootstrap: bool = True,
+                 min_rows: int | None = None, n_y_bins: int = 32,
                  random_state: int = 0, **kwargs):
         super().__init__(**kwargs)
         self.n_estimators = n_estimators
@@ -62,6 +63,11 @@ class _RFBase(Base):
             split_criterion if split_criterion is not None else self._default_criterion
         )
         self.bootstrap = bootstrap
+        # min_rows ↔ cuML min_rows_per_node ↔ MLlib minInstancesPerNode;
+        # None keeps each backend's own default (MLlib 1, MAE forest 5)
+        self.min_rows = min_rows
+        # n_y_bins: target-histogram resolution, MAE path only
+        self.n_y_bins = n_y_bins
         self.random_state = random_state
         self._model = None
         self._cols: list[str] | None = None
@@ -79,6 +85,7 @@ class _RFBase(Base):
             seed=self.random_state,
             impurity=impurity,
             bootstrap=self.bootstrap,
+            minInstancesPerNode=self.min_rows if self.min_rows else 1,
         )
         self._model = est.fit(assembled)
         self._cols = list(feature_cols)
@@ -137,11 +144,25 @@ class RandomForestRegressor(_RFBase):
             # distributed histogram forest with exact binned-MAE splits
             from cuml_spark.ensemble.mae_forest import MAERandomForestRegressor
 
+            if self.max_features not in ("auto", None, 1.0):
+                # the MAE forest evaluates every feature at every split —
+                # no per-split feature subsampling exists on this path
+                import warnings
+
+                warnings.warn(
+                    f"max_features={self.max_features!r} is ignored on the "
+                    "MAE (split_criterion=3) path: every split evaluates all "
+                    "features. Use the variance criterion for feature "
+                    "subsampling.",
+                    stacklevel=2,
+                )
             self._mae_model = MAERandomForestRegressor(
                 n_estimators=self.n_estimators,
                 max_depth=self.max_depth if self.max_depth > 0 else 16,
                 n_bins=max(self.n_bins, 4),
+                n_y_bins=self.n_y_bins,
                 rows_sample=self.rows_sample,
+                min_samples_leaf=self.min_rows if self.min_rows else 5,
                 random_state=self.random_state,
             ).fit(df, feature_cols, label_col, bootstrap=self.bootstrap)
             self._cols = list(feature_cols)

@@ -84,7 +84,7 @@ WITH e AS (
   FROM lineitem GROUP BY 1, 2
 ), norm AS (
   SELECT row, col,
-         round(1e6 * value / sum(abs(value)) OVER (PARTITION BY row))::BIGINT
+         round(1e6 * (value / sum(abs(value)) OVER (PARTITION BY row)))::BIGINT
            AS micro
   FROM e
 )

@@ -84,17 +84,23 @@ def _sql_minhash() -> str:
     return _sql_sig_cte() + "\nSELECT * FROM sig"
 
 
-_LSH_CACHE: dict[str, DataFrame] = {}
+_LSH_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs computed once per sf_dir — shared by ``lsh_pairs``
-    and the ``ngram_jaccard`` verify stage (the two halves of the two-stage
-    near-dup pipeline run over the same candidate set)."""
-    out = _LSH_CACHE.get(sf_dir)
+    """Candidate pairs computed once per (session, sf_dir) — shared by
+    ``lsh_pairs`` and the ``ngram_jaccard`` verify stage (the two halves of
+    the two-stage near-dup pipeline run over the same candidate set).
+    Keying on the live SparkSession keeps a restart (or regenerated testdata
+    at the same path) from serving a plan bound to a dead session; stale
+    entries are dropped eagerly."""
+    key = (id(spark), sf_dir)
+    out = _LSH_CACHE.get(key)
     if out is None:
+        for k in [k for k in _LSH_CACHE if k[1] == sf_dir]:
+            del _LSH_CACHE[k]  # superseded session: let its cache be GC'd
         out = lsh_candidate_pairs(_t(spark, sf_dir, "documents")).cache()
-        _LSH_CACHE[sf_dir] = out
+        _LSH_CACHE[key] = out
     return out
 
 

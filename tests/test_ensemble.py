@@ -54,6 +54,31 @@ def test_rf_mae_criterion_fits(spark):
     assert abs(float(hi.median()) - 4.0) < 0.5
 
 
+def test_mae_forest_distributed_argmax_matches_driver(spark):
+    """max_driver_hist_rows=0 forces the applyInPandas argmax path; it must
+    produce bit-identical trees to the driver-side selection (same reducer,
+    same tiebreaks)."""
+    import numpy as np
+
+    from cuml_spark.ensemble.mae_forest import MAERandomForestRegressor
+
+    rng = np.random.RandomState(7)
+    n = 1500
+    X = rng.uniform(-1, 1, size=(n, 3))
+    y = 2.0 * X[:, 0] - X[:, 2] + rng.standard_normal(n) * 0.1
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(t)) for (a, b, c), t in zip(X, y)],
+        "f0 double, f1 double, f2 double, y double",
+    )
+    kw = dict(n_estimators=3, max_depth=3, n_bins=8, n_y_bins=16,
+              random_state=5)
+    m_drv = MAERandomForestRegressor(max_driver_hist_rows=10**9, **kw)
+    m_drv.fit(df, ["f0", "f1", "f2"], "y")
+    m_dst = MAERandomForestRegressor(max_driver_hist_rows=0, **kw)
+    m_dst.fit(df, ["f0", "f1", "f2"], "y")
+    assert m_drv.trees_ == m_dst.trees_
+
+
 def test_mae_forest_picks_exact_best_split(spark):
     """Depth-1 single tree with injected bin edges must choose the same
     (feature, bin) as an exact numpy replay of the binned-MAE objective."""
