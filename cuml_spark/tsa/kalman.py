@@ -14,6 +14,13 @@ Two surfaces here:
   state lives inside the task, exactly the stateful-per-entity shape that
   SURVEY.md §2.6 flags as the one legitimately streaming-shaped op (a
   Structured Streaming twin lives in cuml_spark.streaming).
+
+Solver-variant note: the reference ctor takes solver ∈ {long_form,
+short_implicit, short_explicit} (kalman_filter.pyx:197) selecting among
+algebraically EQUIVALENT gain formulations — pure perf knobs for its GPU
+kernels on tiny matrices.  numpy's solve on d×d state is already the
+short-implicit form; the parameter is accepted for API parity and ignored
+(documented, not dispatched — all variants produce the same filter state).
 """
 
 from __future__ import annotations
@@ -27,7 +34,10 @@ from pyspark.sql import functions as F
 class KalmanFilter:
     """Classic linear KF with the reference's attribute vocabulary."""
 
-    def __init__(self, dim_x: int, dim_z: int):
+    def __init__(self, dim_x: int, dim_z: int, solver: str = "short_implicit"):
+        if solver not in ("long_form", "short_implicit", "short_explicit"):
+            raise ValueError(f"unknown solver {solver!r}")  # pyx:197 choices
+        self.solver = solver  # accepted for parity; variants are equivalent
         self.dim_x = dim_x
         self.dim_z = dim_z
         self.x = np.zeros((dim_x, 1))
