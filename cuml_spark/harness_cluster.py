@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from cuml_spark.cluster import DBSCAN
 
 _EPS, _MIN_SAMPLES = 0.35, 5
-_FIT_CACHE: dict[str, DataFrame] = {}
+_FIT_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,14 +30,19 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One DBSCAN fit per sf_dir, shared by both queries (labels + roles)."""
-    out = _FIT_CACHE.get(sf_dir)
+    """One DBSCAN fit per (session, sf_dir), shared by both queries (labels
+    + roles); keyed on the live session so a restart never serves a dead
+    cached plan (same contract as harness_text lsh_pairs_cached)."""
+    key = (id(spark), sf_dir)
+    out = _FIT_CACHE.get(key)
     if out is None:
+        for k in [k for k in _FIT_CACHE if k[1] == sf_dir]:
+            del _FIT_CACHE[k]
         pts = _points(spark, sf_dir)
         out = DBSCAN(eps=_EPS, min_samples=_MIN_SAMPLES).fit_predict(
             pts, ["x1", "x2"], id_col="pid", include_role=True
         ).cache()
-        _FIT_CACHE[sf_dir] = out
+        _FIT_CACHE[key] = out
     return out
 
 
