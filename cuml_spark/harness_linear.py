@@ -120,7 +120,10 @@ def q_logreg_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fit on a deterministic 1/4 hash sample (rule is separable at any
     # sample size); scoring stays over every row
     train = li.filter(F.xxhash64("l_orderkey", "l_linenumber", F.lit(3)) % 4 == 0)
-    m = LogisticRegression(penalty="l1", C=10.0).fit(
+    # max_iter=50: the rule is separable, so OWL-QN's objective keeps
+    # creeping (margin growth) long after the decision boundary is fixed —
+    # every extra iteration is one more treeAggregate job for zero accuracy
+    m = LogisticRegression(penalty="l1", C=10.0, max_iter=50).fit(
         train, ["l_discount", "l_quantity"], "lbl"
     )
     pred = m.predict(li, ["l_discount", "l_quantity"])

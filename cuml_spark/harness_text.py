@@ -100,6 +100,8 @@ def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in [k for k in _LSH_CACHE if k[1] == sf_dir]:
             del _LSH_CACHE[k]  # superseded session: let its cache be GC'd
         out = lsh_candidate_pairs(_t(spark, sf_dir, "documents")).cache()
+        out.count()  # materialize: consumers reference it multiple times
+        # within single actions (pair join + both id sides)
         _LSH_CACHE[key] = out
     return out
 

@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -91,12 +93,15 @@ def minhash_signatures(df: DataFrame, k: int = 5, text_col: str = "text",
     one-pass distributed MinHash.
     """
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
-    h = _hash32(F.col("shingle"))
+    # the md5 base hash is materialized ONCE per shingle row as a shared
+    # column the n_hashes min-aggregates reuse — inlined, every aggregate
+    # would recompute the md5 (n_hashes× the dominant cost of the pass)
+    hashed = sh.select(F.col(id_col), _hash32(F.col("shingle")).alias("__h"))
     aggs = [
-        F.min((F.lit(_A[i]) * h + F.lit(_B[i])) % MINHASH_PRIME).alias(f"mh{i}")
+        F.min((F.lit(_A[i]) * F.col("__h") + F.lit(_B[i])) % MINHASH_PRIME).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(df: DataFrame, k: int = 5, text_col: str = "text",
@@ -159,33 +164,76 @@ def jaccard_similarity_pairs(df: DataFrame, k: int = 5, threshold: float = 0.0,
                 f"candidates first (minhash_signatures -> lsh_candidate_pairs) "
                 f"and pass candidates=, or raise max_allpairs_docs explicitly."
             )
+    if candidates is not None:
+        # pair-first PACKED plan: each candidate doc carries its shingle set
+        # as ONE sorted int64-hash array built map-side (no explode, no
+        # shingle shuffle); candidate pairs equi-join the two arrays and a
+        # single Arrow batch intersects them — O(|candidates| · doc_len)
+        # work, and the only shuffled payload is one bounded array per doc.
+        # xxhash64 collisions inside a doc's set are ~doc_len²/2⁶⁴ ≈ 1e-15 —
+        # far below the fp noise the harness rounds away.
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        packed = (
+            df.join(cand_ids, id_col, "left_semi")
+            .select(
+                F.col(id_col),
+                F.array_sort(
+                    F.expr(
+                        f"transform(array_distinct(transform("
+                        f"sequence(1, greatest(1, length({text_col}) - {k - 1})), "
+                        f"i -> substring({text_col}, i, {k}))), s -> xxhash64(s))"
+                    )
+                ).alias("hs"),
+            )
+            .withColumn("n_sh", F.size("hs"))
+            .cache()  # consumed twice (a-side and b-side of the pair join)
+        )
+        packed.count()  # materialize BEFORE the dual reference — parallel
+        # subtrees of one action otherwise race past the cold cache and
+        # each recompute the shingle-hash transform
+
+        @F.pandas_udf("long")
+        def _inter(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    len(np.intersect1d(np.asarray(x), np.asarray(y),
+                                       assume_unique=True))
+                    for x, y in zip(a, b)
+                ],
+                dtype=np.int64,
+            )
+
+        pa = packed.select(F.col(id_col).alias("id_a"),
+                           F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a"))
+        pb = packed.select(F.col(id_col).alias("id_b"),
+                           F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b"))
+        out = (
+            candidates.select("id_a", "id_b")
+            .join(pa, "id_a").join(pb, "id_b")
+            .withColumn("inter", _inter(F.col("hs_a"), F.col("hs_b")))
+            .select(
+                "id_a", "id_b",
+                (F.col("inter")
+                 / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
+            )
+        )
+        return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
+    # no candidates: all pairs sharing ≥1 shingle via the (guarded) self-join
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    if candidates is not None:
-        # pair-first plan: join the candidate list to each side's shingles
-        # and count matches per pair — cost is O(|candidates| · doc_len),
-        # independent of global shingle document frequency.  The shingle
-        # self-join below is O(Σ df²) and melts on common shingles at scale.
-        inter = (
-            candidates.select("id_a", "id_b")
-            .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-            .join(
-                sh.select(F.col(id_col).alias("id_b"), "shingle"),
-                on=["id_b", "shingle"],
-            )
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"), on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-    else:
-        inter = (
-            sh.alias("a").join(sh.alias("b"), on="shingle")
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .groupBy(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .agg(F.count("*").alias("inter"))
-        )
+        .agg(F.count("*").alias("inter"))
+    )
     out = (
         inter
         .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
