@@ -68,8 +68,25 @@ WITH pos AS (
 """
 
 
+_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash signatures computed once per (session, sf_dir) — the shared
+    upstream of both ``minhash_signatures`` and the LSH candidate pairs."""
+    key = (id(spark), sf_dir)
+    out = _SIG_CACHE.get(key)
+    if out is None:
+        for k in [k for k in _SIG_CACHE if k[1] == sf_dir]:
+            del _SIG_CACHE[k]
+        out = minhash_signatures(_t(spark, sf_dir, "documents")).cache()
+        out.count()
+        _SIG_CACHE[key] = out
+    return out
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(_t(spark, sf_dir, "documents"))
+    return _sigs_cached(spark, sf_dir)
 
 
 def _sql_sig_cte() -> str:
@@ -99,7 +116,10 @@ def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out is None:
         for k in [k for k in _LSH_CACHE if k[1] == sf_dir]:
             del _LSH_CACHE[k]  # superseded session: let its cache be GC'd
-        out = lsh_candidate_pairs(_t(spark, sf_dir, "documents")).cache()
+        out = lsh_candidate_pairs(
+            _t(spark, sf_dir, "documents"),
+            signatures=_sigs_cached(spark, sf_dir),
+        ).cache()
         out.count()  # materialize: consumers reference it multiple times
         # within single actions (pair join + both id sides)
         _LSH_CACHE[key] = out

@@ -105,13 +105,19 @@ def minhash_signatures(df: DataFrame, k: int = 5, text_col: str = "text",
 
 
 def lsh_candidate_pairs(df: DataFrame, k: int = 5, text_col: str = "text",
-                        id_col: str = "doc_id", n_bands: int = N_BANDS) -> DataFrame:
+                        id_col: str = "doc_id", n_bands: int = N_BANDS,
+                        signatures: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 identical band → (id_a, id_b).
 
     Band signature = concat of r=n_hashes/n_bands minhashes; bucket join is a
     self-join on (band, signature) — only same-bucket docs pair up.
+    Pass precomputed ``signatures`` (minhash_signatures output, e.g. cached)
+    to skip the signature pass entirely.
     """
-    sig = minhash_signatures(df, k=k, text_col=text_col, id_col=id_col)
+    sig = (
+        signatures if signatures is not None
+        else minhash_signatures(df, k=k, text_col=text_col, id_col=id_col)
+    )
     r = N_HASHES // n_bands
     # One posexplode over the array of band signatures: the minhash
     # pipeline (shingle explode + 64 min-aggregates) runs ONCE, not once
