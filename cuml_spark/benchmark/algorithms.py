@@ -144,13 +144,170 @@ def _acc_knn(result, baseline, X, y):
     return float(np.mean(recalls))
 
 
+# ---------------------------------------------------------------------------
+# second wave: the rest of the reference registry (algorithms.py:198-320).
+# Pairs whose single-node baseline would be a full reimplementation (forests,
+# TSNE) register baseline_fn=None — exactly the reference's cpu_class=None
+# contract (its MBSGD rows): timed and accuracy-gated, speedup not reported.
+# ---------------------------------------------------------------------------
+
+def _spark_tsvd(df, cols, label):
+    from cuml_spark.decomposition import TruncatedSVD
+
+    t = TruncatedSVD(n_components=2).fit(df, cols)
+    return {"sv": np.asarray(t.singular_values_)}
+
+
+def _np_tsvd(X, y):
+    sv = np.linalg.svd(X, compute_uv=False)
+    return {"sv": sv[:2]}
+
+
+def _acc_tsvd(result, baseline, X, y):
+    rel = np.abs(np.asarray(result["sv"]) - baseline["sv"]) / baseline["sv"]
+    return 1.0 - float(rel.max())
+
+
+def _spark_dbscan(df, cols, label):
+    from pyspark.sql import functions as F
+
+    from cuml_spark.cluster import DBSCAN
+
+    out = DBSCAN(eps=3.0, min_samples=2).fit_predict(
+        df.withColumn("pid", F.col("id")), cols, id_col="pid",
+        include_role=True,
+    )
+    pdf = out.toPandas().sort_values("pid")
+    return {"labels": pdf["label"].to_numpy(), "roles": pdf["role"].to_numpy()}
+
+
+def _np_dbscan(X, y, eps=3.0, min_samples=2):
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    neigh = d2 <= eps * eps
+    core = neigh.sum(1) >= min_samples  # includes self
+    labels = np.full(len(X), -1)
+    cur = 0
+    for s in range(len(X)):
+        if not core[s] or labels[s] != -1:
+            continue
+        stack = [s]
+        labels[s] = cur
+        while stack:
+            p = stack.pop()
+            if not core[p]:
+                continue
+            for q in np.nonzero(neigh[p])[0]:
+                if labels[q] == -1:
+                    labels[q] = cur
+                    stack.append(q)
+        cur += 1
+    return {"labels": labels, "core": core}
+
+
+def _acc_dbscan(result, baseline, X, y):
+    """Core/noise status agreement — label ids are arbitrary, the
+    core-point set is not."""
+    got_core = np.asarray(result["roles"]) == "core"
+    return float((got_core == baseline["core"]).mean())
+
+
+def _spark_ridge(df, cols, label):
+    from cuml_spark.linear_model import Ridge
+
+    m = Ridge(alpha=0.1).fit(df, cols, label)
+    return {"coef": np.asarray(m.coef_).ravel(),
+            "intercept": float(np.asarray(m.intercept_).ravel()[0])}
+
+
+def _np_ridge(X, y, alpha=0.1):
+    A = np.column_stack([np.ones(len(X)), X])
+    reg = np.eye(A.shape[1]) * alpha
+    reg[0, 0] = 0.0
+    beta = np.linalg.solve(A.T @ A + reg, A.T @ y)
+    return {"coef": beta[1:], "intercept": float(beta[0])}
+
+
+def _spark_logreg(df, cols, label):
+    from pyspark.sql import functions as F
+
+    from cuml_spark.linear_model import LogisticRegression
+
+    lab = (F.col(label) > 0).cast("int")
+    d = df.withColumn("__cls", lab)
+    m = LogisticRegression(penalty="l2", C=1.0, max_iter=50).fit(d, cols, "__cls")
+    pred = m.predict(d, cols)
+    acc = pred.agg(
+        F.avg((F.col("prediction") == F.col("__cls")).cast("double"))
+    ).first()[0]
+    return {"acc": float(acc)}
+
+
+def _np_logreg(X, y, iters=100, lr=0.1):
+    yy = (y > 0).astype(float)
+    w = np.zeros(X.shape[1] + 1)
+    A = np.column_stack([np.ones(len(X)), X])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(A @ w)))
+        w -= lr * (A.T @ (p - yy)) / len(X)
+    acc = float((((A @ w) > 0) == (yy > 0.5)).mean())
+    return {"acc": acc}
+
+
+def _acc_logreg(result, baseline, X, y):
+    return result["acc"]
+
+
+def _spark_rfc(df, cols, label):
+    from pyspark.sql import functions as F
+
+    from cuml_spark.ensemble import RandomForestClassifier
+
+    d = df.withColumn("__cls", (F.col(label) > 0).cast("double"))
+    rf = RandomForestClassifier(n_estimators=10, max_depth=6, random_state=0)
+    rf.fit(d, cols, "__cls")
+    return {"acc": rf.score(d, cols, "__cls")}
+
+
+def _spark_rfr(df, cols, label):
+    from cuml_spark.ensemble import RandomForestRegressor
+
+    rf = RandomForestRegressor(n_estimators=10, max_depth=6, random_state=0)
+    rf.fit(df, cols, label)
+    return {"r2": rf.score(df, cols, label)}
+
+
+def _spark_tsne(df, cols, label):
+    from pyspark.sql import functions as F
+
+    from cuml_spark.manifold import TSNE
+    from cuml_spark.metrics import trustworthiness
+
+    pts = df.select(F.col("id").alias("pid"),
+                    F.array(*cols).cast("array<double>").alias("x"))
+    out = TSNE(perplexity=10.0, n_iter=100, random_state=3).fit_transform(
+        pts, vec_col="x", id_col="pid"
+    )
+    emb = out.select("pid", F.col("embedding").alias("x"))
+    return {"trust": trustworthiness(pts, emb, n_neighbors=5, id_col="pid")}
+
+
 def all_algorithms() -> list[AlgorithmPair]:
-    """The registry (algorithms.py:198 shape)."""
+    """The registry (algorithms.py:198 shape, same algorithm names)."""
     return [
         AlgorithmPair("KMeans", _spark_kmeans, _np_kmeans, _acc_kmeans),
-        AlgorithmPair("LinearRegression", _spark_linreg, _np_linreg, _acc_linreg),
         AlgorithmPair("PCA", _spark_pca, _np_pca, _acc_pca),
+        AlgorithmPair("tSVD", _spark_tsvd, _np_tsvd, _acc_tsvd),
         AlgorithmPair("NearestNeighbors", _spark_knn, _np_knn, _acc_knn),
+        AlgorithmPair("DBSCAN", _spark_dbscan, _np_dbscan, _acc_dbscan),
+        AlgorithmPair("LinearRegression", _spark_linreg, _np_linreg, _acc_linreg),
+        AlgorithmPair("Ridge", _spark_ridge, _np_ridge, _acc_linreg),
+        AlgorithmPair("LogisticRegression", _spark_logreg, _np_logreg, _acc_logreg),
+        AlgorithmPair("RandomForestClassifier", _spark_rfc, None,
+                      lambda r, b, X, y: r["acc"]),
+        AlgorithmPair("RandomForestRegressor", _spark_rfr, None,
+                      lambda r, b, X, y: r["r2"]),
+        AlgorithmPair("TSNE", _spark_tsne, None,
+                      lambda r, b, X, y: r["trust"]),
     ]
 
 

@@ -20,10 +20,27 @@ def test_timer_collects_reps():
 
 def test_registry_has_core_algorithms():
     names = {a.name for a in all_algorithms()}
-    assert {"KMeans", "LinearRegression", "PCA", "NearestNeighbors"} <= names
+    assert {
+        "KMeans", "PCA", "tSVD", "NearestNeighbors", "DBSCAN",
+        "LinearRegression", "Ridge", "LogisticRegression",
+        "RandomForestClassifier", "RandomForestRegressor", "TSNE",
+    } <= names
     assert algorithm_by_name("kmeans").name == "KMeans"
     with pytest.raises(ValueError):
         algorithm_by_name("nope")
+
+
+def test_second_wave_pairs_run(spark):
+    r = AccuracyComparisonRunner(bench_rows=[250], bench_dims=[4],
+                                 dataset_name="blobs")
+    (tsvd,) = r.run(spark, algorithm_by_name("tSVD"), raise_on_error=True)
+    assert tsvd["metric"] > 0.95  # singular values match numpy SVD
+    (dbs,) = r.run(spark, algorithm_by_name("DBSCAN"), raise_on_error=True)
+    assert dbs["metric"] > 0.9  # core/noise agreement vs numpy BFS
+    (rfc,) = r.run(spark, algorithm_by_name("RandomForestClassifier"),
+                   raise_on_error=True)
+    assert rfc["baseline_time"] == 0.0  # cpu_class=None contract
+    assert rfc["metric"] > 0.8
 
 
 def test_speedup_runner_times_both_sides(spark):
