@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis) over the primitive layer — randomized
+inputs, invariants that must hold for ANY data, mirroring the reference's
+fuzz-ish parameter sweeps at a deeper level.
+
+Each property runs few examples (Spark jobs are the cost unit), with
+deadline disabled — hypothesis timing and JVM scheduling don't mix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # group
+        st.integers(min_value=-1000, max_value=1000),   # value
+        st.integers(min_value=0, max_value=10_000),     # tiebreak id
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SET
+@given(rows=rows_strategy, k=st.integers(min_value=1, max_value=5))
+def test_group_topk_matches_pandas(spark, rows, k):
+    from cuml_spark.ops.topk import group_topk
+
+    df = spark.createDataFrame(rows, "g int, v long, tid long")
+    got = (
+        group_topk(df, ["g"], "v", k=k, ascending=False, tiebreak_cols=["tid"])
+        .orderBy("g", "rank")
+        .collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "v", "tid"])
+    expected = []
+    for g, grp in pdf.groupby("g"):
+        top = grp.sort_values(["v", "tid"], ascending=[False, True]).head(k)
+        expected.extend([(g, r.v, r.tid) for r in top.itertuples()])
+    assert [(r["g"], r["v"], r["tid"]) for r in got] == expected
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=150.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=50,
+    ),
+    n_bins=st.integers(min_value=1, max_value=10),
+)
+def test_histogram_counts_partition_rows(spark, vals, n_bins):
+    """Bin counts sum to the row count; every bin index is in [0, n_bins)."""
+    from cuml_spark.ops.stats import histogram
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = histogram(df, "x", lo=0.0, hi=100.0, n_bins=n_bins).collect()
+    assert sum(r["count"] for r in out) == len(vals)
+    assert all(0 <= r["bin"] < n_bins for r in out)
+
+
+@SET
+@given(
+    n=st.integers(min_value=2, max_value=80),
+    frac=st.floats(min_value=0.1, max_value=0.9),
+)
+def test_exact_split_sizes_and_partition(spark, n, frac):
+    """exact=True: train has exactly floor(frac*n) rows and the two sides
+    partition the input (disjoint, union-complete)."""
+    from cuml_spark.preprocessing import train_test_split
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    train, test = train_test_split(df, train_size=frac, seed=3, exact=True)
+    tr = {r["id"] for r in train.collect()}
+    te = {r["id"] for r in test.collect()}
+    assert len(tr) == int(frac * n)
+    assert tr.isdisjoint(te)
+    assert tr | te == set(range(n))
+
+
+@SET
+@given(
+    labels=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "e!", "äö"]),
+        min_size=1, max_size=40,
+    )
+)
+def test_label_encoder_roundtrip(spark, labels):
+    """inverse_transform(transform(x)) == x for every row; codes are a dense
+    0..n_classes-1 range in sorted-label order (reference LabelEncoder)."""
+    from cuml_spark.preprocessing import LabelEncoder
+
+    df = spark.createDataFrame([(l,) for l in labels], "lab string")
+    enc = LabelEncoder().fit(df, "lab")
+    assert enc.classes_ == sorted(set(labels))
+    coded = enc.transform(df, "lab")
+    back = enc.inverse_transform(
+        coded.select(F.col("code")), code_col="code", out_col="lab2"
+    )
+    counts = {r["lab2"]: 0 for r in back.collect()}
+    for r in back.collect():
+        counts[r["lab2"]] += 1
+    import collections
+
+    assert counts == dict(collections.Counter(labels))
+
+
+@SET
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=15),
+                  st.integers(min_value=0, max_value=15)),
+        min_size=1, max_size=30,
+    )
+)
+def test_weak_cc_labels_are_component_minima(spark, edges):
+    """Every vertex's component label equals the minimum vertex id reachable
+    from it (weak_cc semantics, sparse/csr.h:853) — checked against a
+    pure-python union-find."""
+    from cuml_spark.ops.sparse import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, src="src", dst="dst").collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+    assert got == expected
