@@ -35,17 +35,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARI / Rand / MI / homogeneity / completeness / V between returnflag
-    and linestatus partitions of lineitem — one contingency groupBy feeds
-    all six (metrics.hpp:73-236)."""
-    li = _t(spark, sf_dir, "lineitem").cache()
-    ari = adjusted_rand_score(li, "l_returnflag", "l_linestatus")
-    ri = rand_score(li, "l_returnflag", "l_linestatus")
-    mi = mutual_info_score(li, "l_returnflag", "l_linestatus")
-    hom, comp, v = homogeneity_completeness_v_measure(
-        li, "l_returnflag", "l_linestatus"
-    )
+    and linestatus partitions of lineitem — ONE contingency groupBy job
+    feeds all six via cluster_agreement_metrics (metrics.hpp:73-236)."""
+    from cuml_spark.metrics import cluster_agreement_metrics
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = cluster_agreement_metrics(li, "l_returnflag", "l_linestatus")
+    vals = (m["ari"], m["rand"], m["mi"],
+            m["homogeneity"], m["completeness"], m["v_measure"])
     return spark.createDataFrame(
-        [tuple(round(x, 6) for x in (ari, ri, mi, hom, comp, v))],
+        [tuple(round(x, 6) for x in vals)],
         "ari double, rand double, mi double, homogeneity double, "
         "completeness double, v_measure double",
     )

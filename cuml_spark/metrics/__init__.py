@@ -13,6 +13,7 @@ from cuml_spark.metrics.cluster import (
     entropy_df,
     mutual_info_score,
     homogeneity_completeness_v_measure,
+    cluster_agreement_metrics,
     kl_divergence,
 )
 
@@ -21,7 +22,7 @@ __all__ = [
     "accuracy_score", "accuracy_score_df", "log_loss",
     "contingency_matrix", "adjusted_rand_score", "rand_score", "entropy",
     "entropy_df", "mutual_info_score", "homogeneity_completeness_v_measure",
-    "kl_divergence",
+    "cluster_agreement_metrics", "kl_divergence",
     "silhouette_samples", "silhouette_score", "trustworthiness",
     "cluster_dispersion", "cluster_dispersion_df",
 ]

@@ -130,6 +130,45 @@ def homogeneity_completeness_v_measure(
     return hom, comp, v
 
 
+def cluster_agreement_metrics(df: DataFrame, y: str, y_pred: str) -> dict:
+    """All six partition-agreement metrics from ONE collected contingency
+    table (ari, rand, mi, homogeneity, completeness, v_measure) — the
+    marginals and marginal entropies derive from the same k×k counts, so a
+    single groupBy job feeds everything (the individual functions above stay
+    for cuML API parity; this is the shared fast path)."""
+    cont = contingency_matrix(df, y, y_pred).collect()
+    n = sum(r["n"] for r in cont)
+    a: dict = {}
+    b: dict = {}
+    sum_comb_ij = 0.0
+    for r in cont:
+        a[r["y"]] = a.get(r["y"], 0) + r["n"]
+        b[r["y_pred"]] = b.get(r["y_pred"], 0) + r["n"]
+        sum_comb_ij += _comb2(r["n"])
+    sum_comb_a = sum(_comb2(v) for v in a.values())
+    sum_comb_b = sum(_comb2(v) for v in b.values())
+    total = _comb2(n)
+    expected = sum_comb_a * sum_comb_b / total
+    max_index = (sum_comb_a + sum_comb_b) / 2.0
+    ari = 1.0 if max_index == expected else (
+        (sum_comb_ij - expected) / (max_index - expected)
+    )
+    rand = (total + 2 * sum_comb_ij - sum_comb_a - sum_comb_b) / total
+    mi = 0.0
+    for r in cont:
+        p_ij = r["n"] / n
+        mi += p_ij * math.log(n * r["n"] / (a[r["y"]] * b[r["y_pred"]]))
+    h_y = -sum(v / n * math.log(v / n) for v in a.values())
+    h_p = -sum(v / n * math.log(v / n) for v in b.values())
+    hom = 1.0 if h_y == 0 else mi / h_y
+    comp = 1.0 if h_p == 0 else mi / h_p
+    v = 0.0 if hom + comp == 0 else 2 * hom * comp / (hom + comp)
+    return {
+        "ari": ari, "rand": rand, "mi": mi,
+        "homogeneity": hom, "completeness": comp, "v_measure": v,
+    }
+
+
 def kl_divergence(df: DataFrame, p: str, q: str) -> float:
     """Σ p·ln(p/q) over paired probability columns (klDivergence.h)."""
     return df.agg(

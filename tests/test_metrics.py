@@ -128,3 +128,22 @@ def test_trustworthiness_sample_size_and_k_guard(spark):
     assert t == _pt.approx(1.0)
     with _pt.raises(ValueError, match="n_neighbors"):
         trustworthiness(df, df, n_neighbors=120)
+
+
+def test_cluster_agreement_metrics_matches_individuals(lineitem):
+    from cuml_spark.metrics import (adjusted_rand_score,
+                                    cluster_agreement_metrics,
+                                    homogeneity_completeness_v_measure,
+                                    mutual_info_score, rand_score)
+
+    m = cluster_agreement_metrics(lineitem, "l_returnflag", "l_linestatus")
+    assert m["ari"] == pytest.approx(
+        adjusted_rand_score(lineitem, "l_returnflag", "l_linestatus"))
+    assert m["rand"] == pytest.approx(
+        rand_score(lineitem, "l_returnflag", "l_linestatus"))
+    assert m["mi"] == pytest.approx(
+        mutual_info_score(lineitem, "l_returnflag", "l_linestatus"))
+    hom, comp, v = homogeneity_completeness_v_measure(
+        lineitem, "l_returnflag", "l_linestatus")
+    assert (m["homogeneity"], m["completeness"], m["v_measure"]) == (
+        pytest.approx(hom), pytest.approx(comp), pytest.approx(v))
