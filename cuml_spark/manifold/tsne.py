@@ -1,17 +1,26 @@
 """TSNE — t-distributed Stochastic Neighbor Embedding (van der Maaten 2008).
 
 Reference: python/cuml/manifold/t_sne.pyx:73 (ctor :186: perplexity=30,
-method ∈ {barnes_hut, exact}) → cpp/src/tsne/tsne.cu:55: KNN-based P_ij
-(distances.h:37), symmetrize (:88), then Barnes-Hut or exact gradient loop.
+method ∈ {barnes_hut, exact}, angle=0.5, n_neighbors=90,
+exaggeration_iter=250, pre/post momentum 0.5/0.8) → cpp/src/tsne/tsne.cu:55:
+KNN-based P_ij (distances.h:37), symmetrize (:88), then Barnes-Hut
+(bh_kernels.h quadtree) or exact gradient loop (exact_kernels.h).
 
 Spark-native split, same as UMAP: the KNN graph (the O(N²)-ish part) is
 DISTRIBUTED via the shard-and-merge top-k join; conditional probabilities
 (perplexity binary search) are vectorized numpy over the collected k-sparse
 graph; the gradient loop runs on the driver over the n×2 embedding (the
-reference's BH quadtree is also a single-device structure).  ``method``
-'exact' computes the full repulsive term (O(n²) numpy, fine for the
-driver-side n this targets); position very large inputs as sample-then-embed
-(SURVEY.md §2.1 #20).
+reference's BH quadtree is also a single-device structure).
+
+``method='barnes_hut'`` (the reference default) approximates the repulsive
+term with a Morton-grid quadtree treecode: per level, cell aggregates
+(count, center of mass) stand in for far cells under the standard opening
+criterion ``cell_width < angle · distance`` — the same accuracy contract as
+the reference's BH kernels — while near cells expand to their children and
+finest-level cells are scored exactly.  Everything is frontier-batched numpy
+(no per-point recursion), P stays k-sparse, so driver capacity is O(n·k)
+memory and O(n·log n) time per iteration instead of the exact path's dense
+O(n²).  ``method='exact'`` keeps the full dense gradient for small n.
 """
 
 from __future__ import annotations
@@ -51,31 +60,139 @@ def _binary_search_beta(d2: np.ndarray, perplexity: float, n_iter: int = 64) -> 
     return beta
 
 
+def _bh_repulsion(Y: np.ndarray, angle: float = 0.5):
+    """Barnes-Hut-approximate t-SNE repulsion → (Frep_normalized, Z).
+
+    Morton-grid quadtree treecode (bh_kernels.h parity, vectorized):
+    levels d=1..D hold per-cell (count, COM); a frontier of (point, cell)
+    pairs descends level-synchronously.  A cell is consumed as far-field when
+    ``width_d² < angle²·dist²`` AND it does not contain the point itself;
+    otherwise it expands to its (existing) children, and at the finest level
+    the surviving cells are scored exactly point-by-point via CSR gathers.
+    All steps are whole-array numpy — bincount scatters, searchsorted child
+    lookups — no Python recursion over nodes.
+
+    Returns the normalized repulsive force (already divided by Z) and
+    Z = Σ_{i≠j} (1+‖y_i−y_j‖²)⁻¹ (the BH estimate of it).
+    """
+    n = Y.shape[0]
+    if n < 2:
+        return np.zeros_like(Y), 1.0
+    mn = Y.min(0)
+    extent = float((Y.max(0) - mn).max()) + 1e-12
+    # 4^D ≥ ~2n → mean finest-cell occupancy ≤ ~0.5; depth still log-bounded
+    D = max(2, int(np.ceil(0.5 * np.log2(2.0 * n))))
+    side = 1 << D
+    cell = np.minimum((((Y - mn) / extent) * side).astype(np.int64), side - 1)
+
+    # per-level aggregates: uniq cell ids (row-major), counts, centers of mass
+    levels = {}
+    for d in range(1, D + 1):
+        sh = D - d
+        cid = (cell[:, 0] >> sh) * (1 << d) + (cell[:, 1] >> sh)
+        uniq, inv, cnt = np.unique(cid, return_inverse=True, return_counts=True)
+        com = np.stack(
+            [np.bincount(inv, Y[:, 0]) / cnt, np.bincount(inv, Y[:, 1]) / cnt], 1
+        )
+        levels[d] = (uniq, com, cnt.astype(np.float64))
+
+    fine_id = cell[:, 0] * side + cell[:, 1]
+    order = np.argsort(fine_id, kind="stable")
+    sorted_fine = fine_id[order]
+
+    num = np.zeros_like(Y)  # Σ_j q² (y_i − y_j), unnormalized
+    Z = 0.0
+    a2 = angle * angle
+
+    pt = np.repeat(np.arange(n), len(levels[1][0]))
+    cl = np.tile(np.arange(len(levels[1][0])), n)
+    for d in range(1, D + 1):
+        if len(pt) == 0:
+            break
+        uniq, com, cnt = levels[d]
+        width = extent / (1 << d)
+        diff = Y[pt] - com[cl]
+        dist2 = diff[:, 0] ** 2 + diff[:, 1] ** 2
+        sh = D - d
+        own_id = (cell[pt, 0] >> sh) * (1 << d) + (cell[pt, 1] >> sh)
+        far = (width * width < a2 * dist2) & (own_id != uniq[cl])
+        if far.any():
+            q = 1.0 / (1.0 + dist2[far])
+            w = cnt[cl[far]] * q
+            Z += float(w.sum())
+            wq = w * q  # count · q²
+            num[:, 0] += np.bincount(pt[far], wq * diff[far, 0], minlength=n)
+            num[:, 1] += np.bincount(pt[far], wq * diff[far, 1], minlength=n)
+        near = ~far
+        if d == D:
+            # exact leaf scoring: expand surviving cells to their points
+            npt = pt[near]
+            ncell = uniq[cl[near]]
+            start = np.searchsorted(sorted_fine, ncell)
+            end = np.searchsorted(sorted_fine, ncell, side="right")
+            counts = end - start
+            tot = int(counts.sum())
+            if tot:
+                cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                offs = np.arange(tot) - np.repeat(cum, counts) + np.repeat(start, counts)
+                j = order[offs]
+                i = np.repeat(npt, counts)
+                keep = i != j
+                i, j = i[keep], j[keep]
+                de = Y[i] - Y[j]
+                qe = 1.0 / (1.0 + de[:, 0] ** 2 + de[:, 1] ** 2)
+                Z += float(qe.sum())
+                q2 = qe * qe
+                num[:, 0] += np.bincount(i, q2 * de[:, 0], minlength=n)
+                num[:, 1] += np.bincount(i, q2 * de[:, 1], minlength=n)
+        elif near.any():
+            # expand near cells to existing children at level d+1
+            pcell = uniq[cl[near]]
+            px, py = pcell >> d, pcell & ((1 << d) - 1)
+            base_pt = pt[near]
+            u2 = levels[d + 1][0]
+            next_pt, next_cl = [], []
+            for a in (0, 1):
+                for b in (0, 1):
+                    ch = ((px << 1) + a) * (1 << (d + 1)) + ((py << 1) + b)
+                    pos = np.searchsorted(u2, ch)
+                    pos_c = np.minimum(pos, len(u2) - 1)
+                    ok = u2[pos_c] == ch
+                    next_pt.append(base_pt[ok])
+                    next_cl.append(pos_c[ok])
+            pt = np.concatenate(next_pt)
+            cl = np.concatenate(next_cl)
+        else:
+            break
+    Z = max(Z, 1e-12)
+    return num / Z, Z
+
+
 class TSNE(Base):
     def __init__(self, n_components: int = 2, perplexity: float = 30.0,
                  early_exaggeration: float = 12.0, learning_rate: float = 200.0,
-                 n_iter: int = 500, method: str = "exact",
+                 n_iter: int = 500, method: str = "barnes_hut",
+                 angle: float = 0.5, n_neighbors: int = 90,
+                 exaggeration_iter: int = 250, pre_momentum: float = 0.5,
+                 post_momentum: float = 0.8, min_grad_norm: float = 1e-7,
                  random_state: int = 42, **kwargs):
         super().__init__(**kwargs)
         if n_components != 2:
             raise ValueError("reference supports n_components=2 (t_sne.pyx:186)")
-        if method != "exact":
-            # the reference's default is barnes_hut (t_sne.pyx:186, CUDA
-            # quadtree bh_kernels.h); this engine implements the exact
-            # gradient only, under the sample-then-embed contract — refuse
-            # loudly rather than silently running a different algorithm.
-            raise NotImplementedError(
-                f"method={method!r} is not implemented: this engine computes "
-                "the exact t-SNE gradient over a driver-held sample "
-                "(sample-then-embed contract). Use method='exact', and "
-                "sample large inputs before embedding."
-            )
+        if method not in ("barnes_hut", "exact"):
+            raise ValueError(f"method must be 'barnes_hut' or 'exact', got {method!r}")
         self.n_components = n_components
         self.perplexity = perplexity
         self.early_exaggeration = early_exaggeration
         self.learning_rate = learning_rate
         self.n_iter = n_iter
         self.method = method
+        self.angle = angle
+        self.n_neighbors = n_neighbors
+        self.exaggeration_iter = exaggeration_iter
+        self.pre_momentum = pre_momentum
+        self.post_momentum = post_momentum
+        self.min_grad_norm = min_grad_norm
         self.random_state = random_state
 
     def fit_transform(self, df: DataFrame, vec_col: str = "x",
@@ -83,7 +200,7 @@ class TSNE(Base):
         pts = df.select(F.col(id_col).alias("pid"),
                         F.col(vec_col).cast("array<double>").alias("x")).cache()
         n_rows = pts.count()
-        k = min(int(3 * self.perplexity), max(2, n_rows - 1))
+        k = min(self.n_neighbors, int(3 * self.perplexity), max(2, n_rows - 1))
         knn = self_knn_graph(pts, k=k, vec_col="x", id_col="pid",
                              metric="sqeuclidean", n_rows=n_rows,
                              seed=self.random_state)
@@ -103,7 +220,21 @@ class TSNE(Base):
         beta = _binary_search_beta(D2, self.perplexity)
         Pcond = np.exp(-D2 * beta[:, None])
         Pcond /= Pcond.sum(1, keepdims=True) + 1e-12
-        # symmetrize into dense P (driver-side n; BH variant would keep sparse)
+
+        if self.method == "exact":
+            Y = self._optimize_exact(n, k, NI, Pcond)
+        else:
+            Y = self._optimize_bh(n, k, NI, Pcond)
+        self.embedding_ = Y
+
+        spark = df.sparkSession
+        out = [(int(pid), [float(v) for v in Y[i]]) for i, pid in enumerate(ids)]
+        return spark.createDataFrame(out, f"{id_col} long, embedding array<double>")
+
+    # -------------------------- exact gradient ---------------------------
+    def _optimize_exact(self, n: int, k: int, NI: np.ndarray,
+                        Pcond: np.ndarray) -> np.ndarray:
+        # symmetrize into dense P (driver-side n; BH variant keeps sparse)
         P = np.zeros((n, n))
         rows = np.repeat(np.arange(n), k)
         P[rows, NI.ravel()] = Pcond.ravel()
@@ -113,28 +244,77 @@ class TSNE(Base):
         rng = np.random.RandomState(self.random_state)
         Y = rng.standard_normal((n, 2)) * 1e-4
         Yinc = np.zeros_like(Y)
-        momentum = 0.5
+        momentum = self.pre_momentum
         Pij = P * self.early_exaggeration
+        switch = min(self.exaggeration_iter, 100)
+        Qn = np.full((n, n), 1e-12)
         for it in range(self.n_iter):
-            if it == 100:
+            if it == switch:
                 Pij = P
-                momentum = 0.8
+                momentum = self.post_momentum
             diff = Y[:, None, :] - Y[None, :, :]
-            d2 = (diff**2).sum(-1)
+            d2 = (diff ** 2).sum(-1)
             Q = 1.0 / (1.0 + d2)
             np.fill_diagonal(Q, 0.0)
             Qn = Q / (Q.sum() + 1e-12)
             Qn = np.maximum(Qn, 1e-12)
             PQ = (Pij - Qn) * Q
             grad = 4.0 * (PQ[:, :, None] * diff).sum(1)
+            if it > switch and np.linalg.norm(grad) < self.min_grad_norm:
+                break
             Yinc = momentum * Yinc - self.learning_rate * grad
             Y = Y + Yinc
             Y = Y - Y.mean(0)
-        self.embedding_ = Y
         self.kl_divergence_ = float((P * np.log(P / Qn)).sum())
+        return Y
 
-        spark = df.sparkSession
-        out = [(int(pid), [float(v) for v in Y[i]]) for i, pid in enumerate(ids)]
-        return spark.createDataFrame(out, f"{id_col} long, embedding array<double>")
+    # ------------------------ Barnes-Hut gradient ------------------------
+    def _optimize_bh(self, n: int, k: int, NI: np.ndarray,
+                     Pcond: np.ndarray) -> np.ndarray:
+        # symmetrized sparse P as COO: (P + Pᵀ) / 2n over the KNN support
+        rows = np.repeat(np.arange(n), k)
+        cols = NI.ravel()
+        vals = Pcond.ravel()
+        key = np.concatenate([rows * n + cols, cols * n + rows])
+        val = np.concatenate([vals, vals])
+        ukey, inv = np.unique(key, return_inverse=True)
+        pv = np.bincount(inv, val) / (2.0 * n)
+        ei = (ukey // n).astype(np.int64)
+        ej = (ukey % n).astype(np.int64)
+        keep = ei != ej
+        ei, ej, pv = ei[keep], ej[keep], pv[keep]
+        pv = np.maximum(pv, 1e-12)
+
+        rng = np.random.RandomState(self.random_state)
+        Y = rng.standard_normal((n, 2)) * 1e-4
+        Yinc = np.zeros_like(Y)
+        momentum = self.pre_momentum
+        exag = self.early_exaggeration
+        switch = min(self.exaggeration_iter, max(1, self.n_iter // 3))
+        Z = 1.0
+        for it in range(self.n_iter):
+            if it == switch:
+                exag = 1.0
+                momentum = self.post_momentum
+            de = Y[ei] - Y[ej]
+            qe = 1.0 / (1.0 + de[:, 0] ** 2 + de[:, 1] ** 2)
+            w = (pv * exag) * qe
+            Fattr = np.stack(
+                [np.bincount(ei, w * de[:, 0], minlength=n),
+                 np.bincount(ei, w * de[:, 1], minlength=n)], 1
+            )
+            Frep, Z = _bh_repulsion(Y, self.angle)
+            grad = 4.0 * (Fattr - Frep)
+            if it > switch and np.linalg.norm(grad) < self.min_grad_norm:
+                break
+            Yinc = momentum * Yinc - self.learning_rate * grad
+            Y = Y + Yinc
+            Y = Y - Y.mean(0)
+        # KL over the sparse support with the BH-estimated Z (standard BH-SNE
+        # reporting): KL ≈ Σ p_ij log(p_ij / (q_ij / Z))
+        de = Y[ei] - Y[ej]
+        qe = 1.0 / (1.0 + de[:, 0] ** 2 + de[:, 1] ** 2)
+        self.kl_divergence_ = float((pv * np.log(pv / np.maximum(qe / Z, 1e-12))).sum())
+        return Y
 
     fit = fit_transform

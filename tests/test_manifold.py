@@ -88,13 +88,46 @@ def test_umap_supervised_tightens_classes(blob_vecs):
     assert sep_s > 2.0
 
 
-def test_tsne_barnes_hut_raises():
-    with pytest.raises(NotImplementedError, match="exact"):
-        TSNE(method="barnes_hut")
+def test_tsne_unknown_method_raises():
+    with pytest.raises(ValueError, match="barnes_hut"):
+        TSNE(method="fft")
 
 
-def test_tsne_preserves_blob_structure(blob_vecs):
-    ts = TSNE(perplexity=15.0, n_iter=300, random_state=5)
+def test_bh_repulsion_matches_exact():
+    """The quadtree treecode at angle=0.5 must track the exact O(n²)
+    repulsive force: small relative error in Z and per-point forces aligned
+    with their exact counterparts (bh_kernels.h accuracy contract)."""
+    from cuml_spark.manifold.tsne import _bh_repulsion
+
+    rng = np.random.RandomState(11)
+    # clustered layout — the regime BH sees mid-optimization
+    Y = np.concatenate([
+        rng.standard_normal((300, 2)) * 0.5 + c
+        for c in ([0, 0], [6, 1], [-4, 5])
+    ])
+    n = len(Y)
+    diff = Y[:, None, :] - Y[None, :, :]
+    q = 1.0 / (1.0 + (diff ** 2).sum(-1))
+    np.fill_diagonal(q, 0.0)
+    z_exact = q.sum()
+    f_exact = (q[:, :, None] ** 2 * diff).sum(1) / z_exact
+
+    f_bh, z_bh = _bh_repulsion(Y, angle=0.5)
+    assert abs(z_bh - z_exact) / z_exact < 0.05
+    # force field agreement: small residual relative to the field's scale
+    denom = np.linalg.norm(f_exact, axis=1).mean()
+    rel = np.linalg.norm(f_bh - f_exact, axis=1).mean() / denom
+    assert rel < 0.1
+    # tighter angle → tighter agreement
+    f_bh2, z_bh2 = _bh_repulsion(Y, angle=0.2)
+    rel2 = np.linalg.norm(f_bh2 - f_exact, axis=1).mean() / denom
+    assert rel2 <= rel + 1e-12
+    assert abs(z_bh2 - z_exact) / z_exact < 0.02
+
+
+@pytest.mark.parametrize("method", ["barnes_hut", "exact"])
+def test_tsne_preserves_blob_structure(blob_vecs, method):
+    ts = TSNE(perplexity=15.0, n_iter=300, method=method, random_state=5)
     out = ts.fit_transform(blob_vecs, vec_col="x", id_col="pid").toPandas()
     pdf = blob_vecs.select("pid", "label").toPandas()
     merged = out.merge(pdf, on="pid").sort_values("pid")
