@@ -27,6 +27,7 @@ from cuml_spark.core.session import get_spark  # noqa: F401
 # Lazy (PEP 562) so importing cuml_spark stays cheap.
 _TOP_LEVEL = {
     "Base": "cuml_spark.core.base",
+    "Handle": "cuml_spark.core.handle",
     "DBSCAN": "cuml_spark.cluster.dbscan",
     "KMeans": "cuml_spark.cluster.kmeans",
     "SpectralClustering": "cuml_spark.cluster.spectral",
@@ -64,6 +65,12 @@ _TOP_LEVEL = {
 
 
 def __getattr__(name: str):
+    if name == "cuda":
+        # reference exports the cuda module itself (cuml/__init__.py:19);
+        # the Spark analog lives in core.handle (Stream is a documented no-op)
+        import cuml_spark.core.handle as _h
+
+        return _h
     mod = _TOP_LEVEL.get(name)
     if mod is None:
         raise AttributeError(f"module 'cuml_spark' has no attribute {name!r}")

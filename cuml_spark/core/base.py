@@ -41,7 +41,13 @@ def _is_java_model(v: Any) -> bool:
 class Base:
     """Common estimator plumbing: params contract + session access."""
 
-    def __init__(self, *, verbose: bool = False, output_type: str = "spark"):
+    def __init__(self, *, handle=None, verbose: bool = False,
+                 output_type: str = "spark"):
+        # handle= accepted on every estimator, reference base.pyx:70-81
+        # semantics (default-constructed when omitted)
+        from cuml_spark.core.handle import Handle
+
+        self.handle = handle if handle is not None else Handle()
         self.verbose = verbose
         self.output_type = output_type
 
