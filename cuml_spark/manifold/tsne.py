@@ -60,6 +60,23 @@ def _binary_search_beta(d2: np.ndarray, perplexity: float, n_iter: int = 64) -> 
     return beta
 
 
+def _interleave_bits(x: np.ndarray, y: np.ndarray, D: int) -> np.ndarray:
+    """Morton (z-order) code: bits of x,y (< 2^D, D ≤ 20) interleaved,
+    x in the odd (higher) positions — so ``code >> 2(D-d)`` is the cell id
+    at coarser level d and each cell owns a contiguous sorted-code range."""
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    return ((spread(x) << np.uint64(1)) | spread(y)).astype(np.int64)
+
+
 def _bh_repulsion(Y: np.ndarray, angle: float = 0.5):
     """Barnes-Hut-approximate t-SNE repulsion → (Frep_normalized, Z).
 
@@ -80,29 +97,63 @@ def _bh_repulsion(Y: np.ndarray, angle: float = 0.5):
         return np.zeros_like(Y), 1.0
     mn = Y.min(0)
     extent = float((Y.max(0) - mn).max()) + 1e-12
-    # 4^D ≥ ~2n → mean finest-cell occupancy ≤ ~0.5; depth still log-bounded
+    # ADAPTIVE depth (a real BH tree subdivides dense regions deeper): start
+    # at 4^D ≈ 2n and deepen while the exact-leaf pair volume Σ occupancy²
+    # stays super-linear — t-SNE's exaggeration phase collapses clusters into
+    # tiny regions, and a fixed grid would go O(m²) inside them.  Capped at
+    # D=20 (coords < 2²⁰, Morton codes fit int64) for coincident layouts.
     D = max(2, int(np.ceil(0.5 * np.log2(2.0 * n))))
-    side = 1 << D
-    cell = np.minimum((((Y - mn) / extent) * side).astype(np.int64), side - 1)
+    while True:
+        side = 1 << D
+        cell = np.minimum((((Y - mn) / extent) * side).astype(np.int64), side - 1)
+        occ = np.unique(cell[:, 0] * side + cell[:, 1], return_counts=True)[1]
+        if D >= 20 or float((occ.astype(np.float64) ** 2).sum()) <= 32.0 * n:
+            break
+        D += 2
 
-    # per-level aggregates: uniq cell ids (row-major), counts, centers of mass
+    # Morton (z-order) codes: every level-d cell is the prefix ``code >> 2(D-d)``
+    # and owns a CONTIGUOUS slice of the code-sorted point order — so any
+    # near cell, at ANY level, can expand straight to its points.
+    morton = _interleave_bits(cell[:, 0], cell[:, 1], D)
+    order = np.argsort(morton, kind="stable")
+    sorted_m = morton[order]
+
+    # per-level aggregates keyed by Morton prefix
     levels = {}
     for d in range(1, D + 1):
-        sh = D - d
-        cid = (cell[:, 0] >> sh) * (1 << d) + (cell[:, 1] >> sh)
+        cid = morton >> (2 * (D - d))
         uniq, inv, cnt = np.unique(cid, return_inverse=True, return_counts=True)
         com = np.stack(
             [np.bincount(inv, Y[:, 0]) / cnt, np.bincount(inv, Y[:, 1]) / cnt], 1
         )
-        levels[d] = (uniq, com, cnt.astype(np.float64))
-
-    fine_id = cell[:, 0] * side + cell[:, 1]
-    order = np.argsort(fine_id, kind="stable")
-    sorted_fine = fine_id[order]
+        levels[d] = (uniq, com, cnt)
 
     num = np.zeros_like(Y)  # Σ_j q² (y_i − y_j), unnormalized
     Z = 0.0
     a2 = angle * angle
+    leaf_cap = 8  # cells this small are scored exactly instead of descending
+
+    def _exact(npt: np.ndarray, ncell: np.ndarray, shift: int) -> None:
+        """Exact point-vs-cell-members scoring via the Morton-contiguous slice."""
+        nonlocal Z
+        start = np.searchsorted(sorted_m, ncell << shift)
+        end = np.searchsorted(sorted_m, (ncell + 1) << shift)
+        counts = end - start
+        tot = int(counts.sum())
+        if not tot:
+            return
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        offs = np.arange(tot) - np.repeat(cum, counts) + np.repeat(start, counts)
+        j = order[offs]
+        i = np.repeat(npt, counts)
+        keep = i != j
+        i, j = i[keep], j[keep]
+        de = Y[i] - Y[j]
+        qe = 1.0 / (1.0 + de[:, 0] ** 2 + de[:, 1] ** 2)
+        Z += float(qe.sum())
+        q2 = qe * qe
+        num[:, 0] += np.bincount(i, q2 * de[:, 0], minlength=n)
+        num[:, 1] += np.bincount(i, q2 * de[:, 1], minlength=n)
 
     pt = np.repeat(np.arange(n), len(levels[1][0]))
     cl = np.tile(np.arange(len(levels[1][0])), n)
@@ -113,9 +164,9 @@ def _bh_repulsion(Y: np.ndarray, angle: float = 0.5):
         width = extent / (1 << d)
         diff = Y[pt] - com[cl]
         dist2 = diff[:, 0] ** 2 + diff[:, 1] ** 2
-        sh = D - d
-        own_id = (cell[pt, 0] >> sh) * (1 << d) + (cell[pt, 1] >> sh)
-        far = (width * width < a2 * dist2) & (own_id != uniq[cl])
+        sh2 = 2 * (D - d)
+        own = (morton[pt] >> sh2) == uniq[cl]
+        far = (width * width < a2 * dist2) & ~own
         if far.any():
             q = 1.0 / (1.0 + dist2[far])
             w = cnt[cl[far]] * q
@@ -124,46 +175,25 @@ def _bh_repulsion(Y: np.ndarray, angle: float = 0.5):
             num[:, 0] += np.bincount(pt[far], wq * diff[far, 0], minlength=n)
             num[:, 1] += np.bincount(pt[far], wq * diff[far, 1], minlength=n)
         near = ~far
-        if d == D:
-            # exact leaf scoring: expand surviving cells to their points
-            npt = pt[near]
-            ncell = uniq[cl[near]]
-            start = np.searchsorted(sorted_fine, ncell)
-            end = np.searchsorted(sorted_fine, ncell, side="right")
-            counts = end - start
-            tot = int(counts.sum())
-            if tot:
-                cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
-                offs = np.arange(tot) - np.repeat(cum, counts) + np.repeat(start, counts)
-                j = order[offs]
-                i = np.repeat(npt, counts)
-                keep = i != j
-                i, j = i[keep], j[keep]
-                de = Y[i] - Y[j]
-                qe = 1.0 / (1.0 + de[:, 0] ** 2 + de[:, 1] ** 2)
-                Z += float(qe.sum())
-                q2 = qe * qe
-                num[:, 0] += np.bincount(i, q2 * de[:, 0], minlength=n)
-                num[:, 1] += np.bincount(i, q2 * de[:, 1], minlength=n)
-        elif near.any():
-            # expand near cells to existing children at level d+1
-            pcell = uniq[cl[near]]
-            px, py = pcell >> d, pcell & ((1 << d) - 1)
-            base_pt = pt[near]
-            u2 = levels[d + 1][0]
-            next_pt, next_cl = [], []
-            for a in (0, 1):
-                for b in (0, 1):
-                    ch = ((px << 1) + a) * (1 << (d + 1)) + ((py << 1) + b)
-                    pos = np.searchsorted(u2, ch)
-                    pos_c = np.minimum(pos, len(u2) - 1)
-                    ok = u2[pos_c] == ch
-                    next_pt.append(base_pt[ok])
-                    next_cl.append(pos_c[ok])
-            pt = np.concatenate(next_pt)
-            cl = np.concatenate(next_cl)
-        else:
+        # small or finest-level near cells: score their points exactly now
+        # (subtree descent would only re-derive the same few points)
+        small = near & ((cnt[cl] <= leaf_cap) | (d == D))
+        if small.any():
+            _exact(pt[small], uniq[cl[small]], sh2)
+        desc = near & ~small
+        if d == D or not desc.any():
             break
+        # descend the remaining (big, close) cells: four Morton children,
+        # resolved in one searchsorted over the child level's prefix list
+        pcell = uniq[cl[desc]]
+        base = pcell << 2
+        ch = np.concatenate([base, base + 1, base + 2, base + 3])
+        u2 = levels[d + 1][0]
+        pos = np.searchsorted(u2, ch)
+        pos_c = np.minimum(pos, len(u2) - 1)
+        ok = u2[pos_c] == ch
+        pt = np.tile(pt[desc], 4)[ok]
+        cl = pos_c[ok]
     Z = max(Z, 1e-12)
     return num / Z, Z
 

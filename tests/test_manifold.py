@@ -125,6 +125,29 @@ def test_bh_repulsion_matches_exact():
     assert abs(z_bh2 - z_exact) / z_exact < 0.02
 
 
+@pytest.mark.quality
+def test_tsne_bh_capacity_15k(spark):
+    """The BH path must embed sample sizes the dense exact path cannot hold
+    (15k points → a 1.8 GB dense Q alone): k-sparse P + treecode repulsion,
+    cluster structure preserved."""
+    n, d, n_cl = 15_000, 8, 6
+    rng = np.random.RandomState(4)
+    centers = rng.standard_normal((n_cl, d)) * 8.0
+    lab = rng.randint(n_cl, size=n)
+    X = centers[lab] + rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "pid long, x array<double>",
+    ).repartition(16).cache()
+    ts = TSNE(perplexity=15.0, n_iter=150, method="barnes_hut", random_state=5)
+    out = ts.fit_transform(df, vec_col="x", id_col="pid").toPandas()
+    assert len(out) == n
+    merged = out.sort_values("pid").reset_index(drop=True)
+    sep = _cluster_separation(merged, lab[merged["pid"].to_numpy()])
+    assert sep > 1.5
+    assert np.isfinite(ts.kl_divergence_)
+
+
 @pytest.mark.parametrize("method", ["barnes_hut", "exact"])
 def test_tsne_preserves_blob_structure(blob_vecs, method):
     ts = TSNE(perplexity=15.0, n_iter=300, method=method, random_state=5)
