@@ -116,6 +116,77 @@ def _knn_gemm(
     )
 
 
+def _knn_stream_queries(
+    index_rows: list,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    nid_type: T.DataType | None = None,
+) -> DataFrame:
+    """Top-k for an UNBOUNDED query side against a bounded index: the index
+    matrix ships in the scorer closure and each query partition computes its
+    own complete top-k — a pure map, NO shuffle, no merge window.  This is
+    the 100 TB inference plan (e.g. UMAP.transform over the full table
+    against a capped training sample)."""
+    i_ids = np.asarray([r[0] for r in index_rows])
+    X = np.asarray([r[1] for r in index_rows], dtype=np.float64)
+    x_sq = np.einsum("ij,ij->i", X, X)
+    euclidean = metric == "euclidean"
+    cosine = metric == "cosine"
+
+    q_src = queries  # (query_id, q_vec) — caller normalized the columns
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", q_src.schema["query_id"].dataType),
+            T.StructField(
+                "neighbor_id",
+                nid_type if nid_type is not None
+                else (T.LongType() if i_ids.dtype.kind in "iu" else T.StringType()),
+            ),
+            T.StructField("distance", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.asarray(pdf["q_vec"].tolist(), dtype=np.float64)
+            qid = pdf["query_id"].to_numpy()
+            G = Q @ X.T  # (batch, n_index)
+            if cosine:
+                q_n = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = 1.0 - G / (q_n[:, None] * np.sqrt(x_sq)[None, :])
+            else:
+                q_sq = np.einsum("ij,ij->i", Q, Q)
+                D = np.maximum(0.0, q_sq[:, None] + x_sq[None, :] - 2.0 * G)
+                if euclidean:
+                    D = np.sqrt(D)
+            D[qid[:, None] == i_ids[None, :]] = np.inf  # self-pair exclusion
+            kk = min(k, D.shape[1])
+            out_q, out_n, out_d, out_r = [], [], [], []
+            for r in range(len(qid)):
+                dr = D[r]
+                top = np.lexsort((i_ids, dr))[:kk]
+                top = top[np.isfinite(dr[top])]
+                out_q.append(np.full(len(top), qid[r]))
+                out_n.append(i_ids[top])
+                out_d.append(dr[top])
+                out_r.append(np.arange(1, len(top) + 1))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q) if out_q else [],
+                    "neighbor_id": np.concatenate(out_n) if out_n else [],
+                    "distance": np.concatenate(out_d) if out_d else [],
+                    "rank": np.concatenate(out_r) if out_r else [],
+                }
+            )
+
+    return q_src.mapInPandas(score, out_schema)
+
+
 def knn_join(
     index: DataFrame,
     queries: DataFrame,
@@ -131,9 +202,12 @@ def knn_join(
     Ties broken by neighbor id (reference uses index order).  Default path:
     the query side (small by contract) is collected ONCE and shipped in the
     scorer closure; the index side streams through an Arrow-batched GEMM and
-    only per-shard top-k rows reach the merge window (``_knn_gemm``).  A
-    query side larger than ``_GEMM_QUERY_CAP`` falls back to the broadcast
-    pair-join with expanded-norm distances.
+    only per-shard top-k rows reach the merge window (``_knn_gemm``).  When
+    the QUERY side is the big one but the index fits the cap (the inference
+    shape: score everything against a bounded model/sample), the roles flip:
+    the index ships in the closure and queries stream shuffle-free
+    (``_knn_stream_queries``).  Only when BOTH sides exceed the cap does the
+    broadcast pair-join fallback run.
     """
     if metric not in ("sqeuclidean", "euclidean", "l2", "cosine"):
         raise ValueError(f"unsupported metric {metric!r}")
@@ -159,7 +233,17 @@ def knn_join(
             index, q_ids, Q, q_src.schema["query_id"].dataType,
             k, vec_col, index_id, metric,
         )
-    # ------- fallback: broadcast pair-join (query side too big to ship) ----
+    i_src = index.select(
+        F.col(index_id).alias("index_id"),
+        F.col(vec_col).cast("array<double>").alias("i_vec"),
+    )
+    i_rows = i_src.limit(_GEMM_QUERY_CAP + 1).collect()
+    if 0 < len(i_rows) <= _GEMM_QUERY_CAP:
+        return _knn_stream_queries(
+            i_rows, q_src, k, metric,
+            nid_type=i_src.schema["index_id"].dataType,
+        )
+    # ------- fallback: broadcast pair-join (BOTH sides too big to ship) ----
     # HOF distances above dim 16: the unrolled element_at tree at high dim
     # blows whole-stage-codegen method limits (janino compile dominates).
     if dim is not None and dim > 16:

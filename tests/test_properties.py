@@ -154,3 +154,40 @@ def test_weak_cc_labels_are_component_minima(spark, edges):
         union(a, b)
     expected = {v: find(v) for v in parent}
     assert got == expected
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=300),
+    scale=st.sampled_from([1e-6, 1.0, 1e4]),
+    n_clusters=st.integers(min_value=1, max_value=5),
+    spread=st.sampled_from([0.0, 0.01, 1.0]),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_bh_repulsion_tracks_exact_field(n, scale, n_clusters, spread, seed):
+    """For ANY 2-d layout — tiny/huge extent, collapsed clusters, even fully
+    coincident points — the treecode's Z and force field must track the
+    exact O(n²) computation within the angle-criterion error envelope
+    (no Spark involved: pure driver kernel)."""
+    from cuml_spark.manifold.tsne import _bh_repulsion
+
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, 2)) * 3.0
+    Y = (centers[rng.randint(n_clusters, size=n)]
+         + rng.standard_normal((n, 2)) * spread) * scale
+
+    diff = Y[:, None, :] - Y[None, :, :]
+    q = 1.0 / (1.0 + (diff ** 2).sum(-1))
+    np.fill_diagonal(q, 0.0)
+    z_exact = q.sum()
+    f_exact = (q[:, :, None] ** 2 * diff).sum(1) / max(z_exact, 1e-12)
+
+    f_bh, z_bh = _bh_repulsion(Y, angle=0.5)
+    assert np.isfinite(f_bh).all() and np.isfinite(z_bh)
+    assert abs(z_bh - z_exact) / max(z_exact, 1e-12) < 0.05
+    denom = np.linalg.norm(f_exact, axis=1).mean()
+    if denom > 0:  # coincident layouts have a zero exact field
+        rel = np.linalg.norm(f_bh - f_exact, axis=1).mean() / denom
+        assert rel < 0.1
+    else:
+        assert np.linalg.norm(f_bh, axis=1).max() < 1e-12
