@@ -111,6 +111,47 @@ class ForestInference(Base):
 
     # -- loaders ------------------------------------------------------------
     @classmethod
+    def load(cls, filename: str, output_class: bool = False,
+             threshold: float = 0.5, algo: str = "TREE_REORG",
+             storage_type: str = "DENSE", model_type: str = "xgboost",
+             handle=None) -> "ForestInference":
+        """File loader matching the reference's primary entry point
+        (fil.pyx:459 ``ForestInference.load``): xgboost JSON tree-dump files
+        parse natively; binary treelite formats ('lightgbm', 'protobuf',
+        xgboost binary) need the treelite package, which is not bundled —
+        those raise naming the missing dependency rather than mis-parsing.
+
+        ``algo`` / ``storage_type`` are accepted for signature parity: they
+        select GPU kernel layouts in the reference (fil.h storage_type_t) and
+        have no Spark analog — scoring here is an Arrow-batched broadcast UDF
+        whatever their value.
+        """
+        if model_type != "xgboost":
+            raise NotImplementedError(
+                f"model_type={model_type!r} needs the treelite runtime, which "
+                "is not bundled; export the model as an xgboost JSON dump "
+                "(Booster.get_dump(dump_format='json')) and use load() / "
+                "load_from_xgboost_json() on that."
+            )
+        with open(filename) as f:
+            text = f.read()
+        try:
+            payload = json.loads(text)
+        except json.JSONDecodeError as e:
+            raise NotImplementedError(
+                f"{filename} is not an xgboost JSON tree dump (binary "
+                "xgboost/treelite models need the treelite runtime, not "
+                f"bundled): {e}"
+            ) from None
+        out = cls.load_from_xgboost_json(
+            payload, output="class" if output_class else "raw",
+            threshold=threshold,
+        )
+        if handle is not None:
+            out.handle = handle
+        return out
+
+    @classmethod
     def load_from_xgboost_json(cls, dump: str | list, output: str = "sigmoid",
                                threshold: float = 0.5,
                                base_score: float = 0.0) -> "ForestInference":

@@ -75,3 +75,30 @@ def test_fil_from_arrays_average(points_df):
     out = fil.predict(points_df, ["f0", "f1"]).toPandas()
     expect = ((out["f0"] < 0).astype(float) * 1.0 + (out["f0"] >= 0) * 3.0 + 2.0) / 2
     np.testing.assert_allclose(out["prediction"].to_numpy(), expect.to_numpy(), rtol=1e-12)
+
+
+def test_fil_load_from_file(tmp_path, points_df):
+    """File entry point (fil.pyx:459 ``load``): JSON dumps parse natively;
+    raw prediction equals the manual traversal; binary/treelite formats
+    raise naming the missing dependency."""
+    p = tmp_path / "model.json"
+    p.write_text(json.dumps([_TREE0, _TREE1]))
+    fil = ForestInference.load(str(p))
+    got = {
+        r["id"]: r["score"]
+        for r in fil.predict(points_df, ["f0", "f1"], out_col="score").collect()
+    }
+    pdf = points_df.toPandas()
+    for _, row in pdf.iterrows():
+        assert abs(got[row["id"]] - _manual_score(row["f0"], row["f1"])) < 1e-9
+
+    clf = ForestInference.load(str(p), output_class=True, threshold=0.1)
+    vals = {r["score"] for r in clf.predict(points_df, ["f0", "f1"], out_col="score").collect()}
+    assert vals <= {0.0, 1.0}
+
+    with pytest.raises(NotImplementedError, match="treelite"):
+        ForestInference.load(str(p), model_type="lightgbm")
+    binp = tmp_path / "model.bin"
+    binp.write_bytes(b"\x00\x01binary-not-json")
+    with pytest.raises(NotImplementedError, match="treelite"):
+        ForestInference.load(str(binp))
