@@ -38,11 +38,35 @@ def _is_java_model(v: Any) -> bool:
         return False
 
 
+#: Reference ctor knobs accepted for drop-in parity and stored INERT: GPU
+#: execution-tuning parameters with no Spark analog (streams, device batch
+#: sizing, kernel layout) plus the sklearn-compatibility args the reference
+#: itself accepts without effect (randomforest*.pyx warns-and-drops n_jobs,
+#: warm_start, …; logistic_regression.pyx documents class_weight as
+#: unsupported).  Anything NOT in this set still raises TypeError, so typos
+#: of real hyperparameters don't pass silently.
+_COMPAT_INERT_PARAMS = frozenset({
+    # GPU execution knobs
+    "n_streams", "n_gpus", "devices", "should_downcast", "gdf_datatype",
+    "max_mbytes_per_batch", "max_samples_per_batch", "quantile_per_tree",
+    "split_algo", "precision", "dense_output", "type_model",
+    # sklearn-compat args the reference accepts without effect
+    "n_jobs", "warm_start", "oob_score", "class_weight",
+    "min_weight_fraction_leaf", "max_leaf_nodes", "min_impurity_decrease",
+    "min_impurity_split", "bootstrap_features", "max_leaves",
+    # solver micro-knobs folded into the wrapped optimizers
+    "linesearch_max_iter", "n_iter_no_change", "shuffle",
+    "learning_rate_method", "n_iter_without_progress",
+    # ANN search-queue sizing (reference FAISS knob)
+    "transform_queue_size",
+})
+
+
 class Base:
     """Common estimator plumbing: params contract + session access."""
 
     def __init__(self, *, handle=None, verbose: bool = False,
-                 output_type: str = "spark"):
+                 output_type: str = "spark", **compat):
         # handle= accepted on every estimator, reference base.pyx:70-81
         # semantics (default-constructed when omitted)
         from cuml_spark.core.handle import Handle
@@ -50,6 +74,15 @@ class Base:
         self.handle = handle if handle is not None else Handle()
         self.verbose = verbose
         self.output_type = output_type
+        unknown = set(compat) - _COMPAT_INERT_PARAMS
+        if unknown:
+            raise TypeError(
+                f"{type(self).__name__}: unexpected parameter(s) "
+                f"{sorted(unknown)} (not a reference hyperparameter nor a "
+                "recognized compatibility knob)"
+            )
+        for k, v in compat.items():
+            setattr(self, k, v)
 
     # -- sklearn contract (mirrors base.pyx:114-143) -----------------------
     @classmethod

@@ -52,23 +52,48 @@ class _RFBase(Base):
                  max_features: str | float = "auto", rows_sample: float = 1.0,
                  split_criterion: int | None = None, bootstrap: bool = True,
                  min_rows: int | None = None, n_y_bins: int = 32,
-                 random_state: int = 0, **kwargs):
+                 random_state: int | None = 0, min_rows_per_node: int | None = None,
+                 min_samples_leaf: int | None = None,
+                 criterion: int | str | None = None,
+                 accuracy_metric: str = "mse", seed: int = -1, **kwargs):
         super().__init__(**kwargs)
         self.n_estimators = n_estimators
         self.max_depth = max_depth
         self.n_bins = n_bins
         self.max_features = max_features
         self.rows_sample = rows_sample
+        # reference vocabulary (randomforest*.pyx ctor): criterion maps onto
+        # split_criterion ({gini,entropy,mse,mae} ↔ 0..3); the reference
+        # itself REJECTS non-None criterion — accepting the mapping here is a
+        # strict superset of its behavior
+        if criterion is not None and split_criterion is None:
+            crit_map = {"gini": 0, "entropy": 1, "mse": 2, "mae": 3}
+            split_criterion = (
+                crit_map[criterion] if isinstance(criterion, str) else int(criterion)
+            )
+        self.criterion = criterion
         self.split_criterion = (
             split_criterion if split_criterion is not None else self._default_criterion
         )
         self.bootstrap = bootstrap
-        # min_rows ↔ cuML min_rows_per_node ↔ MLlib minInstancesPerNode;
-        # None keeps each backend's own default (MLlib 1, MAE forest 5)
+        # min_rows ↔ cuML min_rows_per_node ↔ MLlib minInstancesPerNode
+        # (sklearn's min_samples_leaf lands on the same knob); None keeps
+        # each backend's own default (MLlib 1, MAE forest 5)
+        if min_rows is None:
+            min_rows = (min_rows_per_node if min_rows_per_node is not None
+                        else min_samples_leaf)
         self.min_rows = min_rows
+        self.min_rows_per_node = min_rows
+        self.min_samples_leaf = min_samples_leaf
+        # accuracy_metric: regressor .score() metric name (reference default)
+        self.accuracy_metric = accuracy_metric
         # n_y_bins: target-histogram resolution, MAE path only
         self.n_y_bins = n_y_bins
-        self.random_state = random_state
+        # reference seed=-1 sentinel defers to random_state
+        self.seed = seed
+        if seed != -1 and not random_state:
+            random_state = seed
+        self.random_state = random_state if random_state is not None else 0
         self._model = None
         self._cols: list[str] | None = None
 

@@ -23,12 +23,14 @@ class MBSGDClassifier(SGD):
                  fit_intercept: bool = True, epochs: int = 100,
                  tol: float = 1e-3, eta0: float = 0.01, power_t: float = 0.5,
                  learning_rate: str = "constant", batch_fraction: float = 1.0,
+                 batch_size: int | None = None,
                  seed: int = 42, **kwargs):
         super().__init__(loss=loss, penalty=penalty, alpha=alpha,
                          l1_ratio=l1_ratio, fit_intercept=fit_intercept,
                          epochs=epochs, tol=tol, eta0=eta0, power_t=power_t,
                          learning_rate=learning_rate,
-                         batch_fraction=batch_fraction, seed=seed, **kwargs)
+                         batch_fraction=batch_fraction, batch_size=batch_size,
+                         seed=seed, **kwargs)
 
     def predict(self, df: DataFrame, out_col: str = "prediction") -> DataFrame:
         return self.predictClass(df, out_col)
@@ -37,13 +39,15 @@ class MBSGDClassifier(SGD):
 class MBSGDRegressor(SGD):
     """squared-loss mini-batch SGD; predict → continuous value."""
 
-    def __init__(self, penalty: str = "l2", alpha: float = 1e-4,
+    def __init__(self, loss: str = "squared_loss", penalty: str = "l2", alpha: float = 1e-4,
                  l1_ratio: float = 0.15, fit_intercept: bool = True,
                  epochs: int = 100, tol: float = 1e-3, eta0: float = 0.01,
                  power_t: float = 0.5, learning_rate: str = "constant",
-                 batch_fraction: float = 1.0, seed: int = 42, **kwargs):
-        super().__init__(loss="squared_loss", penalty=penalty, alpha=alpha,
+                 batch_fraction: float = 1.0, batch_size: int | None = None,
+                 seed: int = 42, **kwargs):
+        super().__init__(loss=loss, penalty=penalty, alpha=alpha,
                          l1_ratio=l1_ratio, fit_intercept=fit_intercept,
                          epochs=epochs, tol=tol, eta0=eta0, power_t=power_t,
                          learning_rate=learning_rate,
-                         batch_fraction=batch_fraction, seed=seed, **kwargs)
+                         batch_fraction=batch_fraction, batch_size=batch_size,
+                         seed=seed, **kwargs)

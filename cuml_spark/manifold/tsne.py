@@ -205,12 +205,22 @@ class TSNE(Base):
                  angle: float = 0.5, n_neighbors: int = 90,
                  exaggeration_iter: int = 250, pre_momentum: float = 0.5,
                  post_momentum: float = 0.8, min_grad_norm: float = 1e-7,
+                 metric: str = "euclidean", init: str = "random",
+                 perplexity_max_iter: int = 100,
                  random_state: int = 42, **kwargs):
         super().__init__(**kwargs)
         if n_components != 2:
             raise ValueError("reference supports n_components=2 (t_sne.pyx:186)")
         if method not in ("barnes_hut", "exact"):
             raise ValueError(f"method must be 'barnes_hut' or 'exact', got {method!r}")
+        if metric not in ("euclidean", "sqeuclidean"):
+            # t_sne.pyx:255 errors on anything but euclidean
+            raise ValueError("TSNE supports metric='euclidean' (t_sne.pyx:255)")
+        if init != "random":
+            raise ValueError("TSNE supports init='random' (t_sne.pyx:257)")
+        self.metric = metric
+        self.init = init
+        self.perplexity_max_iter = perplexity_max_iter
         self.n_components = n_components
         self.perplexity = perplexity
         self.early_exaggeration = early_exaggeration
@@ -247,7 +257,8 @@ class TSNE(Base):
         D2[qi, ri] = edges["distance"].to_numpy()
         NI[qi, ri] = edges["neighbor_id"].map(order).to_numpy()
 
-        beta = _binary_search_beta(D2, self.perplexity)
+        beta = _binary_search_beta(D2, self.perplexity,
+                                   n_iter=self.perplexity_max_iter)
         Pcond = np.exp(-D2 * beta[:, None])
         Pcond /= Pcond.sum(1, keepdims=True) + 1e-12
 

@@ -29,17 +29,31 @@ from cuml_spark.neighbors.nearest_neighbors import knn_join, self_knn_graph
 SMOOTH_K_TOL = 1e-5
 
 
-def _smooth_knn_dist_all(D: np.ndarray, k: float, n_iter: int = 64) -> tuple[np.ndarray, np.ndarray]:
+def _smooth_knn_dist_all(D: np.ndarray, k: float, n_iter: int = 64,
+                         local_connectivity: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
     """(rho, sigma) for EVERY point at once — the smooth-knn-dist binary
     search (fuzzy_simpl_set/naive.h) run as one vectorized solve over the
     padded (n, kmax) distance matrix (np.inf padding contributes exp(-inf)=0
     to the membership sum, exactly like an absent neighbor).
+
+    ``local_connectivity`` (umap.pyx:240 vocabulary): rho is the distance to
+    the ⌊lc⌋-th nearest neighbor, linearly interpolated toward the next one
+    for fractional lc — lc=1.0 reduces to the nearest-neighbor distance.
     """
     target = np.log2(k)
     finite = np.isfinite(D)
     pos = finite & (D > 0)
-    Dpos = np.where(pos, D, np.inf)
-    rho = np.where(pos.any(axis=1), Dpos.min(axis=1), 0.0)
+    Dpos = np.sort(np.where(pos, D, np.inf), axis=1)  # ascending, inf-padded
+    n_pos = np.isfinite(Dpos).sum(axis=1)
+    lc = max(float(local_connectivity), 1.0)
+    idx = int(np.floor(lc)) - 1
+    frac = lc - np.floor(lc)
+    i0 = np.minimum(idx, np.maximum(n_pos - 1, 0))
+    i1 = np.minimum(idx + 1, np.maximum(n_pos - 1, 0))
+    r0 = Dpos[np.arange(len(Dpos)), i0]
+    r1 = Dpos[np.arange(len(Dpos)), i1]
+    rho = np.where(n_pos > 0, r0 + frac * np.where(np.isfinite(r1 - r0), r1 - r0, 0.0), 0.0)
+    rho = np.where(np.isfinite(rho), rho, 0.0)
     n = D.shape[0]
     lo = np.zeros(n)
     hi = np.full(n, np.inf)
@@ -65,7 +79,8 @@ def _smooth_knn_dist_all(D: np.ndarray, k: float, n_iter: int = 64) -> tuple[np.
 
 
 def _fuzzy_simplicial_set(
-    qi: np.ndarray, ni: np.ndarray, dist: np.ndarray, n: int, k: float
+    qi: np.ndarray, ni: np.ndarray, dist: np.ndarray, n: int, k: float,
+    set_op_mix_ratio: float = 1.0, local_connectivity: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """k-sparse KNN edge list → symmetric fuzzy graph (heads, tails, weights).
 
@@ -86,7 +101,7 @@ def _fuzzy_simplicial_set(
     slot = np.arange(m) - np.repeat(np.cumsum(counts) - counts, counts)
     D = np.full((n, kmax), np.inf)
     D[qi[order], slot] = dist[order]
-    rho, sigma = _smooth_knn_dist_all(D, k)
+    rho, sigma = _smooth_knn_dist_all(D, k, local_connectivity=local_connectivity)
     w = np.exp(-np.maximum(dist - rho[qi], 0.0) / sigma[qi])
     # match each directed edge with its reverse (if present)
     key = qi.astype(np.int64) * n + ni.astype(np.int64)
@@ -97,7 +112,10 @@ def _fuzzy_simplicial_set(
     pos_c = np.minimum(pos, m - 1)
     found = skey[pos_c] == rkey
     wt = np.where(found, sw[pos_c], 0.0)
-    sym_w = w + wt - w * wt
+    # set_op_mix_ratio (umap.pyx:240): 1.0 = fuzzy union (w ⊔ wᵀ), 0.0 =
+    # fuzzy intersection (w ⊓ wᵀ), linear blend between
+    mix = set_op_mix_ratio
+    sym_w = mix * (w + wt - w * wt) + (1.0 - mix) * (w * wt)
     # dedupe to one row per unordered pair (both directions agree on sym_w)
     a = np.minimum(qi, ni).astype(np.int64)
     b = np.maximum(qi, ni).astype(np.int64)
@@ -159,17 +177,24 @@ class UMAP(Base):
     def __init__(self, n_neighbors: int = 15, n_components: int = 2,
                  n_epochs: int = 200, learning_rate: float = 1.0,
                  min_dist: float = 0.1, spread: float = 1.0,
+                 set_op_mix_ratio: float = 1.0, local_connectivity: float = 1.0,
+                 repulsion_strength: float = 1.0,
                  negative_sample_rate: int = 5, init: str = "spectral",
                  random_state: int = 42, **kwargs):
         super().__init__(**kwargs)
         if init not in ("spectral", "random"):
             raise ValueError("init must be 'spectral' or 'random'")
+        if not 0.0 <= set_op_mix_ratio <= 1.0:
+            raise ValueError("set_op_mix_ratio must be in [0, 1] (umap.pyx:240)")
         self.n_neighbors = n_neighbors
         self.n_components = n_components
         self.n_epochs = n_epochs
         self.learning_rate = learning_rate
         self.min_dist = min_dist
         self.spread = spread
+        self.set_op_mix_ratio = set_op_mix_ratio
+        self.local_connectivity = local_connectivity
+        self.repulsion_strength = repulsion_strength
         self.negative_sample_rate = negative_sample_rate
         self.init = init
         self.random_state = random_state
@@ -203,7 +228,11 @@ class UMAP(Base):
 
         # 2. fuzzy simplicial set: per-point rho/sigma + membership strengths
         #    — one vectorized binary search over the padded (n, kmax) matrix
-        heads, tails, weights = _fuzzy_simplicial_set(qi, ni, dist, n, k)
+        heads, tails, weights = _fuzzy_simplicial_set(
+            qi, ni, dist, n, k,
+            set_op_mix_ratio=self.set_op_mix_ratio,
+            local_connectivity=self.local_connectivity,
+        )
         if y_col is not None:
             labels = meta["y"].to_numpy()
             weights = _categorical_intersection(labels, heads, tails, weights)
@@ -279,7 +308,9 @@ class UMAP(Base):
             t = rng.randint(n, size=(len(act), nsr))
             diff_n = Y[i][:, None, :] - Y[t]
             d2n = np.einsum("ijk,ijk->ij", diff_n, diff_n)
-            coef_n = (2.0 * b) / ((0.001 + d2n) * (1.0 + a * d2n**b))
+            # repulsion_strength = gamma (umap.pyx:240 / algo.h repulsive term)
+            coef_n = (self.repulsion_strength * 2.0 * b) / (
+                (0.001 + d2n) * (1.0 + a * d2n**b))
             gn = np.clip(coef_n[:, :, None] * diff_n, -4.0, 4.0)
             gn[t == i[:, None]] = 0.0  # skip self as negative
             np.add.at(Y, np.repeat(i, nsr), alpha * gn.reshape(-1, Y.shape[1]))

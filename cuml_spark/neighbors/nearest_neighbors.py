@@ -335,7 +335,9 @@ class NearestNeighbors(Base):
                  n_tables: int = 4, seed: int = 42, **kwargs):
         super().__init__(**kwargs)
         self.n_neighbors = n_neighbors
-        self.algorithm = algorithm
+        # reference vocabulary: algorithm='full' (nearest_neighbors.pyx:96)
+        # is its brute-force mode
+        self.algorithm = "brute" if algorithm == "full" else algorithm
         self.metric = metric
         self.n_planes = n_planes
         self.n_tables = n_tables

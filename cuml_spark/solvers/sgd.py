@@ -41,6 +41,7 @@ class SGD(Base):
         power_t: float = 0.5,
         learning_rate: str = "constant",
         batch_fraction: float = 1.0,
+        batch_size: int | None = None,
         seed: int = 42,
         **kwargs,
     ):
@@ -62,6 +63,9 @@ class SGD(Base):
         self.power_t = power_t
         self.learning_rate = learning_rate
         self.batch_fraction = batch_fraction
+        # reference vocabulary (sgd.pyx:93): rows per minibatch — converted
+        # to a sampling fraction against the table size at fit time
+        self.batch_size = batch_size
         self.seed = seed
         self.coef_: np.ndarray | None = None
         self.intercept_: float = 0.0
@@ -97,6 +101,9 @@ class SGD(Base):
 
     def fit(self, df: DataFrame, feature_cols: list[str], label_col: str) -> "SGD":
         data = check_features(df, [*feature_cols, label_col]).cache()
+        if self.batch_size is not None:
+            n_rows = data.count()
+            self.batch_fraction = min(1.0, self.batch_size / max(n_rows, 1))
         d = len(feature_cols)
         w = np.zeros(d)
         b = 0.0
