@@ -105,23 +105,42 @@ class ExponentialSmoothing(Base):
 
     def __init__(
         self,
+        endog: "DataFrame | None" = None,
         seasonal: str = "additive",
         seasonal_periods: int = 2,
+        start_periods: int = 2,
+        ts_num: int = 1,
+        eps: float = 2.24e-3,
         **kwargs,
     ):
+        """Reference ctor shape (holtwinters.pyx ctor): ``endog`` — the data
+        itself — may be passed at construction and ``fit()`` called with no
+        arguments; here endog is a long DataFrame (series_id, t, y).
+        ``start_periods`` (seed-window count), ``ts_num`` (series count; here
+        derived from the data) and ``eps`` (optimizer tolerance) are accepted
+        for vocabulary parity — the grid+golden-section optimizer resolves
+        finer than the reference's eps by construction."""
         super().__init__(**kwargs)
         if seasonal not in ("additive", "multiplicative"):
             raise ValueError("seasonal must be 'additive' or 'multiplicative'")
+        self.endog = endog
         self.seasonal = seasonal
         self.seasonal_periods = int(seasonal_periods)
+        self.start_periods = int(start_periods)
+        self.ts_num = int(ts_num)
+        self.eps = float(eps)
 
     def fit(
         self,
-        df: DataFrame,
+        df: DataFrame | None = None,
         series_col: str = "series_id",
         t_col: str = "t",
         y_col: str = "y",
     ) -> "ExponentialSmoothing":
+        if df is None:
+            if self.endog is None:
+                raise ValueError("pass df= to fit() or endog= at construction")
+            df = self.endog
         m = self.seasonal_periods
         mult = self.seasonal == "multiplicative"
 

@@ -157,3 +157,53 @@ def test_tsne_preserves_blob_structure(blob_vecs, method):
     sep = _cluster_separation(merged, merged["label"].to_numpy())
     assert sep > 2.0
     assert np.isfinite(ts.kl_divergence_)
+
+
+def test_umap_fuzzy_knobs_semantics():
+    """set_op_mix_ratio / local_connectivity act on the fuzzy graph the way
+    the reference defines them (umap.pyx:240 vocabulary): mix=0 is the fuzzy
+    intersection (≤ union weights, zero for one-sided edges), and larger
+    local_connectivity raises rho (pure numpy — no Spark)."""
+    from cuml_spark.manifold.umap import (_fuzzy_simplicial_set,
+                                          _smooth_knn_dist_all)
+
+    rng = np.random.RandomState(3)
+    n, k = 40, 5
+    qi = np.repeat(np.arange(n), k)
+    ni = np.concatenate([rng.choice([j for j in range(n) if j != i], k, replace=False)
+                         for i in range(n)])
+    dist = rng.uniform(0.1, 2.0, size=n * k)
+
+    hu, tu, wu = _fuzzy_simplicial_set(qi, ni, dist, n, k, set_op_mix_ratio=1.0)
+    hi, ti, wi = _fuzzy_simplicial_set(qi, ni, dist, n, k, set_op_mix_ratio=0.0)
+    assert (hu == hi).all() and (tu == ti).all()
+    assert (wi <= wu + 1e-12).all()      # intersection never exceeds union
+    assert wi.sum() < wu.sum()           # and is strictly smaller somewhere
+    # one-sided edges (reverse absent) have zero intersection weight
+    keyset = set(zip(qi.tolist(), ni.tolist()))
+    one_sided = np.array([(int(t), int(h)) not in keyset for h, t in zip(hu, tu)])
+    assert (wi[one_sided] < 1e-9).all()
+
+    # local_connectivity: rho_2 >= rho_1 pointwise (2nd neighbor is farther)
+    order = np.argsort(qi, kind="stable")
+    D = np.full((n, k), np.inf)
+    slot = np.tile(np.arange(k), n)
+    D[qi[order], slot] = dist[order]
+    rho1, _ = _smooth_knn_dist_all(D, k, local_connectivity=1.0)
+    rho2, _ = _smooth_knn_dist_all(D, k, local_connectivity=2.0)
+    assert (rho2 >= rho1 - 1e-12).all()
+    assert rho2.sum() > rho1.sum()
+
+
+def test_umap_repulsion_strength_spreads_layout(blob_vecs):
+    """gamma scales the negative-sample push: a stronger repulsion must not
+    collapse the layout — its spread should be at least that of gamma=1."""
+    um1 = UMAP(n_neighbors=10, n_epochs=60, init="random", random_state=3,
+               repulsion_strength=1.0)
+    um2 = UMAP(n_neighbors=10, n_epochs=60, init="random", random_state=3,
+               repulsion_strength=4.0)
+    y1 = np.vstack(um1.fit_transform(blob_vecs, vec_col="x", id_col="pid")
+                   .toPandas()["embedding"].to_numpy())
+    y2 = np.vstack(um2.fit_transform(blob_vecs, vec_col="x", id_col="pid")
+                   .toPandas()["embedding"].to_numpy())
+    assert y2.std() > y1.std() * 0.9
