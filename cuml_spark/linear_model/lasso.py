@@ -46,7 +46,7 @@ def _cd_solve(gram: np.ndarray, corr: np.ndarray, n: int, l1: float, l2: float,
 
 class Lasso(LinearRegression):
     def __init__(self, alpha: float = 1.0, fit_intercept: bool = True,
-                 normalize: bool = False, max_iter: int = 1000, tol: float = 1e-6,
+                 normalize: bool = False, max_iter: int = 1000, tol: float = 1e-3,
                  selection: str = "cyclic", **kwargs):
         super().__init__(fit_intercept=fit_intercept, normalize=normalize, **kwargs)
         self.alpha = alpha

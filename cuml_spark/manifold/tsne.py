@@ -201,7 +201,7 @@ def _bh_repulsion(Y: np.ndarray, angle: float = 0.5):
 class TSNE(Base):
     def __init__(self, n_components: int = 2, perplexity: float = 30.0,
                  early_exaggeration: float = 12.0, learning_rate: float = 200.0,
-                 n_iter: int = 500, method: str = "barnes_hut",
+                 n_iter: int = 1000, method: str = "barnes_hut",
                  angle: float = 0.5, n_neighbors: int = 90,
                  exaggeration_iter: int = 250, pre_momentum: float = 0.5,
                  post_momentum: float = 0.8, min_grad_norm: float = 1e-7,

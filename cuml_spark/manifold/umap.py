@@ -175,7 +175,7 @@ def _find_ab_params(spread: float, min_dist: float) -> tuple[float, float]:
 
 class UMAP(Base):
     def __init__(self, n_neighbors: int = 15, n_components: int = 2,
-                 n_epochs: int = 200, learning_rate: float = 1.0,
+                 n_epochs: int = 500, learning_rate: float = 1.0,
                  min_dist: float = 0.1, spread: float = 1.0,
                  set_op_mix_ratio: float = 1.0, local_connectivity: float = 1.0,
                  repulsion_strength: float = 1.0,

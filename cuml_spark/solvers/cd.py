@@ -24,7 +24,7 @@ class CD(Base):
     def __init__(self, loss: str = "squared_loss", alpha: float = 1e-4,
                  l1_ratio: float = 0.15, fit_intercept: bool = True,
                  normalize: bool = False, max_iter: int = 1000,
-                 tol: float = 1e-6, **kwargs):
+                 tol: float = 1e-3, **kwargs):
         super().__init__(**kwargs)
         if loss != "squared_loss":
             raise ValueError("CD supports loss='squared_loss' (cd.pyx:160)")

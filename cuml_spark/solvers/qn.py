@@ -22,7 +22,7 @@ _LOSSES = ("sigmoid", "softmax", "normal")
 class QN(Base):
     def __init__(self, loss: str = "sigmoid", fit_intercept: bool = True,
                  l1_strength: float = 0.0, l2_strength: float = 0.0,
-                 max_iter: int = 1000, tol: float = 1e-4,
+                 max_iter: int = 1000, tol: float = 1e-3,
                  lbfgs_memory: int = 5, **kwargs):
         super().__init__(**kwargs)
         if loss not in _LOSSES:

@@ -129,3 +129,55 @@ def test_kalman_reference_vocabulary():
     # filter/kalman_filter.pyx:197 — positional dims + solver/precision/seed
     kf = cs.KalmanFilter(4, 2, solver="long_form")
     assert kf.dim_x == 4 and kf.dim_z == 2
+
+
+# Intentional default-value deviations from the reference, each with the
+# engine-architecture reason.  Everything else must match the reference's
+# shipped default exactly.
+ALLOWED_DEFAULT_DEVIATIONS = {
+    # deterministic-by-default: reference random_state=None draws device
+    # entropy; a distributed engine defaults to a fixed seed so re-runs of
+    # the same plan reproduce (tests/oracles depend on it)
+    ("KMeans", "random_state"), ("TSNE", "random_state"),
+    ("GaussianRandomProjection", "random_state"),
+    ("SparseRandomProjection", "random_state"),
+    ("RandomForestClassifier", "random_state"),
+    ("RandomForestRegressor", "random_state"),
+    # full-batch distributed gradient: one aggregate job per epoch replaces
+    # the reference's 32-row device minibatch, so fewer/larger steps
+    # (epochs 100 vs 1000, eta0 0.01 vs 0.001, batch_size None vs 32) are
+    # the Spark-appropriate defaults — a 32-row sample would still scan the
+    # table every step
+    ("MBSGDClassifier", "epochs"), ("MBSGDClassifier", "eta0"),
+    ("MBSGDClassifier", "batch_size"),
+    ("MBSGDRegressor", "epochs"), ("MBSGDRegressor", "eta0"),
+    ("MBSGDRegressor", "batch_size"),
+    ("SGD", "epochs"), ("SGD", "eta0"), ("SGD", "batch_size"),
+    # 'full' is the reference's name for brute force; the ctor aliases it
+    ("NearestNeighbors", "algorithm"),
+    # min_rows=None defers to each backend's own default (MLlib 1, MAE 5)
+    ("RandomForestClassifier", "min_rows_per_node"),
+    ("RandomForestRegressor", "min_rows_per_node"),
+}
+
+
+@pytest.mark.parametrize("name,ref,kwargs", CASES, ids=[c[0] for c in CASES])
+def test_ctor_defaults_match_reference(name, ref, kwargs):
+    """Constructing with NO arguments must reproduce the reference's default
+    hyperparameters (inert compat knobs excluded — they are only stored when
+    passed; deviations above are each architecture-motivated)."""
+    from cuml_spark.core.base import _COMPAT_INERT_PARAMS
+
+    est = getattr(cs, name)()
+    for k, v in kwargs.items():
+        if k in ("handle",) or k in _COMPAT_INERT_PARAMS:
+            continue
+        if (name, k) in ALLOWED_DEFAULT_DEVIATIONS:
+            continue
+        ours = getattr(est, k, "<missing>")
+        if ours is None and v is None:
+            continue
+        if isinstance(v, (int, float)) and isinstance(ours, (int, float)) \
+                and not isinstance(v, bool) and float(ours) == float(v):
+            continue
+        assert ours == v, f"{name}.{k}: reference default {v!r} ({ref}), got {ours!r}"
