@@ -204,14 +204,22 @@ def jaccard_similarity_pairs(df: DataFrame, k: int = 5, threshold: float = 0.0,
 
         @F.pandas_udf("long")
         def _inter(a: pd.Series, b: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
-                    len(np.intersect1d(np.asarray(x), np.asarray(y),
-                                       assume_unique=True))
-                    for x, y in zip(a, b)
-                ],
-                dtype=np.int64,
-            )
+            # arrays arrive SORTED (array_sort above), so the intersection
+            # size is a searchsorted membership count — no per-pair re-sort
+            # (np.intersect1d would concatenate+sort each pair again)
+            out = np.empty(len(a), dtype=np.int64)
+            for i, (x, y) in enumerate(zip(a, b)):
+                x = np.asarray(x)
+                y = np.asarray(y)
+                if len(x) == 0 or len(y) == 0:
+                    out[i] = 0
+                    continue
+                if len(y) < len(x):
+                    x, y = y, x  # search the shorter in the longer
+                pos = np.searchsorted(y, x)
+                pos[pos == len(y)] = len(y) - 1
+                out[i] = int((y[pos] == x).sum())
+            return pd.Series(out)
 
         pa = packed.select(F.col(id_col).alias("id_a"),
                            F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a"))
