@@ -43,3 +43,16 @@ def test_handle_pickles_without_session(spark):
 
 def test_handle_resolves_active_session(spark):
     assert cs.Handle().spark is spark
+
+
+def test_common_module_path_parity():
+    """Reference-style deep imports (cuml.common.base / .handle / .cuda)
+    resolve to the same objects."""
+    import cuml_spark.common.cuda as cuda
+    from cuml_spark.common import Base as B1
+    from cuml_spark.common.base import Base as B2
+    from cuml_spark.common.handle import Handle as H2
+
+    assert B1 is B2 is cs.Base
+    assert H2 is cs.Handle
+    assert cuda.Stream is cs.cuda.Stream
