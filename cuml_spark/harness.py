@@ -460,9 +460,11 @@ _DRIVER_WINDOW = [
     "graph_connected_components",
     "sparse_row_normalize",
     "cluster_dispersion",
-    # (b) implementation touched in round 3 (KNN/manifold/RF paths)
+    # (b) implementation touched in round 3 (KNN/manifold/RF paths);
+    # umap_transform_oos is new this round (out-of-sample placement)
     "umap_trust",
     "umap_supervised_trust",
+    "umap_transform_oos",
     "tsne_trust",
     "knn_embeddings",
     "cosine_topk",
@@ -489,8 +491,6 @@ _DRIVER_WINDOW = [
     "arima_grid_aic",
     "arima_forecast",
     "kpss_events",
-    "lsh_pairs",
-    "dedup_exact",
 ]
 
 _window = [k for k in _DRIVER_WINDOW if k in QUERIES]
