@@ -291,6 +291,20 @@ def _spark_tsne(df, cols, label):
     return {"trust": trustworthiness(pts, emb, n_neighbors=5, id_col="pid")}
 
 
+def _spark_umap(df, cols, label):
+    from pyspark.sql import functions as F
+
+    from cuml_spark.manifold import UMAP
+    from cuml_spark.metrics import trustworthiness
+
+    pts = df.select(F.col("id").alias("pid"),
+                    F.array(*cols).cast("array<double>").alias("x"))
+    out = UMAP(n_neighbors=10, n_epochs=60, init="random",
+               random_state=3).fit_transform(pts, vec_col="x", id_col="pid")
+    emb = out.select("pid", F.col("embedding").alias("x"))
+    return {"trust": trustworthiness(pts, emb, n_neighbors=5, id_col="pid")}
+
+
 def all_algorithms() -> list[AlgorithmPair]:
     """The registry (algorithms.py:198 shape, same algorithm names)."""
     return [
@@ -307,6 +321,8 @@ def all_algorithms() -> list[AlgorithmPair]:
         AlgorithmPair("RandomForestRegressor", _spark_rfr, None,
                       lambda r, b, X, y: r["r2"]),
         AlgorithmPair("TSNE", _spark_tsne, None,
+                      lambda r, b, X, y: r["trust"]),
+        AlgorithmPair("UMAP", _spark_umap, None,
                       lambda r, b, X, y: r["trust"]),
     ]
 
