@@ -42,3 +42,23 @@ def get_spark(app_name: str = "cuml_spark", shuffle_partitions: int | None = Non
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
     return builder.getOrCreate()
+
+
+def ensure_parallelism(df, min_parts: int | None = None):
+    """Round-robin repartition up to the session's default parallelism when
+    the plan currently yields fewer partitions.
+
+    Why: a parquet file exposes at most one scan split per row group, so a
+    single-row-group file (the local testdata) caps every downstream stage —
+    iterative fits, pandas-UDF scoring, cached working sets — at parallelism
+    1 regardless of core count.  On a real cluster a 100 TB table scans as
+    thousands of row-group splits (`getNumPartitions() >= cores`) and this
+    returns the input unchanged, so the call is free at scale; locally it
+    trades one narrow shuffle of the working set for full-core execution of
+    everything after it.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

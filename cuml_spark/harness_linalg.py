@@ -168,7 +168,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuml_spark.harness_text import lsh_pairs_cached
     from cuml_spark.text.dedup import jaccard_similarity_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    from cuml_spark.core.session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     # candidates are small (band-bucket pairs) and already cached by the
     # lsh_pairs query — the verify stage reuses that exact set
     cand = lsh_pairs_cached(spark, sf_dir)

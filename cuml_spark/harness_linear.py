@@ -114,7 +114,12 @@ def q_logreg_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     discount-threshold rule.  A-class fit; D-class projection: exact scored
     count + accuracy floor (1.00 observed — the rule is separable; any
     solver regression drops it)."""
-    li = _t(spark, sf_dir, "lineitem").withColumn(
+    from cuml_spark.core.session import ensure_parallelism
+
+    # 16 partitions (not full core count): 50 OWL-QN iterations = 50 jobs
+    # over the sample, so per-task overhead × iterations wins beyond ~16
+    # (measured fit: 8.2s@1p, 4.3s@8p, 4.8s@32p)
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"), min_parts=16).withColumn(
         "lbl", (F.col("l_discount") > 0.05).cast("int")
     )
     # fit on a deterministic 1/16 hash sample (rule is separable at any

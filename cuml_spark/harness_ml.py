@@ -46,7 +46,16 @@ def _ml_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_quantity") * (1 + F.col("l_tax"))
              + 100 * F.col("l_discount")).alias("y"),
         )
-        out = li.cache()
+        from cuml_spark.core.session import ensure_parallelism
+
+        # single-row-group local files scan as 1 split; spread the cached
+        # working set before the iterative fits hit it.  16 partitions, not
+        # full core count: each fit iteration is one job over this frame, so
+        # per-task scheduling overhead × iterations dominates beyond ~16
+        # (measured: RF fit 4.1s@4p, 1.7s@8p, 2.0s@16p, 1.8s@32p; MAE forest
+        # 5.4s@8p, 6.9s@32p — fits plateau at 8-16 while UDF-scoring paths
+        # keep scaling, which is why score paths use the full default)
+        out = ensure_parallelism(li, min_parts=16).cache()
         _ML_BASE_CACHE[key] = out
     return out
 

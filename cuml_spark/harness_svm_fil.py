@@ -32,7 +32,9 @@ _TREES = [
 
 
 def q_fil_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from cuml_spark.core.session import ensure_parallelism
+
+    li = ensure_parallelism(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     feats = li.select(
         "l_orderkey", "l_linenumber",
         (F.col("l_quantity") / 10.0).alias("f0"),

@@ -79,7 +79,11 @@ def _sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out is None:
         for k in [k for k in _SIG_CACHE if k[1] == sf_dir]:
             del _SIG_CACHE[k]
-        out = minhash_signatures(_t(spark, sf_dir, "documents")).cache()
+        from cuml_spark.core.session import ensure_parallelism
+
+        out = minhash_signatures(
+            ensure_parallelism(_t(spark, sf_dir, "documents"))
+        ).cache()
         out.count()
         _SIG_CACHE[key] = out
     return out
@@ -116,8 +120,10 @@ def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out is None:
         for k in [k for k in _LSH_CACHE if k[1] == sf_dir]:
             del _LSH_CACHE[k]  # superseded session: let its cache be GC'd
+        from cuml_spark.core.session import ensure_parallelism
+
         out = lsh_candidate_pairs(
-            _t(spark, sf_dir, "documents"),
+            ensure_parallelism(_t(spark, sf_dir, "documents")),
             signatures=_sigs_cached(spark, sf_dir),
         ).cache()
         out.count()  # materialize: consumers reference it multiple times
