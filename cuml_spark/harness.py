@@ -437,6 +437,9 @@ ORACLES.update(ORACLES_STREAMING)
 # implementation changed this round, (c) stable twice-green re-confirmations.
 _DRIVER_WINDOW = [
     # (a) never driver-verified through r2 (positions 51-72 in the r2 order)
+    # + pipeline_clean_corpus (new this round: end-to-end dedup→quality→
+    # lang-ID→token-budget composition)
+    "pipeline_clean_corpus",
     "scalar_functions",
     "gram_matrix",
     "ridge_closed_form",
@@ -490,7 +493,7 @@ _DRIVER_WINDOW = [
     "holtwinters_forecast",
     "arima_grid_aic",
     "arima_forecast",
-    "kpss_events",
+    # kpss_events rotates out (driver-green r1+r2; stays in queries()/bench)
 ]
 
 _window = [k for k in _DRIVER_WINDOW if k in QUERIES]

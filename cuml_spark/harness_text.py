@@ -350,7 +350,96 @@ FROM c GROUP BY series_id
 """
 
 
+# --------------------------------------------------------------------------
+# End-to-end corpus-cleaning pipeline (composition flagship)
+# --------------------------------------------------------------------------
+
+_PIPE_MIN_TOKENS = 30
+_PIPE_MTL_LO = 4.2
+_PIPE_MTL_HI = 5.2
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end in ONE plan: exact dedup
+    (keep-first) → quality gate (token count + mean token length) →
+    language ID → per-language document/token budget.
+
+    Plan shape at 100 TB: scan → one shuffle (window over md5(text) for
+    keep-first) → pure-map gate + stopword-vote scoring (``language_id``'s
+    ``keep_cols`` pass-through keeps it join-free) → one final tiny
+    aggregation.  No joins, no UDFs, driver state O(languages)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "text")
+    )
+    t = F.col("text")
+    n_tokens = token_count(t)
+    mtl = F.length(F.regexp_replace(t, "\\s", "")) / F.greatest(n_tokens, F.lit(1))
+    gated = kept.where(
+        (n_tokens >= _PIPE_MIN_TOKENS)
+        & (mtl >= _PIPE_MTL_LO) & (mtl <= _PIPE_MTL_HI)
+    ).select(
+        "doc_id", "text",
+        n_tokens.cast("long").alias("n_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+    )
+    tagged = language_id(gated, keep_cols=("n_tokens", "n_bpe_tokens"))
+    return tagged.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
+def _sql_pipeline_clean_corpus() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(regexp_extract_all(text, '\\S+'), "
+            f"x -> list_contains([{words}], lower(x)))) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "'unknown'"
+    for l in reversed(langs):
+        pred = f"CASE WHEN score_{l} = best AND best > 0 THEN '{l}' ELSE {pred} END"
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+), gated AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+           AS n_bpe_tokens
+  FROM kept
+  WHERE len(regexp_extract_all(text, '\\S+')) >= {_PIPE_MIN_TOKENS}
+    AND length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+        / greatest(len(regexp_extract_all(text, '\\S+')), 1) >= {_PIPE_MTL_LO}
+    AND length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+        / greatest(len(regexp_extract_all(text, '\\S+')), 1) <= {_PIPE_MTL_HI}
+), s AS (
+  SELECT doc_id, n_tokens, n_bpe_tokens, {', '.join(score_cols)} FROM gated
+), b AS (
+  SELECT doc_id, n_tokens, n_bpe_tokens, {best} AS best, * FROM s
+)
+SELECT {pred} AS pred_lang, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(n_bpe_tokens)::BIGINT AS total_bpe_tokens
+FROM b GROUP BY 1
+"""
+
+
 QUERIES_TEXT = {
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -365,6 +454,7 @@ QUERIES_TEXT = {
 }
 
 ORACLES_TEXT = {
+    "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

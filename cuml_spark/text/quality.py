@@ -63,13 +63,16 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-vote language ID → (id, pred_lang, score).
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Stopword-vote language ID → (id, [keep_cols...], pred_lang, score).
 
     Counts per-language stopword hits among tokens; argmax with deterministic
     lexicographic tiebreak ('und' wins over unknown).  Pure expressions —
-    map-only at any scale.  (On this testdata the corpora share one vocab, so
-    the interesting property is determinism, not accuracy.)
+    map-only at any scale.  ``keep_cols`` pass through unchanged so callers
+    composing a pipeline don't need a re-join to recover their columns.
+    (On this testdata the corpora share one vocab, so the interesting
+    property is determinism, not accuracy.)
     """
     toks = F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")
 
@@ -82,7 +85,10 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     for lang, words in sorted(LANG_STOPWORDS.items()):
         arr = F.array(*[F.lit(w) for w in words])
         scores.append(F.size(F.filter(toks, _counter(arr))).alias(f"score_{lang}"))
-    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    scored = df.select(
+        F.col(id_col), F.col(text_col),
+        *[F.col(c) for c in keep_cols], *scores,
+    )
     langs = sorted(LANG_STOPWORDS)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.lit("unknown")
@@ -90,5 +96,6 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     for l in reversed(langs):
         pred = F.when((F.col(f"score_{l}") == best) & (best > 0), F.lit(l)).otherwise(pred)
     return scored.select(
-        F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("score")
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        pred.alias("pred_lang"), best.cast("long").alias("score"),
     )

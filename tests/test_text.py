@@ -111,6 +111,48 @@ def test_language_id(docs):
     assert out[3] == "de"
 
 
+def test_language_id_keep_cols_passthrough(docs):
+    from pyspark.sql import functions as F
+
+    tagged = language_id(
+        docs.withColumn("n_chars", F.length("text")), keep_cols=("n_chars",)
+    )
+    assert set(tagged.columns) == {"doc_id", "n_chars", "pred_lang", "score"}
+    rows = {r["doc_id"]: r for r in tagged.collect()}
+    assert rows[0]["n_chars"] == len("the quick brown fox jumps over the lazy dog")
+    assert rows[0]["pred_lang"] == "en"
+
+
+def test_pipeline_clean_corpus_semantics(spark, tmp_path):
+    """End-to-end composition: dedup keeps doc 0 (not its exact dup 1), the
+    token gate drops every short fixture doc, and the per-language budget
+    sums only the survivors."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.harness_text import q_pipeline_clean_corpus
+
+    # mean token length must land inside the [4.2, 5.2] harness gate
+    long_en = ("the little cats and the hungry dogs and the clever foxes "
+               "walk with their friends every single day under bright skies "
+               "while they keep talking about meals and games together")
+    rows = [
+        (0, long_en),
+        (1, long_en),                        # exact dup → dropped keep-first
+        (2, "short doc"),                    # fails the token gate
+        (3, long_en + " more words again"),  # second survivor
+    ]
+    d = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = {r["pred_lang"]: r for r in q_pipeline_clean_corpus(spark, str(d)).collect()}
+    assert set(out) == {"en"}
+    en = out["en"]
+    assert en["n_docs"] == 2  # docs 0 and 3 — dup and short doc are gone
+    n_tok = len(long_en.split())
+    assert en["total_tokens"] == n_tok + (n_tok + 3)
+
+
 import pytest as _pytest
 
 from tests.conftest import quality_param, unit_param
