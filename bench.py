@@ -24,8 +24,26 @@ def main() -> None:
     spark = get_spark("cuml_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch the biggest table once (JVM + parquet footer reads)
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warmup: exercise each engine subsystem once so JVM/codegen/python-worker
+    # startup isn't charged to whichever query happens to run first —
+    # parquet footer reads, whole-stage codegen, a shuffle, a window, and
+    # the Arrow python-worker pool
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.count()
+    li.groupBy("l_returnflag").agg(F.sum("l_quantity")).collect()
+    li.limit(1000).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+        ),
+    ).agg(F.max("r")).collect()
+    from pyspark.sql.functions import PandasUDFType
+
+    _wu = F.pandas_udf(lambda s: s, "double", PandasUDFType.SCALAR)
+    li.limit(1000).select(_wu(F.col("l_quantity"))).collect()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
