@@ -138,9 +138,16 @@ class DBSCAN(Base):
         """
         eps = self.eps
         to_double_cols(df, cols)  # type-validate features (raises on non-numeric)
-        pts = df.select(
-            F.col(id_col).alias("pid"),
-            F.array(*[F.col(c).cast("double") for c in cols]).alias("x"),
+        from cuml_spark.core.session import ensure_parallelism
+
+        # several downstream jobs (degree counts, per-cell clustering, the
+        # two quotient-graph collects) all read this cache — spread it across
+        # cores first (no-op when the scan already yields enough splits)
+        pts = ensure_parallelism(
+            df.select(
+                F.col(id_col).alias("pid"),
+                F.array(*[F.col(c).cast("double") for c in cols]).alias("x"),
+            )
         ).cache()
 
         core_flags = self._core_flags(pts, len(cols)).cache()
