@@ -440,6 +440,7 @@ _DRIVER_WINDOW = [
     # + pipeline_clean_corpus (new this round: end-to-end dedup→quality→
     # lang-ID→token-budget composition)
     "pipeline_clean_corpus",
+    "streaming_clean_corpus",
     "scalar_functions",
     "gram_matrix",
     "ridge_closed_form",
@@ -492,8 +493,8 @@ _DRIVER_WINDOW = [
     "kalman_local_level",
     "holtwinters_forecast",
     "arima_grid_aic",
-    "arima_forecast",
-    # kpss_events rotates out (driver-green r1+r2; stays in queries()/bench)
+    # arima_forecast + kpss_events rotate out (driver-green r1+r2; they
+    # stay in queries()/bench — only the 50-slot verification window moves)
 ]
 
 _window = [k for k in _DRIVER_WINDOW if k in QUERIES]

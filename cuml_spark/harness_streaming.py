@@ -20,7 +20,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuml_spark.streaming import streaming_dedup, streaming_windowed_stats
+from cuml_spark.streaming import (streaming_clean_corpus, streaming_dedup,
+                                  streaming_windowed_stats)
 
 _DAY_NS = 86_400_000_000_000
 
@@ -140,12 +141,40 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming backfill of the corpus cleaner must equal the batch
+    pipeline: a real streaming query (file source → dedup state → pure-map
+    gate + language ID → memory sink, availableNow), aggregated batch-side.
+    Exact dedup keys on the full text, so every possible survivor of a
+    fingerprint carries identical token counts and language — the
+    per-language budget below is deterministic and replayable."""
+    stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
+    sink = _run_to_memory(streaming_clean_corpus(stream), "append")
+    return sink.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
+def _sql_streaming_clean_corpus() -> str:
+    # the batch pipeline oracle verbatim: its final aggregate never reads
+    # doc_id, and exact dedup keeps one textually-identical survivor per
+    # fingerprint either way, so keep-first (batch) and engine-chosen
+    # survivor (stream) yield the same per-language budget
+    from cuml_spark.harness_text import _sql_pipeline_clean_corpus
+
+    return _sql_pipeline_clean_corpus()
+
+
 QUERIES_STREAMING = {
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "streaming_window_stats": q_streaming_window_stats,
+    "streaming_clean_corpus": q_streaming_clean_corpus,
 }
 
 ORACLES_STREAMING = {
     "streaming_dedup_docs": _SQL_STREAMING_DEDUP_DOCS,
     "streaming_window_stats": _SQL_STREAMING_WINDOW_STATS,
+    "streaming_clean_corpus": _sql_streaming_clean_corpus(),
 }

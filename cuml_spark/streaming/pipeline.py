@@ -52,6 +52,51 @@ def streaming_dedup(
     return out.dropDuplicates(["fingerprint"])
 
 
+def streaming_clean_corpus(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    mtl_lo: float = 4.2,
+    mtl_hi: float = 5.2,
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch corpus cleaner (harness
+    ``pipeline_clean_corpus``): exact dedup on md5(text) → quality gate →
+    language ID, per arriving document.
+
+    → stream of (id, n_tokens, n_bpe_tokens, pred_lang, score) survivors.
+    WHICH physical duplicate survives is engine-dependent, but exact dedup
+    keys on the full text, so every survivor's text — hence its token
+    counts and language — is identical across choices: any aggregate over
+    this stream's non-id columns is deterministic and equals the batch
+    pipeline's answer.  One stateful op (the dedup; watermark-bounded when
+    ``ts_col`` is given), then pure maps — no second shuffle in-stream.
+    """
+    from cuml_spark.text.quality import (bpe_ish_token_count, language_id,
+                                         token_count)
+
+    fp = stream_df.withColumn("__fp", F.md5(F.col(text_col).cast("binary")))
+    if ts_col is not None:
+        fp = fp.withWatermark(ts_col, watermark)
+        deduped = fp.dropDuplicatesWithinWatermark(["__fp"])
+    else:
+        deduped = fp.dropDuplicates(["__fp"])
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    mtl = F.length(F.regexp_replace(t, "\\s", "")) / F.greatest(n_tokens, F.lit(1))
+    gated = deduped.where(
+        (n_tokens >= min_tokens) & (mtl >= mtl_lo) & (mtl <= mtl_hi)
+    ).select(
+        F.col(id_col), F.col(text_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+    )
+    return language_id(gated, text_col=text_col, id_col=id_col,
+                       keep_cols=("n_tokens", "n_bpe_tokens"))
+
+
 def streaming_windowed_stats(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -112,6 +112,25 @@ def test_streaming_dedup_state_across_batches(spark, tmpdir):
     assert sorted(out["fingerprint"].unique()) == sorted(out["fingerprint"])
 
 
+def test_streaming_clean_corpus_matches_batch(spark):
+    """availableNow backfill of the streaming corpus cleaner equals the
+    batch pipeline's per-language budget on the same static directory."""
+    from cuml_spark.harness_streaming import q_streaming_clean_corpus
+    from cuml_spark.harness_text import q_pipeline_clean_corpus
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r["pred_lang"]: (r["n_docs"], r["total_tokens"], r["total_bpe_tokens"])
+        for r in q_pipeline_clean_corpus(spark, sf).collect()
+    }
+    stream = {
+        r["pred_lang"]: (r["n_docs"], r["total_tokens"], r["total_bpe_tokens"])
+        for r in q_streaming_clean_corpus(spark, sf).collect()
+    }
+    assert batch == stream
+    assert sum(v[0] for v in batch.values()) > 0  # the gate kept something
+
+
 def test_streaming_windowed_stats_append_finalization(spark, tmpdir):
     """Append mode: a window is emitted exactly once, with its final
     aggregate, after the watermark passes its end."""
