@@ -44,6 +44,20 @@ def main() -> None:
 
     _wu = F.pandas_udf(lambda s: s, "double", PandasUDFType.SCALAR)
     li.limit(1000).select(_wu(F.col("l_quantity"))).collect()
+    # MLlib class-loading/codegen: one tiny linear fit + one tiny tree fit
+    # (otherwise the first estimator query is charged several seconds of
+    # one-time JVM initialization)
+    from pyspark.ml.classification import LogisticRegression as _WarmLR
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor as _WarmRF
+
+    tiny = VectorAssembler(inputCols=["l_quantity"], outputCol="features").transform(
+        li.limit(256).select(
+            "l_quantity", (F.col("l_discount") > 0.05).cast("double").alias("lbl")
+        )
+    )
+    _WarmLR(maxIter=2, labelCol="lbl").fit(tiny)
+    _WarmRF(numTrees=2, maxDepth=2, labelCol="lbl").fit(tiny)
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
