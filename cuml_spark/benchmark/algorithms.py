@@ -305,6 +305,131 @@ def _spark_umap(df, cols, label):
     return {"trust": trustworthiness(pts, emb, n_neighbors=5, id_col="pid")}
 
 
+# third wave: the five reference pairs not yet registered
+# (GaussianRandomProjection, Lasso, ElasticNet, MBSGDClassifier, FIL)
+
+def _spark_grp(df, cols, label):
+    from cuml_spark.decomposition import GaussianRandomProjection
+
+    gp = GaussianRandomProjection(n_components=max(2, len(cols) // 2),
+                                  random_state=0)
+    out = gp.fit_transform(df, cols=cols, out_col="p")
+    rows = out.select("id", "p").orderBy("id").limit(200).collect()
+    return {"P": np.asarray([r["p"] for r in rows], dtype=float),
+            "ids": [r["id"] for r in rows]}
+
+
+def _acc_grp(result, baseline, X, y):
+    """Mean pairwise-distance distortion of the projection on the sampled
+    rows vs the original space (1.0 = perfectly preserved — the JL bound
+    says close for n_components >= the JL dim; here we gate it is finite
+    and centered near 1)."""
+    ids = result["ids"]
+    P = result["P"]
+    Xs = X[np.asarray(ids)]
+    rng = np.random.RandomState(0)
+    i = rng.randint(0, len(ids), 200)
+    j = rng.randint(0, len(ids), 200)
+    keep = i != j
+    do = np.sqrt(((Xs[i[keep]] - Xs[j[keep]]) ** 2).sum(1))
+    dp = np.sqrt(((P[i[keep]] - P[j[keep]]) ** 2).sum(1))
+    ratio = dp / np.maximum(do, 1e-12)
+    return 1.0 - float(abs(np.median(ratio) - 1.0))
+
+
+def _np_cd(X, y, l1, l2, iters=200):
+    """Shared coordinate-descent baseline for Lasso / ElasticNet (standard
+    soft-threshold update on centered data)."""
+    Xc = X - X.mean(0)
+    yc = y - y.mean()
+    n, d = Xc.shape
+    w = np.zeros(d)
+    col_sq = (Xc ** 2).sum(0) / n + l2
+    for _ in range(iters):
+        for k in range(d):
+            r = yc - Xc @ w + Xc[:, k] * w[k]
+            rho = (Xc[:, k] * r).sum() / n
+            w[k] = np.sign(rho) * max(abs(rho) - l1, 0.0) / max(col_sq[k], 1e-12)
+    b = float(y.mean() - X.mean(0) @ w)
+    return {"coef": w, "intercept": b}
+
+
+def _spark_lasso(df, cols, label):
+    from cuml_spark.linear_model import Lasso
+
+    m = Lasso(alpha=0.01, max_iter=200).fit(df, cols, label)
+    return {"coef": np.asarray(m.coef_), "intercept": float(m.intercept_)}
+
+
+def _np_lasso(X, y):
+    return _np_cd(X, y, l1=0.01, l2=0.0)
+
+
+def _spark_enet(df, cols, label):
+    from cuml_spark.linear_model import ElasticNet
+
+    m = ElasticNet(alpha=0.01, l1_ratio=0.5, max_iter=200).fit(df, cols, label)
+    return {"coef": np.asarray(m.coef_), "intercept": float(m.intercept_)}
+
+
+def _np_enet(X, y):
+    return _np_cd(X, y, l1=0.005, l2=0.005)
+
+
+def _spark_mbsgd(df, cols, label):
+    from pyspark.sql import functions as F
+
+    from cuml_spark.linear_model.mbsgd import MBSGDClassifier
+
+    d = df.withColumn("__cls", (F.col(label) > 0).cast("double"))
+    m = MBSGDClassifier(loss="hinge", epochs=8, eta0=0.1,
+                        batch_fraction=0.5, seed=0).fit(d, cols, "__cls")
+    acc = (
+        m.predict(d)
+        .selectExpr("avg(cast(prediction = __cls as double)) as a")
+        .first()["a"]
+    )
+    return {"acc": float(acc)}
+
+
+_FIL_BENCH_TREES = [
+    {
+        "nodeid": 0, "split": "f0", "split_condition": 0.0, "yes": 1, "no": 2,
+        "children": [{"nodeid": 1, "leaf": -0.4}, {"nodeid": 2, "leaf": 0.4}],
+    },
+    {
+        "nodeid": 0, "split": "f1", "split_condition": 1.0, "yes": 1, "no": 2,
+        "children": [{"nodeid": 1, "leaf": -0.2}, {"nodeid": 2, "leaf": 0.2}],
+    },
+]
+
+
+def _spark_fil(df, cols, label):
+    from pyspark.sql import functions as F
+
+    from cuml_spark.fil import ForestInference
+
+    feats = df.select(
+        "id", F.col(cols[0]).alias("f0"), F.col(cols[1]).alias("f1")
+    )
+    fil = ForestInference.load_from_xgboost_json(_FIL_BENCH_TREES, output="sigmoid")
+    rows = fil.predict(feats, ["f0", "f1"], out_col="s").orderBy("id").limit(500).collect()
+    return {"ids": [r["id"] for r in rows],
+            "scores": np.asarray([r["s"] for r in rows], dtype=float)}
+
+
+def _np_fil(X, y):
+    raw = np.where(X[:, 0] < 0.0, -0.4, 0.4) + np.where(X[:, 1] < 1.0, -0.2, 0.2)
+    return {"scores": 1.0 / (1.0 + np.exp(-raw))}
+
+
+def _acc_fil(result, baseline, X, y):
+    ids = np.asarray(result["ids"])
+    return 1.0 - float(
+        np.abs(result["scores"] - baseline["scores"][ids]).max()
+    )
+
+
 def all_algorithms() -> list[AlgorithmPair]:
     """The registry (algorithms.py:198 shape, same algorithm names)."""
     return [
@@ -324,6 +449,12 @@ def all_algorithms() -> list[AlgorithmPair]:
                       lambda r, b, X, y: r["trust"]),
         AlgorithmPair("UMAP", _spark_umap, None,
                       lambda r, b, X, y: r["trust"]),
+        AlgorithmPair("GaussianRandomProjection", _spark_grp, None, _acc_grp),
+        AlgorithmPair("Lasso", _spark_lasso, _np_lasso, _acc_linreg),
+        AlgorithmPair("ElasticNet", _spark_enet, _np_enet, _acc_linreg),
+        AlgorithmPair("MBSGDClassifier", _spark_mbsgd, None,
+                      lambda r, b, X, y: r["acc"]),
+        AlgorithmPair("FIL", _spark_fil, _np_fil, _acc_fil),
     ]
 
 

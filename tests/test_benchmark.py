@@ -43,6 +43,31 @@ def test_second_wave_pairs_run(spark):
     assert rfc["metric"] > 0.8
 
 
+def test_third_wave_pairs_run(spark):
+    names = {a.name for a in all_algorithms()}
+    assert {"GaussianRandomProjection", "Lasso", "ElasticNet",
+            "MBSGDClassifier", "FIL"} <= names
+
+    r = AccuracyComparisonRunner(bench_rows=[300], bench_dims=[6],
+                                 dataset_name="regression")
+    (lasso,) = r.run(spark, algorithm_by_name("Lasso"), raise_on_error=True)
+    assert lasso["metric"] > 0.8  # R² of the distributed CD fit
+    assert lasso["baseline_time"] > 0  # numpy CD baseline actually ran
+    (enet,) = r.run(spark, algorithm_by_name("ElasticNet"), raise_on_error=True)
+    assert enet["metric"] > 0.8
+
+    rb = AccuracyComparisonRunner(bench_rows=[300], bench_dims=[6],
+                                  dataset_name="blobs")
+    (grp,) = rb.run(spark, algorithm_by_name("GaussianRandomProjection"),
+                    raise_on_error=True)
+    assert grp["metric"] > 0.4  # median pairwise distortion near 1 at k=d/2
+    (fil,) = rb.run(spark, algorithm_by_name("FIL"), raise_on_error=True)
+    assert fil["metric"] > 0.999  # tree traversal matches numpy replay
+    (mb,) = rb.run(spark, algorithm_by_name("MBSGDClassifier"),
+                   raise_on_error=True)
+    assert mb["metric"] > 0.5  # separable-ish blobs: better than chance
+
+
 def test_speedup_runner_times_both_sides(spark):
     r = SpeedupComparisonRunner(bench_rows=[400], bench_dims=[4],
                                 dataset_name="blobs")
