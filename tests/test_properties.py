@@ -191,3 +191,85 @@ def test_bh_repulsion_tracks_exact_field(n, scale, n_clusters, spread, seed):
         assert rel < 0.1
     else:
         assert np.linalg.norm(f_bh, axis=1).max() < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup layer invariants
+# ---------------------------------------------------------------------------
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet="ab c.XY7",  # small alphabet → frequent collisions/dups
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SET
+@given(texts=texts_strategy)
+def test_exact_dedup_partition_of_rows(spark, texts):
+    """Dedup groups PARTITION the input: group sizes sum to the row count,
+    every keeper is a member of its own group, and the number of groups is
+    the number of distinct texts."""
+    from cuml_spark.text import exact_dedup_groups
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup_groups(df).collect()
+    assert sum(r["n_dups"] for r in out) == len(rows)
+    assert len(out) == len({t for _, t in rows})
+    import hashlib
+
+    by_hash: dict = {}
+    for i, t in rows:
+        by_hash.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(i)
+    for r in out:
+        assert r["keep_id"] == min(by_hash[r["text_hash"]])
+
+
+@SET
+@given(texts=texts_strategy)
+def test_fingerprint_invariant_under_whitespace_case(spark, texts):
+    """normalized_fingerprint must be invariant to case and whitespace runs
+    — the property the streaming dedup state keys on."""
+    from cuml_spark.text import normalized_fingerprint
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    mangled = [
+        (i + 10_000, "  " + t.upper().replace(" ", "   ") + " ")
+        for i, t in rows
+    ]
+    df = spark.createDataFrame(rows + mangled, "doc_id long, text string")
+    fp = {r["doc_id"]: r["fingerprint"] for r in normalized_fingerprint(df).collect()}
+    for i, _ in rows:
+        assert fp[i] == fp[i + 10_000]
+
+
+@SET
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd efg", min_size=10, max_size=60),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_minhash_signature_bounds_jaccard_identity(spark, texts):
+    """Identical docs ⇒ identical signatures; and every signature value is
+    a valid minimum over the doc's shingle hashes (non-negative, below the
+    prime)."""
+    from cuml_spark.text.dedup import MINHASH_PRIME, minhash_signatures
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (100 + i, t) for i, t in enumerate(texts)  # exact twin of each doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: tuple(r[c] for c in sorted(r.asDict()) if c.startswith("mh"))
+            for r in minhash_signatures(df).collect()}
+    for i, t in enumerate(texts):
+        if i in sigs or (100 + i) in sigs:  # empty-shingle docs emit no row
+            assert sigs.get(i) == sigs.get(100 + i)
+    for s in sigs.values():
+        assert all(0 <= v < MINHASH_PRIME for v in s)
