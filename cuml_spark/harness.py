@@ -441,6 +441,7 @@ _DRIVER_WINDOW = [
     # lang-ID→token-budget composition)
     "pipeline_clean_corpus",
     "streaming_clean_corpus",
+    "pipeline_neardup_groups",
     "scalar_functions",
     "gram_matrix",
     "ridge_closed_form",
@@ -492,9 +493,8 @@ _DRIVER_WINDOW = [
     "mbsgd_fit",
     "kalman_local_level",
     "holtwinters_forecast",
-    "arima_grid_aic",
-    # arima_forecast + kpss_events rotate out (driver-green r1+r2; they
-    # stay in queries()/bench — only the 50-slot verification window moves)
+    # the arima pair + kpss_events rotate out (driver-green r1+r2; they stay
+    # in queries()/bench — only the 50-slot verification window moves)
 ]
 
 _window = [k for k in _DRIVER_WINDOW if k in QUERIES]

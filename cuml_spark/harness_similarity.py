@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 from cuml_spark.similarity import IVFIndex, embedding_near_duplicates
 
 _TH = 0.35
+# the grouping query uses a tighter cosine threshold: 0.35 sits below this
+# testdata's percolation point (sf0.1 collapses to ONE giant component —
+# a degenerate check and a deep-diameter CC), 0.45 yields many small
+# multi-member groups at both SFs (14 @ sf0.01, 121 @ sf0.1, measured)
+_TH_GROUP = 0.45
 
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,6 +36,54 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {_TH}
+"""
+
+
+def q_pipeline_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pipeline end-to-end: cosine pairs ≥ threshold →
+    weak-CC grouping (pointer-doubled min-label propagation) → per-group
+    membership sizes.  The canonical near-dup REMOVAL unit a training-data
+    pipeline keeps one representative from.  DuckDB replays the grouping
+    with a recursive-CTE reachability closure over the same pair set."""
+    from cuml_spark.similarity.neardup import near_dup_groups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_duplicates(emb, threshold=_TH_GROUP, method="brute")
+    groups = near_dup_groups(pairs)
+    return groups.groupBy("group_id").agg(
+        F.count("*").alias("n_members"),
+        F.min("vid").alias("min_vid"),
+        F.max("vid").alias("max_vid"),
+    ).select(
+        F.col("group_id").cast("long").alias("group_id"),
+        "n_members",
+        F.col("min_vid").cast("long").alias("min_vid"),
+        F.col("max_vid").cast("long").alias("max_vid"),
+    )
+
+
+_SQL_PIPELINE_NEARDUP_GROUPS = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {_TH_GROUP}
+),
+verts AS (SELECT DISTINCT id_a AS v FROM pairs
+          UNION SELECT DISTINCT id_b FROM pairs),
+edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+walk(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT w.v, ed.t FROM walk w JOIN edges ed ON ed.s = w.r
+),
+lbl AS (SELECT v, min(r) AS group_id FROM walk GROUP BY v)
+SELECT group_id::BIGINT AS group_id, count(*)::BIGINT AS n_members,
+       min(v)::BIGINT AS min_vid, max(v)::BIGINT AS max_vid
+FROM lbl GROUP BY 1
 """
 
 
@@ -68,10 +121,12 @@ FROM ranked WHERE rank <= 5
 
 QUERIES_SIMILARITY = {
     "neardup_pairs": q_neardup_pairs,
+    "pipeline_neardup_groups": q_pipeline_neardup_groups,
     "ivf_search_exact": q_ivf_search_exact,
 }
 
 ORACLES_SIMILARITY = {
     "neardup_pairs": _SQL_NEARDUP,
+    "pipeline_neardup_groups": _SQL_PIPELINE_NEARDUP_GROUPS,
     "ivf_search_exact": _SQL_IVF_EXACT,
 }

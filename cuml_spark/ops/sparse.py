@@ -124,6 +124,13 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # truncate lineage ONCE: every round re-references the edge list, so
+        # without this each round's plan nests the caller's full upstream
+        # plan (a near-dup caller's brute cosine join has a huge expression
+        # tree — the compounded plan OOMs the driver before any task runs).
+        # Block-stored edges with no lineage replay is the same trade GraphX
+        # makes with periodic checkpointing on iterative graph algorithms.
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("vertex")).distinct()
@@ -169,6 +176,14 @@ def connected_components(
             )
         else:
             new_labels = stepped.cache()
+        # truncate lineage EVERY round: each round references the previous
+        # label frame twice (propagation join + change count), so the
+        # analyzed plan nests ~2^rounds even with caching — a long-diameter
+        # graph (many rounds) OOMs the driver in plan analysis before any
+        # task runs.  localCheckpoint replaces the plan with the computed
+        # blocks (one job per round — the same job the convergence count
+        # below would have run anyway).
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "vertex")
             .filter(F.col("n.component") != F.col("o.component"))
