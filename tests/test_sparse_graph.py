@@ -78,6 +78,20 @@ def test_connected_components_two_chains(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_long_chain_bounded_plan(spark):
+    """A 400-vertex path needs many propagation rounds; the per-round
+    lineage truncation must keep the analyzed plan bounded (before the
+    localCheckpoint fix the plan nested ~2^rounds and OOMed the driver in
+    plan analysis) and the doubling must still converge to min-id labels."""
+    n = 400
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src int, dst int")
+    out = connected_components(e, max_iter=30)
+    got = {r.vertex: r.component for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 100_000  # truncated lineage, not 2^rounds nesting
+
+
 def test_cluster_dispersion_vs_numpy(spark):
     rng = np.random.default_rng(7)
     pts = rng.normal(size=(300, 2))
