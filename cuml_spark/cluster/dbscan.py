@@ -49,13 +49,30 @@ from cuml_spark.core.base import Base
 from cuml_spark.core.validation import to_double_cols
 
 
+# cells are grouped into this many hash buckets for the per-cell clustering
+# pass — enough groups to saturate executors, few enough that python UDF
+# invocation overhead stays off the critical path
+_CELL_BUCKETS = 64
+
+
 def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
-    """BFS-cluster core points of one block; emit component memberships.
+    """BFS-cluster core points of each cell block in the batch; emit
+    component memberships.
+
+    The batch may hold SEVERAL cells (the shuffle groups cells into
+    ``_CELL_BUCKETS`` hash buckets so python-function invocations scale
+    with bucket count, not cell count — per-call overhead dominated the
+    stage at ~1k cells); each cell clusters independently below.
 
     Output rows: (point_id, comp_key, kind) — kind 'core' for every core
     point in the block, 'border' once per distinct core-neighbor component
     of each HOME non-core point.
     """
+    if pdf["cell_key"].nunique() > 1:
+        return pd.concat(
+            [_local_cluster(sub, eps) for _, sub in pdf.groupby("cell_key", sort=True)],
+            ignore_index=True,
+        )
     cell_key = pdf["cell_key"].iloc[0]
     X = np.vstack(pdf["x"].to_numpy())
     ids = pdf["pid"].to_numpy()
@@ -152,8 +169,13 @@ class DBSCAN(Base):
 
         core_flags = self._core_flags(pts, len(cols)).cache()
         blocks = self._blocks(pts.join(core_flags, "pid"), len(cols))
+        # group cells into hash buckets: one python invocation per bucket
+        # (cells cluster independently inside _local_cluster), so UDF call
+        # overhead scales with _CELL_BUCKETS, not with the cell count
         member = (
-            blocks.groupBy("cell_key")
+            blocks.groupBy(
+                (F.abs(F.xxhash64("cell_key")) % _CELL_BUCKETS).alias("__bucket")
+            )
             .applyInPandas(
                 lambda pdf: _local_cluster(pdf, eps),
                 "pid long, comp_key string, kind string",
