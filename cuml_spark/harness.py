@@ -442,6 +442,7 @@ _DRIVER_WINDOW = [
     "pipeline_clean_corpus",
     "streaming_clean_corpus",
     "pipeline_neardup_groups",
+    "pipeline_event_profile",
     "scalar_functions",
     "gram_matrix",
     "ridge_closed_form",
@@ -492,9 +493,9 @@ _DRIVER_WINDOW = [
     "sgd_hinge_accuracy",
     "mbsgd_fit",
     "kalman_local_level",
-    "holtwinters_forecast",
-    # the arima pair + kpss_events rotate out (driver-green r1+r2; they stay
-    # in queries()/bench — only the 50-slot verification window moves)
+    # holtwinters_forecast, the arima pair + kpss_events rotate out
+    # (driver-green r1+r2; they stay in queries()/bench — only the 50-slot
+    # verification window moves)
 ]
 
 _window = [k for k in _DRIVER_WINDOW if k in QUERIES]

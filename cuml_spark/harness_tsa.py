@@ -140,7 +140,57 @@ def q_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _envelope_check(series, model.forecast(5))
 
 
+def q_pipeline_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-firehose profiling pipeline: per-type moment stats + 3σ upper-
+    outlier counts — the monitoring summary a streaming ingest keeps per
+    event class.  100 TB shape: one partial-aggregated shuffle for the
+    stats, broadcast of the tiny stats table, then a map-side threshold
+    filter and one more tiny aggregation.  No UDFs, no collects."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    out = (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.col("value") > F.col("mu") + 3 * F.col("sigma"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return (
+        stats.join(out, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            F.round("mu", 6).alias("mean_value"),
+            F.round("sigma", 6).alias("std_value"),
+        )
+    )
+
+
+_SQL_PIPELINE_EVENT_PROFILE = """
+WITH s AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY 1
+), o AS (
+  SELECT e.event_type, count(*)::BIGINT AS n_outliers
+  FROM events e JOIN s ON e.event_type = s.event_type
+  WHERE e.value > s.mu + 3 * s.sigma
+  GROUP BY 1
+)
+SELECT s.event_type, s.n_events, coalesce(o.n_outliers, 0) AS n_outliers,
+       round(s.mu, 6) AS mean_value, round(s.sigma, 6) AS std_value
+FROM s LEFT JOIN o ON s.event_type = o.event_type
+"""
+
+
 QUERIES_TSA = {
+    "pipeline_event_profile": q_pipeline_event_profile,
     "kalman_local_level": q_kalman_local_level,
     "holtwinters_forecast": q_holtwinters_forecast,
     "arima_grid_aic": q_arima_grid_aic,
@@ -148,6 +198,7 @@ QUERIES_TSA = {
 }
 
 ORACLES_TSA = {
+    "pipeline_event_profile": _SQL_PIPELINE_EVENT_PROFILE,
     "kalman_local_level": _SQL_KALMAN_LOCAL_LEVEL,
     "holtwinters_forecast": _sql_envelope(7),
     "arima_grid_aic": _SQL_ARIMA_GRID_AIC,
