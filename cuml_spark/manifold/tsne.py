@@ -207,7 +207,8 @@ class TSNE(Base):
                  post_momentum: float = 0.8, min_grad_norm: float = 1e-7,
                  metric: str = "euclidean", init: str = "random",
                  perplexity_max_iter: int = 100,
-                 random_state: int = 42, **kwargs):
+                 random_state: int = 42,
+                 max_driver_rows: int = 1_000_000, **kwargs):
         super().__init__(**kwargs)
         if n_components != 2:
             raise ValueError("reference supports n_components=2 (t_sne.pyx:186)")
@@ -234,12 +235,25 @@ class TSNE(Base):
         self.post_momentum = post_momentum
         self.min_grad_norm = min_grad_norm
         self.random_state = random_state
+        # Sample-then-embed contract (SCALE.md): the layout stage collects the
+        # n×k edge list to the driver, so n is capped like SVC.max_exact_rows.
+        # The dense `exact` gradient is O(n²) driver memory — cap it harder.
+        self.max_driver_rows = max_driver_rows if method == "barnes_hut" else min(
+            max_driver_rows, 100_000)
 
     def fit_transform(self, df: DataFrame, vec_col: str = "x",
                       id_col: str = "pid") -> DataFrame:
         pts = df.select(F.col(id_col).alias("pid"),
                         F.col(vec_col).cast("array<double>").alias("x")).cache()
         n_rows = pts.count()
+        if n_rows > self.max_driver_rows:
+            raise ValueError(
+                f"TSNE.fit_transform collects the n×k edge list to the driver "
+                f"for the sequential layout stage; {n_rows} rows > "
+                f"max_driver_rows={self.max_driver_rows}. Sample-then-embed "
+                f"(SCALE.md): embed df.sample(...) under the cap — or raise "
+                f"max_driver_rows explicitly."
+            )
         k = min(self.n_neighbors, int(3 * self.perplexity), max(2, n_rows - 1))
         knn = self_knn_graph(pts, k=k, vec_col="x", id_col="pid",
                              metric="sqeuclidean", n_rows=n_rows,

@@ -180,7 +180,8 @@ class UMAP(Base):
                  set_op_mix_ratio: float = 1.0, local_connectivity: float = 1.0,
                  repulsion_strength: float = 1.0,
                  negative_sample_rate: int = 5, init: str = "spectral",
-                 random_state: int = 42, **kwargs):
+                 random_state: int = 42, callback=None,
+                 max_driver_rows: int = 1_000_000, **kwargs):
         super().__init__(**kwargs)
         if init not in ("spectral", "random"):
             raise ValueError("init must be 'spectral' or 'random'")
@@ -198,6 +199,14 @@ class UMAP(Base):
         self.negative_sample_rate = negative_sample_rate
         self.init = init
         self.random_state = random_state
+        # Per-epoch extension hook (reference umap.pyx:202-208
+        # GraphBasedDimRedCallback): either a plain callable(epoch, Y) or an
+        # object exposing on_preprocess_end / on_epoch_end / on_train_end.
+        self.callback = callback
+        # Sample-then-embed contract (SCALE.md): fit() collects the n×k edge
+        # list to the driver for the sequential layout stage, so n is capped —
+        # the same guard SVC applies via max_exact_rows (svm/svc.py:145).
+        self.max_driver_rows = max_driver_rows
 
     # ------------------------------------------------------------------
     def fit(self, df: DataFrame, vec_col: str = "x", id_col: str = "pid",
@@ -211,6 +220,16 @@ class UMAP(Base):
         if y_col is not None:
             sel.append(F.col(y_col).alias("y"))
         pts = df.select(*sel).cache()
+        n_rows = pts.count()
+        if n_rows > self.max_driver_rows:
+            raise ValueError(
+                f"UMAP.fit collects the n×{self.n_neighbors} edge list to the "
+                f"driver for the sequential layout stage; {n_rows} rows > "
+                f"max_driver_rows={self.max_driver_rows}. Sample-then-embed "
+                f"(SCALE.md): fit on df.sample(...) under the cap, then "
+                f"transform() the remainder distributed — or raise "
+                f"max_driver_rows explicitly."
+            )
         k = self.n_neighbors
         # 1. distributed KNN graph: exact GEMM shards up to the cap, LSH
         #    candidates + exact re-rank above it (no full-table broadcast)
@@ -280,6 +299,9 @@ class UMAP(Base):
         model as the reference's parallel kernel (racy adds within a step),
         with ONE RNG draw per epoch for all negative samples."""
         n = Y.shape[0]
+        cb = self.callback
+        if cb is not None and hasattr(cb, "on_preprocess_end"):
+            cb.on_preprocess_end(Y)
         lr0 = self.learning_rate
         nsr = self.negative_sample_rate
         wmax = weights.max() if len(weights) else 1.0
@@ -290,6 +312,7 @@ class UMAP(Base):
             alpha = lr0 * (1.0 - epoch / self.n_epochs)
             act = np.where(next_step <= epoch + 1)[0]
             if len(act) == 0:
+                self._fire_epoch(cb, epoch, Y)
                 continue
             i, j = heads[act], tails[act]
             # attractive phase
@@ -315,7 +338,22 @@ class UMAP(Base):
             gn[t == i[:, None]] = 0.0  # skip self as negative
             np.add.at(Y, np.repeat(i, nsr), alpha * gn.reshape(-1, Y.shape[1]))
             next_step[act] += eps_per_sample[act]
+            self._fire_epoch(cb, epoch, Y)
+        if cb is not None and hasattr(cb, "on_train_end"):
+            cb.on_train_end(Y)
         return Y
+
+    @staticmethod
+    def _fire_epoch(cb, epoch: int, Y: np.ndarray) -> None:
+        """Dispatch the per-epoch hook (umap.pyx:202-208): an object with
+        ``on_epoch_end(embedding)`` gets the reference-style call, a bare
+        callable gets ``(epoch, embedding)``."""
+        if cb is None:
+            return
+        if hasattr(cb, "on_epoch_end"):
+            cb.on_epoch_end(Y)
+        else:
+            cb(epoch, Y)
 
     # ------------------------------------------------------------------
     def fit_transform(self, df: DataFrame, vec_col: str = "x",

@@ -95,7 +95,7 @@ CASES = [
         min_dist=0.1, spread=1.0, set_op_mix_ratio=1.0,
         local_connectivity=1.0, repulsion_strength=1.0,
         negative_sample_rate=5, transform_queue_size=4.0, init="spectral",
-        verbose=False)),
+        verbose=False, callback=None)),
     ("TSNE", "manifold/t_sne.pyx:186", dict(
         n_components=2, perplexity=30.0, early_exaggeration=12.0,
         learning_rate=200.0, n_iter=1000, n_iter_without_progress=300,

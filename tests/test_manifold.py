@@ -207,3 +207,57 @@ def test_umap_repulsion_strength_spreads_layout(blob_vecs):
     y2 = np.vstack(um2.fit_transform(blob_vecs, vec_col="x", id_col="pid")
                    .toPandas()["embedding"].to_numpy())
     assert y2.std() > y1.std() * 0.9
+
+
+def test_umap_driver_cap_enforced(blob_vecs):
+    # Sample-then-embed contract (SCALE.md): past the cap, fit must raise
+    # instead of silently collecting an unbounded edge list to the driver.
+    um = UMAP(n_neighbors=5, n_epochs=5, max_driver_rows=100)
+    with pytest.raises(ValueError, match="max_driver_rows"):
+        um.fit(blob_vecs, vec_col="x", id_col="pid")
+    # seeded-sample path under the cap keeps working
+    sample = blob_vecs.sample(fraction=0.35, seed=1)
+    um2 = UMAP(n_neighbors=5, n_epochs=20, max_driver_rows=100,
+               init="random", random_state=0)
+    out = um2.fit_transform(sample, vec_col="x", id_col="pid")
+    assert out.count() == sample.count()
+
+
+def test_tsne_driver_cap_enforced(blob_vecs):
+    ts = TSNE(n_iter=5, max_driver_rows=100)
+    with pytest.raises(ValueError, match="max_driver_rows"):
+        ts.fit_transform(blob_vecs, vec_col="x", id_col="pid")
+    # exact method hard-caps to 100k regardless of a looser request
+    assert TSNE(method="exact", max_driver_rows=10**9).max_driver_rows == 100_000
+
+
+def test_umap_epoch_callback(blob_vecs):
+    # reference umap.pyx:202-208 GraphBasedDimRedCallback surface
+    class Rec:
+        def __init__(self):
+            self.pre = 0
+            self.epochs = 0
+            self.end = 0
+
+        def on_preprocess_end(self, emb):
+            self.pre += 1
+
+        def on_epoch_end(self, emb):
+            self.epochs += 1
+            assert emb.shape[1] == 2
+
+        def on_train_end(self, emb):
+            self.end += 1
+
+    rec = Rec()
+    sample = blob_vecs.sample(fraction=0.3, seed=2)
+    UMAP(n_neighbors=5, n_epochs=12, init="random", callback=rec,
+         random_state=0).fit(sample, vec_col="x", id_col="pid")
+    assert rec.pre == 1 and rec.end == 1 and rec.epochs == 12
+
+    # bare-callable form gets (epoch, embedding)
+    seen = []
+    UMAP(n_neighbors=5, n_epochs=7, init="random",
+         callback=lambda e, Y: seen.append(e),
+         random_state=0).fit(sample, vec_col="x", id_col="pid")
+    assert seen == list(range(7))
