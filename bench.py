@@ -40,9 +40,7 @@ def main() -> None:
             Window.partitionBy("l_returnflag").orderBy("l_orderkey")
         ),
     ).agg(F.max("r")).collect()
-    from pyspark.sql.functions import PandasUDFType
-
-    _wu = F.pandas_udf(lambda s: s, "double", PandasUDFType.SCALAR)
+    _wu = F.pandas_udf("double")(lambda s: s)
     li.limit(1000).select(_wu(F.col("l_quantity"))).collect()
     # MLlib class-loading/codegen: one tiny linear fit + one tiny tree fit
     # (otherwise the first estimator query is charged several seconds of
@@ -75,13 +73,22 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    # The driver keeps only the tail of this process's output, which can clip
+    # the head of a long JSON line — so ALSO persist the full parsed result
+    # next to the repo for post-hoc reads, and keep the printed line compact.
+    try:
+        out_path = Path(__file__).resolve().parent / "bench_results.json"
+        out_path.write_text(json.dumps(result, indent=1))
+    except OSError:
+        pass
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

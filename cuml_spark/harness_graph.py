@@ -58,9 +58,21 @@ def q_sparse_row_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge's row/col/value changing flips a bucket, while the result stays
     bounded (997 rows) instead of scaling with the edge count."""
     li = _t(spark, sf_dir, "lineitem")
-    edges = li.groupBy(
-        F.col("l_orderkey").alias("row"), F.col("l_suppkey").alias("col")
-    ).agg(F.sum("l_quantity").alias("value"))
+    # ONE exchange total on the big side: pre-partition by row so the
+    # (row, col) hash-agg, the row-sum window inside row_normalize_l1, and
+    # the per-edge checksum projection all run within the same partitioning
+    # (hash(row) satisfies clustering for (row, col) and for the window);
+    # only the 997-bucket partial-agg merge shuffles after that.
+    edges = (
+        li.select(
+            F.col("l_orderkey").alias("row"),
+            F.col("l_suppkey").alias("col"),
+            F.col("l_quantity").alias("q"),
+        )
+        .repartition("row")
+        .groupBy("row", "col")
+        .agg(F.sum("q").alias("value"))
+    )
     out = row_normalize_l1(edges, row="row", value="value")
     micro = F.round(F.col("value") * 1e6, 0).cast("long")
     return (
