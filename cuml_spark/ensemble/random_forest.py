@@ -169,18 +169,6 @@ class RandomForestRegressor(_RFBase):
             # distributed histogram forest with exact binned-MAE splits
             from cuml_spark.ensemble.mae_forest import MAERandomForestRegressor
 
-            if self.max_features not in ("auto", None, 1.0):
-                # the MAE forest evaluates every feature at every split —
-                # no per-split feature subsampling exists on this path
-                import warnings
-
-                warnings.warn(
-                    f"max_features={self.max_features!r} is ignored on the "
-                    "MAE (split_criterion=3) path: every split evaluates all "
-                    "features. Use the variance criterion for feature "
-                    "subsampling.",
-                    stacklevel=2,
-                )
             self._mae_model = MAERandomForestRegressor(
                 n_estimators=self.n_estimators,
                 max_depth=self.max_depth if self.max_depth > 0 else 16,
@@ -188,6 +176,7 @@ class RandomForestRegressor(_RFBase):
                 n_y_bins=self.n_y_bins,
                 rows_sample=self.rows_sample,
                 min_samples_leaf=self.min_rows if self.min_rows else 5,
+                max_features=self.max_features,
                 random_state=self.random_state,
             ).fit(df, feature_cols, label_col, bootstrap=self.bootstrap)
             self._cols = list(feature_cols)

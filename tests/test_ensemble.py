@@ -124,3 +124,46 @@ def test_mae_forest_picks_exact_best_split(spark):
             if s < best[0] - 1e-12:
                 best = (s, ft, b)
     assert (got_feat, got_bin) == (best[1], best[2])
+
+
+def test_mae_forest_max_features_per_split(spark):
+    """max_features subsamples features per (tree, node) deterministically
+    (reference randomforestregressor.pyx:291): every internal node's chosen
+    feature must come from that node's seeded subset, and the fit must be
+    replayable (two fits produce identical trees)."""
+    import numpy as np
+
+    from cuml_spark.ensemble.mae_forest import (
+        MAERandomForestRegressor, _node_feature_subset, _resolve_m_features,
+    )
+
+    assert _resolve_m_features(0.5, 3) == 2
+    assert _resolve_m_features("sqrt", 9) == 3
+    assert _resolve_m_features(2, 3) == 2
+    assert _resolve_m_features("auto", 5) == 5
+
+    rng = np.random.RandomState(3)
+    n = 1200
+    X = rng.uniform(-1, 1, size=(n, 3))
+    y = 2.0 * X[:, 0] - X[:, 1] + 0.5 * X[:, 2]
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(t)) for (a, b, c), t in zip(X, y)],
+        "f0 double, f1 double, f2 double, y double",
+    )
+    kw = dict(n_estimators=3, max_depth=3, n_bins=8, n_y_bins=16,
+              random_state=9, max_features=1)  # m=1: subset is fully forced
+    m1 = MAERandomForestRegressor(**kw).fit(df, ["f0", "f1", "f2"], "y")
+    m2 = MAERandomForestRegressor(**kw).fit(df, ["f0", "f1", "f2"], "y")
+    assert m1.trees_ == m2.trees_
+    n_internal = 0
+    for t, tree in enumerate(m1.trees_):
+        for nd, entry in tree.items():
+            if isinstance(entry, tuple):
+                n_internal += 1
+                (allowed,) = _node_feature_subset(t, nd, 3, 1, 9)
+                assert entry[0] == allowed  # split used the one allowed feature
+    assert n_internal > 0
+    # and all-features fit differs (with m=1 some nodes are denied f0)
+    m_all = MAERandomForestRegressor(**{**kw, "max_features": 1.0}).fit(
+        df, ["f0", "f1", "f2"], "y")
+    assert m_all.trees_ != m1.trees_
