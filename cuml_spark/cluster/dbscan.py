@@ -49,13 +49,18 @@ from cuml_spark.core.base import Base
 from cuml_spark.core.validation import to_double_cols
 
 
-# cells are grouped into this many hash buckets for the per-cell clustering
-# pass — enough groups to saturate executors, few enough that python UDF
-# invocation overhead stays off the critical path
+# floor on the cell-bucket count for the per-cell clustering pass — enough
+# groups to saturate executors even on small inputs; the live count scales
+# with the estimated replicated-row volume so per-group memory stays bounded
+# as data grows (see fit_predict)
 _CELL_BUCKETS = 64
+# target replicated rows per bucket: one applyInPandas call materializes
+# about this many rows as a pandas frame on one executor
+_ROWS_PER_BUCKET = 200_000
 
 
-def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
+def _local_cluster(pdf: pd.DataFrame, eps: float,
+                   max_cell_points: int) -> pd.DataFrame:
     """BFS-cluster core points of each cell block in the batch; emit
     component memberships.
 
@@ -70,8 +75,19 @@ def _local_cluster(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
     """
     if pdf["cell_key"].nunique() > 1:
         return pd.concat(
-            [_local_cluster(sub, eps) for _, sub in pdf.groupby("cell_key", sort=True)],
+            [_local_cluster(sub, eps, max_cell_points)
+             for _, sub in pdf.groupby("cell_key", sort=True)],
             ignore_index=True,
+        )
+    if len(pdf) > max_cell_points:
+        # the per-cell pass materializes a dense n×n distance block — a
+        # pathologically dense cell (or algorithm='brute' on a large input)
+        # would exceed executor memory, so refuse instead of OOMing
+        raise ValueError(
+            f"DBSCAN cell block has {len(pdf)} points > max_cell_points="
+            f"{max_cell_points} (dense n^2 distance block). Decrease eps so "
+            f"the eps-grid splits the dense region, pre-aggregate duplicate "
+            f"points, or raise max_cell_points if executors have headroom."
         )
     cell_key = pdf["cell_key"].iloc[0]
     X = np.vstack(pdf["x"].to_numpy())
@@ -135,6 +151,7 @@ class DBSCAN(Base):
         eps: float = 0.5,
         min_samples: int = 5,
         algorithm: str = "grid",
+        max_cell_points: int = 8192,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -143,6 +160,10 @@ class DBSCAN(Base):
         self.eps = float(eps)
         self.min_samples = int(min_samples)
         self.algorithm = algorithm
+        # ceiling on points per cell block (dense n² distance matrix inside
+        # _local_cluster: 8192² doubles ≈ 0.5 GB — the largest block a
+        # default-sized executor comfortably holds)
+        self.max_cell_points = int(max_cell_points)
 
     def fit_predict(
         self, df: DataFrame, cols: list[str], id_col: str, include_role: bool = False
@@ -171,13 +192,26 @@ class DBSCAN(Base):
         blocks = self._blocks(pts.join(core_flags, "pid"), len(cols))
         # group cells into hash buckets: one python invocation per bucket
         # (cells cluster independently inside _local_cluster), so UDF call
-        # overhead scales with _CELL_BUCKETS, not with the cell count
+        # overhead scales with the bucket count, not the cell count.  The
+        # bucket count scales with the estimated replicated-row volume
+        # (n · 3^d halo fan-out) so one bucket's pandas frame stays around
+        # _ROWS_PER_BUCKET regardless of input size — a fixed count would
+        # grow per-group memory O(N) and cap the stage's parallelism
+        n_pts = pts.count()
+        fanout = 3 ** len(cols) if self.algorithm == "grid" else 1
+        shuffle_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        n_buckets = max(
+            _CELL_BUCKETS, shuffle_parts,
+            -(-(n_pts * fanout) // _ROWS_PER_BUCKET),
+        )
+        max_cell = self.max_cell_points
         member = (
             blocks.groupBy(
-                (F.abs(F.xxhash64("cell_key")) % _CELL_BUCKETS).alias("__bucket")
+                (F.abs(F.xxhash64("cell_key")) % n_buckets).alias("__bucket")
             )
             .applyInPandas(
-                lambda pdf: _local_cluster(pdf, eps),
+                lambda pdf: _local_cluster(pdf, eps, max_cell),
                 "pid long, comp_key string, kind string",
             )
             .cache()

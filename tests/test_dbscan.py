@@ -94,3 +94,19 @@ def test_dbscan_all_noise_when_eps_tiny(spark):
     df = make_blobs(spark, n_samples=200, n_features=2, centers=2, random_state=3)
     out = DBSCAN(eps=1e-9, min_samples=3).fit_predict(df, ["f0", "f1"], id_col="id")
     assert out.filter("label != -1").count() == 0
+
+
+def test_dbscan_dense_cell_guard(spark):
+    """A degenerate all-one-cell dataset past max_cell_points must refuse
+    (dense n² block) instead of OOMing the executor."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    pts = [(i, 0.001 * (i % 7), 0.001 * (i % 5)) for i in range(50)]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    db = DBSCAN(eps=10.0, min_samples=3, max_cell_points=20)
+    with pytest.raises(PythonException, match="max_cell_points"):
+        db.fit_predict(df, ["x", "y"], "pid").collect()
+    # same data under the cap clusters fine
+    out = DBSCAN(eps=10.0, min_samples=3).fit_predict(df, ["x", "y"], "pid")
+    assert out.filter("label = 0").count() == 50
