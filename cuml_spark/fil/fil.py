@@ -28,9 +28,14 @@ from cuml_spark.core.base import Base
 
 
 class _FlatTree:
-    """Arrays: children_left/right = node index or -1 at leaves."""
+    """Arrays: children_left/right = node index or -1 at leaves.
 
-    __slots__ = ("feature", "threshold", "left", "right", "value", "default_left")
+    ``le_split`` encodes the library's split rule: xgboost sends x < thr
+    left, sklearn sends x <= thr left — mixing them up flips every row that
+    lands exactly on a threshold (common with integer-ish features)."""
+
+    __slots__ = ("feature", "threshold", "left", "right", "value",
+                 "default_left", "le_split")
 
     def __init__(self, n: int):
         self.feature = np.full(n, -1, dtype=np.int64)
@@ -39,6 +44,7 @@ class _FlatTree:
         self.right = np.full(n, -1, dtype=np.int64)
         self.value = np.zeros(n)
         self.default_left = np.zeros(n, dtype=bool)
+        self.le_split = False
 
 
 def _flatten_xgb_tree(root: dict) -> _FlatTree:
@@ -66,6 +72,38 @@ def _flatten_xgb_tree(root: dict) -> _FlatTree:
     return t
 
 
+def _flatten_sklearn_tree(tree, classifier: bool) -> _FlatTree:
+    """sklearn ``DecisionTree*.tree_`` arrays → _FlatTree.  Duck-typed over
+    the public tree_ attributes (children_left/right, feature, threshold,
+    value of shape (n_nodes, n_outputs, n_classes)) so no sklearn import is
+    needed to convert a pickled model.  Classifier leaves become the class-1
+    probability (count / total) — averaging them across trees reproduces
+    sklearn's ``predict_proba`` exactly."""
+    cl = np.asarray(tree.children_left, dtype=np.int64)
+    cr = np.asarray(tree.children_right, dtype=np.int64)
+    n = len(cl)
+    t = _FlatTree(n)
+    leaf = cl < 0
+    t.left, t.right = cl, cr
+    t.feature = np.where(leaf, -1, np.asarray(tree.feature, dtype=np.int64))
+    t.threshold = np.where(leaf, 0.0, np.asarray(tree.threshold, dtype=np.float64))
+    val = np.asarray(tree.value, dtype=np.float64)
+    if classifier:
+        if val.shape[2] != 2:
+            raise ValueError(
+                f"only binary classifiers are supported (got {val.shape[2]} "
+                "classes) — the reference FIL surface is binary too (fil.pyx:375)"
+            )
+        counts = val[:, 0, :]
+        tot = counts.sum(axis=1)
+        p1 = np.divide(counts[:, 1], tot, out=np.zeros(n), where=tot > 0)
+        t.value = np.where(leaf, p1, 0.0)
+    else:
+        t.value = np.where(leaf, val[:, 0, 0], 0.0)
+    t.le_split = True  # sklearn routes x <= threshold LEFT
+    return t
+
+
 def _predict_trees(trees: list[_FlatTree], X: np.ndarray) -> np.ndarray:
     """Vectorized traversal: every tree walked for the whole batch at once."""
     n = X.shape[0]
@@ -89,7 +127,8 @@ def _predict_trees(trees: list[_FlatTree], X: np.ndarray) -> np.ndarray:
             xv = X[np.arange(n)[live], feat[live]]
             thr = t.threshold[node[live]]
             nan = np.isnan(xv)
-            go_left = (xv < thr) | (nan & t.default_left[node[live]])
+            cmp = (xv <= thr) if t.le_split else (xv < thr)
+            go_left = cmp | (nan & t.default_left[node[live]])
             nxt = np.where(go_left, t.left[node[live]], t.right[node[live]])
             node[live] = nxt
     return out
@@ -101,8 +140,11 @@ class ForestInference(Base):
     def __init__(self, output: str = "raw", threshold: float = 0.5,
                  average: bool = False, base_score: float = 0.0, **kwargs):
         super().__init__(**kwargs)
-        if output not in ("raw", "sigmoid", "class"):
-            raise ValueError("output must be raw | sigmoid | class (fil.h output_t)")
+        if output not in ("raw", "sigmoid", "class", "threshold"):
+            # 'class' = sigmoid then threshold (boosted raw scores);
+            # 'threshold' = threshold directly (forest-averaged probabilities)
+            raise ValueError(
+                "output must be raw | sigmoid | class | threshold (fil.h output_t)")
         self.output = output
         self.threshold = threshold
         self.average = average
@@ -164,6 +206,60 @@ class ForestInference(Base):
         return model
 
     @classmethod
+    def load_from_sklearn(cls, skl_model, output_class: bool = False,
+                          threshold: float = 0.5, algo: str = "TREE_REORG",
+                          storage_type: str = "DENSE",
+                          handle=None) -> "ForestInference":
+        """Import a FITTED sklearn ensemble (reference surface fil.pyx:445).
+
+        Supported (duck-typed, no sklearn import required):
+
+        * ``RandomForestRegressor`` / ``ExtraTreesRegressor`` — mean of tree
+          leaf values (matches ``predict``);
+        * ``RandomForestClassifier`` (binary) — mean of per-tree class-1
+          leaf probabilities (matches ``predict_proba[:, 1]``), thresholded
+          when ``output_class``;
+        * ``GradientBoosting{Regressor,Classifier}`` — init constant +
+          learning_rate-scaled leaf sums (classifier raw scores pass through
+          sigmoid, matching ``predict_proba``).
+        """
+        if not hasattr(skl_model, "estimators_"):
+            raise ValueError(
+                "load_from_sklearn needs a FITTED sklearn tree ensemble "
+                "(no estimators_ attribute found — call fit() first)"
+            )
+        name = type(skl_model).__name__
+        boosted = "Boosting" in name
+        classifier = "Classifier" in name
+        ests = np.asarray(skl_model.estimators_, dtype=object).ravel()
+        if boosted:
+            # GB trees are regression trees on the loss gradient whatever the
+            # task; raw score = init constant + lr · Σ leaf values
+            lr = float(getattr(skl_model, "learning_rate", 1.0))
+            trees = [_flatten_sklearn_tree(e.tree_, classifier=False) for e in ests]
+            for t in trees:
+                t.value = t.value * lr
+            base = 0.0
+            init = getattr(skl_model, "init_", None)
+            if init is not None and hasattr(init, "constant_"):
+                base = float(np.ravel(init.constant_)[0])
+            output = ("class" if output_class and classifier
+                      else "sigmoid" if classifier else "raw")
+            model = cls(output=output, threshold=threshold, base_score=base)
+            model._trees = trees
+        else:
+            trees = [_flatten_sklearn_tree(e.tree_, classifier=classifier)
+                     for e in ests]
+            # forest probabilities are already in [0,1] — threshold them
+            # directly (no sigmoid), exactly sklearn's predict
+            output = "threshold" if output_class and classifier else "raw"
+            model = cls(output=output, threshold=threshold, average=True)
+            model._trees = trees
+        if handle is not None:
+            model.handle = handle
+        return model
+
+    @classmethod
     def load_from_arrays(cls, trees: list[dict], output: str = "raw",
                          average: bool = False) -> "ForestInference":
         """Each dict: feature/threshold/left/right/value arrays (sklearn-style
@@ -187,8 +283,11 @@ class ForestInference(Base):
                 out_col: str = "prediction") -> DataFrame:
         if self._trees is None:
             raise RuntimeError("load a model first")
-        trees = self._trees
-        navg = float(len(trees)) if self.average else 1.0
+        # broadcast the flattened arrays ONCE per predict instead of pickling
+        # them into every task's UDF closure — at 100 TB a scoring stage runs
+        # ~1e5 tasks and a deep forest is tens of MB
+        bc_trees = df.sparkSession.sparkContext.broadcast(self._trees)
+        navg = float(len(self._trees)) if self.average else 1.0
         base = self.base_score
         output, thr = self.output, self.threshold
 
@@ -197,12 +296,14 @@ class ForestInference(Base):
             X = np.column_stack(
                 [s.to_numpy(dtype=np.float64) for s in batch]
             )
-            raw = _predict_trees(trees, X) / navg + base
+            raw = _predict_trees(bc_trees.value, X) / navg + base
             if output == "sigmoid":
                 return pd.Series(1.0 / (1.0 + np.exp(-raw)))
             if output == "class":
                 p = 1.0 / (1.0 + np.exp(-raw))
                 return pd.Series((p > thr).astype(np.float64))
+            if output == "threshold":
+                return pd.Series((raw > thr).astype(np.float64))
             return pd.Series(raw)
 
         return df.withColumn(out_col, score(*[F.col(c).cast("double") for c in feature_cols]))

@@ -102,3 +102,105 @@ def test_fil_load_from_file(tmp_path, points_df):
     binp.write_bytes(b"\x00\x01binary-not-json")
     with pytest.raises(NotImplementedError, match="treelite"):
         ForestInference.load(str(binp))
+
+
+# ---- load_from_sklearn (reference fil.pyx:445) -----------------------------
+# sklearn is not installed in this environment, so the import surface is
+# exercised with structural stand-ins exposing the exact public attributes
+# the converter duck-types over (estimators_, tree_.children_left/right/
+# feature/threshold/value, learning_rate, init_.constant_).
+
+
+class _SkTree:
+    def __init__(self, cl, cr, feat, thr, value):
+        self.children_left = np.asarray(cl)
+        self.children_right = np.asarray(cr)
+        self.feature = np.asarray(feat)
+        self.threshold = np.asarray(thr)
+        self.value = np.asarray(value, dtype=np.float64)
+
+
+class _SkEst:
+    def __init__(self, tree):
+        self.tree_ = tree
+
+
+def _reg_tree(leaf_lo, leaf_hi, thr=0.5):
+    # node0: f0 <= thr ? node1(leaf_lo) : node2(leaf_hi)
+    return _SkTree([1, -1, -1], [2, -1, -1], [0, -2, -2], [thr, -2.0, -2.0],
+                   [[[0.0]], [[leaf_lo]], [[leaf_hi]]])
+
+
+class RandomForestRegressor:  # structural stand-in, name drives detection
+    def __init__(self, trees):
+        self.estimators_ = [_SkEst(t) for t in trees]
+
+
+class RandomForestClassifier:
+    def __init__(self, trees):
+        self.estimators_ = [_SkEst(t) for t in trees]
+
+
+class GradientBoostingRegressor:
+    def __init__(self, trees, lr, const):
+        self.estimators_ = np.empty((len(trees), 1), dtype=object)
+        for i, t in enumerate(trees):
+            self.estimators_[i, 0] = _SkEst(t)
+        self.learning_rate = lr
+
+        class _Init:
+            constant_ = np.array([[const]])
+
+        self.init_ = _Init()
+
+
+def test_fil_sklearn_rf_regressor(spark):
+    rf = RandomForestRegressor([_reg_tree(1.0, 3.0), _reg_tree(2.0, 6.0)])
+    fi = ForestInference.load_from_sklearn(rf)
+    df = spark.createDataFrame(
+        [(0, 0.2), (1, 0.5), (2, 0.9)], "pid long, f0 double")
+    got = {r["pid"]: r["prediction"]
+           for r in fi.predict(df, ["f0"]).collect()}
+    # sklearn routes f0 <= 0.5 LEFT: pid 1 sits exactly on the threshold
+    assert got[0] == pytest.approx((1.0 + 2.0) / 2)
+    assert got[1] == pytest.approx((1.0 + 2.0) / 2)
+    assert got[2] == pytest.approx((3.0 + 6.0) / 2)
+
+
+def test_fil_sklearn_rf_classifier_proba_and_class(spark):
+    def clf_tree(counts_lo, counts_hi):
+        return _SkTree([1, -1, -1], [2, -1, -1], [0, -2, -2], [0.5, -2, -2],
+                       [[[0.0, 0.0]], counts_lo, counts_hi])
+
+    rf = RandomForestClassifier([
+        clf_tree([[8.0, 2.0]], [[1.0, 9.0]]),   # p1: 0.2 / 0.9
+        clf_tree([[6.0, 4.0]], [[5.0, 5.0]]),   # p1: 0.4 / 0.5
+    ])
+    df = spark.createDataFrame([(0, 0.1), (1, 0.8)], "pid long, f0 double")
+    proba = {r["pid"]: r["prediction"] for r in
+             ForestInference.load_from_sklearn(rf).predict(df, ["f0"]).collect()}
+    assert proba[0] == pytest.approx((0.2 + 0.4) / 2)  # predict_proba[:, 1]
+    assert proba[1] == pytest.approx((0.9 + 0.5) / 2)
+    cls = {r["pid"]: r["prediction"] for r in
+           ForestInference.load_from_sklearn(rf, output_class=True)
+           .predict(df, ["f0"]).collect()}
+    # thresholded on the averaged probability directly — no sigmoid
+    assert (cls[0], cls[1]) == (0.0, 1.0)
+
+
+def test_fil_sklearn_gradient_boosting(spark):
+    gb = GradientBoostingRegressor(
+        [_reg_tree(-1.0, 2.0), _reg_tree(0.5, -0.5)], lr=0.1, const=3.0)
+    fi = ForestInference.load_from_sklearn(gb)
+    df = spark.createDataFrame([(0, 0.0), (1, 1.0)], "pid long, f0 double")
+    got = {r["pid"]: r["prediction"] for r in fi.predict(df, ["f0"]).collect()}
+    assert got[0] == pytest.approx(3.0 + 0.1 * (-1.0 + 0.5))
+    assert got[1] == pytest.approx(3.0 + 0.1 * (2.0 - 0.5))
+
+
+def test_fil_sklearn_rejects_unfitted():
+    class RandomForestRegressorUnfit:
+        pass
+
+    with pytest.raises(ValueError, match="estimators_"):
+        ForestInference.load_from_sklearn(RandomForestRegressorUnfit())
