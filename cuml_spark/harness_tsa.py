@@ -166,8 +166,12 @@ def q_pipeline_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
-            F.round("mu", 6).alias("mean_value"),
-            F.round("sigma", 6).alias("std_value"),
+            # round to 3 decimals, not 6: Spark and DuckDB accumulate
+            # avg/stddev in different orders, so doubles agree only to
+            # ~1e-10 absolute — a 6-decimal boundary flip is plausible at
+            # larger SFs, a 3-decimal one is ~1000x less likely
+            F.round("mu", 3).alias("mean_value"),
+            F.round("sigma", 3).alias("std_value"),
         )
     )
 
@@ -184,7 +188,7 @@ WITH s AS (
   GROUP BY 1
 )
 SELECT s.event_type, s.n_events, coalesce(o.n_outliers, 0) AS n_outliers,
-       round(s.mu, 6) AS mean_value, round(s.sigma, 6) AS std_value
+       round(s.mu, 3) AS mean_value, round(s.sigma, 3) AS std_value
 FROM s LEFT JOIN o ON s.event_type = o.event_type
 """
 

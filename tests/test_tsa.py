@@ -197,3 +197,57 @@ def test_kalman_series_distributed(spark):
         got = out[out["series_id"] == sid].sort_values("t")["x"].to_numpy()
         x_ref, _ = local_level_filter(y, q=0.01, r=1.0)
         np.testing.assert_allclose(got, x_ref, rtol=1e-9)
+
+
+def test_arima_css_aic_vs_exact_kalman_loglike():
+    """Cross-check of the CSS likelihood (arima.py:_fit_one) against the
+    EXACT Gaussian likelihood the reference maximizes (batched_arima.cu:187
+    Kalman loglike): at the CSS-estimated parameters, the exact AIC must be
+    close (CSS drops the stationary-distribution correction, an O(1) term)
+    and must produce the SAME AR(1)-vs-MA(1) grid ranking on an AR series.
+    Documents the divergence scale near ties: the criteria differ by less
+    than ~2 AIC units here, so grid_search orderings are only trustworthy
+    past that gap."""
+    from cuml_spark.tsa.arima import _fit_one
+
+    rng = np.random.RandomState(12)
+    n = 160
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.7 * y[t - 1] + rng.standard_normal()
+
+    def exact_aic(z: np.ndarray, p: int, q: int, mu: float,
+                  phi: float, theta: float) -> float:
+        """Exact MVN loglike with sigma2 concentrated out: the series is
+        N(mu, sigma2 * V) with V the unit-variance ARMA correlation-shape
+        matrix (closed-form autocovariances for AR(1)/MA(1))."""
+        m = z.size
+        lags = np.abs(np.subtract.outer(np.arange(m), np.arange(m)))
+        if p == 1:  # gamma_k / sigma2 = phi^k / (1 - phi^2)
+            V = phi ** lags / (1.0 - phi * phi)
+        else:       # MA(1): gamma_0 = 1+theta^2, gamma_1 = theta
+            V = np.where(lags == 0, 1.0 + theta * theta,
+                         np.where(lags == 1, theta, 0.0))
+        zc = z - mu
+        sign, logdet = np.linalg.slogdet(V)
+        assert sign > 0
+        quad = float(zc @ np.linalg.solve(V, zc))
+        sigma2 = quad / m
+        ll = -0.5 * (m * np.log(2.0 * np.pi * sigma2) + logdet + m)
+        k = 1 + p + q
+        return -2.0 * ll + 2.0 * (k + 1)
+
+    fits = {}
+    for (p, q) in [(1, 0), (0, 1)]:
+        f = _fit_one(y, p, 0, q)
+        phi = f["ar"][0] if p else 0.0
+        theta = f["ma"][0] if q else 0.0
+        fits[(p, q)] = (f["aic"], exact_aic(y, p, q, f["mu"], phi, theta))
+
+    # same winner under both criteria (AR(1) truth => AR(1) wins big)
+    css_rank = sorted(fits, key=lambda k: fits[k][0])
+    exact_rank = sorted(fits, key=lambda k: fits[k][1])
+    assert css_rank == exact_rank == [(1, 0), (0, 1)]
+    # per-model divergence stays O(1) AIC units — the near-tie danger zone
+    for (p, q), (css, exact) in fits.items():
+        assert abs(css - exact) < 4.0, (p, q, css, exact)
