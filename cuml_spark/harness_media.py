@@ -1,17 +1,27 @@
 """Harness queries: multimodal plumbing over binary media columns.
 
-The decode kernel is the deterministic fake (byte-tiling — codecs are not
-in this container), so the Spark-side plumbing is D-checkable: pixel 0 is
-the first payload byte (ascii of the first char for ASCII text) and frame
-counts are pure functions of octet_length.
+``media_decode`` / ``frame_counts`` use the deterministic fake decode
+(byte-tiling), so the Spark-side plumbing is D-checkable: pixel 0 is the
+first payload byte and frame counts are pure functions of octet_length.
+
+``media_decode_png`` is the REAL-codec round trip: deterministic grayscale
+images are PNG-ENCODED on the executors (zlib DEFLATE + CRC chunks), then
+DECODED back through ``decode_image(decoder='auto')`` (magic-byte sniff,
+inflate, unfilter) — and the per-image pixel checksum matches a plain SQL
+reconstruction of the source pixels, proving the codec is bit-exact, not a
+stub.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cuml_spark.multimodal import decode_image, frame_sample, with_media_metadata
+
+_PNG_N, _PNG_W, _PNG_H = 64, 16, 12
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,12 +63,58 @@ FROM documents
 """
 
 
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG encode→decode round trip with an exact integer oracle:
+    image ``m`` has pixel(j) = (31·m + j) mod 256 over j = 0..w·h−1."""
+    from collections.abc import Iterator
+
+    from cuml_spark.multimodal import codecs
+
+    w, h = _PNG_W, _PNG_H
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = []
+            for mid in pdf["media_id"]:
+                j = np.arange(w * h, dtype=np.int64)
+                img = ((31 * int(mid) + j) % 256).astype(np.uint8).reshape(h, w)
+                bufs.append(codecs.encode_png(img))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
+
+    ids = spark.range(_PNG_N).select(F.col("id").alias("media_id"))
+    media = ids.mapInPandas(enc, "media_id long, content binary")
+    dec = decode_image(media, decoder="auto")
+    return dec.select(
+        "media_id",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate("pixels", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_px"),
+        "width",
+        "height",
+    )
+
+
+_SQL_MEDIA_DECODE_PNG = f"""
+SELECT t.id AS media_id,
+       {_PNG_W * _PNG_H} AS n_pixels,
+       (SELECT sum((31 * t.id + j.g) % 256)
+        FROM generate_series(0, {_PNG_W * _PNG_H - 1}) j(g))::BIGINT AS sum_px,
+       {_PNG_W} AS width, {_PNG_H} AS height
+FROM range({_PNG_N}) t(id)
+"""
+
+
 QUERIES_MEDIA = {
     "media_decode": q_media_decode,
+    "media_decode_png": q_media_decode_png,
     "frame_counts": q_frame_counts,
 }
 
 ORACLES_MEDIA = {
     "media_decode": _SQL_MEDIA_DECODE,
+    "media_decode_png": _SQL_MEDIA_DECODE_PNG,
     "frame_counts": _SQL_FRAME_COUNTS,
 }

@@ -1,5 +1,6 @@
 from cuml_spark.multimodal.media import (
     MEDIA_SCHEMA,
+    decode_audio,
     decode_image,
     extract_features,
     frame_sample,
@@ -9,6 +10,7 @@ from cuml_spark.multimodal.media import (
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "decode_audio",
     "decode_image",
     "extract_features",
     "frame_sample",

@@ -1,0 +1,236 @@
+"""Pure stdlib+numpy media codecs — no Pillow/ffmpeg required.
+
+The container has no image/audio codec libraries, but several real formats
+are decodable with nothing beyond the standard library:
+
+* PNG   — zlib inflate + per-row unfilter (RFC 2083 filters 0-4); 8-bit
+          depth, color types gray / RGB / gray+alpha / RGBA, non-interlaced.
+* BMP   — BITMAPINFOHEADER parse, uncompressed 24/32 bpp (bottom-up or
+          top-down), 4-byte row padding.
+* PPM   — P6 (RGB) and P5 (gray) binary netpbm.
+* WAV   — stdlib ``wave``: 8/16/32-bit PCM, any channel count.
+
+These back the REAL (non-stub) paths of ``decode_image`` / ``decode_audio``
+in :mod:`cuml_spark.multimodal.media`; formats that genuinely need an
+external codec (JPEG, MP4, …) still raise ``NotImplementedError`` naming
+the dependency.  A matching PNG **encoder** is included so pipelines (and
+tests) can round-trip without any external tool.
+
+Reference surface note: the reference engine has no media tier — this is
+part of the training-data-pipeline brief layered on top of it.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def sniff_format(buf: bytes) -> str | None:
+    """Magic-byte detection for the supported container formats."""
+    if buf[:8] == _PNG_SIG:
+        return "png"
+    if buf[:2] == b"BM":
+        return "bmp"
+    if buf[:2] in (b"P5", b"P6"):
+        return "ppm"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes → (height, width, channels) uint8 array."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos:pos + 4])
+        ctype = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data))
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} needs a full codec library (e.g. Pillow);"
+            " supported here: 8-bit gray/RGB/gray+alpha/RGBA, non-interlaced"
+        )
+    c = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * c
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # up — fully vectorized
+            rec = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            pv = prev.astype(np.int64)
+            for x in range(stride):
+                a = rec[x - c] if x >= c else 0
+                b = pv[x]
+                if ftype == 1:
+                    rec[x] = (row[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (row[x] + (a + b) // 2) & 0xFF
+                else:
+                    d = pv[x - c] if x >= c else 0
+                    rec[x] = (row[x] + _paeth(a, b, d)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(height, width, c)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) or (h, w, c) uint8 array → PNG bytes (filter 0, one IDAT)."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# BMP / PPM
+# ---------------------------------------------------------------------------
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """BMP bytes → (height, width, 3|4) uint8 (BGR[A] reordered to RGB[A])."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", buf[10:14])
+    width, height = struct.unpack("<ii", buf[18:26])
+    (bpp,) = struct.unpack("<H", buf[28:30])
+    (compression,) = struct.unpack("<I", buf[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP compression={compression} bpp={bpp} needs a full codec "
+            "library; supported here: uncompressed 24/32 bpp")
+    c = bpp // 8
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * c + 3) & ~3  # rows pad to 4 bytes
+    rows = []
+    for y in range(height):
+        off = data_off + y * stride
+        rows.append(np.frombuffer(buf, dtype=np.uint8, count=width * c,
+                                  offset=off).reshape(width, c))
+    img = np.stack(rows)
+    if bottom_up:
+        img = img[::-1]
+    # BGR(A) → RGB(A)
+    order = [2, 1, 0] + ([3] if c == 4 else [])
+    return np.ascontiguousarray(img[:, :, order])
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """P6/P5 netpbm bytes → (h, w, 3|1) uint8."""
+    magic = buf[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    vals, pos = [], 2
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm unsupported")
+    c = 3 if magic == b"P6" else 1
+    return np.frombuffer(buf, dtype=np.uint8, count=w * h * c,
+                         offset=pos).reshape(h, w, c).copy()
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float64 mono samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(buf), "rb") as wf:
+        nch, sw, rate, nframes = (wf.getnchannels(), wf.getsampwidth(),
+                                  wf.getframerate(), wf.getnframes())
+        frames = wf.readframes(nframes)
+    if sw == 1:
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} unsupported")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def to_luma(img: np.ndarray) -> np.ndarray:
+    """(h, w, c) uint8 → (h, w) int64 luma (BT.601 integer weights; exact
+    and engine-replayable: (299 R + 587 G + 114 B) // 1000)."""
+    img = np.asarray(img, dtype=np.int64)
+    c = img.shape[2]
+    if c == 1:
+        return img[:, :, 0]
+    if c == 2:  # gray + alpha
+        return img[:, :, 0]
+    return (299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]) // 1000

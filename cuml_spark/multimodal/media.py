@@ -5,13 +5,19 @@ with a typed metadata struct; decode / resize / feature-extract / frame-
 sample run as Arrow-batched pandas kernels over ``mapInPandas`` so each
 executor decodes its own partition — no media bytes ever cross the driver.
 
-The image/audio codec libraries are NOT in this container, so the decode
-kernels are STUBS: ``decoder='fake'`` (default) is a deterministic
-byte-derived pixel generator that exercises the full Spark plumbing
-(schemas, batching, partition independence); ``decoder='pil'``-style real
-codecs raise NotImplementedError with the dependency named.  Swapping the
-fake for a real codec changes ONE numpy function; every schema, partition,
-and batch contract stays identical.
+Decode paths:
+
+* ``decoder='fake'`` (default) — deterministic byte-derived pixel generator
+  exercising the full Spark plumbing (schemas, batching, partition
+  independence) with no container parsing at all;
+* ``decoder='auto'|'png'|'bmp'|'ppm'`` — REAL decoding via the pure
+  stdlib+numpy codecs in :mod:`cuml_spark.multimodal.codecs` (PNG zlib
+  inflate + unfilter, BMP/netpbm header parses); multi-channel images land
+  as integer BT.601 luma so the single-channel pixel pipeline downstream
+  (resize / extract_features) applies unchanged;
+* :func:`decode_audio` — REAL WAV PCM decode (stdlib ``wave``);
+* formats that genuinely need an external codec (JPEG, MP4, …) raise
+  ``NotImplementedError`` naming the dependency.
 """
 
 from __future__ import annotations
@@ -61,15 +67,60 @@ def _require_real_decoder(name: str):
     raise NotImplementedError(
         f"real {name} decoding needs an image/audio codec library "
         "(e.g. Pillow/ffmpeg) which is not installed in this environment; "
-        "use decoder='fake' for the deterministic stub"
+        "supported without it: decoder='auto'/'png'/'bmp'/'ppm' (images), "
+        "decode_audio (WAV), decoder='fake' (deterministic stub)"
     )
+
+
+_IMAGE_DECODERS = ("fake", "auto", "png", "bmp", "ppm")
 
 
 def decode_image(df: DataFrame, content_col: str = "content",
                  id_col: str = "media_id", decoder: str = "fake") -> DataFrame:
-    """binary → (id, pixels array<int>, width, height), one row per image."""
+    """binary → (id, pixels array<int>, width, height), one row per image.
+
+    Real decoders ('auto' sniffs magic bytes; 'png'/'bmp'/'ppm' force a
+    container) take dimensions from the FILE HEADERS — the meta struct is
+    only consulted by the 'fake' stub.  Multi-channel images are reduced to
+    integer BT.601 luma (see codecs.to_luma) so every downstream kernel
+    keeps its single-channel contract.
+    """
+    if decoder not in _IMAGE_DECODERS:
+        _require_real_decoder(f"image ({decoder})")
     if decoder != "fake":
-        _require_real_decoder("image")
+        from cuml_spark.multimodal import codecs
+
+        def real_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, pixels, ws, hs = [], [], [], []
+                for mid, b in zip(pdf[id_col], pdf[content_col]):
+                    buf = bytes(b)
+                    fmt = codecs.sniff_format(buf) if decoder == "auto" else decoder
+                    if fmt == "png":
+                        img = codecs.decode_png(buf)
+                    elif fmt == "bmp":
+                        img = codecs.decode_bmp(buf)
+                    elif fmt == "ppm":
+                        img = codecs.decode_ppm(buf)
+                    else:
+                        _require_real_decoder(f"image ({fmt or 'unknown format'})")
+                    luma = codecs.to_luma(img)
+                    ids.append(mid)
+                    pixels.append(luma.ravel())
+                    hs.append(luma.shape[0])
+                    ws.append(luma.shape[1])
+                yield pd.DataFrame({
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "pixels": pixels,
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "height": np.asarray(hs, dtype=np.int32),
+                })
+
+        return df.mapInPandas(
+            real_kernel, "media_id long, pixels array<bigint>, width int, height int"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -225,3 +276,37 @@ def frame_sample(df: DataFrame, every_n: int = 2, content_col: str = "content",
             })
 
     return df.mapInPandas(kernel, "media_id long, frame_idx int, frame binary")
+
+
+def decode_audio(df: DataFrame, content_col: str = "content",
+                 id_col: str = "media_id", decoder: str = "wav") -> DataFrame:
+    """binary WAV → (id, samples array<double> mono in [-1,1], sample_rate,
+    n_samples).  REAL PCM decode (stdlib ``wave`` — 8/16/32-bit, any channel
+    count, channels averaged to mono); compressed audio (mp3/ogg/flac)
+    raises naming the missing codec dependency."""
+    if decoder != "wav":
+        _require_real_decoder(f"audio ({decoder})")
+    from cuml_spark.multimodal import codecs
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, samples, rates, ns = [], [], [], []
+            for mid, b in zip(pdf[id_col], pdf[content_col]):
+                x, rate = codecs.decode_wav(bytes(b))
+                ids.append(mid)
+                samples.append(x)
+                rates.append(rate)
+                ns.append(len(x))
+            yield pd.DataFrame({
+                "media_id": np.asarray(ids, dtype=np.int64),
+                "samples": samples,
+                "sample_rate": np.asarray(rates, dtype=np.int32),
+                "n_samples": np.asarray(ns, dtype=np.int64),
+            })
+
+    return df.mapInPandas(
+        kernel,
+        "media_id long, samples array<double>, sample_rate int, n_samples long",
+    )
