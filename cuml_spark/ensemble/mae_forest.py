@@ -258,9 +258,15 @@ class MAERandomForestRegressor(Base):
             rows = rows.where(
                 hash_sample_pred([*bag_key, "__tree"], frac, self.random_state)
             )
+        # __node is MAINTAINED as a materialized column: each level appends
+        # only that level's split updates (a when-chain over the nodes that
+        # actually split) and re-caches, so no level ever re-analyzes a
+        # routing expression proportional to the whole forest — Catalyst
+        # plan-comparison cost against a full session CacheManager made the
+        # recompute-from-scratch router ~2× slower in long sessions
         rows = rows.select(
             *fb_cols, "__yb", "__y", "__tree"
-        ).cache()
+        ).withColumn("__node", F.lit(0).cast("int")).cache()
 
         min_leaf = self.min_samples_leaf
         depth = self.max_depth
@@ -268,34 +274,22 @@ class MAERandomForestRegressor(Base):
         n_bins_f = self.n_bins + 2
         open_nodes: set[tuple[int, int]] | None = None  # None = all (level 0)
 
-        def node_column() -> F.Column:
-            """Routing of every row to its current node.  Small forests get a
-            generated F.when tree per (tree, internal node) — pure JVM
-            codegen, no Python round-trip per level (measured: the pandas-UDF
-            router cost ~1s/level at sf0.1 for a 4-tree depth-4 fit).  Past
-            ~8k total when-branches the expression tree itself becomes the
-            bottleneck (codegen method limits), so deep forests keep the
-            vectorized Arrow router."""
-            n_internal = sum(
-                1 for t in trees_state for e in t.values() if isinstance(e, tuple)
-            )
-            if n_internal <= 8192:
-                def rec(tree: dict, nd: int, level: int):
-                    entry = tree.get(nd)
-                    if not isinstance(entry, tuple) or level >= depth:
-                        return F.lit(nd)
-                    ft, b = entry
-                    return F.when(
-                        F.col(fb_cols[ft]) > F.lit(int(b)), rec(tree, 2 * nd + 2, level + 1)
-                    ).otherwise(rec(tree, 2 * nd + 1, level + 1))
-
-                expr = F.lit(0)
-                for t, tree in enumerate(trees_state):
-                    if not tree:
-                        continue
-                    expr = F.when(F.col("__tree") == t, rec(tree, 0, 0)).otherwise(expr)
-                return expr.cast("int")
-            return router()("__tree", *fb_cols)
+        def level_update(by_node: dict) -> F.Column:
+            """One level's routing advance: a FLAT CaseWhen over just the
+            nodes that split this level (rows at other nodes keep their
+            __node).  Pure JVM codegen, no Python round-trip per level
+            (measured: the pandas-UDF recompute router cost ~1s/level at
+            sf0.1 for a 4-tree depth-4 fit, and a full-forest expression
+            router paid Catalyst plan-comparison proportional to forest size
+            × CacheManager entries on every level)."""
+            upd = None
+            for (t, nd), (_s, ft, b) in by_node.items():
+                cond = (F.col("__tree") == F.lit(int(t))) & (
+                    F.col("__node") == F.lit(int(nd)))
+                child = F.lit(2 * int(nd) + 1) + (
+                    F.col(fb_cols[ft]) > F.lit(int(b))).cast("int")
+                upd = F.when(cond, child) if upd is None else upd.when(cond, child)
+            return upd.otherwise(F.col("__node")).cast("int")
 
         def router():
             packed = _pack_trees(trees_state, depth)
@@ -326,10 +320,11 @@ class MAERandomForestRegressor(Base):
         feat_arr = F.array(*[F.col(c) for c in fb_cols])
         m_features = _resolve_m_features(self.max_features, len(cols))
         spark = df.sparkSession
+        prev_rows = None
         for _level in range(depth):
             if open_nodes is not None and not open_nodes:
                 break
-            tagged = rows.withColumn("__node", node_column())
+            tagged = rows
             if open_nodes is not None:
                 keys = [t * (1 << 40) + nd for (t, nd) in open_nodes]
                 tagged = tagged.where(
@@ -397,6 +392,11 @@ class MAERandomForestRegressor(Base):
                 splits = hist_df.groupBy("__tree", "__node", "__feat").applyInPandas(
                     reducer, "t long, nd long, ft long, score double, bin long"
                 ).collect()
+            # the hist job above materialized the current rows cache — the
+            # previous level's frame is no longer referenced by any plan
+            if prev_rows is not None:
+                prev_rows.unpersist()
+                prev_rows = None
             by_node: dict[tuple[int, int], tuple] = {}
             for r in sorted(splits, key=lambda r: (r["t"], r["nd"], r["ft"])):
                 t, nd, ft = r["t"], r["nd"], r["ft"]
@@ -411,13 +411,22 @@ class MAERandomForestRegressor(Base):
                 next_open.add((t, 2 * nd + 1))
                 next_open.add((t, 2 * nd + 2))
             open_nodes = next_open
+            # advance the materialized __node by one level; a pathologically
+            # wide level (>4096 splits) falls back to the Arrow recompute
+            # router so the CaseWhen never exceeds codegen limits
+            prev_rows = rows
+            if len(by_node) <= 4096:
+                rows = rows.withColumn("__node", level_update(by_node)).cache()
+            else:
+                rows = rows.withColumn(
+                    "__node", router()("__tree", *fb_cols)).cache()
 
-        # leaf medians — the MAE-optimal constant per leaf.  accuracy=10000
-        # bounds the relative rank error at 1e-4 — indistinguishable leaf
-        # values on any real target, at a fraction of the 100k sketch cost
+        # leaf medians — the MAE-optimal constant per leaf.  __node already
+        # points at the leaves (maintained through the level loop).
+        # accuracy=10000 bounds the relative rank error at 1e-4 —
+        # indistinguishable leaf values at a fraction of the 100k sketch cost
         leaves = (
-            rows.withColumn("__node", node_column())
-            .groupBy("__tree", "__node")
+            rows.groupBy("__tree", "__node")
             .agg(F.percentile_approx("__y", 0.5, 10000).alias("v"))
             .collect()
         )
@@ -425,6 +434,8 @@ class MAERandomForestRegressor(Base):
             nd = r["__node"]
             if nd not in trees_state[r["__tree"]]:
                 trees_state[r["__tree"]][nd] = float(r["v"])
+        if prev_rows is not None:
+            prev_rows.unpersist()
         rows.unpersist()
         self.trees_ = trees_state
         return self
