@@ -17,10 +17,14 @@ Two surfaces here:
 
 Solver-variant note: the reference ctor takes solver ∈ {long_form,
 short_implicit, short_explicit} (kalman_filter.pyx:197) selecting among
-algebraically EQUIVALENT gain formulations — pure perf knobs for its GPU
-kernels on tiny matrices.  numpy's solve on d×d state is already the
-short-implicit form; the parameter is accepted for API parity and ignored
-(documented, not dispatched — all variants produce the same filter state).
+algebraically EQUIVALENT gain/covariance formulations — perf/stability
+knobs for its GPU kernels on tiny matrices.  Here each name DISPATCHES to
+the matching numerical route: ``short_implicit`` solves S Kᵀ = (P Hᵀ)ᵀ with
+no explicit inverse (the default, cheapest), ``short_explicit`` forms
+S⁻¹ explicitly, and ``long_form`` uses the Joseph-stabilized covariance
+update (I−KH)P(I−KH)ᵀ + KRKᵀ — identical filter states in exact
+arithmetic, different rounding/cost profiles, same contract as the
+reference's variants.
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ class KalmanFilter:
     def __init__(self, dim_x: int, dim_z: int, solver: str = "short_implicit"):
         if solver not in ("long_form", "short_implicit", "short_explicit"):
             raise ValueError(f"unknown solver {solver!r}")  # pyx:197 choices
-        self.solver = solver  # accepted for parity; variants are equivalent
+        self.solver = solver  # dispatched in update() — see module docstring
         self.dim_x = dim_x
         self.dim_z = dim_z
         self.x = np.zeros((dim_x, 1))
@@ -59,10 +63,20 @@ class KalmanFilter:
         z = np.asarray(z, dtype=np.float64).reshape(self.dim_z, 1)
         self.y = z - self.H @ self.x
         S = self.H @ self.P @ self.H.T + self.R
-        self.K = self.P @ self.H.T @ np.linalg.inv(S)
+        PHt = self.P @ self.H.T
+        if self.solver == "short_implicit":
+            # K = PHᵀ S⁻¹ without forming S⁻¹: solve Sᵀ Kᵀ = (PHᵀ)ᵀ
+            self.K = np.linalg.solve(S.T, PHt.T).T
+        else:  # short_explicit and long_form form the inverse explicitly
+            self.K = PHt @ np.linalg.inv(S)
         self.x = self.x + self.K @ self.y
         ikh = np.eye(self.dim_x) - self.K @ self.H
-        self.P = ikh @ self.P
+        if self.solver == "long_form":
+            # Joseph-stabilized covariance: exact for ANY gain, keeps P
+            # symmetric PSD under rounding — the conservative long route
+            self.P = ikh @ self.P @ ikh.T + self.K @ self.R @ self.K.T
+        else:
+            self.P = ikh @ self.P
 
 
 def local_level_filter(y: np.ndarray, q: float, r: float, x0: float | None = None,

@@ -251,3 +251,37 @@ def test_arima_css_aic_vs_exact_kalman_loglike():
     # per-model divergence stays O(1) AIC units — the near-tie danger zone
     for (p, q), (css, exact) in fits.items():
         assert abs(css - exact) < 4.0, (p, q, css, exact)
+
+
+def test_kalman_solver_variants_agree():
+    """solver ∈ {long_form, short_implicit, short_explicit}
+    (kalman_filter.pyx:197) dispatch to different numerical routes that must
+    produce the same filter state to fp accuracy; long_form's Joseph update
+    must keep P exactly symmetric."""
+    from cuml_spark.tsa.kalman import KalmanFilter
+
+    rng = np.random.RandomState(3)
+    zs = rng.standard_normal((20, 2))
+
+    def run(solver):
+        kf = KalmanFilter(dim_x=4, dim_z=2, solver=solver)
+        kf.F = np.eye(4) + 0.1 * np.diag(np.ones(3), 1)
+        kf.H = np.array([[1.0, 0, 0, 0], [0, 0, 1.0, 0]])
+        kf.Q = 0.01 * np.eye(4)
+        kf.R = 0.5 * np.eye(2)
+        for z in zs:
+            kf.predict()
+            kf.update(z)
+        return kf
+
+    ref = run("short_implicit")
+    for solver in ("long_form", "short_explicit"):
+        kf = run(solver)
+        assert np.allclose(kf.x, ref.x, atol=1e-9)
+        assert np.allclose(kf.P, ref.P, atol=1e-9)
+    joseph = run("long_form")
+    assert np.abs(joseph.P - joseph.P.T).max() < 1e-12  # Joseph keeps P symmetric
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown solver"):
+        KalmanFilter(2, 1, solver="banana")
