@@ -10,10 +10,13 @@ bounces host↔device every step.
 Spark-native design: each series fits WHOLE inside one task via
 ``groupBy(series_id).applyInPandas`` — no per-iteration barrier at all, a
 strictly better shape than the reference's chatter (SURVEY.md §3.3).  The
-objective is conditional sum of squares (CSS): e_t = w_t − μ − Σφᵢ(w_{t−i}−μ)
-− Σθⱼ e_{t−j} with pre-sample terms zero, σ̂² = SSE/n,
-ll = −n/2·(log 2πσ̂² + 1).  ``grid_search`` fans out (series × order) pairs
-as one wide job — a natural Spark fan-out.
+default objective is conditional sum of squares (CSS): e_t = w_t − μ −
+Σφᵢ(w_{t−i}−μ) − Σθⱼ e_{t−j} with pre-sample terms zero, σ̂² = SSE/n,
+ll = −n/2·(log 2πσ̂² + 1); ``method='ml'`` instead maximizes the EXACT
+Gaussian likelihood via a Harvey state-space Kalman recursion with the
+stationary-P0 startup — the reference's objective (batched_arima.cu:187),
+CSS-seeded.  ``grid_search`` fans out (series × order) pairs as one wide
+job — a natural Spark fan-out.
 """
 
 from __future__ import annotations
@@ -69,17 +72,80 @@ def _start_params(w: np.ndarray, p: int, q: int) -> np.ndarray:
     return x0
 
 
-def _fit_one(y: np.ndarray, p: int, d: int, q: int) -> dict:
+def _kalman_neg_loglike(w: np.ndarray, p: int, q: int,
+                        params: np.ndarray) -> tuple[float, float]:
+    """EXACT Gaussian negative log-likelihood (sigma2 profiled out) via the
+    Harvey state-space form + Kalman innovations — the same objective the
+    reference maximizes (cpp/src/arima/batched_arima.cu:187 batched Kalman
+    loglike).  Returns (−ll at the profiled sigma2, sigma2_hat).
+
+    State alpha_{t+1} = T alpha_t + R eta_t, y_t = Z alpha_t with
+    r = max(p, q+1), T the AR companion, R = (1, theta_1..q, 0…)ᵀ, Z = e1ᵀ;
+    P0 is the stationary covariance from the discrete Lyapunov solve
+    (I − T⊗T) vec(P0) = vec(R Rᵀ) — exact startup, no CSS conditioning.
+    """
+    mu = params[0]
+    phi = params[1:1 + p]
+    theta = params[1 + p:1 + p + q]
+    z = w - mu
+    n = z.size
+    r = max(p, q + 1)
+    T = np.zeros((r, r))
+    T[:p, 0] = phi
+    for i in range(r - 1):
+        T[i, i + 1] = 1.0
+    R = np.zeros(r)
+    R[0] = 1.0
+    R[1:1 + q] = theta
+    RRt = np.outer(R, R)
+    try:
+        P = np.linalg.solve(
+            np.eye(r * r) - np.kron(T, T), RRt.ravel()).reshape(r, r)
+    except np.linalg.LinAlgError:
+        return 1e300, 1.0
+    if not np.isfinite(P).all():
+        return 1e300, 1.0
+    a = np.zeros(r)
+    ssq = 0.0     # sum v_t^2 / F_t
+    logF = 0.0    # sum log F_t
+    for t in range(n):
+        F_t = P[0, 0]
+        if not np.isfinite(F_t) or F_t <= 0:
+            return 1e300, 1.0
+        v = z[t] - a[0]
+        ssq += v * v / F_t
+        logF += np.log(F_t)
+        K = (T @ P[:, 0]) / F_t   # Kalman gain (sigma2 cancels)
+        a = T @ a + K * v
+        P = T @ P @ T.T + RRt - np.outer(K, K) * F_t
+    sigma2 = max(ssq / n, 1e-300)
+    ll = -0.5 * (n * np.log(2.0 * np.pi * sigma2) + logF + n)
+    return -ll, sigma2
+
+
+def _fit_one(y: np.ndarray, p: int, d: int, q: int,
+             method: str = "css") -> dict:
     w = np.diff(y, n=d) if d > 0 else y.astype(np.float64)
     n = w.size
     k = 1 + p + q
     x0 = _start_params(w, p, q)
     bounds = [(-1e6, 1e6)] + [(-0.999, 0.999)] * (p + q)
-    best, sse = nelder_mead(
-        lambda prm: _css_sse(w, p, q, prm), x0, bounds, max_iter=400
-    )
-    sigma2 = max(sse / n, 1e-300)
-    ll = -0.5 * n * (np.log(2.0 * np.pi * sigma2) + 1.0)
+    if method == "ml":
+        # exact Kalman likelihood (reference parity path); CSS seeds it so
+        # the expensive objective starts near the optimum
+        css, _ = nelder_mead(
+            lambda prm: _css_sse(w, p, q, prm), x0, bounds, max_iter=400)
+        best, nll = nelder_mead(
+            lambda prm: _kalman_neg_loglike(w, p, q, prm)[0], css, bounds,
+            max_iter=400)
+        _, sigma2 = _kalman_neg_loglike(w, p, q, best)
+        ll = -nll
+    else:
+        best, sse = nelder_mead(
+            lambda prm: _css_sse(w, p, q, prm), x0, bounds, max_iter=400
+        )
+        sigma2 = max(sse / n, 1e-300)
+        ll = -0.5 * n * (np.log(2.0 * np.pi * sigma2) + 1.0)
     return {
         "mu": float(best[0]),
         "ar": best[1 : 1 + p].tolist(),
@@ -125,11 +191,18 @@ def _forecast_one(
 class ARIMA(Base):
     """Batched ARIMA over a long DataFrame (series_id, t, y)."""
 
-    def __init__(self, order: tuple[int, int, int] = (1, 1, 1), **kwargs):
+    def __init__(self, order: tuple[int, int, int] = (1, 1, 1),
+                 method: str = "css", **kwargs):
         super().__init__(**kwargs)
         self.order = tuple(int(v) for v in order)
         if self.order[1] > 2:
             raise ValueError("d > 2 not supported")
+        if method not in ("css", "ml"):
+            # 'ml' = exact Kalman likelihood (reference batched_arima.cu:187
+            # parity); 'css' = conditional sum of squares (faster, AIC can
+            # diverge from exact near ties — see test_tsa cross-check)
+            raise ValueError("method must be 'css' or 'ml'")
+        self.method = method
 
     def fit(
         self,
@@ -139,11 +212,12 @@ class ARIMA(Base):
         y_col: str = "y",
     ) -> "ARIMA":
         p, d, q = self.order
+        method = self.method
 
         def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("t")
             y = pdf["y"].to_numpy(dtype=np.float64)
-            r = _fit_one(y, p, d, q)
+            r = _fit_one(y, p, d, q, method=method)
             r["series_id"] = pdf["series_id"].iloc[0]
             return pd.DataFrame([r])
 
@@ -241,13 +315,18 @@ def grid_search(
     t_col: str = "t",
     y_col: str = "y",
     criterion: str = "aic",
+    method: str = "css",
 ) -> DataFrame:
     """Fit every (p,q) ∈ [0,max_p]×[0,max_q] per series, keep the best by
     AIC/BIC (arima.pyx:611).  The (series × order) grid is one wide Spark job:
     the input is replicated per order via a small literal cross-join, so 9
-    orders × N series fan out across the cluster together."""
+    orders × N series fan out across the cluster together.  ``method='ml'``
+    ranks by the exact Kalman likelihood (reference semantics); 'css' is the
+    faster conditional-SSE default."""
     if criterion not in ("aic", "bic"):
         raise ValueError("criterion must be 'aic' or 'bic'")
+    if method not in ("css", "ml"):
+        raise ValueError("method must be 'css' or 'ml'")
     long_df = df.select(
         F.col(series_col).cast("string").alias("series_id"),
         F.col(t_col).alias("t"),
@@ -262,7 +341,7 @@ def grid_search(
         sid, p, q = key
         pdf = pdf.sort_values("t")
         y = pdf["y"].to_numpy(dtype=np.float64)
-        r = _fit_one(y, int(p), d, int(q))
+        r = _fit_one(y, int(p), d, int(q), method=method)
         return pd.DataFrame(
             [{"series_id": sid, "p": int(p), "d": int(d), "q": int(q),
               "aic": r["aic"], "bic": r["bic"], "loglike": r["loglike"]}]

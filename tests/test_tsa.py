@@ -285,3 +285,76 @@ def test_kalman_solver_variants_agree():
     import pytest
     with pytest.raises(ValueError, match="unknown solver"):
         KalmanFilter(2, 1, solver="banana")
+
+
+def test_arima_kalman_loglike_matches_dense_mvn():
+    """The state-space Kalman loglike (method='ml' objective) must equal the
+    dense multivariate-normal loglike computed from closed-form ARMA
+    autocovariances, at FIXED parameters — exactness check, no optimizer."""
+    from cuml_spark.tsa.arima import _kalman_neg_loglike
+
+    rng = np.random.RandomState(8)
+    n = 60
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.6 * y[t - 1] + rng.standard_normal()
+
+    def dense_nll(z, p, q, mu, phi, theta):
+        m = z.size
+        lags = np.abs(np.subtract.outer(np.arange(m), np.arange(m)))
+        if p == 1:
+            V = phi ** lags / (1.0 - phi * phi)
+        else:
+            V = np.where(lags == 0, 1.0 + theta * theta,
+                         np.where(lags == 1, theta, 0.0))
+        zc = z - mu
+        _, logdet = np.linalg.slogdet(V)
+        quad = float(zc @ np.linalg.solve(V, zc))
+        sigma2 = quad / m
+        return 0.5 * (m * np.log(2.0 * np.pi * sigma2) + logdet + m), sigma2
+
+    for (p, q, params) in [(1, 0, np.array([0.3, 0.55])),
+                           (0, 1, np.array([-0.2, 0.4]))]:
+        got_nll, got_s2 = _kalman_neg_loglike(y, p, q, params)
+        phi = params[1] if p else 0.0
+        theta = params[1] if q else 0.0
+        want_nll, want_s2 = dense_nll(y, p, q, params[0], phi, theta)
+        assert got_nll == pytest.approx(want_nll, rel=1e-10)
+        assert got_s2 == pytest.approx(want_s2, rel=1e-10)
+
+
+def test_arima_ml_method_recovers_ar1():
+    from cuml_spark.tsa.arima import _fit_one
+
+    rng = np.random.RandomState(21)
+    n = 300
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.7 * y[t - 1] + rng.standard_normal()
+    f = _fit_one(y, 1, 0, 0, method="ml")
+    assert abs(f["ar"][0] - 0.7) < 0.12
+    assert np.isfinite(f["aic"]) and np.isfinite(f["loglike"])
+    # exact-ML AIC beats (or ties) the CSS AIC evaluated exactly — the ML
+    # optimum maximizes the exact objective by construction
+    css = _fit_one(y, 1, 0, 0, method="css")
+    from cuml_spark.tsa.arima import _kalman_neg_loglike
+    nll_at_css, _ = _kalman_neg_loglike(y, 1, 0,
+                                        np.array([css["mu"], *css["ar"]]))
+    assert f["loglike"] >= -nll_at_css - 1e-6
+
+
+def test_arima_ml_grid_search_distributed(spark):
+    from cuml_spark.tsa.arima import grid_search
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for sid in range(3):
+        y = np.zeros(120)
+        for t in range(1, 120):
+            y[t] = 0.65 * y[t - 1] + rng.standard_normal()
+        rows += [(str(sid), t, float(v)) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "series_id string, t long, y double")
+    best = grid_search(df, d=0, max_p=1, max_q=1, method="ml").collect()
+    assert len(best) == 3
+    for r in best:
+        assert (r["p"], r["q"]) in ((1, 0), (1, 1))  # AR term always kept
