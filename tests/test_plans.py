@@ -98,3 +98,49 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
     schemas = _read_schemas(out)
     assert all(len(s.split(",")) <= 2 for s in schemas)  # 2 cols read, not 16
+
+
+def test_sparse_row_normalize_harness_one_big_exchange(spark):
+    """The harness checksum plan pre-partitions lineitem by row so the
+    (row, col) hash-agg, the row-sum window, and the per-edge checksum
+    projection all share ONE row-scale Exchange; only the tiny 997-bucket
+    merge shuffles after.  Exactly 2 shuffles total, and no Sort feeding an
+    Exchange (the window sorts locally inside the shared partitioning)."""
+    from cuml_spark.harness_graph import q_sparse_row_normalize
+
+    out = q_sparse_row_normalize(spark, "/root/testdata/sf0.01")
+    plan = _plan(out)
+    assert _n_shuffles(out) == 2
+    # the row repartition is the REPARTITION_BY_COL exchange; the bucket
+    # merge is ENSURE_REQUIREMENTS — both present, nothing else
+    assert "REPARTITION_BY_COL" in plan
+    scans = _read_schemas(out)
+    assert scans and all(len(s.split(",")) <= 3 for s in scans)  # 3 cols read
+
+
+def test_mae_forest_level_plan_shuffles(spark):
+    """One MAE-forest level = route update (no shuffle, maintained column)
+    + posexplode + ONE aggregation exchange.  The histogram plan must not
+    re-shuffle the cached row frame."""
+    from pyspark.ml.feature import Bucketizer
+
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in rng.uniform(0, 1, (500, 2))],
+        "f0 double, y double",
+    )
+    binned = Bucketizer(
+        inputCols=["f0", "y"], outputCols=["__fb0", "__yb"],
+        splitsArray=[[-np.inf, 0.5, np.inf], [-np.inf, 0.5, np.inf]],
+    ).transform(df).select(
+        F.col("__fb0").cast("int"), F.col("__yb").cast("int"), "y",
+    ).withColumn("__tree", F.lit(0)).withColumn("__node", F.lit(0)).cache()
+    hist = (
+        binned.select("__tree", "__node", "__yb",
+                      F.posexplode(F.array("__fb0")).alias("__feat", "__fbin"))
+        .groupBy("__tree", "__node", "__feat", "__fbin", "__yb")
+        .count()
+    )
+    assert _n_shuffles(hist) == 1
