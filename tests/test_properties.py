@@ -273,3 +273,61 @@ def test_minhash_signature_bounds_jaccard_identity(spark, texts):
             assert sigs.get(i) == sigs.get(100 + i)
     for s in sigs.values():
         assert all(0 <= v < MINHASH_PRIME for v in s)
+
+
+# ---- media codecs: randomized round trips (no Spark, pure numpy) ----------
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_png_roundtrip_property(h, w, c, seed):
+    from cuml_spark.multimodal import codecs
+
+    img = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, c)).astype(np.uint8)
+    out = codecs.decode_png(codecs.encode_png(img))
+    assert out.shape == (h, w, c)
+    assert (out == img).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    nch=st.sampled_from([1, 2]),
+    sw=st.sampled_from([1, 2, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_wav_roundtrip_property(n, nch, sw, seed):
+    import io
+    import wave as wave_mod
+
+    from cuml_spark.multimodal import codecs
+
+    rng = np.random.RandomState(seed)
+    lim = {1: 127, 2: 32767, 4: 2**31 - 1}[sw]
+    dt = {1: np.uint8, 2: "<i2", 4: "<i4"}[sw]
+    if sw == 1:
+        raw = rng.randint(0, 256, size=n * nch).astype(dt)
+    else:
+        raw = rng.randint(-lim, lim, size=n * nch).astype(dt)
+    bio = io.BytesIO()
+    with wave_mod.open(bio, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(sw)
+        wf.setframerate(8000)
+        wf.writeframes(raw.tobytes())
+    x, rate = codecs.decode_wav(bio.getvalue())
+    assert rate == 8000 and len(x) == n
+    assert np.abs(x).max() <= 1.0
+    denom = {1: 128.0, 2: 32768.0, 4: 2147483648.0}[sw]
+    if sw == 1:
+        ref = (raw.astype(np.float64) - 128.0) / denom
+    else:
+        ref = raw.astype(np.float64) / denom
+    ref = ref.reshape(-1, nch).mean(axis=1)
+    assert np.allclose(x, ref)
