@@ -43,6 +43,8 @@ def sniff_format(buf: bytes) -> str | None:
         return "ppm"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 

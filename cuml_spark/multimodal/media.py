@@ -10,14 +10,17 @@ Decode paths:
 * ``decoder='fake'`` (default) — deterministic byte-derived pixel generator
   exercising the full Spark plumbing (schemas, batching, partition
   independence) with no container parsing at all;
-* ``decoder='auto'|'png'|'bmp'|'ppm'`` — REAL decoding via the pure
+* ``decoder='auto'|'png'|'bmp'|'ppm'|'jpeg'`` — REAL decoding via the pure
   stdlib+numpy codecs in :mod:`cuml_spark.multimodal.codecs` (PNG zlib
-  inflate + unfilter, BMP/netpbm header parses); multi-channel images land
-  as integer BT.601 luma so the single-channel pixel pipeline downstream
-  (resize / extract_features) applies unchanged;
+  inflate + unfilter, BMP/netpbm header parses) and the baseline JPEG
+  decoder in :mod:`cuml_spark.multimodal.jpeg` (Huffman + IDCT + chroma
+  upsampling); multi-channel images land as integer BT.601 luma so the
+  single-channel pixel pipeline downstream (resize / extract_features)
+  applies unchanged;
 * :func:`decode_audio` — REAL WAV PCM decode (stdlib ``wave``);
-* formats that genuinely need an external codec (JPEG, MP4, …) raise
-  ``NotImplementedError`` naming the dependency.
+* formats that genuinely need an external codec (progressive JPEG, MP4,
+  compressed audio, …) raise ``NotImplementedError`` naming the
+  dependency.
 """
 
 from __future__ import annotations
@@ -72,7 +75,7 @@ def _require_real_decoder(name: str):
     )
 
 
-_IMAGE_DECODERS = ("fake", "auto", "png", "bmp", "ppm")
+_IMAGE_DECODERS = ("fake", "auto", "png", "bmp", "ppm", "jpeg", "jpg")
 
 
 def decode_image(df: DataFrame, content_col: str = "content",
@@ -104,6 +107,10 @@ def decode_image(df: DataFrame, content_col: str = "content",
                         img = codecs.decode_bmp(buf)
                     elif fmt == "ppm":
                         img = codecs.decode_ppm(buf)
+                    elif fmt in ("jpeg", "jpg"):
+                        from cuml_spark.multimodal.jpeg import decode_jpeg
+
+                        img = decode_jpeg(buf)
                     else:
                         _require_real_decoder(f"image ({fmt or 'unknown format'})")
                     luma = codecs.to_luma(img)

@@ -268,7 +268,209 @@ def test_decode_image_unknown_format_raises(spark):
     from cuml_spark.multimodal import decode_image
 
     df = spark.createDataFrame(
-        [(0, bytearray(b"\xff\xd8\xff\xe0 jpeg-ish"))],
+        [(0, bytearray(b"GIF89a not supported"))],
         "media_id long, content binary")
     with pytest.raises(PythonException, match="codec library"):
         decode_image(df, decoder="auto").collect()
+
+
+# ---- baseline JPEG (multimodal/jpeg.py) ------------------------------------
+# Validation anchors are independent of the encoder: the IDCT against the
+# spec's direct cosine-sum, Huffman tables against hand-computed canonical
+# codes, DC-only and subsampled streams hand-assembled byte by byte.
+
+
+def test_jpeg_idct_matches_spec_formula():
+    import numpy as np
+
+    from cuml_spark.multimodal.jpeg import idct_8x8
+
+    rng = np.random.RandomState(0)
+    coef = rng.uniform(-100, 100, (8, 8))
+    naive = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(0.125) if u == 0 else 0.5
+                    cv = np.sqrt(0.125) if v == 0 else 0.5
+                    s += (cu * cv * coef[u, v]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            naive[x, y] = s
+    assert np.abs(idct_8x8(coef) - naive).max() < 1e-10
+
+
+def test_jpeg_huffman_canonical_codes():
+    """Spec C.2 canonical assignment on a hand-computable table:
+    bits=[0,2,1,...] → two 2-bit codes 00,01 then one 3-bit code 100."""
+    from cuml_spark.multimodal.jpeg import build_huffman
+
+    t = build_huffman([0, 2, 1] + [0] * 13, [7, 8, 9])
+    assert t == {(2, 0b00): 7, (2, 0b01): 8, (3, 0b100): 9}
+
+
+def test_jpeg_gray_roundtrip_q100():
+    import numpy as np
+
+    from cuml_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (13, 17)).astype(np.uint8)  # non-multiple of 8
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (13, 17, 1)
+    # quality 100 => all-ones quant tables; only DCT rounding remains
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_rgb_roundtrip_q100():
+    import numpy as np
+
+    from cuml_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (16, 24, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_lossy_quality_still_close_on_smooth_signal():
+    import numpy as np
+
+    from cuml_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    smooth = (128 + 80 * np.sin(xx / 8.0) * np.cos(yy / 6.0)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(smooth, quality=90))
+    assert np.abs(out[:, :, 0].astype(float) - smooth).mean() < 2.0
+
+
+def _dc_only_block(bw, dc_diff, dc_tab, ac_tab):
+    """Append one block: DC category+bits then EOB (no AC)."""
+    s = int(dc_diff).bit_length() if dc_diff >= 0 else int(-dc_diff).bit_length()
+    ln, code = dc_tab[s]
+    bw.write_bits(code, ln)
+    if s:
+        bw.write_bits(dc_diff if dc_diff > 0 else dc_diff + (1 << s) - 1, s)
+    ln, code = ac_tab[0x00]
+    bw.write_bits(code, ln)
+
+
+def test_jpeg_chroma_subsampled_stream_hand_assembled():
+    """Decode a hand-built 4:2:0 JPEG (Y 2×2, Cb/Cr 1×1) of a constant
+    color — a stream shape the 4:4:4 encoder never produces, so this
+    exercises the sampling-factor MCU layout + upsampling independently."""
+    import struct
+
+    import numpy as np
+
+    from cuml_spark.multimodal.jpeg import (
+        _STD_AC_CHROMA, _STD_AC_LUMA, _STD_DC_CHROMA, _STD_DC_LUMA,
+        _BitWriter, _inv_huffman, decode_jpeg,
+    )
+
+    def chunk(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    q1 = bytes([0]) + bytes([1] * 64)   # qtab 0: all ones
+    q2 = bytes([1]) + bytes([1] * 64)   # qtab 1: all ones
+    sof = struct.pack(">BHHB", 8, 16, 16, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])  # Y 2x2, Cb 1x1, Cr 1x1
+    dht = b"".join(
+        chunk(0xC4, bytes([tid] + bits + huffval))
+        for tid, (bits, huffval) in [
+            (0x00, _STD_DC_LUMA), (0x10, _STD_AC_LUMA),
+            (0x01, _STD_DC_CHROMA), (0x11, _STD_AC_CHROMA)])
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+
+    # constant Y=180 (shifted: 52; DC coef = 8*52 = 416), Cb=Cr=128 (DC 0)
+    bw = _BitWriter()
+    dcl, acl = _inv_huffman(*_STD_DC_LUMA), _inv_huffman(*_STD_AC_LUMA)
+    dcc, acc = _inv_huffman(*_STD_DC_CHROMA), _inv_huffman(*_STD_AC_CHROMA)
+    _dc_only_block(bw, 416, dcl, acl)       # first Y block: diff 416
+    for _ in range(3):
+        _dc_only_block(bw, 0, dcl, acl)     # remaining Y blocks: diff 0
+    _dc_only_block(bw, 0, dcc, acc)         # Cb
+    _dc_only_block(bw, 0, dcc, acc)         # Cr
+    bw.flush()
+
+    buf = (b"\xff\xd8" + chunk(0xDB, q1) + chunk(0xDB, q2)
+           + chunk(0xC0, sof) + dht + chunk(0xDA, sos)
+           + bytes(bw.out) + b"\xff\xd9")
+    out = decode_jpeg(buf)
+    assert out.shape == (16, 16, 3)
+    # constant gray: R=G=B=Y=180 exactly (chroma centered)
+    assert np.abs(out.astype(int) - 180).max() <= 1
+
+
+def test_jpeg_restart_interval_stream():
+    """DRI=1 with an RST0 marker between two MCUs, DC predictor reset —
+    hand-assembled (the encoder never emits restarts)."""
+    import struct
+
+    import numpy as np
+
+    from cuml_spark.multimodal.jpeg import (
+        _STD_AC_LUMA, _STD_DC_LUMA, _BitWriter, _inv_huffman, decode_jpeg,
+    )
+
+    def chunk(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dcl, acl = _inv_huffman(*_STD_DC_LUMA), _inv_huffman(*_STD_AC_LUMA)
+    bw1 = _BitWriter()
+    _dc_only_block(bw1, 8 * (100 - 128), dcl, acl)  # MCU 0: value 100
+    bw1.flush()
+    bw2 = _BitWriter()
+    _dc_only_block(bw2, 8 * (200 - 128), dcl, acl)  # MCU 1 after reset: 200
+    bw2.flush()
+
+    buf = (b"\xff\xd8"
+           + chunk(0xDB, bytes([0]) + bytes([1] * 64))
+           + chunk(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+           + chunk(0xC4, bytes([0x00] + _STD_DC_LUMA[0] + _STD_DC_LUMA[1]))
+           + chunk(0xC4, bytes([0x10] + _STD_AC_LUMA[0] + _STD_AC_LUMA[1]))
+           + chunk(0xDD, struct.pack(">H", 1))
+           + chunk(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+           + bytes(bw1.out) + b"\xff\xd0" + bytes(bw2.out) + b"\xff\xd9")
+    out = decode_jpeg(buf)[:, :, 0].astype(int)
+    assert out.shape == (8, 16)
+    assert np.abs(out[:, :8] - 100).max() <= 1
+    assert np.abs(out[:, 8:] - 200).max() <= 1
+
+
+def test_jpeg_progressive_raises():
+    import struct
+
+    import pytest
+
+    from cuml_spark.multimodal.jpeg import decode_jpeg
+
+    buf = (b"\xff\xd8"
+           + struct.pack(">BBH", 0xFF, 0xC2, 11)
+           + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(buf)
+
+
+def test_decode_image_real_jpeg_distributed(spark):
+    import numpy as np
+
+    from cuml_spark.multimodal import decode_image
+    from cuml_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(9)
+    rows, refs = [], {}
+    for i in range(4):
+        yy, xx = np.mgrid[0:16, 0:16]
+        img = ((xx * 8 + yy * 4 + i * 16) % 256).astype(np.uint8)
+        refs[i] = img
+        rows.append((i, bytearray(encode_jpeg(img, quality=95))))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in decode_image(df, decoder="auto").collect()}
+    for i, img in refs.items():
+        assert got[i]["width"] == 16 and got[i]["height"] == 16
+        px = np.asarray(got[i]["pixels"]).reshape(16, 16)
+        assert np.abs(px - img.astype(int)).mean() < 4.0
