@@ -107,14 +107,68 @@ FROM range({_PNG_N}) t(id)
 """
 
 
+_JPG_N, _JPG_W, _JPG_H = 48, 24, 16
+
+
+def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG encode→decode round trip with an exact integer oracle.
+
+    Constant-valued images round-trip BIT-EXACTLY through baseline JPEG at
+    quality 100 (all-ones quant tables): every 8×8 block's FDCT is a pure
+    DC coefficient 8·(v−128) whose IDCT reproduces v exactly, so the decoded
+    luma sum is w·h·v — a plain SQL expression.  The query still exercises
+    the full marker/Huffman/bit-IO/dequant/IDCT pipeline on the executors.
+    """
+    from collections.abc import Iterator
+
+    from cuml_spark.multimodal.jpeg import encode_jpeg
+
+    w, h = _JPG_W, _JPG_H
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = []
+            for mid in pdf["media_id"]:
+                v = (37 * int(mid)) % 256
+                img = np.full((h, w), v, dtype=np.uint8)
+                bufs.append(encode_jpeg(img, quality=100))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
+
+    ids = spark.range(_JPG_N).select(F.col("id").alias("media_id"))
+    media = ids.mapInPandas(enc, "media_id long, content binary")
+    dec = decode_image(media, decoder="auto")
+    return dec.select(
+        "media_id",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate("pixels", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_px"),
+        "width",
+        "height",
+    )
+
+
+_SQL_MEDIA_DECODE_JPEG = f"""
+SELECT t.id AS media_id,
+       {_JPG_W * _JPG_H} AS n_pixels,
+       ({_JPG_W * _JPG_H}::BIGINT * ((37 * t.id) % 256))::BIGINT AS sum_px,
+       {_JPG_W} AS width, {_JPG_H} AS height
+FROM range({_JPG_N}) t(id)
+"""
+
+
 QUERIES_MEDIA = {
     "media_decode": q_media_decode,
     "media_decode_png": q_media_decode_png,
+    "media_decode_jpeg": q_media_decode_jpeg,
     "frame_counts": q_frame_counts,
 }
 
 ORACLES_MEDIA = {
     "media_decode": _SQL_MEDIA_DECODE,
     "media_decode_png": _SQL_MEDIA_DECODE_PNG,
+    "media_decode_jpeg": _SQL_MEDIA_DECODE_JPEG,
     "frame_counts": _SQL_FRAME_COUNTS,
 }
