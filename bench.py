@@ -42,6 +42,18 @@ def main() -> None:
     ).agg(F.max("r")).collect()
     _wu = F.pandas_udf("double")(lambda s: s)
     li.limit(1000).select(_wu(F.col("l_quantity"))).collect()
+    # grouped/iterator Arrow paths + sketch aggregates: applyInPandas,
+    # mapInPandas, approxQuantile and percentile_approx each class-load and
+    # codegen on first use — without warming them, whichever query touches
+    # one first (MAE forest, DBSCAN, media decode) is charged the one-time
+    # cost
+    tiny2 = li.limit(256).select("l_returnflag", "l_quantity")
+    tiny2.groupBy("l_returnflag").applyInPandas(
+        lambda pdf: pdf.head(1), "l_returnflag string, l_quantity double"
+    ).collect()
+    tiny2.mapInPandas(lambda it: it, "l_returnflag string, l_quantity double").count()
+    li.limit(1000).approxQuantile("l_quantity", [0.5], 0.1)
+    li.limit(1000).agg(F.percentile_approx("l_quantity", 0.5, 100)).collect()
     # MLlib class-loading/codegen: one tiny linear fit + one tiny tree fit
     # (otherwise the first estimator query is charged several seconds of
     # one-time JVM initialization)
