@@ -19,7 +19,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuml_spark.multimodal import decode_image, frame_sample, with_media_metadata
+from cuml_spark.multimodal import (
+    decode_audio,
+    decode_image,
+    frame_sample,
+    with_media_metadata,
+)
 
 _PNG_N, _PNG_W, _PNG_H = 64, 16, 12
 
@@ -159,10 +164,68 @@ FROM range({_JPG_N}) t(id)
 """
 
 
+_WAV_N, _WAV_SAMPLES, _WAV_RATE = 48, 256, 8000
+
+
+def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV PCM round trip with an exact integer oracle: clip ``m`` has
+    16-bit sample(i) = (13·m + 7·i) mod 200 − 100, written through the
+    stdlib ``wave`` container on the executors and decoded back by
+    ``decode_audio``; re-quantizing the normalized floats recovers the raw
+    integers exactly, so their sum is a plain SQL expression."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    ns, rate = _WAV_SAMPLES, _WAV_RATE
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = []
+            for mid in pdf["media_id"]:
+                i = np.arange(ns, dtype=np.int64)
+                raw = ((13 * int(mid) + 7 * i) % 200 - 100).astype("<i2")
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    wf.writeframes(raw.tobytes())
+                bufs.append(bio.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
+
+    ids = spark.range(_WAV_N).select(F.col("id").alias("media_id"))
+    media = ids.mapInPandas(enc, "media_id long, content binary")
+    dec = decode_audio(media)
+    return dec.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        F.aggregate(
+            "samples", F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x * 32768.0, 0).cast("long"),
+        ).alias("sum_raw"),
+    )
+
+
+_SQL_MEDIA_DECODE_WAV = f"""
+SELECT t.id AS media_id,
+       {_WAV_SAMPLES}::BIGINT AS n_samples,
+       {_WAV_RATE} AS sample_rate,
+       (SELECT sum((13 * t.id + 7 * j.g) % 200 - 100)
+        FROM generate_series(0, {_WAV_SAMPLES - 1}) j(g))::BIGINT AS sum_raw
+FROM range({_WAV_N}) t(id)
+"""
+
+
 QUERIES_MEDIA = {
     "media_decode": q_media_decode,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
+    "media_decode_wav": q_media_decode_wav,
     "frame_counts": q_frame_counts,
 }
 
@@ -170,5 +233,6 @@ ORACLES_MEDIA = {
     "media_decode": _SQL_MEDIA_DECODE,
     "media_decode_png": _SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": _SQL_MEDIA_DECODE_JPEG,
+    "media_decode_wav": _SQL_MEDIA_DECODE_WAV,
     "frame_counts": _SQL_FRAME_COUNTS,
 }

@@ -2,6 +2,7 @@ from cuml_spark.multimodal.media import (
     MEDIA_SCHEMA,
     decode_audio,
     decode_image,
+    extract_audio_features,
     extract_features,
     frame_sample,
     resize_image,
@@ -12,6 +13,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "decode_audio",
     "decode_image",
+    "extract_audio_features",
     "extract_features",
     "frame_sample",
     "resize_image",

@@ -285,6 +285,47 @@ def frame_sample(df: DataFrame, every_n: int = 2, content_col: str = "content",
     return df.mapInPandas(kernel, "media_id long, frame_idx int, frame binary")
 
 
+def extract_audio_features(decoded: DataFrame) -> DataFrame:
+    """Per-clip summary features over decoded mono samples — RMS level,
+    zero-crossing rate, and FFT spectral centroid (normalized frequency in
+    [0, 0.5]); the shape an audio-quality filter or embedding stage consumes.
+    Pure numpy per Arrow batch; no per-row Python."""
+    from collections.abc import Iterator
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, rms, zcr, cent = [], [], [], []
+            for mid, s in zip(pdf["media_id"], pdf["samples"]):
+                x = np.asarray(s, dtype=np.float64)
+                n = len(x)
+                ids.append(mid)
+                if n == 0:
+                    rms.append(0.0)
+                    zcr.append(0.0)
+                    cent.append(0.0)
+                    continue
+                rms.append(float(np.sqrt((x * x).mean())))
+                zcr.append(float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+                           if n > 1 else 0.0)
+                mag = np.abs(np.fft.rfft(x))
+                tot = mag.sum()
+                freqs = np.arange(len(mag)) / n
+                cent.append(float((freqs * mag).sum() / tot) if tot > 0 else 0.0)
+            yield pd.DataFrame({
+                "media_id": np.asarray(ids, dtype=np.int64),
+                "rms": rms,
+                "zcr": zcr,
+                "spectral_centroid": cent,
+            })
+
+    return decoded.mapInPandas(
+        kernel,
+        "media_id long, rms double, zcr double, spectral_centroid double",
+    )
+
+
 def decode_audio(df: DataFrame, content_col: str = "content",
                  id_col: str = "media_id", decoder: str = "wav") -> DataFrame:
     """binary WAV → (id, samples array<double> mono in [-1,1], sample_rate,

@@ -474,3 +474,36 @@ def test_decode_image_real_jpeg_distributed(spark):
         assert got[i]["width"] == 16 and got[i]["height"] == 16
         px = np.asarray(got[i]["pixels"]).reshape(16, 16)
         assert np.abs(px - img.astype(int)).mean() < 4.0
+
+
+def test_extract_audio_features_matches_numpy(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from cuml_spark.multimodal import decode_audio, extract_audio_features
+
+    rng = np.random.RandomState(2)
+    rows, refs = [], {}
+    for i in range(3):
+        raw = (rng.randint(-20000, 20000, 128)).astype("<i2")
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(raw.tobytes())
+        rows.append((i, bytearray(bio.getvalue())))
+        refs[i] = raw.astype(np.float64) / 32768.0
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in
+           extract_audio_features(decode_audio(df)).collect()}
+    for i, x in refs.items():
+        assert got[i]["rms"] == pytest.approx(np.sqrt((x * x).mean()))
+        assert got[i]["zcr"] == pytest.approx(
+            (np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+        mag = np.abs(np.fft.rfft(x))
+        freqs = np.arange(len(mag)) / len(x)
+        assert got[i]["spectral_centroid"] == pytest.approx(
+            (freqs * mag).sum() / mag.sum())
