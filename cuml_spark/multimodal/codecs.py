@@ -45,6 +45,8 @@ def sniff_format(buf: bytes) -> str | None:
         return "wav"
     if buf[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -200,6 +202,117 @@ def decode_ppm(buf: bytes) -> np.ndarray:
     c = 3 if magic == b"P6" else 1
     return np.frombuffer(buf, dtype=np.uint8, count=w * h * c,
                          offset=pos).reshape(h, w, c).copy()
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: variable code width (min+1 .. 12 bits), LSB-first bit
+    packing, CLEAR resets the table, EOI terminates."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.int64)
+    n_out = 0
+    acc = nbits = pos = 0
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, min_code_size + 1, eoi + 1
+
+    table, width, next_code = reset()
+    prev: tuple | None = None
+    while n_out < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width, next_code = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("GIF LZW code out of range")
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out:n_out + take] = entry[:take]
+        n_out += take
+        prev = entry
+    if n_out < n_pixels:
+        raise ValueError("GIF LZW ended before raster complete")
+    return out
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → (h, w, 3) uint8 RGB (palette resolved;
+    interlaced rasters de-interlaced)."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", buf[6:10])
+    flags = buf[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _left, _top, w, h = struct.unpack("<HHHH", buf[pos:pos + 8])
+            iflags = buf[pos + 8]
+            pos += 9
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = buf[pos]
+            pos += 1
+            stream = bytearray()
+            while buf[pos] != 0:
+                ln = buf[pos]
+                stream += buf[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(stream), min_code, w * h).reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2)])
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            return pal[np.clip(idx, 0, len(pal) - 1)]
+        elif b0 == 0x3B:  # trailer
+            break
+    raise ValueError("GIF contains no image data")
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,7 @@ Decode paths:
 * ``decoder='fake'`` (default) — deterministic byte-derived pixel generator
   exercising the full Spark plumbing (schemas, batching, partition
   independence) with no container parsing at all;
-* ``decoder='auto'|'png'|'bmp'|'ppm'|'jpeg'`` — REAL decoding via the pure
+* ``decoder='auto'|'png'|'bmp'|'ppm'|'jpeg'|'gif'`` — REAL decoding via the pure
   stdlib+numpy codecs in :mod:`cuml_spark.multimodal.codecs` (PNG zlib
   inflate + unfilter, BMP/netpbm header parses) and the baseline JPEG
   decoder in :mod:`cuml_spark.multimodal.jpeg` (Huffman + IDCT + chroma
@@ -75,7 +75,7 @@ def _require_real_decoder(name: str):
     )
 
 
-_IMAGE_DECODERS = ("fake", "auto", "png", "bmp", "ppm", "jpeg", "jpg")
+_IMAGE_DECODERS = ("fake", "auto", "png", "bmp", "ppm", "jpeg", "jpg", "gif")
 
 
 def decode_image(df: DataFrame, content_col: str = "content",
@@ -111,6 +111,8 @@ def decode_image(df: DataFrame, content_col: str = "content",
                         from cuml_spark.multimodal.jpeg import decode_jpeg
 
                         img = decode_jpeg(buf)
+                    elif fmt == "gif":
+                        img = codecs.decode_gif(buf)
                     else:
                         _require_real_decoder(f"image ({fmt or 'unknown format'})")
                     luma = codecs.to_luma(img)

@@ -268,7 +268,7 @@ def test_decode_image_unknown_format_raises(spark):
     from cuml_spark.multimodal import decode_image
 
     df = spark.createDataFrame(
-        [(0, bytearray(b"GIF89a not supported"))],
+        [(0, bytearray(b"II*\x00 tiff-ish, unsupported"))],
         "media_id long, content binary")
     with pytest.raises(PythonException, match="codec library"):
         decode_image(df, decoder="auto").collect()
@@ -507,3 +507,115 @@ def test_extract_audio_features_matches_numpy(spark):
         freqs = np.arange(len(mag)) / len(x)
         assert got[i]["spectral_centroid"] == pytest.approx(
             (freqs * mag).sum() / mag.sum())
+
+
+def _encode_gif_flood(idx, palette, interlaced=False):
+    """Minimal valid GIF writer: CLEAR before every pixel code so the LZW
+    table never grows (the classic tiny-GIF trick) — a stream every
+    conforming decoder must accept."""
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[:n] = palette
+    mcs = bits
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    rows = idx
+    if interlaced:
+        order = np.concatenate([
+            np.arange(0, h, 8), np.arange(4, h, 8),
+            np.arange(2, h, 4), np.arange(1, h, 2)])
+        rows = idx[order]
+    emit(clear)
+    for v in rows.ravel():
+        emit(int(v))
+        emit(clear)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    flags = 0x80 | (bits - 1)
+    buf = (b"GIF89a" + struct.pack("<HHBBB", w, h, flags, 0, 0)
+           + pal.tobytes()
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+           + bytes([0x40 if interlaced else 0x00, mcs]))
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        buf += bytes([len(chunk)]) + bytes(chunk)
+    buf += b"\x00\x3b"
+    return buf
+
+
+def test_gif_decode_flood_and_interlace():
+    import numpy as np
+
+    from cuml_spark.multimodal import codecs
+
+    rng = np.random.RandomState(6)
+    palette = rng.randint(0, 256, (7, 3)).astype(np.uint8)
+    idx = rng.randint(0, 7, (11, 9))
+    for interlaced in (False, True):
+        buf = _encode_gif_flood(idx, palette, interlaced)
+        assert codecs.sniff_format(buf) == "gif"
+        out = codecs.decode_gif(buf)
+        assert out.shape == (11, 9, 3)
+        assert (out == palette[idx]).all()
+
+
+def test_gif_lzw_table_growth_and_kwkwk():
+    """Hand-packed stream [CLEAR, 1, 6, 6, EOI] at min_code_size=2: code 6
+    is the not-yet-defined next code both times (the KwKwK case), expanding
+    to [1, 1,1, 1,1] — spec 'variable-length-code LZW' behavior, which the
+    flood encoder never produces."""
+    import numpy as np
+
+    from cuml_spark.multimodal.codecs import _gif_lzw_decode
+
+    codes = [4, 1, 6, 6, 5]
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out = _gif_lzw_decode(bytes(data), 2, 5)
+    assert (out == np.ones(5)).all()
+
+
+def test_decode_image_gif_distributed(spark):
+    import numpy as np
+
+    from cuml_spark.multimodal import codecs, decode_image
+
+    rng = np.random.RandomState(8)
+    palette = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    rows, refs = [], {}
+    for i in range(3):
+        idx = rng.randint(0, 4, (8, 8))
+        refs[i] = codecs.to_luma(palette[idx]).ravel()
+        rows.append((i, bytearray(_encode_gif_flood(idx, palette))))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in decode_image(df, decoder="auto").collect()}
+    for i, luma in refs.items():
+        assert (np.asarray(got[i]["pixels"]) == luma).all()
