@@ -43,6 +43,8 @@ def sniff_format(buf: bytes) -> str | None:
         return "ppm"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return "avi"
     if buf[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if buf[:6] in (b"GIF87a", b"GIF89a"):
@@ -313,6 +315,63 @@ def decode_gif(buf: bytes) -> np.ndarray:
         elif b0 == 0x3B:  # trailer
             break
     raise ValueError("GIF contains no image data")
+
+
+# ---------------------------------------------------------------------------
+# AVI (MJPEG) — RIFF container walk; frames are plain JPEGs
+# ---------------------------------------------------------------------------
+
+def parse_avi_frames(buf: bytes) -> tuple[list[bytes], float]:
+    """Motion-JPEG AVI bytes → (list of per-frame JPEG payloads, fps).
+
+    Lenient RIFF walk: reads ``avih`` for the frame rate, then collects the
+    video-stream data chunks (``00dc``/``00db``) inside the ``movi`` LIST.
+    Only the container is parsed here — each frame payload is a standalone
+    baseline JPEG for :func:`cuml_spark.multimodal.jpeg.decode_jpeg`.
+    """
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    fps = 0.0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int):
+        nonlocal fps
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)  # skip list type tag
+            elif cid == b"avih" and size >= 4:
+                (usec_per_frame,) = struct.unpack(
+                    "<I", buf[body_start:body_start + 4])
+                if usec_per_frame:
+                    fps = 1e6 / usec_per_frame
+            elif cid in (b"00dc", b"00db") and size > 0:
+                frames.append(buf[body_start:body_start + size])
+            pos = body_start + size + (size & 1)  # chunks pad to even
+
+    walk(12, len(buf))
+    if not frames:
+        raise ValueError("AVI contains no video frames (00dc/00db)")
+    return frames, fps
+
+
+def encode_avi_mjpeg(jpeg_frames: list[bytes], fps: float = 10.0) -> bytes:
+    """Wrap standalone JPEG payloads into a minimal MJPEG AVI container."""
+    usec = int(round(1e6 / fps)) if fps > 0 else 0
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I", usec, 0, 0, 0, len(jpeg_frames), 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    hdrl_body = b"hdrl" + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = bytearray(b"movi")
+    for f in jpeg_frames:
+        movi_body += b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) & 1:
+            movi_body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + bytes(movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 # ---------------------------------------------------------------------------

@@ -252,8 +252,36 @@ def extract_features(decoded: DataFrame) -> DataFrame:
 def frame_sample(df: DataFrame, every_n: int = 2, content_col: str = "content",
                  id_col: str = "media_id", frame_bytes: int = 64,
                  decoder: str = "fake") -> DataFrame:
-    """'Video' payload → every n-th fixed-size frame chunk
-    (id, frame_idx, frame binary)."""
+    """Video payload → every n-th frame (id, frame_idx, frame binary).
+
+    ``decoder='avi'`` REALLY parses the RIFF container of a Motion-JPEG AVI
+    and emits each sampled frame's standalone JPEG payload — feed the result
+    to ``decode_image(decoder='auto')`` for pixels.  ``decoder='fake'``
+    (default) chunks raw bytes into fixed-size pseudo-frames (plumbing
+    stub).  Other containers (MP4/H.264…) raise naming the codec gap.
+    """
+    if decoder == "avi":
+        from cuml_spark.multimodal import codecs
+
+        def avi_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, idxs, frames = [], [], []
+                for mid, b in zip(pdf[id_col], pdf[content_col]):
+                    fr, _fps = codecs.parse_avi_frames(bytes(b))
+                    for fi in range(0, len(fr), every_n):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(fr[fi])
+                yield pd.DataFrame({
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "frame": frames,
+                })
+
+        return df.mapInPandas(
+            avi_kernel, "media_id long, frame_idx int, frame binary")
     if decoder != "fake":
         _require_real_decoder("video")
 

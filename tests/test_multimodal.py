@@ -619,3 +619,50 @@ def test_decode_image_gif_distributed(spark):
     got = {r["media_id"]: r for r in decode_image(df, decoder="auto").collect()}
     for i, luma in refs.items():
         assert (np.asarray(got[i]["pixels"]) == luma).all()
+
+
+def test_avi_mjpeg_roundtrip_container():
+    import numpy as np
+
+    from cuml_spark.multimodal import codecs
+    from cuml_spark.multimodal.jpeg import encode_jpeg
+
+    frames_in = [encode_jpeg(np.full((8, 8), 40 * i, dtype=np.uint8),
+                             quality=100) for i in range(5)]
+    buf = codecs.encode_avi_mjpeg(frames_in, fps=12.0)
+    assert codecs.sniff_format(buf) == "avi"
+    frames_out, fps = codecs.parse_avi_frames(buf)
+    assert frames_out == frames_in
+    assert fps == pytest.approx(12.0, rel=1e-4)
+
+
+def test_frame_sample_avi_to_pixels_distributed(spark):
+    """Full real video path: MJPEG AVI → sampled frames → decoded pixels.
+    Constant-value frames are bit-exact through baseline JPEG at q100, so
+    the decoded values identify each frame."""
+    import numpy as np
+
+    from cuml_spark.multimodal import codecs, decode_image, frame_sample
+    from cuml_spark.multimodal.jpeg import encode_jpeg
+
+    rows = []
+    for vid in range(2):
+        frames = [encode_jpeg(np.full((8, 8), 30 * fi + 10 * vid, dtype=np.uint8),
+                              quality=100) for fi in range(6)]
+        rows.append((vid, bytearray(codecs.encode_avi_mjpeg(frames))))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    sampled = frame_sample(df, every_n=2, decoder="avi")
+    got = sampled.collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in got} == {
+        (v, f) for v in range(2) for f in (0, 2, 4)}
+    # decode the sampled frames: value identifies (video, frame)
+    dec = decode_image(
+        sampled.selectExpr("media_id * 10 + frame_idx AS media_id",
+                           "frame AS content"),
+        decoder="auto",
+    ).collect()
+    for r in dec:
+        vid, fi = divmod(r["media_id"], 10)
+        expect = 30 * fi + 10 * vid
+        px = np.asarray(r["pixels"])
+        assert px.min() == px.max() == expect
