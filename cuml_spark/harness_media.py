@@ -221,11 +221,54 @@ FROM range({_WAV_N}) t(id)
 """
 
 
+_IMG_N, _IMG_GROUPS, _IMG_SIDE = 60, 12, 24
+
+
+def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual dedup pipeline end-to-end: deterministic PNGs (12 distinct
+    noise-like patterns, 5 copies each) → real decode → difference-hash →
+    exact perceptual-duplicate groups.  Oracle: ids 0..59 share a pattern
+    iff id mod 12 matches, so every group has 5 members and its min-id
+    representative IS the residue."""
+    from collections.abc import Iterator
+
+    from cuml_spark.multimodal import codecs
+    from cuml_spark.multimodal.imagehash import image_dedup_groups, image_hashes
+
+    side, groups = _IMG_SIDE, _IMG_GROUPS
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = []
+            for mid in pdf["media_id"]:
+                r = int(mid) % groups
+                j = np.arange(side * side, dtype=np.int64)
+                px = ((r + 1) * 2654435761 * (j + 3) * (j + 7)) % 256
+                bufs.append(codecs.encode_png(
+                    px.astype(np.uint8).reshape(side, side)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
+
+    ids = spark.range(_IMG_N).select(F.col("id").alias("media_id"))
+    media = ids.mapInPandas(enc, "media_id long, content binary")
+    hashes = image_hashes(decode_image(media, decoder="auto"), method="dhash")
+    return image_dedup_groups(hashes).select("group_rep", "n_members")
+
+
+_SQL_IMAGE_DEDUP_GROUPS = f"""
+SELECT t.r AS group_rep, {_IMG_N // _IMG_GROUPS}::BIGINT AS n_members
+FROM range({_IMG_GROUPS}) t(r)
+"""
+
+
 QUERIES_MEDIA = {
     "media_decode": q_media_decode,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_decode_wav": q_media_decode_wav,
+    "image_dedup_groups": q_image_dedup_groups,
     "frame_counts": q_frame_counts,
 }
 
@@ -234,5 +277,6 @@ ORACLES_MEDIA = {
     "media_decode_png": _SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": _SQL_MEDIA_DECODE_JPEG,
     "media_decode_wav": _SQL_MEDIA_DECODE_WAV,
+    "image_dedup_groups": _SQL_IMAGE_DEDUP_GROUPS,
     "frame_counts": _SQL_FRAME_COUNTS,
 }

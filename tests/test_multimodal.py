@@ -666,3 +666,73 @@ def test_frame_sample_avi_to_pixels_distributed(spark):
         expect = 30 * fi + 10 * vid
         px = np.asarray(r["pixels"])
         assert px.min() == px.max() == expect
+
+
+# ---- perceptual image hashing / image near-dup (multimodal/imagehash.py) ---
+
+
+def test_image_hash_invariance_and_sensitivity():
+    import numpy as np
+
+    from cuml_spark.multimodal.imagehash import ahash_py, dhash_py
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (32, 32)).astype(np.int64)
+    h = dhash_py(img.ravel(), 32, 32)
+    # 2x nearest-upscale keeps the dhash identical (same 9x8 sample grid)
+    up = np.repeat(np.repeat(img.reshape(32, 32), 2, 0), 2, 1)
+    assert dhash_py(up.ravel(), 64, 64) == h
+    # uniform brightness shift keeps both hashes identical (rank-based)
+    assert dhash_py((img + 30).ravel(), 32, 32) == h
+    a = ahash_py(img.ravel(), 32, 32)
+    assert ahash_py((img.ravel() + 30), 32, 32) == a
+    # a different random image lands far away
+    other = rng.randint(0, 256, (32, 32)).astype(np.int64)
+    assert bin(h ^ dhash_py(other.ravel(), 32, 32)).count("1") > 10
+
+
+def test_image_near_duplicates_banded(spark):
+    """Banded hamming join finds all pairs within max_distance and the
+    pigeonhole precondition is enforced."""
+    import numpy as np
+    import pytest
+
+    from cuml_spark.multimodal.imagehash import image_near_duplicates
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(-2**62, 2**62, 5).tolist()
+    rows = []
+    for i, h in enumerate(base):
+        rows.append((i * 10, int(h)))
+        # near twin: flip 3 bits (distance 3)
+        rows.append((i * 10 + 1, int(h) ^ 0b10010001))
+    df = spark.createDataFrame(rows, "media_id long, hash long")
+    pairs = image_near_duplicates(df, max_distance=6, n_bands=8).collect()
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in pairs}
+    for i in range(5):
+        assert got[(i * 10, i * 10 + 1)] == 3
+    # distant cross-pairs excluded
+    assert all(b - a == 1 for a, b in got)
+
+    with pytest.raises(ValueError, match="n_bands"):
+        image_near_duplicates(df, max_distance=8, n_bands=8)
+
+
+def test_image_dedup_groups_distributed(spark):
+    import numpy as np
+
+    from cuml_spark.multimodal import codecs, decode_image
+    from cuml_spark.multimodal.imagehash import image_dedup_groups, image_hashes
+
+    rows = []
+    for i in range(12):
+        r = i % 4
+        j = np.arange(16 * 16, dtype=np.int64)
+        px = ((r + 1) * 2654435761 * (j + 3) * (j + 7)) % 256
+        rows.append((i, bytearray(codecs.encode_png(
+            px.astype(np.uint8).reshape(16, 16)))))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    groups = image_dedup_groups(
+        image_hashes(decode_image(df, decoder="auto"))).collect()
+    assert sorted((r["group_rep"], r["n_members"]) for r in groups) == [
+        (0, 3), (1, 3), (2, 3), (3, 3)]
