@@ -171,8 +171,57 @@ def decode_image(df: DataFrame, content_col: str = "content",
     )
 
 
-def resize_image(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize of decoded pixel arrays (pure numpy kernel)."""
+def _bilinear_batch(imgs: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(n, h, w) → (n, out_h, out_w) bilinear, half-pixel-center convention
+    (the standard align_corners=False mapping), rounded to int."""
+    n, h, w = imgs.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[None, :, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, None, :]
+    f = imgs.astype(np.float64)
+    top = f[:, y0][:, :, x0] * (1 - fx) + f[:, y0][:, :, x1] * fx
+    bot = f[:, y1][:, :, x0] * (1 - fx) + f[:, y1][:, :, x1] * fx
+    return np.rint(top * (1 - fy) + bot * fy).astype(np.int64)
+
+
+def _area_batch(imgs: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(n, h, w) → (n, out_h, out_w) box/area average (exact when the scale
+    divides evenly, partition-of-rows/cols otherwise) — the anti-aliased
+    downsample training pipelines default to."""
+    n, h, w = imgs.shape
+    ye = (np.arange(out_h + 1) * h) // out_h
+    xe = (np.arange(out_w + 1) * w) // out_w
+    csum = np.zeros((n, h + 1, w + 1))
+    csum[:, 1:, 1:] = imgs.cumsum(axis=1).cumsum(axis=2)
+    S = (csum[:, ye[1:]][:, :, xe[1:]] - csum[:, ye[:-1]][:, :, xe[1:]]
+         - csum[:, ye[1:]][:, :, xe[:-1]] + csum[:, ye[:-1]][:, :, xe[:-1]])
+    areas = ((ye[1:] - ye[:-1])[:, None] * (xe[1:] - xe[:-1])[None, :])
+    return np.rint(S / areas[None]).astype(np.int64)
+
+
+def resize_image(decoded: DataFrame, out_w: int, out_h: int,
+                 method: str = "nearest") -> DataFrame:
+    """Resize decoded pixel arrays (pure numpy kernels, whole batch at once
+    for uniform dims).  ``method``: 'nearest' (exact index pick),
+    'bilinear' (half-pixel-center interpolation), or 'area' (box average —
+    the anti-aliased downsample training pipelines default to)."""
+    if method not in ("nearest", "bilinear", "area"):
+        raise ValueError("method must be nearest | bilinear | area")
+
+    def one(img: np.ndarray) -> np.ndarray:
+        h, w = img.shape
+        if method == "nearest":
+            yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+            xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+            return img[np.ix_(yi, xi)]
+        if method == "bilinear":
+            return _bilinear_batch(img[None], out_h, out_w)[0]
+        return _area_batch(img[None], out_h, out_w)[0]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -182,21 +231,24 @@ def resize_image(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
             hs = pdf["height"].to_numpy()
             px = pdf["pixels"].to_numpy()
             if ws.min() == ws.max() and hs.min() == hs.max():
-                # uniform dims: resize the whole batch with ONE fancy-index
+                # uniform dims: resize the whole batch with ONE kernel call
                 w, h = int(ws[0]), int(hs[0])
                 imgs = np.stack([np.asarray(p, dtype=np.int64) for p in px])
                 imgs = imgs.reshape(len(pdf), h, w)
-                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                res = imgs[:, yi][:, :, xi].reshape(len(pdf), -1)
-                pixels = list(res)
+                if method == "nearest":
+                    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                    res = imgs[:, yi][:, :, xi]
+                elif method == "bilinear":
+                    res = _bilinear_batch(imgs, out_h, out_w)
+                else:
+                    res = _area_batch(imgs, out_h, out_w)
+                pixels = list(res.reshape(len(pdf), -1))
             else:
-                pixels = []
-                for p, w, h in zip(px, ws, hs):
-                    img = np.asarray(p, dtype=np.int64).reshape(int(h), int(w))
-                    yi = (np.arange(out_h) * int(h) // out_h).clip(0, int(h) - 1)
-                    xi = (np.arange(out_w) * int(w) // out_w).clip(0, int(w) - 1)
-                    pixels.append(img[np.ix_(yi, xi)].ravel())
+                pixels = [
+                    one(np.asarray(p, dtype=np.int64).reshape(int(h), int(w))).ravel()
+                    for p, w, h in zip(px, ws, hs)
+                ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),
                 "pixels": pixels,

@@ -736,3 +736,38 @@ def test_image_dedup_groups_distributed(spark):
         image_hashes(decode_image(df, decoder="auto"))).collect()
     assert sorted((r["group_rep"], r["n_members"]) for r in groups) == [
         (0, 3), (1, 3), (2, 3), (3, 3)]
+
+
+def test_resize_bilinear_and_area(spark, media_df):
+    import numpy as np
+
+    dec = decode_image(media_df)
+    src = {r["media_id"]: np.asarray(r["pixels"]).reshape(8, 8)
+           for r in dec.collect()}
+
+    # area 2x downsample of an 8x8 = exact 2x2 block means
+    area = {r["media_id"]: np.asarray(r["pixels"]).reshape(4, 4)
+            for r in resize_image(dec, 4, 4, method="area").collect()}
+    for mid, img in list(src.items())[:5]:
+        blocks = img.reshape(4, 2, 4, 2).mean(axis=(1, 3))
+        assert (area[mid] == np.rint(blocks)).all()
+
+    # bilinear identity resize returns the image unchanged
+    same = {r["media_id"]: np.asarray(r["pixels"]).reshape(8, 8)
+            for r in resize_image(dec, 8, 8, method="bilinear").collect()}
+    for mid, img in list(src.items())[:5]:
+        assert (same[mid] == img).all()
+
+    # bilinear 2x upsample of a horizontal ramp stays a monotone ramp
+    ramp = np.tile(np.arange(0, 80, 10), (8, 1))
+    rows = [(0, bytearray(bytes(ramp.astype(np.uint8).ravel())))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    d = decode_image(with_media_metadata(df, width=8, height=8))
+    up = np.asarray(resize_image(d, 16, 16, method="bilinear")
+                    .collect()[0]["pixels"]).reshape(16, 16)
+    assert (np.diff(up, axis=1) >= 0).all()
+    assert up.min() == 0 and up.max() == 70
+
+    import pytest
+    with pytest.raises(ValueError, match="method"):
+        resize_image(dec, 4, 4, method="lanczos")
