@@ -35,6 +35,24 @@ def _resize_nearest(px: np.ndarray, h: int, w: int, out_h: int, out_w: int) -> n
     return img[np.ix_(yi, xi)]
 
 
+def _resize_area(px: np.ndarray, h: int, w: int, out_h: int, out_w: int) -> np.ndarray:
+    """Box-average resize (anti-aliased) — pHash's downsample, so per-pixel
+    noise averages out before the DCT instead of passing straight through."""
+    img = px.reshape(h, w).astype(np.float64)
+    ye = (np.arange(out_h + 1) * h) // out_h
+    xe = (np.arange(out_w + 1) * w) // out_w
+    ye = np.maximum(ye, np.arange(out_h + 1))  # ensure nonempty rows upscaling
+    xe = np.maximum(xe, np.arange(out_w + 1))
+    if h < out_h or w < out_w:  # upscale: fall back to nearest
+        return _resize_nearest(px, h, w, out_h, out_w).astype(np.float64)
+    csum = np.zeros((h + 1, w + 1))
+    csum[1:, 1:] = img.cumsum(0).cumsum(1)
+    S = (csum[ye[1:]][:, xe[1:]] - csum[ye[:-1]][:, xe[1:]]
+         - csum[ye[1:]][:, xe[:-1]] + csum[ye[:-1]][:, xe[:-1]])
+    areas = (ye[1:] - ye[:-1])[:, None] * (xe[1:] - xe[:-1])[None, :]
+    return S / areas
+
+
 def _pack_bits(bits: np.ndarray) -> int:
     """Row-major bit vector → signed int64 (bit 0 = MSB of the hash)."""
     v = 0
@@ -55,11 +73,28 @@ def ahash_py(px: np.ndarray, h: int, w: int) -> int:
     return _pack_bits(g > g.mean())
 
 
+def phash_py(px: np.ndarray, h: int, w: int) -> int:
+    """Perceptual (DCT) hash: nearest-resize to 32×32, 2-D DCT (reusing the
+    8-point basis blockwise is wrong here — build the 32-point DCT-II), keep
+    the top-left 8×8 low-frequency coefficients minus DC, threshold at
+    their median.  The most edit-robust of the three classic hashes."""
+    g = _resize_area(px, h, w, 32, 32)
+    n = 32
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    C = np.cos((2 * m + 1) * k * np.pi / (2 * n))
+    C[0] *= np.sqrt(1.0 / n)
+    C[1:] *= np.sqrt(2.0 / n)
+    d = C @ g @ C.T
+    low = d[:8, :8].ravel()[1:]  # drop DC
+    return _pack_bits(np.append(low > np.median(low), False))
+
+
 def image_hashes(decoded: DataFrame, method: str = "dhash") -> DataFrame:
     """(media_id, pixels, width, height) → (media_id, hash long)."""
-    if method not in ("dhash", "ahash"):
-        raise ValueError("method must be 'dhash' or 'ahash'")
-    fn = dhash_py if method == "dhash" else ahash_py
+    if method not in ("dhash", "ahash", "phash"):
+        raise ValueError("method must be 'dhash', 'ahash' or 'phash'")
+    fn = {"dhash": dhash_py, "ahash": ahash_py, "phash": phash_py}[method]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -771,3 +771,34 @@ def test_resize_bilinear_and_area(spark, media_df):
     import pytest
     with pytest.raises(ValueError, match="method"):
         resize_image(dec, 4, 4, method="lanczos")
+
+
+def test_phash_robust_to_noise_but_separates_images():
+    """pHash (area resize -> 32-pt DCT -> low-band median threshold) on
+    smooth natural-ish content: invariant to per-pixel noise, brightness
+    shift and rescaling, far from an independent image."""
+    import numpy as np
+
+    from cuml_spark.multimodal.imagehash import phash_py
+
+    rng = np.random.RandomState(13)
+
+    def smooth(base):
+        yy, xx = np.mgrid[0:64, 0:64] / 63.0 * 8
+        y0, x0 = yy.astype(int), xx.astype(int)
+        y1, x1 = np.minimum(y0 + 1, 8), np.minimum(x0 + 1, 8)
+        fy, fx = yy - y0, xx - x0
+        return ((base[y0, x0] * (1 - fx) + base[y0, x1] * fx) * (1 - fy)
+                + (base[y1, x0] * (1 - fx) + base[y1, x1] * fx) * fy
+                ).astype(np.int64)
+
+    img = smooth(rng.uniform(30, 225, (9, 9)))
+    h0 = phash_py(img.ravel(), 64, 64)
+    noisy = np.clip(img + rng.randint(-8, 9, img.shape), 0, 255)
+    assert bin(h0 ^ phash_py(noisy.ravel(), 64, 64)).count("1") <= 6
+    assert bin(h0 ^ phash_py(np.clip(img + 25, 0, 255).ravel(), 64, 64)
+               ).count("1") <= 2
+    small = img[::2, ::2]
+    assert bin(h0 ^ phash_py(small.ravel(), 32, 32)).count("1") <= 8
+    other = smooth(rng.uniform(30, 225, (9, 9)))
+    assert bin(h0 ^ phash_py(other.ravel(), 64, 64)).count("1") > 16
