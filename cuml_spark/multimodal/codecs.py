@@ -49,6 +49,8 @@ def sniff_format(buf: bytes) -> str | None:
         return "jpeg"
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -315,6 +317,60 @@ def decode_gif(buf: bytes) -> np.ndarray:
         elif b0 == 0x3B:  # trailer
             break
     raise ValueError("GIF contains no image data")
+
+
+# ---------------------------------------------------------------------------
+# TIFF (uncompressed baseline)
+# ---------------------------------------------------------------------------
+
+def decode_tiff(buf: bytes) -> np.ndarray:
+    """Uncompressed 8-bit TIFF (gray or RGB, either byte order, strip
+    layout) → (h, w, 1|3) uint8.  LZW/JPEG-in-TIFF/16-bit raise naming the
+    limitation."""
+    if buf[:4] == b"II*\x00":
+        bo = "<"
+    elif buf[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ = struct.unpack(bo + "HH", buf[e:e + 4])
+        (count,) = struct.unpack(bo + "I", buf[e + 4:e + 8])
+        if typ not in _TYPE_SIZE:
+            continue  # rationals etc. — not needed for the raster
+        sz = _TYPE_SIZE[typ]
+        total = sz * count
+        if total <= 4:
+            data_off = e + 8
+        else:
+            (data_off,) = struct.unpack(bo + "I", buf[e + 8:e + 12])
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(
+            bo + fmt * count, buf[data_off:data_off + total]))
+    width = tags[256][0]
+    height = tags[257][0]
+    bits = tags.get(258, [8])
+    compression = tags.get(259, [1])[0]
+    spp = tags.get(277, [len(bits)])[0]
+    if compression != 1 or any(b != 8 for b in bits):
+        raise NotImplementedError(
+            f"TIFF compression={compression} bits={bits} needs a full codec "
+            "library; supported here: uncompressed 8-bit gray/RGB")
+    offsets = tags[273]
+    rows_per_strip = tags.get(278, [height])[0]
+    counts = tags.get(279)
+    raster = bytearray()
+    for si, off in enumerate(offsets):
+        n = (counts[si] if counts else
+             min(rows_per_strip, height - si * rows_per_strip) * width * spp)
+        raster += buf[off:off + n]
+    img = np.frombuffer(bytes(raster), np.uint8, width * height * spp)
+    return img.reshape(height, width, spp).copy()
 
 
 # ---------------------------------------------------------------------------

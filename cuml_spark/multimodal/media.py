@@ -75,7 +75,8 @@ def _require_real_decoder(name: str):
     )
 
 
-_IMAGE_DECODERS = ("fake", "auto", "png", "bmp", "ppm", "jpeg", "jpg", "gif")
+_IMAGE_DECODERS = ("fake", "auto", "png", "bmp", "ppm", "jpeg", "jpg", "gif",
+                   "tiff")
 
 
 def decode_image(df: DataFrame, content_col: str = "content",
@@ -113,6 +114,8 @@ def decode_image(df: DataFrame, content_col: str = "content",
                         img = decode_jpeg(buf)
                     elif fmt == "gif":
                         img = codecs.decode_gif(buf)
+                    elif fmt == "tiff":
+                        img = codecs.decode_tiff(buf)
                     else:
                         _require_real_decoder(f"image ({fmt or 'unknown format'})")
                     luma = codecs.to_luma(img)

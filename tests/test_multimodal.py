@@ -268,7 +268,7 @@ def test_decode_image_unknown_format_raises(spark):
     from cuml_spark.multimodal import decode_image
 
     df = spark.createDataFrame(
-        [(0, bytearray(b"II*\x00 tiff-ish, unsupported"))],
+        [(0, bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8 unsupported"))],
         "media_id long, content binary")
     with pytest.raises(PythonException, match="codec library"):
         decode_image(df, decoder="auto").collect()
@@ -802,3 +802,98 @@ def test_phash_robust_to_noise_but_separates_images():
     assert bin(h0 ^ phash_py(small.ravel(), 32, 32)).count("1") <= 8
     other = smooth(rng.uniform(30, 225, (9, 9)))
     assert bin(h0 ^ phash_py(other.ravel(), 64, 64)).count("1") > 16
+
+
+def _encode_tiff(img, byte_order="<", rows_per_strip=None):
+    """Minimal uncompressed TIFF writer for decoder tests (gray or RGB,
+    single or multiple strips, either byte order)."""
+    import struct
+
+    import numpy as np
+
+    h, w, c = img.shape
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        strips.append(img[y0:y0 + rps].tobytes())
+    bo = byte_order
+    n_tags = 8
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_tags + 4
+    # strip offsets/counts arrays (after the IFD)
+    n_strips = len(strips)
+    arr_fmt_size = 4 * n_strips
+    offsets_pos = data_off
+    counts_pos = data_off + arr_fmt_size
+    bits_pos = counts_pos + arr_fmt_size
+    bits_size = 2 * c if c > 1 else 0
+    pixels_pos = bits_pos + bits_size
+    strip_offsets = []
+    p = pixels_pos
+    for sdata in strips:
+        strip_offsets.append(p)
+        p += len(sdata)
+
+    def entry(tag, typ, count, value):
+        return struct.pack(bo + "HHI", tag, typ, count) + value
+
+    def short_val(v):
+        return struct.pack(bo + "HH", v, 0)
+
+    def long_val(v):
+        return struct.pack(bo + "I", v)
+
+    entries = [
+        entry(256, 4, 1, long_val(w)),
+        entry(257, 4, 1, long_val(h)),
+        entry(258, 3, c, short_val(8) if c == 1 else long_val(bits_pos)),
+        entry(259, 3, 1, short_val(1)),  # uncompressed
+        entry(273, 4, n_strips,
+              long_val(strip_offsets[0] if n_strips == 1 else offsets_pos)),
+        entry(277, 3, 1, short_val(c)),
+        entry(278, 4, 1, long_val(rps)),
+        entry(279, 4, n_strips,
+              long_val(len(strips[0]) if n_strips == 1 else counts_pos)),
+    ]
+    buf = bytearray()
+    buf += (b"II*\x00" if bo == "<" else b"MM\x00*")
+    buf += struct.pack(bo + "I", ifd_off)
+    buf += struct.pack(bo + "H", n_tags) + b"".join(entries)
+    buf += struct.pack(bo + "I", 0)  # next IFD
+    buf += b"".join(struct.pack(bo + "I", o) for o in strip_offsets)
+    buf += b"".join(struct.pack(bo + "I", len(s)) for s in strips)
+    if c > 1:
+        buf += struct.pack(bo + "H" * c, *([8] * c))
+    for sdata in strips:
+        buf += sdata
+    return bytes(buf)
+
+
+def test_tiff_decode_variants():
+    import numpy as np
+
+    from cuml_spark.multimodal import codecs
+
+    rng = np.random.RandomState(3)
+    rgb = _rand_img(rng, 10, 7, 3)
+    gray = _rand_img(rng, 6, 9, 1)
+    for bo in ("<", ">"):
+        out = codecs.decode_tiff(_encode_tiff(rgb, byte_order=bo))
+        assert (out == rgb).all()
+    # multi-strip layout
+    out = codecs.decode_tiff(_encode_tiff(rgb, rows_per_strip=3))
+    assert (out == rgb).all()
+    out = codecs.decode_tiff(_encode_tiff(gray))
+    assert (out == gray).all()
+    assert codecs.sniff_format(_encode_tiff(gray)) == "tiff"
+    # compressed TIFF refuses with the codec message
+    import struct
+
+    import pytest
+    bad = bytearray(_encode_tiff(gray))
+    # tag 259 (compression) short value lives in the 4th entry's value slot
+    # — rewrite it to 5 (LZW)
+    idx = bad.find(struct.pack("<HHI", 259, 3, 1))
+    bad[idx + 8:idx + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compression"):
+        codecs.decode_tiff(bytes(bad))
