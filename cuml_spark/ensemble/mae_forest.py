@@ -85,7 +85,13 @@ def _node_feature_subset(t: int, nd: int, k: int, m: int, seed: int) -> np.ndarr
     max_features semantics (randomforestregressor.pyx:291 ``max_features``,
     per-split column sampling).  Seeded by (seed, tree, node) so the choice is
     partitioning-independent and replayable."""
-    rng = np.random.RandomState((seed * 1_000_003 + t * 8191 + nd * 131) % (2**32))
+    # SeedSequence mixes the triple non-linearly — a linear combination
+    # (seed*a + t*b + nd*c) collides for correlated (tree, node) pairs and
+    # would hand ≥131-tree forests identical per-node subsets, defeating the
+    # decorrelation max_features exists to provide.
+    rng = np.random.Generator(
+        np.random.PCG64(np.random.SeedSequence([seed, t, nd]))
+    )
     return np.sort(rng.choice(k, size=m, replace=False))
 
 

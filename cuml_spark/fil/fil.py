@@ -239,10 +239,32 @@ class ForestInference(Base):
             trees = [_flatten_sklearn_tree(e.tree_, classifier=False) for e in ests]
             for t in trees:
                 t.value = t.value * lr
-            base = 0.0
+            # sklearn's default init_ is a Dummy{Classifier,Regressor}:
+            # regressors expose constant_ (the target mean); classifiers
+            # expose class_prior_ — the raw-score constant is the prior
+            # log-odds log(p1/p0). Silently defaulting to 0.0 would drop
+            # that term and break predict_proba parity on imbalanced data.
             init = getattr(skl_model, "init_", None)
-            if init is not None and hasattr(init, "constant_"):
+            if init is None or init == "zero":
+                base = 0.0
+            elif classifier and hasattr(init, "class_prior_"):
+                prior = np.ravel(init.class_prior_)
+                if len(prior) != 2:
+                    raise ValueError(
+                        "load_from_sklearn supports binary GB classifiers "
+                        f"only (got {len(prior)} class priors)"
+                    )
+                eps = np.finfo(np.float64).eps
+                p1 = float(np.clip(prior[1], eps, 1 - eps))
+                base = float(np.log(p1 / (1.0 - p1)))
+            elif hasattr(init, "constant_"):
                 base = float(np.ravel(init.constant_)[0])
+            else:
+                raise ValueError(
+                    "unrecognized GradientBoosting init_ estimator "
+                    f"({type(init).__name__}: no class_prior_/constant_); "
+                    "refusing to silently drop the base score"
+                )
             output = ("class" if output_class and classifier
                       else "sigmoid" if classifier else "raw")
             model = cls(output=output, threshold=threshold, base_score=base)

@@ -247,6 +247,7 @@ class TSNE(Base):
                         F.col(vec_col).cast("array<double>").alias("x")).cache()
         n_rows = pts.count()
         if n_rows > self.max_driver_rows:
+            pts.unpersist()  # don't leak the cached frame on the refusal path
             raise ValueError(
                 f"TSNE.fit_transform collects the n×k edge list to the driver "
                 f"for the sequential layout stage; {n_rows} rows > "

@@ -222,6 +222,7 @@ class UMAP(Base):
         pts = df.select(*sel).cache()
         n_rows = pts.count()
         if n_rows > self.max_driver_rows:
+            pts.unpersist()  # don't leak the cached frame on the refusal path
             raise ValueError(
                 f"UMAP.fit collects the n×{self.n_neighbors} edge list to the "
                 f"driver for the sequential layout stage; {n_rows} rows > "

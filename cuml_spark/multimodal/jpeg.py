@@ -165,6 +165,10 @@ class _BitReader:
                 self.pos += 1
             self.acc = (self.acc << 8) | byte
             self.nbits += 8
+        # read_bit only decrements nbits, so without truncation acc would
+        # accumulate the whole entropy stream as one growing big-int and
+        # every shift would be O(bytes consumed) — decode goes quadratic.
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:

@@ -211,8 +211,17 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
+        if prev_cached is not None:
+            prev_cached.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(labels still changing); raise max_iter"
         )
+    if prev_cached is not None:
+        # convergence on a non-checkpoint round leaves `labels` cache()d;
+        # returning it would leak a CacheManager entry per call (callers
+        # never unpersist). localCheckpoint the small label frame (blocks
+        # live outside the CacheManager) and release the cached one.
+        labels = labels.localCheckpoint()
+        prev_cached.unpersist()
     return labels

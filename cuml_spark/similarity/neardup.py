@@ -30,14 +30,29 @@ from cuml_spark.ops.distance import cosine_sim, with_sq_norm
 
 _BLOCK_ROWS = 2048
 
+# All-pairs brute broadcasts the full packed vector table to every executor
+# and fans out O((N/block)²) block pairs — fine for oracle-scale data, a
+# guaranteed broadcast-OOM at corpus scale. Refuse above this cap (mirrors
+# text.dedup._JACCARD_ALLPAIRS_MAX_DOCS) and point at the LSH plan instead.
+_BRUTE_MAX_ROWS = 200_000
 
-def _pairs_brute(pts: DataFrame, threshold: float) -> DataFrame:
+
+def _pairs_brute(pts: DataFrame, threshold: float,
+                 max_brute_rows: int = _BRUTE_MAX_ROWS) -> DataFrame:
     """All-pairs cosine ≥ threshold as a block-nested loop: vectors hash into
     packed blocks, upper-triangle block pairs (a_blk ≤ b_blk — each unordered
     pair scored once) fan out through mapInPandas where one GEMM scores the
     whole block; only surviving pairs (a vanishing fraction) ever become rows.
     """
     n = pts.count()
+    if n > max_brute_rows:
+        raise ValueError(
+            f"embedding_near_duplicates(method='brute') broadcasts the whole "
+            f"packed vector table and scores O(N²) pairs; refusing at {n} "
+            f"rows (> max_brute_rows={max_brute_rows}). Use method='lsh' "
+            f"(bucketed candidates + exact cosine re-rank — precision stays "
+            f"exact) or raise max_brute_rows explicitly."
+        )
     nblk = max(1, -(-n // _BLOCK_ROWS))
     blocked = pts.withColumn(
         "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(nblk)).cast("int")
@@ -123,19 +138,25 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    method: str = "brute",
+    method: str = "lsh",
     n_planes: int = 12,
     n_tables: int = 6,
     seed: int = 42,
+    max_brute_rows: int = _BRUTE_MAX_ROWS,
 ) -> DataFrame:
-    """→ (id_a, id_b, cos_sim) for pairs with cosine ≥ threshold, id_a < id_b."""
+    """→ (id_a, id_b, cos_sim) for pairs with cosine ≥ threshold, id_a < id_b.
+
+    Default is ``method='lsh'`` — the scale path (bucketed candidates, exact
+    cosine re-rank: precision exact, recall approximate). ``method='brute'``
+    is exact but all-pairs and refuses above ``max_brute_rows``.
+    """
     pts = with_sq_norm(
         df.select(F.col(id_col).alias("vid"),
                   F.col(vec_col).cast("array<double>").alias("v")),
         "v", "sq",
     )
     if method == "brute":
-        return _pairs_brute(pts.drop("sq"), threshold)
+        return _pairs_brute(pts.drop("sq"), threshold, max_brute_rows)
     elif method == "lsh":
         dim = len(df.select(vec_col).first()[0])
         pairs = _pairs_lsh(pts, dim, n_planes, n_tables, seed)

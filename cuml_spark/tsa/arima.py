@@ -337,7 +337,7 @@ def grid_search(
     orders_df = spark.createDataFrame(orders, "p int, q int")
     fanned = long_df.crossJoin(F.broadcast(orders_df))
 
-    def fit_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sid, p, q = key
         pdf = pdf.sort_values("t")
         y = pdf["y"].to_numpy(dtype=np.float64)

@@ -28,3 +28,25 @@ def test_dask_submodule_direct_imports():
     assert callable(make_blobs)
     assert KMeans(n_clusters=2).n_clusters == 2
     assert RandomForestRegressor(n_estimators=3).n_estimators == 3
+
+
+def test_filter_namespace_reexports_kalman():
+    # reference python/cuml/filter/__init__.py:17 exposes KalmanFilter
+    import cuml_spark
+    from cuml_spark.filter import KalmanFilter
+
+    assert KalmanFilter is cuml_spark.KalmanFilter
+
+
+def test_ts_legacy_namespace():
+    # reference python/cuml/ts/ is the legacy alias next to cuml/tsa/
+    import cuml_spark.ts as ts
+    from cuml_spark.tsa.arima import ARIMA, grid_search
+    from cuml_spark.tsa.holtwinters import ExponentialSmoothing
+    from cuml_spark.tsa.kalman import KalmanFilter
+
+    assert ts.ARIMA is ARIMA
+    assert ts.grid_search is grid_search
+    assert ts.ExponentialSmoothing is ExponentialSmoothing
+    assert ts.KalmanFilter is KalmanFilter
+    assert callable(ts.kpss_statistic) and callable(ts.stationarity)

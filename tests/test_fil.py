@@ -204,3 +204,55 @@ def test_fil_sklearn_rejects_unfitted():
 
     with pytest.raises(ValueError, match="estimators_"):
         ForestInference.load_from_sklearn(RandomForestRegressorUnfit())
+
+
+class GradientBoostingClassifier:
+    """Stand-in matching REAL sklearn: default init_ is a DummyClassifier
+    exposing class_prior_ (it has NO constant_ attribute), so the raw-score
+    constant is the prior log-odds."""
+
+    def __init__(self, trees, lr, prior1):
+        self.estimators_ = np.empty((len(trees), 1), dtype=object)
+        for i, t in enumerate(trees):
+            self.estimators_[i, 0] = _SkEst(t)
+        self.learning_rate = lr
+
+        class _DummyInit:
+            class_prior_ = np.array([1.0 - prior1, prior1])
+
+        self.init_ = _DummyInit()
+
+
+def test_fil_sklearn_gb_classifier_prior_logodds(spark):
+    prior1 = 0.9  # imbalanced — the dropped-base-score failure mode
+    gb = GradientBoostingClassifier(
+        [_reg_tree(-1.0, 2.0), _reg_tree(0.5, -0.5)], lr=0.1, prior1=prior1)
+    fi = ForestInference.load_from_sklearn(gb)
+    df = spark.createDataFrame([(0, 0.0), (1, 1.0)], "pid long, f0 double")
+    got = {r["pid"]: r["prediction"] for r in fi.predict(df, ["f0"]).collect()}
+    base = np.log(prior1 / (1.0 - prior1))
+    exp0 = 1.0 / (1.0 + np.exp(-(base + 0.1 * (-1.0 + 0.5))))
+    exp1 = 1.0 / (1.0 + np.exp(-(base + 0.1 * (2.0 - 0.5))))
+    assert got[0] == pytest.approx(exp0)
+    assert got[1] == pytest.approx(exp1)
+
+
+def test_fil_sklearn_gb_unrecognized_init_raises(spark):
+    gb = GradientBoostingRegressor([_reg_tree(-1.0, 2.0)], lr=0.1, const=3.0)
+
+    class _Opaque:
+        pass
+
+    gb.init_ = _Opaque()  # neither class_prior_ nor constant_
+    with pytest.raises(ValueError, match="init_"):
+        ForestInference.load_from_sklearn(gb)
+
+
+def test_fil_sklearn_gb_init_zero(spark):
+    gb = GradientBoostingRegressor([_reg_tree(-1.0, 2.0)], lr=0.1, const=3.0)
+    gb.init_ = "zero"  # sklearn keeps the literal string for init='zero'
+    fi = ForestInference.load_from_sklearn(gb)
+    df = spark.createDataFrame([(0, 0.0), (1, 1.0)], "pid long, f0 double")
+    got = {r["pid"]: r["prediction"] for r in fi.predict(df, ["f0"]).collect()}
+    assert got[0] == pytest.approx(0.1 * -1.0)
+    assert got[1] == pytest.approx(0.1 * 2.0)
