@@ -242,12 +242,9 @@ class MAERandomForestRegressor(Base):
             else [*[f"__bag{j}" for j in range(len(cols))], "__y"]
         )
 
-        # per-ybin representative value = global mean of y in the bin
-        yb_rows = binned.groupBy("__yb").agg(F.avg("__y").alias("m")).collect()
-        n_yb = max(r["__yb"] for r in yb_rows) + 1
-        yvals = np.zeros(n_yb)
-        for r in yb_rows:
-            yvals[r["__yb"]] = r["m"]
+        # y-bin count is known statically from the edges (Bucketizer bins are
+        # 0..len(edges)-2) — no data-driven job needed; empty bins stay 0
+        n_yb = len(y_edges) - 1
 
         # explode per tree with deterministic hash bagging.  rows_sample=1.0
         # (cuML bootstrap default) maps to the bootstrap's expected unique
@@ -279,23 +276,34 @@ class MAERandomForestRegressor(Base):
         trees_state: list[dict] = [dict() for _ in range(self.n_estimators)]
         n_bins_f = self.n_bins + 2
         open_nodes: set[tuple[int, int]] | None = None  # None = all (level 0)
+        # per-ybin representative value = mean of y in the bin over the
+        # bagged-exploded frame (each row weighted by how many trees bag
+        # it — identical to the plain mean for a single unbagged tree).
+        # Filled from the level-0 histogram when the driver path collects
+        # it anyway; a dedicated job only on the distributed-argmax path.
+        yvals: np.ndarray | None = None
+
+        def yvals_job() -> np.ndarray:
+            out = np.zeros(n_yb)
+            for r in rows.groupBy("__yb").agg(F.avg("__y").alias("m")).collect():
+                out[r["__yb"]] = r["m"]
+            return out
 
         def level_update(by_node: dict) -> F.Column:
-            """One level's routing advance: a FLAT CaseWhen over just the
-            nodes that split this level (rows at other nodes keep their
-            __node).  Pure JVM codegen, no Python round-trip per level
-            (measured: the pandas-UDF recompute router cost ~1s/level at
-            sf0.1 for a 4-tree depth-4 fit, and a full-forest expression
-            router paid Catalyst plan-comparison proportional to forest size
-            × CacheManager entries on every level)."""
-            upd = None
-            for (t, nd), (_s, ft, b) in by_node.items():
-                cond = (F.col("__tree") == F.lit(int(t))) & (
-                    F.col("__node") == F.lit(int(nd)))
-                child = F.lit(2 * int(nd) + 1) + (
-                    F.col(fb_cols[ft]) > F.lit(int(b))).cast("int")
-                upd = F.when(cond, child) if upd is None else upd.when(cond, child)
-            return upd.otherwise(F.col("__node")).cast("int")
+            """One level's routing advance: a FLAT CASE over just the nodes
+            that split this level (rows at other nodes keep their __node).
+            Pure JVM codegen, no Python round-trip per level — and built as
+            ONE parsed SQL string: assembling it Column-by-Column cost ~10
+            py4j round trips per branch (~1.5s/fit measured at 32 branches),
+            while parsing a 32-branch CASE JVM-side is sub-millisecond."""
+            branches = "".join(
+                f" WHEN __tree = {int(t)} AND __node = {int(nd)}"
+                f" THEN {2 * int(nd) + 1} +"
+                f" (CASE WHEN {fb_cols[ft]} > {int(b)} THEN 1 ELSE 0 END)"
+                for (t, nd), (_s, ft, b) in by_node.items()
+            )
+            return F.expr(
+                f"CAST(CASE{branches} ELSE __node END AS INT)")
 
         def router():
             packed = _pack_trees(trees_state, depth)
@@ -339,7 +347,7 @@ class MAERandomForestRegressor(Base):
                 )
             hist_df = (
                 tagged.select(
-                    "__tree", "__node", "__yb",
+                    "__tree", "__node", "__yb", "__y",
                     F.posexplode(feat_arr).alias("__feat", "__fbin"),
                 )
             )
@@ -362,28 +370,42 @@ class MAERandomForestRegressor(Base):
                     allowed, "__tree int, __node int, __feat int")
                 hist_df = hist_df.join(
                     F.broadcast(allowed_df), ["__tree", "__node", "__feat"])
-            hist_df = (
-                hist_df
-                .groupBy("__tree", "__node", "__feat", "__fbin", "__yb")
-                .count()
-            )
             # exact upper bound on this level's histogram rows — open nodes
             # are tracked, so the bound is live, not the 2^depth worst case
             n_open = (
                 len(open_nodes) if open_nodes is not None else self.n_estimators
             )
             hist_bound = n_open * len(cols) * n_bins_f * n_yb
+            driver_path = hist_bound <= self.max_driver_hist_rows
+            aggs = [F.count(F.lit(1)).alias("count")]
+            if driver_path and yvals is None:
+                # level 0 on the driver path: piggyback the per-ybin y sums
+                # on the histogram job so yvals needs no dedicated job
+                aggs.append(F.sum("__y").alias("ysum"))
+            hist_df = (
+                hist_df
+                .groupBy("__tree", "__node", "__feat", "__fbin", "__yb")
+                .agg(*aggs)
+            )
+            if not driver_path and yvals is None:
+                yvals = yvals_job()
             reducer = _best_split_fn(n_bins_f, n_yb, yvals, min_leaf)
-            if hist_bound <= self.max_driver_hist_rows:
-                # small level: collect the histogram and select on the driver
-                # (one job, no per-group Python round-trips)
-                hist = hist_df.collect()
-                pdf = pd.DataFrame(
-                    [(r["__tree"], r["__node"], r["__feat"], r["__fbin"],
-                      r["__yb"], r["count"]) for r in hist],
-                    columns=["__tree", "__node", "__feat", "__fbin", "__yb",
-                             "count"],
-                )
+            if driver_path:
+                # small level: collect the histogram (Arrow toPandas — Row
+                # field access cost ~0.5s/fit at 5k rows) and select on the
+                # driver (one job, no per-group Python round-trips)
+                pdf = hist_df.toPandas()
+                if yvals is None:
+                    # each exploded row appears once per feature — restrict
+                    # to one feature per tree to recover the bag-weighted
+                    # per-ybin means
+                    minf = pdf.groupby("__tree")["__feat"].transform("min")
+                    sel = pdf[pdf["__feat"] == minf]
+                    g = sel.groupby("__yb").agg(
+                        n=("count", "sum"), s=("ysum", "sum"))
+                    yvals = np.zeros(n_yb)
+                    yvals[g.index.to_numpy()] = (g["s"] / g["n"]).to_numpy()
+                    reducer = _best_split_fn(n_bins_f, n_yb, yvals, min_leaf)
                 splits = [
                     row
                     for _, grp in pdf.groupby(["__tree", "__node", "__feat"])

@@ -436,66 +436,68 @@ ORACLES.update(ORACLES_STREAMING)
 # have never appeared in a CORRECTNESS_r{N} file, (b) queries whose
 # implementation changed this round, (c) stable twice-green re-confirmations.
 _DRIVER_WINDOW = [
-    # (a) never driver-verified through r2 (positions 51-72 in the r2 order)
-    # + pipeline_clean_corpus (new this round: end-to-end dedup→quality→
-    # lang-ID→token-budget composition)
-    "pipeline_clean_corpus",
-    "streaming_clean_corpus",
+    # (a) NEVER driver-verified: the four r4 media queries landed after
+    # r4's 50-slot window, + arima_ml_aic / image_phash_invariance are new
+    # this round (exact-Kalman AIC path; DCT-hash brightness invariance)
+    "media_decode_png",
+    "media_decode_jpeg",
+    "media_decode_wav",
+    "image_dedup_groups",
+    "image_phash_invariance",
+    "arima_ml_aic",
+    # (b) implementation touched this round: neardup default/guard
+    # (similarity/neardup.py), weak-CC final-frame checkpoint
+    # (ops/sparse.py), MAE-forest per-node seed mix + histogram reuse,
+    # FIL sklearn base-score derivation, JPEG bit-reader truncation
+    "neardup_pairs",
     "pipeline_neardup_groups",
-    "pipeline_event_profile",
-    "scalar_functions",
-    "gram_matrix",
-    "ridge_closed_form",
-    "lasso_closed_form",
-    "elasticnet_closed_form",
-    "logreg_rule_accuracy",
-    "cluster_agreement",
-    "regression_metrics",
-    "prob_metrics",
-    "generator_checks",
-    "prims_matrix_rng",
-    "qr_factor",
-    "rsvd_agreement",
-    "coo_symmetrize_check",
-    "ann_lsh_recall",
-    "ngram_jaccard",
-    "streaming_dedup_docs",
-    "streaming_window_stats",
-    # (a') driver-green in r1 only, displaced from the r2 window
-    "frame_counts",
     "graph_connected_components",
-    "sparse_row_normalize",
-    "cluster_dispersion",
-    # (b) implementation touched in round 3 (KNN/manifold/RF paths);
-    # umap_transform_oos is new this round (out-of-sample placement)
+    "rf_mae_regression",
+    "rf_regression",
+    "rf_accuracy",
+    "fil_score",
+    # (c) oldest evidence: last driver-green in round 2's window, unchanged
+    # since (still green in tools/verify_local.py this round)
+    "stats_describe",
+    "stats_covariance",
+    "histogram_quantity",
+    "topk_revenue_by_flag",
+    "weighted_mean_price",
+    "ols_price_vs_quantity",
+    "ols_multi_revenue",
+    "accuracy_rule",
+    "entropy_returnflag",
+    "contingency_flags",
+    "label_encode_mktsegment",
+    "train_test_split_counts",
+    "dedup_exact",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "lsh_pairs",
+    "simhash_docs",
+    "doc_quality",
+    "doc_tokens",
+    "lang_id",
+    "kpss_events",
+    "standard_scaler",
+    "split_exact_sizes",
+    "holtwinters_forecast",
+    "arima_grid_aic",
+    "arima_forecast",
+    "random_projection",
+    "media_decode",
+    # (d) stable r4 greens re-confirmed with the remaining slots
     "umap_trust",
     "umap_supervised_trust",
     "umap_transform_oos",
     "tsne_trust",
-    "knn_embeddings",
-    "cosine_topk",
-    "spectral_blobs",
-    "trustworthiness_slice",
-    "silhouette_customers",
-    "neardup_pairs",
-    "ivf_search_exact",
-    "rf_accuracy",
-    "rf_regression",
-    "rf_mae_regression",
-    # (c) stable greens re-confirmed
     "kmeans_cluster_sizes",
     "dbscan_roles",
-    "dbscan_cluster_sizes",
     "pca_variance_2d",
-    "tsvd_singular_2d",
-    "fil_score",
     "svc_rule_accuracy",
-    "sgd_hinge_accuracy",
-    "mbsgd_fit",
-    "kalman_local_level",
-    # holtwinters_forecast, the arima pair + kpss_events rotate out
-    # (driver-green r1+r2; they stay in queries()/bench — only the 50-slot
-    # verification window moves)
+    "ngram_jaccard",
+    # everything else (driver-green in r4, unchanged) stays in
+    # queries()/bench — only the 50-slot verification window moves
 ]
 
 _window = [k for k in _DRIVER_WINDOW if k in QUERIES]

@@ -263,12 +263,58 @@ FROM range({_IMG_GROUPS}) t(r)
 """
 
 
+_PH_N, _PH_GROUPS, _PH_SIDE = 60, 12, 24
+
+
+def q_image_phash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash (DCT low-band, imagehash.py:76) grouping under brightness
+    edits: each of 12 base patterns gets 5 copies at DIFFERENT brightness
+    offsets (+10·k, no clipping), so the PNG bytes — and dhash-free exact
+    pixel hashes — differ per copy, yet pHash is provably invariant (a
+    constant offset only moves the DC coefficient, which pHash drops) and
+    must put each residue class in one group.  Oracle: 12 groups of 5,
+    min-id representative = residue."""
+    from collections.abc import Iterator
+
+    from cuml_spark.multimodal import codecs
+    from cuml_spark.multimodal.imagehash import image_dedup_groups, image_hashes
+
+    side, groups = _PH_SIDE, _PH_GROUPS
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = []
+            for mid in pdf["media_id"]:
+                r, k = int(mid) % groups, int(mid) // groups
+                j = np.arange(side * side, dtype=np.int64)
+                base = ((r + 1) * 2654435761 * (j + 3) * (j + 7)) % 206
+                px = base + 10 * k  # brightness shift, stays < 256
+                bufs.append(codecs.encode_png(
+                    px.astype(np.uint8).reshape(side, side)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
+
+    ids = spark.range(_PH_N).select(F.col("id").alias("media_id"))
+    media = ids.mapInPandas(enc, "media_id long, content binary")
+    hashes = image_hashes(decode_image(media, decoder="auto"), method="phash")
+    return image_dedup_groups(hashes).select("group_rep", "n_members")
+
+
+_SQL_IMAGE_PHASH_INVARIANCE = f"""
+SELECT t.r AS group_rep, {_PH_N // _PH_GROUPS}::BIGINT AS n_members
+FROM range({_PH_GROUPS}) t(r)
+"""
+
+
 QUERIES_MEDIA = {
     "media_decode": q_media_decode,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_decode_wav": q_media_decode_wav,
     "image_dedup_groups": q_image_dedup_groups,
+    "image_phash_invariance": q_image_phash_invariance,
     "frame_counts": q_frame_counts,
 }
 
@@ -278,5 +324,6 @@ ORACLES_MEDIA = {
     "media_decode_jpeg": _SQL_MEDIA_DECODE_JPEG,
     "media_decode_wav": _SQL_MEDIA_DECODE_WAV,
     "image_dedup_groups": _SQL_IMAGE_DEDUP_GROUPS,
+    "image_phash_invariance": _SQL_IMAGE_PHASH_INVARIANCE,
     "frame_counts": _SQL_FRAME_COUNTS,
 }

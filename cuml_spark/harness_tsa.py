@@ -193,11 +193,44 @@ FROM s LEFT JOIN o ON s.event_type = o.event_type
 """
 
 
+def q_arima_ml_aic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series best order by the EXACT Kalman-filter likelihood
+    (``method='ml'`` — reference batched_arima.cu:187 parity path; CSS seeds
+    the optimizer, tsa/arima.py:134-141) over the AR(1)/MA(1)/ARMA(1,1)
+    grid.  D-class projection: chosen order in-grid, AIC finite, and the
+    AIC identity AIC = −2·loglike + 2·(p+q+2) holds through the distributed
+    fit — a wrong likelihood or a dropped parameter count flips the bool."""
+    series = _daily_series(spark, sf_dir)
+    best = grid_search(series, d=0, max_p=1, max_q=1, criterion="aic",
+                       method="ml")
+    k_params = F.col("p") + F.col("q") + 2  # mu + AR + MA + sigma2
+    return best.select(
+        "series_id",
+        (
+            F.col("p").between(0, 1) & (F.col("d") == 0) & F.col("q").between(0, 1)
+        ).alias("order_in_grid"),
+        (~F.isnan(F.col("aic")) & F.col("aic").isNotNull()).alias("aic_finite"),
+        (
+            F.abs(F.col("aic") - (-2.0 * F.col("loglike") + 2.0 * k_params))
+            < 1e-9
+        ).alias("aic_identity"),
+    )
+
+
+_SQL_ARIMA_ML_AIC = f"""
+WITH s AS ({_SQL_SERIES})
+SELECT DISTINCT series_id, true AS order_in_grid, true AS aic_finite,
+       true AS aic_identity
+FROM s
+"""
+
+
 QUERIES_TSA = {
     "pipeline_event_profile": q_pipeline_event_profile,
     "kalman_local_level": q_kalman_local_level,
     "holtwinters_forecast": q_holtwinters_forecast,
     "arima_grid_aic": q_arima_grid_aic,
+    "arima_ml_aic": q_arima_ml_aic,
     "arima_forecast": q_arima_forecast,
 }
 
@@ -206,5 +239,6 @@ ORACLES_TSA = {
     "kalman_local_level": _SQL_KALMAN_LOCAL_LEVEL,
     "holtwinters_forecast": _sql_envelope(7),
     "arima_grid_aic": _SQL_ARIMA_GRID_AIC,
+    "arima_ml_aic": _SQL_ARIMA_ML_AIC,
     "arima_forecast": _sql_envelope(5),
 }

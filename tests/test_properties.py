@@ -331,3 +331,93 @@ def test_wav_roundtrip_property(n, nch, sw, seed):
         ref = raw.astype(np.float64) / denom
     ref = ref.reshape(-1, nch).mean(axis=1)
     assert np.allclose(x, ref)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    hs=st.integers(1, 2), vs=st.integers(1, 2),
+    mcux=st.integers(1, 3), mcuy=st.integers(1, 3),
+    dri=st.integers(0, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_sampling_and_restart_streams_match_reference(
+        hs, vs, mcux, mcuy, dri, seed):
+    """Hand-built DC-only baseline JPEG streams over random sampling factors
+    (Y hs×vs vs 1×1 chroma — shapes the repo's 4:4:4 encoder never emits)
+    and random restart intervals must decode to the exact per-block constant
+    image: all-ones quant tables make a DC-only block the constant
+    ``dc/8 + 128``, so the reference image is computable in plain numpy.
+    DRI>0 inserts RSTn markers with cycling n and DC-predictor resets."""
+    import struct
+
+    from cuml_spark.multimodal.jpeg import (
+        _STD_AC_CHROMA, _STD_AC_LUMA, _STD_DC_CHROMA, _STD_DC_LUMA,
+        _BitWriter, _inv_huffman, decode_jpeg,
+    )
+
+    def chunk(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dc_block(bw, dc_diff, dc_tab, ac_tab):
+        s = int(abs(dc_diff)).bit_length()
+        ln, code = dc_tab[s]
+        bw.write_bits(code, ln)
+        if s:
+            bw.write_bits(dc_diff if dc_diff > 0 else dc_diff + (1 << s) - 1, s)
+        ln, code = ac_tab[0x00]
+        bw.write_bits(code, ln)
+
+    rng = np.random.RandomState(seed)
+    h, w = 8 * vs * mcuy, 8 * hs * mcux
+    # per-Y-block constants; chroma stays 128 (DC 0) -> grayscale output
+    vals = rng.randint(16, 240, size=(mcuy * vs, mcux * hs))
+
+    dcl, acl = _inv_huffman(*_STD_DC_LUMA), _inv_huffman(*_STD_AC_LUMA)
+    dcc, acc = _inv_huffman(*_STD_DC_CHROMA), _inv_huffman(*_STD_AC_CHROMA)
+
+    entropy = bytearray()
+    bw = _BitWriter()
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    rst_n = 0
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu and mcu % dri == 0:
+                bw.flush()
+                entropy += bytes(bw.out) + bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                bw = _BitWriter()
+                pred = {"y": 0, "cb": 0, "cr": 0}
+            for by in range(vs):
+                for bx in range(hs):
+                    dc = 8 * (int(vals[my * vs + by, mx * hs + bx]) - 128)
+                    dc_block(bw, dc - pred["y"], dcl, acl)
+                    pred["y"] = dc
+            dc_block(bw, -pred["cb"], dcc, acc)
+            pred["cb"] = 0
+            dc_block(bw, -pred["cr"], dcc, acc)
+            pred["cr"] = 0
+            mcu += 1
+    bw.flush()
+    entropy += bytes(bw.out)
+
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    dht = b"".join(
+        chunk(0xC4, bytes([tid] + bits + huffval))
+        for tid, (bits, huffval) in [
+            (0x00, _STD_DC_LUMA), (0x10, _STD_AC_LUMA),
+            (0x01, _STD_DC_CHROMA), (0x11, _STD_AC_CHROMA)])
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    buf = (b"\xff\xd8"
+           + chunk(0xDB, bytes([0]) + bytes([1] * 64))
+           + chunk(0xDB, bytes([1]) + bytes([1] * 64))
+           + chunk(0xC0, sof) + dht
+           + (chunk(0xDD, struct.pack(">H", dri)) if dri else b"")
+           + chunk(0xDA, sos) + bytes(entropy) + b"\xff\xd9")
+
+    out = decode_jpeg(buf)
+    assert out.shape == (h, w, 3)
+    expected = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    for c in range(3):  # constant chroma: R=G=B=Y
+        assert np.abs(out[:, :, c].astype(int) - expected).max() <= 1
