@@ -15,6 +15,39 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# The r4 bench order (BENCH_r04.json), kept stable so per-query timings
+# compare like-for-like across rounds; later additions append at the end.
+_BENCH_ORDER = [
+    "pipeline_clean_corpus", "streaming_clean_corpus", "pipeline_neardup_groups",
+    "pipeline_event_profile", "scalar_functions", "gram_matrix",
+    "ridge_closed_form", "lasso_closed_form", "elasticnet_closed_form",
+    "logreg_rule_accuracy", "cluster_agreement", "regression_metrics",
+    "prob_metrics", "generator_checks", "prims_matrix_rng",
+    "qr_factor", "rsvd_agreement", "coo_symmetrize_check",
+    "ann_lsh_recall", "ngram_jaccard", "streaming_dedup_docs",
+    "streaming_window_stats", "frame_counts", "graph_connected_components",
+    "sparse_row_normalize", "cluster_dispersion", "umap_trust",
+    "umap_supervised_trust", "umap_transform_oos", "tsne_trust",
+    "knn_embeddings", "cosine_topk", "spectral_blobs",
+    "trustworthiness_slice", "silhouette_customers", "neardup_pairs",
+    "ivf_search_exact", "rf_accuracy", "rf_regression",
+    "rf_mae_regression", "kmeans_cluster_sizes", "dbscan_roles",
+    "dbscan_cluster_sizes", "pca_variance_2d", "tsvd_singular_2d",
+    "fil_score", "svc_rule_accuracy", "sgd_hinge_accuracy",
+    "mbsgd_fit", "kalman_local_level", "stats_describe",
+    "stats_covariance", "histogram_quantity", "topk_revenue_by_flag",
+    "weighted_mean_price", "ols_price_vs_quantity", "ols_multi_revenue",
+    "accuracy_rule", "entropy_returnflag", "contingency_flags",
+    "label_encode_mktsegment", "train_test_split_counts", "dedup_exact",
+    "doc_fingerprint", "minhash_signatures", "lsh_pairs",
+    "simhash_docs", "doc_quality", "doc_tokens",
+    "lang_id", "kpss_events", "standard_scaler",
+    "split_exact_sizes", "holtwinters_forecast", "arima_grid_aic",
+    "arima_forecast", "random_projection", "media_decode",
+    "media_decode_png", "media_decode_jpeg", "media_decode_wav",
+    "image_dedup_groups",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,8 +121,19 @@ def main() -> None:
     except (OSError, ValueError):
         pass
 
+    # Bench execution order is PINNED, decoupled from the registry order
+    # (which the driver's correctness window dictates): measured per-query
+    # wall time in a shared session is order-sensitive — whichever query
+    # runs early absorbs residual JVM/JIT/page-cache warmup (fil_score:
+    # ~3s after 40 warm queries, ~11s first in a cold session, same code).
+    # Pinning the r4 order keeps r-over-r deltas like-for-like; queries
+    # added later append at the end.
+    order = [k for k in _BENCH_ORDER if k in QUERIES]
+    order += [k for k in QUERIES if k not in set(order)]
+
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for name in order:
+        fn = QUERIES[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         # one collect = one execution; len() gives the row count without

@@ -441,13 +441,18 @@ class MAERandomForestRegressor(Base):
             open_nodes = next_open
             # advance the materialized __node by one level; a pathologically
             # wide level (>4096 splits) falls back to the Arrow recompute
-            # router so the CaseWhen never exceeds codegen limits
+            # router so the CaseWhen never exceeds codegen limits.  The
+            # final level's frame has exactly one consumer (the leaf job) —
+            # caching it would pay a materialization pass for nothing.
             prev_rows = rows
+            last_level = _level == depth - 1
             if len(by_node) <= 4096:
-                rows = rows.withColumn("__node", level_update(by_node)).cache()
+                rows = rows.withColumn("__node", level_update(by_node))
             else:
                 rows = rows.withColumn(
-                    "__node", router()("__tree", *fb_cols)).cache()
+                    "__node", router()("__tree", *fb_cols))
+            if not last_level:
+                rows = rows.cache()
 
         # leaf medians — the MAE-optimal constant per leaf.  __node already
         # points at the leaves (maintained through the level loop).
