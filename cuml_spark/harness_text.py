@@ -438,6 +438,23 @@ FROM b GROUP BY 1
 """
 
 
+def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination pass: every document scored for distinct
+    8-gram overlap against a small 'eval set' (doc_id % 97 == 0 — the
+    benchmark-sized side that gets broadcast).  Exact string-gram join, so
+    the oracle replays it verbatim; eval docs themselves score 1.0."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text import ngram_contamination
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    out = ngram_contamination(docs, ev, k=8)
+    return out.select(
+        "doc_id", "n_grams", "n_matched",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "dedup_exact": q_dedup_exact,
@@ -448,10 +465,32 @@ QUERIES_TEXT = {
     "doc_quality": q_doc_quality,
     "doc_tokens": q_doc_tokens,
     "lang_id": q_lang_id,
+    "eval_contamination": q_eval_contamination,
     "knn_embeddings": q_knn_embeddings,
     "cosine_topk": q_cosine_topk,
     "kpss_events": q_kpss_events,
 }
+
+_SQL_EVAL_CONTAMINATION = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(1, length(text) - 7))) AS i)
+),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+mt AS (
+  SELECT sh.doc_id, count(*) AS n_matched
+  FROM sh JOIN ev USING (g)
+  GROUP BY sh.doc_id
+)
+SELECT t.doc_id,
+       t.n_grams::BIGINT AS n_grams,
+       coalesce(m.n_matched, 0)::BIGINT AS n_matched,
+       round(coalesce(m.n_matched, 0) / t.n_grams::DOUBLE, 6) AS contamination
+FROM tot t LEFT JOIN mt m ON m.doc_id = t.doc_id
+"""
+
 
 ORACLES_TEXT = {
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
@@ -463,6 +502,7 @@ ORACLES_TEXT = {
     "doc_quality": _sql_doc_quality(),
     "doc_tokens": _SQL_DOC_TOKENS,
     "lang_id": _sql_lang_id(),
+    "eval_contamination": _SQL_EVAL_CONTAMINATION,
     "knn_embeddings": _SQL_KNN_EMBEDDINGS,
     "cosine_topk": _SQL_COSINE_TOPK,
     "kpss_events": _SQL_KPSS_EVENTS,

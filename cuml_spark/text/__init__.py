@@ -8,9 +8,11 @@ from cuml_spark.text.dedup import (
     simhash,
 )
 from cuml_spark.text.quality import quality_features, language_id, token_count
+from cuml_spark.text.contamination import ngram_contamination
 
 __all__ = [
     "exact_dedup_groups", "normalized_fingerprint", "shingles",
     "minhash_signatures", "lsh_candidate_pairs", "jaccard_similarity_pairs",
     "simhash", "quality_features", "language_id", "token_count",
+    "ngram_contamination",
 ]

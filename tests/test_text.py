@@ -189,3 +189,30 @@ def test_lsh_dedup_recall_at_scale(spark, n_docs):
     found = {p for p in planted if p in pairs or (p[1], p[0]) in pairs}
     recall = len(found) / len(planted)
     assert recall >= 0.9, recall
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    """A corpus doc sharing a long substring with an eval doc is flagged;
+    an unrelated doc scores zero; the eval doc scores 1.0 against itself."""
+    from cuml_spark.text import ngram_contamination
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, eval_text),                                   # the eval doc
+        (1, "PREFIX " + eval_text[10:34] + " SUFFIXXXX"), # planted leak
+        (2, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),  # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = df.filter("doc_id = 0")
+    out = {r["doc_id"]: r for r in
+           ngram_contamination(df, ev, k=8).collect()}
+    assert out[0]["contamination"] == 1.0
+    assert out[1]["n_matched"] > 0
+    # exact ground truth: distinct-8-gram set intersection in plain Python
+    def grams(t):
+        return {t[i:i + 8] for i in range(max(1, len(t) - 7))}
+    assert out[1]["n_matched"] == len(grams(rows[1][1]) & grams(eval_text))
+    assert out[1]["n_grams"] == len(grams(rows[1][1]))
+    assert out[2]["n_matched"] == 0 and out[2]["contamination"] == 0.0
+    # exact distinct-gram accounting on the clean doc: 40 z's -> 1 gram
+    assert out[2]["n_grams"] == 1
