@@ -446,6 +446,7 @@ _DRIVER_WINDOW = [
     "image_phash_invariance",
     "arima_ml_aic",
     "eval_contamination",
+    "media_decode_progressive",
     # (b) implementation touched this round: neardup default/guard
     # (similarity/neardup.py), weak-CC final-frame checkpoint
     # (ops/sparse.py), MAE-forest per-node seed mix + histogram reuse,
@@ -495,7 +496,6 @@ _DRIVER_WINDOW = [
     "kmeans_cluster_sizes",
     "dbscan_roles",
     "pca_variance_2d",
-    "svc_rule_accuracy",
     # everything else (driver-green in r4, unchanged) stays in
     # queries()/bench — only the 50-slot verification window moves
 ]

@@ -164,6 +164,57 @@ FROM range({_JPG_N}) t(id)
 """
 
 
+_PJPG_N, _PJPG_W, _PJPG_H = 48, 24, 16
+
+
+def q_media_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG round trip with an exact integer oracle:
+    same constant-image construction as ``media_decode_jpeg`` (quality 100
+    → all-ones quant tables → DC-only blocks reconstruct bit-exactly), but
+    transported through the multi-scan progressive pipeline — DC first +
+    successive-approximation refinement + per-band AC scans with EOB runs
+    (jpeg_progressive.py), dispatched by the SOF2 marker inside
+    ``decode_image(decoder='auto')`` on the executors."""
+    from collections.abc import Iterator
+
+    from cuml_spark.multimodal.jpeg_progressive import encode_jpeg_progressive
+
+    w, h = _PJPG_W, _PJPG_H
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = []
+            for mid in pdf["media_id"]:
+                v = (41 * int(mid)) % 256
+                img = np.full((h, w), v, dtype=np.uint8)
+                bufs.append(encode_jpeg_progressive(img, quality=100, al=1))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
+
+    ids = spark.range(_PJPG_N).select(F.col("id").alias("media_id"))
+    media = ids.mapInPandas(enc, "media_id long, content binary")
+    dec = decode_image(media, decoder="auto")
+    return dec.select(
+        "media_id",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate("pixels", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_px"),
+        "width",
+        "height",
+    )
+
+
+_SQL_MEDIA_DECODE_PROGRESSIVE = f"""
+SELECT t.id AS media_id,
+       {_PJPG_W * _PJPG_H} AS n_pixels,
+       ({_PJPG_W * _PJPG_H}::BIGINT * ((41 * t.id) % 256))::BIGINT AS sum_px,
+       {_PJPG_W} AS width, {_PJPG_H} AS height
+FROM range({_PJPG_N}) t(id)
+"""
+
+
 _WAV_N, _WAV_SAMPLES, _WAV_RATE = 48, 256, 8000
 
 
@@ -312,6 +363,7 @@ QUERIES_MEDIA = {
     "media_decode": q_media_decode,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
+    "media_decode_progressive": q_media_decode_progressive,
     "media_decode_wav": q_media_decode_wav,
     "image_dedup_groups": q_image_dedup_groups,
     "image_phash_invariance": q_image_phash_invariance,
@@ -322,6 +374,7 @@ ORACLES_MEDIA = {
     "media_decode": _SQL_MEDIA_DECODE,
     "media_decode_png": _SQL_MEDIA_DECODE_PNG,
     "media_decode_jpeg": _SQL_MEDIA_DECODE_JPEG,
+    "media_decode_progressive": _SQL_MEDIA_DECODE_PROGRESSIVE,
     "media_decode_wav": _SQL_MEDIA_DECODE_WAV,
     "image_dedup_groups": _SQL_IMAGE_DEDUP_GROUPS,
     "image_phash_invariance": _SQL_IMAGE_PHASH_INVARIANCE,

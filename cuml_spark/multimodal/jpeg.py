@@ -259,12 +259,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 progressive — multi-scan decoder
+            from cuml_spark.multimodal.jpeg_progressive import \
+                decode_jpeg_progressive
+
+            return decode_jpeg_progressive(buf)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/lossless) "
-                "needs a full codec library (e.g. Pillow); baseline "
-                "sequential (SOF0/1) is supported here")
+                f"JPEG SOF{marker - 0xC0} (arithmetic/lossless/hierarchical) "
+                "needs a full codec library (e.g. Pillow); baseline (SOF0/1) "
+                "and progressive (SOF2) are supported here")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS

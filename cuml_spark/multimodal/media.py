@@ -12,15 +12,16 @@ Decode paths:
   independence) with no container parsing at all;
 * ``decoder='auto'|'png'|'bmp'|'ppm'|'jpeg'|'gif'`` — REAL decoding via the pure
   stdlib+numpy codecs in :mod:`cuml_spark.multimodal.codecs` (PNG zlib
-  inflate + unfilter, BMP/netpbm header parses) and the baseline JPEG
-  decoder in :mod:`cuml_spark.multimodal.jpeg` (Huffman + IDCT + chroma
-  upsampling); multi-channel images land as integer BT.601 luma so the
+  inflate + unfilter, BMP/netpbm header parses) and the JPEG decoders in
+  :mod:`cuml_spark.multimodal.jpeg` (baseline SOF0/1: Huffman + IDCT +
+  chroma upsampling) and :mod:`cuml_spark.multimodal.jpeg_progressive`
+  (SOF2: spectral selection + successive approximation, dispatched by the
+  SOF marker); multi-channel images land as integer BT.601 luma so the
   single-channel pixel pipeline downstream (resize / extract_features)
   applies unchanged;
 * :func:`decode_audio` — REAL WAV PCM decode (stdlib ``wave``);
-* formats that genuinely need an external codec (progressive JPEG, MP4,
-  compressed audio, …) raise ``NotImplementedError`` naming the
-  dependency.
+* formats that genuinely need an external codec (MP4, compressed audio, …)
+  raise ``NotImplementedError`` naming the dependency.
 """
 
 from __future__ import annotations

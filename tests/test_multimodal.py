@@ -441,7 +441,9 @@ def test_jpeg_restart_interval_stream():
     assert np.abs(out[:, 8:] - 200).max() <= 1
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_sof2_dispatches_and_incomplete_stream_raises():
+    """SOF2 now routes to the progressive decoder; a header-only stream
+    (no scan) must fail loudly, and arithmetic coding still refuses."""
     import struct
 
     import pytest
@@ -451,8 +453,54 @@ def test_jpeg_progressive_raises():
     buf = (b"\xff\xd8"
            + struct.pack(">BBH", 0xFF, 0xC2, 11)
            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    with pytest.raises(ValueError, match="SOS"):
         decode_jpeg(buf)
+    buf9 = (b"\xff\xd8"
+            + struct.pack(">BBH", 0xFF, 0xC9, 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(buf9)
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive transport of the SAME quantized coefficients must decode
+    to pixels IDENTICAL to the baseline stream — across quality levels,
+    successive-approximation depths, odd sizes, and gray/RGB."""
+    import numpy as np
+
+    from cuml_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from cuml_spark.multimodal.jpeg_progressive import encode_jpeg_progressive
+
+    rng = np.random.RandomState(7)
+    cases = [((16, 16), 100, 1), ((16, 24, 3), 90, 1), ((17, 23), 75, 2),
+             ((8, 8), 100, 0), ((24, 16, 3), 95, 0), ((40, 40), 50, 1)]
+    for shape, q, al in cases:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q, al=al))
+        assert np.array_equal(base, prog), (shape, q, al)
+
+
+def test_jpeg_progressive_distributed_decode(spark):
+    """decode_image(decoder='auto') handles SOF2 payloads on executors."""
+    import numpy as np
+    import pandas as pd
+
+    from cuml_spark.multimodal import decode_image
+    from cuml_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from cuml_spark.multimodal.jpeg_progressive import encode_jpeg_progressive
+
+    rng = np.random.RandomState(3)
+    rows, refs = [], {}
+    for i in range(3):
+        img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+        refs[i] = decode_jpeg(encode_jpeg(img, quality=92))[:, :, 0]
+        rows.append((i, bytearray(encode_jpeg_progressive(img, quality=92))))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = decode_image(df, decoder="auto").collect()
+    for r in out:
+        got = np.asarray(r["pixels"]).reshape(r["height"], r["width"])
+        assert np.array_equal(got, refs[r["media_id"]])
 
 
 def test_decode_image_real_jpeg_distributed(spark):
