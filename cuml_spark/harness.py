@@ -447,6 +447,7 @@ _DRIVER_WINDOW = [
     "arima_ml_aic",
     "eval_contamination",
     "media_decode_progressive",
+    "pii_scrub",
     # (b) implementation touched this round: neardup default/guard
     # (similarity/neardup.py), weak-CC final-frame checkpoint
     # (ops/sparse.py), MAE-forest per-node seed mix + histogram reuse,
@@ -491,7 +492,6 @@ _DRIVER_WINDOW = [
     # (d) stable r4 greens re-confirmed with the remaining slots
     "umap_trust",
     "umap_supervised_trust",
-    "umap_transform_oos",
     "tsne_trust",
     "kmeans_cluster_sizes",
     "dbscan_roles",

@@ -455,6 +455,64 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass with deterministic planted PII: every document
+    gets an email, an IP and an SSN derived from its doc_id appended, so
+    counts are nonzero and the scrubbed text's md5 must match the oracle's
+    replay — pattern semantics proven identical across engines."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text import scrub_pii
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from "),
+            F.lit("10.1."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(planted)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrubbed_md5"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_number").cast("long").alias("n_number"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from cuml_spark.text.pii import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    repl = {name: r for name, _, r in PII_PATTERNS}
+    scrub = "t.text"
+    for name, _pat, _r in PII_PATTERNS:
+        scrub = (f"regexp_replace({scrub}, '{pats[name]}', "
+                 f"'{repl[name]}', 'g')")
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(t.text, '{pats[name]}'))::BIGINT AS n_{name}"
+        for name, _p, _r in PII_PATTERNS
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@example.com from 10.1.'
+              || (doc_id % 256) || '.7 ssn 123-45-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id, md5({scrub}) AS scrubbed_md5,
+  {counts}
+FROM t
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "dedup_exact": q_dedup_exact,
@@ -466,6 +524,7 @@ QUERIES_TEXT = {
     "doc_tokens": q_doc_tokens,
     "lang_id": q_lang_id,
     "eval_contamination": q_eval_contamination,
+    "pii_scrub": q_pii_scrub,
     "knn_embeddings": q_knn_embeddings,
     "cosine_topk": q_cosine_topk,
     "kpss_events": q_kpss_events,
@@ -503,6 +562,7 @@ ORACLES_TEXT = {
     "doc_tokens": _SQL_DOC_TOKENS,
     "lang_id": _sql_lang_id(),
     "eval_contamination": _SQL_EVAL_CONTAMINATION,
+    "pii_scrub": _sql_pii_scrub(),
     "knn_embeddings": _SQL_KNN_EMBEDDINGS,
     "cosine_topk": _SQL_COSINE_TOPK,
     "kpss_events": _SQL_KPSS_EVENTS,

@@ -9,10 +9,11 @@ from cuml_spark.text.dedup import (
 )
 from cuml_spark.text.quality import quality_features, language_id, token_count
 from cuml_spark.text.contamination import ngram_contamination
+from cuml_spark.text.pii import scrub_pii
 
 __all__ = [
     "exact_dedup_groups", "normalized_fingerprint", "shingles",
     "minhash_signatures", "lsh_candidate_pairs", "jaccard_similarity_pairs",
     "simhash", "quality_features", "language_id", "token_count",
-    "ngram_contamination",
+    "ngram_contamination", "scrub_pii",
 ]

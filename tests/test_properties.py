@@ -421,3 +421,26 @@ def test_jpeg_sampling_and_restart_streams_match_reference(
     expected = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
     for c in range(3):  # constant chroma: R=G=B=Y
         assert np.abs(out[:, :, c].astype(int) - expected).max() <= 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    hh=st.integers(8, 40), ww=st.integers(8, 40),
+    color=st.booleans(),
+    q=st.integers(40, 100),
+    al=st.integers(0, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(hh, ww, color, q, al, seed):
+    """For ANY image/quality/SA-depth, the progressive stream must decode
+    to exactly the pixels of the baseline stream (identical quantized
+    coefficients, two transports)."""
+    from cuml_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from cuml_spark.multimodal.jpeg_progressive import encode_jpeg_progressive
+
+    rng = np.random.RandomState(seed)
+    shape = (hh, ww, 3) if color else (hh, ww)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=q))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=q, al=al))
+    assert np.array_equal(base, prog)

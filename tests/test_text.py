@@ -216,3 +216,24 @@ def test_ngram_contamination_planted_overlap(spark):
     assert out[2]["n_matched"] == 0 and out[2]["contamination"] == 0.0
     # exact distinct-gram accounting on the clean doc: 40 z's -> 1 gram
     assert out[2]["n_grams"] == 1
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from cuml_spark.text import scrub_pii
+
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.org or 192.168.1.17 thanks"),
+        (1, "ssn 987-65-4321 card 4111111111111111 ok"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_ip"] == 1
+    assert "[EMAIL]" in out[0]["scrubbed"] and "[IP]" in out[0]["scrubbed"]
+    assert "jane.doe" not in out[0]["scrubbed"]
+    assert out[1]["n_ssn"] == 1 and out[1]["n_number"] == 1
+    assert "[SSN]" in out[1]["scrubbed"] and "[NUMBER]" in out[1]["scrubbed"]
+    assert "4111111111111111" not in out[1]["scrubbed"]
+    assert out[2]["scrubbed"] == rows[2][1]
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_ssn"],
+            out[2]["n_number"]) == (0, 0, 0, 0)
