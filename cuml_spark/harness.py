@@ -436,67 +436,67 @@ ORACLES.update(ORACLES_STREAMING)
 # have never appeared in a CORRECTNESS_r{N} file, (b) queries whose
 # implementation changed this round, (c) stable twice-green re-confirmations.
 _DRIVER_WINDOW = [
-    # (a) NEVER driver-verified: the four r4 media queries landed after
-    # r4's 50-slot window, + arima_ml_aic / image_phash_invariance are new
-    # this round (exact-Kalman AIC path; DCT-hash brightness invariance)
-    "media_decode_png",
-    "media_decode_jpeg",
-    "media_decode_wav",
-    "image_dedup_groups",
-    "image_phash_invariance",
+    # (a) STALEST evidence: these 37 were last driver-green in r4 (they sat
+    # outside r5's window); after this round nothing in the registry is more
+    # than one round old — the rotation policy VERDICT r5 item #3 asks for.
+    # umap_transform_oos additionally covers the r5 refusal-path unpersist
+    # change that missed the r5 window (VERDICT r5 item #8).
+    "scalar_functions",
+    "gram_matrix",
+    "ridge_closed_form",
+    "lasso_closed_form",
+    "elasticnet_closed_form",
+    "logreg_rule_accuracy",
+    "cluster_agreement",
+    "regression_metrics",
+    "prob_metrics",
+    "generator_checks",
+    "prims_matrix_rng",
+    "qr_factor",
+    "rsvd_agreement",
+    "coo_symmetrize_check",
+    "ann_lsh_recall",
+    "ngram_jaccard",
+    "streaming_dedup_docs",
+    "streaming_window_stats",
+    "frame_counts",
+    "sparse_row_normalize",
+    "cluster_dispersion",
+    "umap_transform_oos",
+    "knn_embeddings",
+    "cosine_topk",
+    "spectral_blobs",
+    "trustworthiness_slice",
+    "silhouette_customers",
+    "ivf_search_exact",
+    "dbscan_cluster_sizes",
+    "tsvd_singular_2d",
+    "svc_rule_accuracy",
+    "sgd_hinge_accuracy",
+    "mbsgd_fit",
+    "kalman_local_level",
+    "pipeline_clean_corpus",
+    "streaming_clean_corpus",
+    "pipeline_event_profile",
+    # (b) implementation/oracle touched THIS round: planted-order ML-AIC
+    # oracle (harness_tsa), single-scan contamination (text/contamination),
+    # MAE-forest level-loop changes, FIL warm-path audit
     "arima_ml_aic",
     "eval_contamination",
-    "media_decode_progressive",
-    "pii_scrub",
-    # (b) implementation touched this round: neardup default/guard
-    # (similarity/neardup.py), weak-CC final-frame checkpoint
-    # (ops/sparse.py), MAE-forest per-node seed mix + histogram reuse,
-    # FIL sklearn base-score derivation, JPEG bit-reader truncation
-    "neardup_pairs",
-    "pipeline_neardup_groups",
-    "graph_connected_components",
     "rf_mae_regression",
-    "rf_regression",
-    "rf_accuracy",
     "fil_score",
-    # (c) oldest evidence: last driver-green in round 2's window, unchanged
-    # since (still green in tools/verify_local.py this round)
-    "stats_describe",
-    "stats_covariance",
-    "histogram_quantity",
-    "topk_revenue_by_flag",
-    "weighted_mean_price",
-    "ols_price_vs_quantity",
-    "ols_multi_revenue",
-    "accuracy_rule",
-    "entropy_returnflag",
-    "contingency_flags",
-    "label_encode_mktsegment",
-    "train_test_split_counts",
-    "dedup_exact",
-    "doc_fingerprint",
-    "minhash_signatures",
-    "lsh_pairs",
-    "simhash_docs",
-    "doc_quality",
-    "doc_tokens",
-    "lang_id",
-    "kpss_events",
-    "standard_scaler",
-    "split_exact_sizes",
-    "holtwinters_forecast",
-    "arima_grid_aic",
-    "arima_forecast",
-    "random_projection",
-    "media_decode",
-    # (d) stable r4 greens re-confirmed with the remaining slots
+    # (c) r5-green re-confirmations with the remaining slots (spread across
+    # families: manifold, cluster, decomposition, tsa, text, media)
     "umap_trust",
-    "umap_supervised_trust",
     "tsne_trust",
     "kmeans_cluster_sizes",
     "dbscan_roles",
     "pca_variance_2d",
-    # everything else (driver-green in r4, unchanged) stays in
+    "holtwinters_forecast",
+    "dedup_exact",
+    "media_decode_png",
+    "image_dedup_groups",
+    # everything else (driver-green in r5, unchanged) stays in
     # queries()/bench — only the 50-slot verification window moves
 ]
 

@@ -193,23 +193,60 @@ FROM s LEFT JOIN o ON s.event_type = o.event_type
 """
 
 
+# Planted ARMA generators for the exact-ML order-recovery oracle:
+# (series_id, seed, phi, theta, true_p, true_q).  Coefficients are strong
+# and n=300 so BIC's consistent penalty recovers the generator order with a
+# ≥5-point margin (verified across 8 independent seeds; the pinned ones
+# have margins 5.4 / 5.3 / 40.1) — an optimizer or likelihood bug moves the
+# winner, a harmless fp wiggle cannot.
+_ARMA_PLANTS = [
+    ("ar1", 11, 0.8, 0.0, 1, 0),
+    ("ma1", 22, 0.0, 0.7, 0, 1),
+    ("arma11", 33, 0.6, 0.5, 1, 1),
+]
+_ARMA_N, _ARMA_BURN = 300, 50
+
+
+def _planted_arma_series(spark: SparkSession) -> DataFrame:
+    """Deterministic ARMA(1,1)-family series, one per planted order.
+    PCG64(SeedSequence(seed)) is version-pinned-stable in numpy, so both the
+    driver's run and any re-run generate bit-identical series; 50 burn-in
+    steps wash out the zero start."""
+    import numpy as np
+
+    rows = []
+    for name, seed, phi, theta, _p, _q in _ARMA_PLANTS:
+        rng = np.random.Generator(np.random.PCG64(np.random.SeedSequence(seed)))
+        e = rng.standard_normal(_ARMA_N + _ARMA_BURN)
+        y = np.zeros(_ARMA_N + _ARMA_BURN)
+        for t in range(1, _ARMA_N + _ARMA_BURN):
+            y[t] = phi * y[t - 1] + e[t] + theta * e[t - 1]
+        rows += [
+            (name, t, float(10.0 + y[_ARMA_BURN + t])) for t in range(_ARMA_N)
+        ]
+    return spark.createDataFrame(rows, "series_id string, t long, y double")
+
+
 def q_arima_ml_aic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series best order by the EXACT Kalman-filter likelihood
+    """ORDER-RECOVERY oracle for the EXACT Kalman-filter likelihood
     (``method='ml'`` — reference batched_arima.cu:187 parity path; CSS seeds
-    the optimizer, tsa/arima.py:134-141) over the AR(1)/MA(1)/ARMA(1,1)
-    grid.  D-class projection: chosen order in-grid, AIC finite, and the
-    AIC identity AIC = −2·loglike + 2·(p+q+2) holds through the distributed
-    fit — a wrong likelihood or a dropped parameter count flips the bool."""
-    series = _daily_series(spark, sf_dir)
-    best = grid_search(series, d=0, max_p=1, max_q=1, criterion="aic",
+    the optimizer, tsa/arima.py:134-141): three PLANTED series — AR(1)
+    φ=.8, MA(1) θ=.7, ARMA(1,1) φ=.6,θ=.5 — fanned through the distributed
+    (series × order) grid (arima.pyx:611 semantics); the per-series winner
+    must equal the generator's order.  Ranking uses BIC (the consistent
+    order-selection criterion — AIC's fixed +2 penalty overfits (1,1) on
+    ~half of random seeds, so an AIC-ranked oracle would test the seed, not
+    the likelihood); the AIC identity −2·loglike + 2·(p+q+2) is asserted
+    alongside, so a dropped parameter count still flips a column."""
+    series = _planted_arma_series(spark)
+    best = grid_search(series, d=0, max_p=1, max_q=1, criterion="bic",
                        method="ml")
     k_params = F.col("p") + F.col("q") + 2  # mu + AR + MA + sigma2
     return best.select(
         "series_id",
-        (
-            F.col("p").between(0, 1) & (F.col("d") == 0) & F.col("q").between(0, 1)
-        ).alias("order_in_grid"),
-        (~F.isnan(F.col("aic")) & F.col("aic").isNotNull()).alias("aic_finite"),
+        F.col("p"),
+        F.col("d"),
+        F.col("q"),
         (
             F.abs(F.col("aic") - (-2.0 * F.col("loglike") + 2.0 * k_params))
             < 1e-9
@@ -217,12 +254,13 @@ def q_arima_ml_aic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_ARIMA_ML_AIC = f"""
-WITH s AS ({_SQL_SERIES})
-SELECT DISTINCT series_id, true AS order_in_grid, true AS aic_finite,
-       true AS aic_identity
-FROM s
-"""
+# The oracle pins the PLANTED orders as literals: the Spark side must
+# recover exactly these (p,q) through the distributed exact-ML grid fit.
+_SQL_ARIMA_ML_AIC = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS series_id, {p} AS p, 0 AS d, {q} AS q, "
+    "true AS aic_identity"
+    for name, _seed, _phi, _theta, p, q in _ARMA_PLANTS
+)
 
 
 QUERIES_TSA = {

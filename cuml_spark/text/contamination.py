@@ -12,12 +12,15 @@ the dedup tier (text/dedup.py).
 Scale shape (the part that must survive 100 TB):
 - the EVAL side is benchmark-sized by construction (MBs, not TBs): its
   distinct gram set is computed once and **broadcast** — no shuffle;
-- the CORPUS side explodes to (doc_id, gram) map-side (same codegen'd
-  sequence/transform as text/dedup.shingles) and joins the broadcast set
-  map-side, so only the MATCHED grams (a vanishing fraction of a clean
-  corpus) ever enter the per-doc aggregation shuffle;
-- per-doc total gram counts come from ``size(array_distinct(...))`` inside
-  the row — exact, zero shuffle.
+- the CORPUS side is scanned ONCE: one projection builds the gram array
+  in-row (same codegen'd sequence/transform as text/dedup.shingles) and
+  feeds BOTH ``size(grams)`` (the per-doc total) and the explode that
+  left-joins the broadcast eval set map-side — matches are counted as a
+  sum over the join's hit indicator;
+- the only shuffle is the per-doc aggregation, and map-side partial
+  aggregation collapses each doc's grams to ONE row before it (a doc's
+  text lives in one scan row, so its exploded grams stay in one
+  partition) — shuffle volume is O(n_docs), independent of text size.
 
 The join key is the gram STRING, not a hash: a 32-bit hash would produce
 ~|corpus_grams|·|eval_grams|/2³² false matches (tens at even sf0.1 scale),
@@ -57,22 +60,33 @@ def ngram_contamination(
     ev = (
         eval_df.select(F.explode(_gram_array(text_col, k)).alias("__g"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    sh = corpus.select(
-        F.col(id_col), F.explode(_gram_array(text_col, k)).alias("__g")
+    # ONE corpus scan: the gram array is built once per row and feeds both
+    # the total (size) and the exploded join input; a broadcast LEFT join
+    # marks eval grams, so unmatched docs keep their row (n_matched = 0)
+    # without a second scan-and-join against a totals frame
+    sh = (
+        corpus.select(
+            F.col(id_col), _gram_array(text_col, k).alias("__grams")
+        )
+        .select(
+            F.col(id_col),
+            F.size("__grams").alias("n_grams"),
+            F.explode("__grams").alias("__g"),
+        )
     )
-    matched = (
-        sh.join(F.broadcast(ev), "__g")
+    per_doc = (
+        sh.join(F.broadcast(ev), "__g", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_matched"))
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_matched"),
+        )
     )
-    totals = corpus.select(
-        F.col(id_col), F.size(_gram_array(text_col, k)).alias("n_grams")
-    )
-    return totals.join(matched, id_col, "left").select(
+    return per_doc.select(
         F.col(id_col),
         F.col("n_grams"),
-        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
-        (F.coalesce("n_matched", F.lit(0)) / F.col("n_grams"))
-        .alias("contamination"),
+        F.col("n_matched"),
+        (F.col("n_matched") / F.col("n_grams")).alias("contamination"),
     )
