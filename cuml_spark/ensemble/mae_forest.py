@@ -200,6 +200,15 @@ class MAERandomForestRegressor(Base):
             y_edges: list[float] | None = None,
             bag_cols: list[str] | None = None,
             bootstrap: bool = True) -> "MAERandomForestRegressor":
+        import os as _os
+        import time as _time
+        _prof = _os.environ.get("CUML_SPARK_PROFILE") == "1"
+        _t0 = _time.time()
+
+        def _mark(tag: str) -> None:
+            if _prof:
+                print(f"[mae_forest] {tag}: +{_time.time() - _t0:.3f}s")
+
         cols = list(feature_cols)
         extra_bag = [c for c in (bag_cols or []) if c not in cols]
         data = df.select(
@@ -217,6 +226,7 @@ class MAERandomForestRegressor(Base):
             feature_edges = [_quantile_edges(data, c, self.n_bins) for c in cols]
         elif y_edges is None:
             y_edges = _quantile_edges(data, "__y", self.n_y_bins)
+        _mark("edges")
         self.feature_edges_ = feature_edges
         self._cols = cols
 
@@ -266,10 +276,37 @@ class MAERandomForestRegressor(Base):
         # actually split) and re-caches, so no level ever re-analyzes a
         # routing expression proportional to the whole forest — Catalyst
         # plan-comparison cost against a full session CacheManager made the
-        # recompute-from-scratch router ~2× slower in long sessions
+        # recompute-from-scratch router ~2× slower in long sessions, and
+        # keeping the chain lazy is WORSE still: projection collapse
+        # substitutes each level's CASE into every __node reference of the
+        # next level's conditions, so the analyzed expression grows as the
+        # PRODUCT of per-level branch counts (measured r7: +1.2s at level 3
+        # of a 4-tree depth-4 fit — more than the 3 cache passes it saved)
         rows = rows.select(
             *fb_cols, "__yb", "__y", "__tree"
-        ).withColumn("__node", F.lit(0).cast("int")).cache()
+        ).withColumn("__node", F.lit(0).cast("int"))
+        # right-size the cached working set: the level jobs are pure JVM
+        # aggregations, so a tiny frame sliced into defaultParallelism
+        # partitions pays ~2·parts task overheads per level for no gain
+        # (measured r7 at sf0.1: 32→8 partitions cut fit 3.4s→2.1s).
+        # Catalyst's free sizeInBytes estimate targets ~16 MB/partition
+        # with a floor of 4; coalesce() only ever REDUCES partition count,
+        # so a 100 TB input (estimate >> partitions·16 MB) is untouched
+        # and full scan parallelism is preserved at scale.
+        try:
+            _est = int(
+                rows._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            _est = 0
+        if 0 < _est < (1 << 40) and not _os.environ.get("CUML_MAE_NO_COALESCE"):
+            rows = rows.coalesce(max(4, -(-_est // (16 << 20))))
+        rows = rows.cache()
+        # exactly ONE upstream cache is live at a time: the base frame, or
+        # the newest materialized level frame once the lazy-chain bound is
+        # crossed; a superseded cache dies right after the next hist job
+        # (its last consumer) via prev_rows
+        live_cache = rows
 
         min_leaf = self.min_samples_leaf
         depth = self.max_depth
@@ -420,6 +457,8 @@ class MAERandomForestRegressor(Base):
                 splits = hist_df.groupBy("__tree", "__node", "__feat").applyInPandas(
                     reducer, "t long, nd long, ft long, score double, bin long"
                 ).collect()
+            _mark(f"level{_level} hist+select ({len(splits)} split rows, "
+                  f"driver_path={driver_path})")
             # the hist job above materialized the current rows cache — the
             # previous level's frame is no longer referenced by any plan
             if prev_rows is not None:
@@ -444,15 +483,18 @@ class MAERandomForestRegressor(Base):
             # router so the CaseWhen never exceeds codegen limits.  The
             # final level's frame has exactly one consumer (the leaf job) —
             # caching it would pay a materialization pass for nothing.
-            prev_rows = rows
             last_level = _level == depth - 1
             if len(by_node) <= 4096:
-                rows = rows.withColumn("__node", level_update(by_node))
+                routed = rows.withColumn("__node", level_update(by_node))
             else:
-                rows = rows.withColumn(
+                routed = rows.withColumn(
                     "__node", router()("__tree", *fb_cols))
-            if not last_level:
-                rows = rows.cache()
+            if last_level:
+                rows = routed  # sole consumer is the leaf job — don't cache
+            else:
+                prev_rows = live_cache
+                rows = routed.cache()
+                live_cache = rows
 
         # leaf medians — the MAE-optimal constant per leaf.  __node already
         # points at the leaves (maintained through the level loop).
@@ -467,9 +509,10 @@ class MAERandomForestRegressor(Base):
             nd = r["__node"]
             if nd not in trees_state[r["__tree"]]:
                 trees_state[r["__tree"]][nd] = float(r["v"])
+        _mark("leaves")
         if prev_rows is not None:
             prev_rows.unpersist()
-        rows.unpersist()
+        live_cache.unpersist()
         self.trees_ = trees_state
         return self
 

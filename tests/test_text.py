@@ -218,6 +218,31 @@ def test_ngram_contamination_planted_overlap(spark):
     assert out[2]["n_grams"] == 1
 
 
+def test_ngram_contamination_null_text_and_dup_ids(spark):
+    """A null-text corpus row survives with n_matched = 0 (VERDICT r6 #4 —
+    the r6 explode dropped it), and duplicate doc_ids score per-ROW (no
+    per-doc aggregation to conflate them)."""
+    from cuml_spark.text import ngram_contamination
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, eval_text),
+        (1, None),                  # null text must survive
+        (2, eval_text),             # duplicate id 2, contaminated ...
+        (2, "zzzzzzzzzzzzzzzzzz"),  # ... and duplicate id 2, clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = df.filter("doc_id = 0")
+    out = ngram_contamination(df, ev, k=8).collect()
+    assert len(out) == 4  # every corpus ROW kept, null text included
+    null_row = [r for r in out if r["doc_id"] == 1][0]
+    assert null_row["n_grams"] == 0 and null_row["n_matched"] == 0
+    dup = sorted((r for r in out if r["doc_id"] == 2),
+                 key=lambda r: r["n_matched"])
+    assert dup[0]["n_matched"] == 0          # the clean duplicate
+    assert dup[1]["contamination"] == 1.0    # the contaminated duplicate
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     from cuml_spark.text import scrub_pii
 
