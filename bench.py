@@ -169,10 +169,21 @@ def main() -> None:
         F.explode(F.split(F.col("text"), r"\s+")),
     ).count()
 
+    # deltas are only meaningful like-for-like: a prior run under a
+    # different protocol (single-shot vs min-of-2) or driver heap would
+    # make negative deltas read as code speedups when they are measurement
+    # changes (ADVICE r6 #1) — so compare only against a same-protocol,
+    # same-heap prior, and record which prior was used
     prev: dict[str, float] = {}
+    prev_protocol = prev_driver_mem = None
     try:
         prev_path = Path(__file__).resolve().parent / "bench_results.json"
-        prev = json.loads(prev_path.read_text()).get("queries", {})
+        prev_data = json.loads(prev_path.read_text())
+        prev_protocol = prev_data.get("protocol")
+        prev_driver_mem = prev_data.get("driver_mem")
+        if (prev_protocol == "min_of_2"
+                and prev_driver_mem == os.environ["SPARK_DRIVER_MEM"]):
+            prev = prev_data.get("queries", {})
     except (OSError, ValueError):
         pass
 
@@ -228,9 +239,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "protocol": "min_of_2",
+        "driver_mem": os.environ["SPARK_DRIVER_MEM"],
         "queries": timings,
         "runs": runs,
+        # empty (with the mismatched prior's tags preserved below) when the
+        # previous bench_results.json used a different protocol/heap
         "deltas_vs_prev": deltas,
+        "deltas_prev_protocol": prev_protocol,
+        "deltas_prev_driver_mem": prev_driver_mem,
         "run_agreement_within_20pct": round(len(agree) / max(len(runs), 1), 3),
         "sf": sf_val,
     }

@@ -436,67 +436,69 @@ ORACLES.update(ORACLES_STREAMING)
 # have never appeared in a CORRECTNESS_r{N} file, (b) queries whose
 # implementation changed this round, (c) stable twice-green re-confirmations.
 _DRIVER_WINDOW = [
-    # (a) STALEST evidence: these 37 were last driver-green in r4 (they sat
-    # outside r5's window); after this round nothing in the registry is more
-    # than one round old — the rotation policy VERDICT r5 item #3 asks for.
-    # umap_transform_oos additionally covers the r5 refusal-path unpersist
-    # change that missed the r5 window (VERDICT r5 item #8).
-    "scalar_functions",
-    "gram_matrix",
-    "ridge_closed_form",
-    "lasso_closed_form",
-    "elasticnet_closed_form",
-    "logreg_rule_accuracy",
-    "cluster_agreement",
-    "regression_metrics",
-    "prob_metrics",
-    "generator_checks",
-    "prims_matrix_rng",
-    "qr_factor",
-    "rsvd_agreement",
-    "coo_symmetrize_check",
-    "ann_lsh_recall",
-    "ngram_jaccard",
-    "streaming_dedup_docs",
-    "streaming_window_stats",
-    "frame_counts",
-    "sparse_row_normalize",
-    "cluster_dispersion",
-    "umap_transform_oos",
-    "knn_embeddings",
-    "cosine_topk",
-    "spectral_blobs",
-    "trustworthiness_slice",
-    "silhouette_customers",
-    "ivf_search_exact",
-    "dbscan_cluster_sizes",
-    "tsvd_singular_2d",
-    "svc_rule_accuracy",
-    "sgd_hinge_accuracy",
-    "mbsgd_fit",
-    "kalman_local_level",
-    "pipeline_clean_corpus",
-    "streaming_clean_corpus",
-    "pipeline_event_profile",
-    # (b) implementation/oracle touched THIS round: planted-order ML-AIC
-    # oracle (harness_tsa), single-scan contamination (text/contamination),
-    # MAE-forest level-loop changes, FIL warm-path audit
-    "arima_ml_aic",
+    # (a) STALEST evidence: these 37 were last driver-green in r5 (they sat
+    # outside r6's window, and their implementation files are untouched
+    # since) — rotating them in keeps the invariant that nothing in the
+    # registry carries evidence older than one round (VERDICT r6 item #5).
+    "ols_price_vs_quantity",
+    "ols_multi_revenue",
+    "rf_accuracy",
+    "rf_regression",
+    "stats_describe",
+    "stats_covariance",
+    "histogram_quantity",
+    "topk_revenue_by_flag",
+    "weighted_mean_price",
+    "standard_scaler",
+    "label_encode_mktsegment",
+    "train_test_split_counts",
+    "split_exact_sizes",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "lsh_pairs",
+    "simhash_docs",
+    "doc_quality",
+    "doc_tokens",
+    "lang_id",
+    "kpss_events",
+    "arima_grid_aic",
+    "arima_forecast",
+    "random_projection",
+    "media_decode",
+    "media_decode_jpeg",
+    "media_decode_wav",
+    "media_decode_progressive",
+    "image_phash_invariance",
+    "pii_scrub",
+    "neardup_pairs",
+    "pipeline_neardup_groups",
+    "graph_connected_components",
+    "umap_supervised_trust",
+    "entropy_returnflag",
+    "contingency_flags",
+    "accuracy_rule",
+    # (b) implementation touched THIS round (r7): contamination rewritten
+    # to the in-row broadcast array_intersect plan (text/contamination.py),
+    # MAE forest working-set coalesce (ensemble/mae_forest.py); fil_score
+    # rides along as the perf-watched pair-mate (impl unchanged — the r6
+    # regression root cause is documented in SCALE.md).
     "eval_contamination",
     "rf_mae_regression",
     "fil_score",
-    # (c) r5-green re-confirmations with the remaining slots (spread across
-    # families: manifold, cluster, decomposition, tsa, text, media)
-    "umap_trust",
-    "tsne_trust",
+    # (c) r6-green re-confirmations with the remaining slots (spread across
+    # families: cluster, decomposition, manifold, tsa, text, neighbors,
+    # streaming)
     "kmeans_cluster_sizes",
     "dbscan_roles",
     "pca_variance_2d",
+    "umap_trust",
+    "tsne_trust",
     "holtwinters_forecast",
+    "kalman_local_level",
     "dedup_exact",
-    "media_decode_png",
-    "image_dedup_groups",
-    # everything else (driver-green in r5, unchanged) stays in
+    "knn_embeddings",
+    "streaming_window_stats",
+    # everything else (driver-green in r6, unchanged) stays in
     # queries()/bench — only the 50-slot verification window moves
 ]
 
