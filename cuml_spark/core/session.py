@@ -44,6 +44,31 @@ def get_spark(app_name: str = "cuml_spark", shuffle_partitions: int | None = Non
     return builder.getOrCreate()
 
 
+def right_size(df, target_bytes: int = 16 << 20, floor: int = 4):
+    """Coalesce a SMALL working set so pure-JVM iterative jobs stop paying
+    per-task overheads for near-empty partitions.
+
+    The mirror image of :func:`ensure_parallelism`: that one raises the
+    partition count so Arrow/pandas-UDF stages (CPU-bound in Python) use
+    every core; this one LOWERS it for frames that feed repeated JVM-side
+    aggregations (MLlib fits, per-level tree histograms, per-epoch SGD
+    steps), where a ~10 MB frame sliced into defaultParallelism partitions
+    costs ~2·parts task launches per job and gains nothing.  Sizing comes
+    from Catalyst's free ``sizeInBytes`` estimate (~``target_bytes`` per
+    partition, floor ``floor``); ``coalesce`` only ever REDUCES partition
+    count, so a 100 TB input (estimate ≫ parts·target) is returned
+    untouched with full scan parallelism.  Do NOT use on frames feeding
+    pandas-UDF work — those want ``ensure_parallelism`` instead.
+    """
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    if not 0 < est < (1 << 40):  # unknown/absurd estimate: leave as is
+        return df
+    return df.coalesce(max(floor, -(-est // target_bytes)))
+
+
 def ensure_parallelism(df, min_parts: int | None = None):
     """Round-robin repartition up to the session's default parallelism when
     the plan currently yields fewer partitions.

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cuml_spark.core.base import Base
+from cuml_spark.core.session import right_size
 from cuml_spark.ops.sampling import hash_sample_pred
 
 
@@ -288,19 +289,11 @@ class MAERandomForestRegressor(Base):
         # right-size the cached working set: the level jobs are pure JVM
         # aggregations, so a tiny frame sliced into defaultParallelism
         # partitions pays ~2·parts task overheads per level for no gain
-        # (measured r7 at sf0.1: 32→8 partitions cut fit 3.4s→2.1s).
-        # Catalyst's free sizeInBytes estimate targets ~16 MB/partition
-        # with a floor of 4; coalesce() only ever REDUCES partition count,
-        # so a 100 TB input (estimate >> partitions·16 MB) is untouched
-        # and full scan parallelism is preserved at scale.
-        try:
-            _est = int(
-                rows._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            _est = 0
-        if 0 < _est < (1 << 40) and not _os.environ.get("CUML_MAE_NO_COALESCE"):
-            rows = rows.coalesce(max(4, -(-_est // (16 << 20))))
+        # (interleaved A/B at sf0.1: median fit 2.11s → 1.63s).  See
+        # core.session.right_size for the sizing rule and the 100 TB
+        # no-op guarantee.
+        if not _os.environ.get("CUML_MAE_NO_COALESCE"):
+            rows = right_size(rows)
         rows = rows.cache()
         # exactly ONE upstream cache is live at a time: the base frame, or
         # the newest materialized level frame once the lazy-chain bound is

@@ -98,7 +98,12 @@ class _RFBase(Base):
         self._cols: list[str] | None = None
 
     def _fit(self, df: DataFrame, feature_cols: list[str], label_col: str, impurity: str):
-        data = check_features(df, [*feature_cols, label_col])
+        from cuml_spark.core.session import right_size
+
+        # MLlib's level-wise growth runs one JVM aggregation job per level
+        # over its internally-cached frame — right-size small inputs so
+        # those jobs aren't sliced into near-empty tasks (no-op at scale)
+        data = right_size(check_features(df, [*feature_cols, label_col]))
         assembled = VectorAssembler(inputCols=feature_cols, outputCol="__features").transform(data)
         est = self._ml_cls(
             featuresCol="__features", labelCol=label_col,

@@ -100,6 +100,10 @@ class SGD(Base):
         return aggs
 
     def fit(self, df: DataFrame, feature_cols: list[str], label_col: str) -> "SGD":
+        # NOT right_sized (unlike the MLlib/MAE-forest fits): each epoch's
+        # aggregation evaluates the loss expression over EVERY row, so the
+        # job is compute-bearing, not overhead-bound — coalescing to 4
+        # partitions cost +0.6s on mbsgd_fit when tried (r7 bench)
         data = check_features(df, [*feature_cols, label_col]).cache()
         if self.batch_size is not None:
             n_rows = data.count()

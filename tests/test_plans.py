@@ -169,3 +169,25 @@ def test_ngram_contamination_single_corpus_scan(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # no row-scale hash aggregation of corpus grams
     assert "array_intersect" in plan
+
+
+def test_right_size_coalesces_small_and_passes_large(spark):
+    """right_size (core/session.py) must shrink a tiny working set to few
+    partitions (the per-task overhead fix for iterative JVM fits) while
+    returning large-estimate frames untouched — the property that makes it
+    a no-op on a 100 TB input."""
+    from cuml_spark.core.session import ensure_parallelism, right_size
+
+    small = ensure_parallelism(
+        spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    )
+    before = small.rdd.getNumPartitions()
+    after = right_size(small).rdd.getNumPartitions()
+    assert after < before  # ~1 MB over 32 partitions -> the floor (4)
+    assert after >= 4
+    # a frame whose estimate exceeds parts*16MB must come back unchanged:
+    # 32 partitions need >512MB of estimated input to all stay
+    big = spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "id", "cast(id as string) as s"
+    )
+    assert right_size(big).rdd.getNumPartitions() == 32
