@@ -485,9 +485,12 @@ _DRIVER_WINDOW = [
     "eval_contamination",
     "rf_mae_regression",
     "fil_score",
-    # (c) r6-green re-confirmations with the remaining slots (spread across
-    # families: cluster, decomposition, manifold, tsa, text, neighbors,
-    # streaming)
+    # (c) NEW this round — queries that have never appeared in any
+    # CORRECTNESS file outrank re-confirmations for the last slots
+    "media_decode_g711",
+    "media_probe_mp4",
+    # (d) r6-green re-confirmations with the remaining slots (spread across
+    # families: cluster, decomposition, manifold, tsa, text, streaming)
     "kmeans_cluster_sizes",
     "dbscan_roles",
     "pca_variance_2d",
@@ -495,8 +498,6 @@ _DRIVER_WINDOW = [
     "tsne_trust",
     "holtwinters_forecast",
     "kalman_local_level",
-    "dedup_exact",
-    "knn_embeddings",
     "streaming_window_stats",
     # everything else (driver-green in r6, unchanged) stays in
     # queries()/bench — only the 50-slot verification window moves

@@ -272,6 +272,81 @@ FROM range({_WAV_N}) t(id)
 """
 
 
+def q_media_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony audio end-to-end with an EXACT oracle: clip ``m``
+    plants raw law bytes byte(i) = (11·m + 5·i) mod 256 inside a real WAV
+    container (format tag 7 = µ-law for even ids, 6 = A-law for odd),
+    decoded by the manual RIFF walk + integer expanders in
+    ``codecs.decode_wav``.  Because G.711 expansion is pure integer
+    arithmetic, the oracle replays the ITU-T formulas verbatim in SQL —
+    container parse AND companding math are both value-checked."""
+    from collections.abc import Iterator
+
+    from cuml_spark.multimodal import codecs
+
+    ns, rate = _WAV_SAMPLES, _WAV_RATE
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = []
+            for mid in pdf["media_id"]:
+                i = np.arange(ns, dtype=np.int64)
+                raw = ((11 * int(mid) + 5 * i) % 256).astype(np.uint8)
+                tag = 7 if int(mid) % 2 == 0 else 6
+                bufs.append(codecs.wrap_wav_g711(raw.tobytes(), rate, tag))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
+
+    ids = spark.range(_WAV_N).select(F.col("id").alias("media_id"))
+    media = ids.mapInPandas(enc, "media_id long, content binary")
+    dec = decode_audio(media)
+    return dec.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        F.aggregate(
+            "samples", F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x * 32768.0, 0).cast("long"),
+        ).alias("sum_raw"),
+    )
+
+
+# the ITU-T G.711 expanders as SQL: µ-law complements the byte then scales
+# the mantissa by the segment; A-law XORs 0x55 then scales — both exact
+# integer arithmetic, replayed verbatim
+_SQL_MEDIA_DECODE_G711 = f"""
+WITH clips AS (
+  SELECT t.id AS media_id, j.g AS i,
+         (11 * t.id + 5 * j.g) % 256 AS b
+  FROM range({_WAV_N}) t(id), generate_series(0, {_WAV_SAMPLES - 1}) j(g)
+), lin AS (
+  SELECT media_id,
+    CASE WHEN media_id % 2 = 0 THEN
+      -- u-law: u = ~b; mag = ((mant*8 + 132) << exp) - 132
+      CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END *
+        ((((255 - b) % 16) * 8 + 132)
+          * CAST(power(2, ((255 - b) // 16) % 8) AS BIGINT) - 132)
+    ELSE
+      -- A-law: a = b XOR 0x55; seg 0: mant*16+8, else (mant*16+264)<<(seg-1)
+      CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+        (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+              THEN (xor(b, 85) % 16) * 16 + 8
+              ELSE ((xor(b, 85) % 16) * 16 + 264)
+                * CAST(power(2, (xor(b, 85) // 16) % 8 - 1) AS BIGINT)
+         END)
+    END AS s
+  FROM clips
+)
+SELECT media_id,
+       {_WAV_SAMPLES}::BIGINT AS n_samples,
+       {_WAV_RATE} AS sample_rate,
+       sum(s)::BIGINT AS sum_raw
+FROM lin GROUP BY media_id
+"""
+
+
 _IMG_N, _IMG_GROUPS, _IMG_SIDE = 60, 12, 24
 
 
@@ -359,12 +434,74 @@ FROM range({_PH_GROUPS}) t(r)
 """
 
 
+_MP4_N = 40
+
+
+def q_media_probe_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF container probing with planted metadata: clip ``m`` is a
+    structurally valid MP4 skeleton (multimodal/mp4.py writer) carrying a
+    video track (avc1 for even ids, hvc1 for odd; width 16·(1+m%8),
+    height 16·(1+m%5), 10+m%7 samples) and an mp4a audio track
+    (100+m%13 samples).  ``probe_media`` walks the real box tree on the
+    executors; the oracle recomputes every planted parameter from the id —
+    so parse offsets, fixed-point width decoding and per-track fan-out are
+    all value-checked."""
+    from collections.abc import Iterator
+
+    from cuml_spark.multimodal.mp4 import build_mp4, probe_media
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                bufs.append(build_mp4([
+                    {"handler": "vide",
+                     "codec": "avc1" if m % 2 == 0 else "hvc1",
+                     "width": 16 * (1 + m % 8), "height": 16 * (1 + m % 5),
+                     "timescale": 30000, "duration": 1000 * (1 + m % 11),
+                     "n_samples": 10 + m % 7},
+                    {"handler": "soun", "codec": "mp4a", "width": 0,
+                     "height": 0, "timescale": 48000,
+                     "duration": 48000 + m, "n_samples": 100 + m % 13},
+                ], movie_timescale=1000, movie_duration=600 + m))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
+
+    ids = spark.range(_MP4_N).select(F.col("id").alias("media_id"))
+    media = ids.mapInPandas(enc, "media_id long, content binary")
+    return probe_media(media).select(
+        "media_id", "brand", "track_id", "handler", "codec",
+        "width", "height", "n_samples", "duration",
+    )
+
+
+_SQL_MEDIA_PROBE_MP4 = f"""
+SELECT t.id AS media_id, 'isom' AS brand, 1::BIGINT AS track_id,
+       'vide' AS handler,
+       CASE WHEN t.id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS codec,
+       (16 * (1 + t.id % 8))::BIGINT AS width,
+       (16 * (1 + t.id % 5))::BIGINT AS height,
+       (10 + t.id % 7)::BIGINT AS n_samples,
+       (1000 * (1 + t.id % 11))::BIGINT AS duration
+FROM range({_MP4_N}) t(id)
+UNION ALL
+SELECT t.id, 'isom', 2, 'soun', 'mp4a', 0, 0,
+       (100 + t.id % 13)::BIGINT, (48000 + t.id)::BIGINT
+FROM range({_MP4_N}) t(id)
+"""
+
+
 QUERIES_MEDIA = {
     "media_decode": q_media_decode,
     "media_decode_png": q_media_decode_png,
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_decode_progressive": q_media_decode_progressive,
     "media_decode_wav": q_media_decode_wav,
+    "media_decode_g711": q_media_decode_g711,
+    "media_probe_mp4": q_media_probe_mp4,
     "image_dedup_groups": q_image_dedup_groups,
     "image_phash_invariance": q_image_phash_invariance,
     "frame_counts": q_frame_counts,
@@ -376,6 +513,8 @@ ORACLES_MEDIA = {
     "media_decode_jpeg": _SQL_MEDIA_DECODE_JPEG,
     "media_decode_progressive": _SQL_MEDIA_DECODE_PROGRESSIVE,
     "media_decode_wav": _SQL_MEDIA_DECODE_WAV,
+    "media_decode_g711": _SQL_MEDIA_DECODE_G711,
+    "media_probe_mp4": _SQL_MEDIA_PROBE_MP4,
     "image_dedup_groups": _SQL_IMAGE_DEDUP_GROUPS,
     "image_phash_invariance": _SQL_IMAGE_PHASH_INVARIANCE,
     "frame_counts": _SQL_FRAME_COUNTS,

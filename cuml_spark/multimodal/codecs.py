@@ -8,7 +8,10 @@ are decodable with nothing beyond the standard library:
 * BMP   — BITMAPINFOHEADER parse, uncompressed 24/32 bpp (bottom-up or
           top-down), 4-byte row padding.
 * PPM   — P6 (RGB) and P5 (gray) binary netpbm.
-* WAV   — stdlib ``wave``: 8/16/32-bit PCM, any channel count.
+* WAV   — stdlib ``wave``: 8/16/32-bit PCM, any channel count; plus a
+          manual RIFF walk for ITU-T G.711 µ-law (format tag 7) and A-law
+          (tag 6) telephony audio — the decode is exact integer
+          arithmetic, so oracles can replay it in plain SQL.
 
 These back the REAL (non-stub) paths of ``decode_image`` / ``decode_audio``
 in :mod:`cuml_spark.multimodal.media`; formats that genuinely need an
@@ -434,8 +437,107 @@ def encode_avi_mjpeg(jpeg_frames: list[bytes], fps: float = 10.0) -> bytes:
 # WAV
 # ---------------------------------------------------------------------------
 
+def _riff_chunks(buf: bytes):
+    """Walk the chunk list of a RIFF-WAVE container → (fourcc, payload).
+    Chunks are word-aligned (odd sizes carry one pad byte)."""
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        yield cid, buf[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def ulaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 µ-law bytes → int64 linear samples in [-32124, 32124].
+    Classic expansion: complement, then ((mant·8 + 132) << exp) − 132."""
+    u = (~np.asarray(b, dtype=np.int64)) & 0xFF
+    mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    mag -= 0x84
+    return np.where(u & 0x80, -mag, mag)
+
+
+def alaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law bytes → int64 linear samples in [-32256, 32256].
+    Classic expansion: XOR 0x55, then segment-scaled mantissa."""
+    a = np.asarray(b, dtype=np.int64) ^ 0x55
+    mant = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    mag = np.where(seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, mag, -mag)
+
+
+def linear_to_ulaw(x: np.ndarray) -> np.ndarray:
+    """int linear samples → canonical G.711 µ-law bytes (encoder, used by
+    tests and synthetic-clip generators)."""
+    x = np.asarray(x, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def linear_to_alaw(x: np.ndarray) -> np.ndarray:
+    """int linear samples → canonical G.711 A-law bytes."""
+    x = np.asarray(x, dtype=np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    exp = np.maximum((np.floor(np.log2(np.maximum(mag, 1))) - 7), 0).astype(np.int64)
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    return (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+def wrap_wav_g711(payload: bytes, rate: int, tag: int) -> bytes:
+    """Raw G.711 bytes → a WAV container (format tag 7 = µ-law, 6 = A-law;
+    18-byte fmt chunk with cbSize=0 as non-PCM requires)."""
+    if tag not in (6, 7):
+        raise ValueError("tag must be 6 (A-law) or 7 (u-law)")
+    fmt = struct.pack("<HHIIHHH", tag, 1, rate, rate, 1, 8, 0)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int, law: str = "ulaw") -> bytes:
+    """int linear samples → a G.711 WAV container."""
+    if law == "ulaw":
+        return wrap_wav_g711(linear_to_ulaw(samples).tobytes(), rate, 7)
+    if law == "alaw":
+        return wrap_wav_g711(linear_to_alaw(samples).tobytes(), rate, 6)
+    raise ValueError("law must be 'ulaw' or 'alaw'")
+
+
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes → (float64 mono samples in [-1, 1], sample_rate)."""
+    """WAV bytes → (float64 mono samples in [-1, 1], sample_rate).
+
+    PCM (8/16/32-bit) goes through the stdlib ``wave`` reader; G.711
+    µ-law/A-law (format tags 7/6) through the exact integer expanders
+    above, normalized by /32768.  Other compressed tags (IMA ADPCM 0x11,
+    MP3 0x55, …) raise naming the tag rather than mis-parsing."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        fmt = data = None
+        for cid, payload in _riff_chunks(buf):
+            if cid == b"fmt " and fmt is None:
+                fmt = payload
+            elif cid == b"data" and data is None:
+                data = payload
+        if fmt is not None and len(fmt) >= 16:
+            tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+            if tag in (6, 7) and data is not None:
+                raw = np.frombuffer(data, dtype=np.uint8)
+                lin = ulaw_to_linear(raw) if tag == 7 else alaw_to_linear(raw)
+                x = lin.astype(np.float64) / 32768.0
+                if nch > 1:
+                    x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+                return x, rate
+            if tag not in (1, 3, 0xFFFE):
+                raise NotImplementedError(
+                    f"WAV format tag 0x{tag:02x} unsupported (PCM, "
+                    "G.711 u-law/A-law are; ADPCM/MP3-in-WAV need a codec "
+                    "library)"
+                )
     with wave.open(io.BytesIO(buf), "rb") as wf:
         nch, sw, rate, nframes = (wf.getnchannels(), wf.getsampwidth(),
                                   wf.getframerate(), wf.getnframes())

@@ -945,3 +945,94 @@ def test_tiff_decode_variants():
     bad[idx + 8:idx + 10] = struct.pack("<H", 5)
     with pytest.raises(NotImplementedError, match="compression"):
         codecs.decode_tiff(bytes(bad))
+
+
+def test_g711_expanders_exact_and_idempotent():
+    """ITU-T G.711 integer expansion: spot values from the standard's
+    segment table, full-range idempotence (decode -> encode -> decode is
+    the identity on decoded values, all 256 codewords, both laws)."""
+    import numpy as np
+
+    from cuml_spark.multimodal.codecs import (alaw_to_linear,
+                                              linear_to_alaw,
+                                              linear_to_ulaw,
+                                              ulaw_to_linear)
+
+    b = np.arange(256)
+    u, a = ulaw_to_linear(b), alaw_to_linear(b)
+    # standard extremes: u-law 0x00 -> -32124, 0xFF -> 0; A-law +/-32256
+    assert ulaw_to_linear(np.array([0x00]))[0] == -32124
+    assert ulaw_to_linear(np.array([0xFF]))[0] == 0
+    assert u.min() == -32124 and u.max() == 32124
+    assert a.min() == -32256 and a.max() == 32256
+    assert (ulaw_to_linear(linear_to_ulaw(u)) == u).all()
+    assert (alaw_to_linear(linear_to_alaw(a)) == a).all()
+
+
+def test_g711_wav_container_roundtrip_and_refusal():
+    """decode_wav must route format tags 7/6 through the expanders (max
+    quantization error bounded by the G.711 segment width) and refuse
+    ADPCM (tag 0x11) naming the tag instead of mis-parsing it as PCM."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cuml_spark.multimodal.codecs import decode_wav, encode_wav_g711
+
+    x = ((13 * 5 + 7 * np.arange(400)) % 200 - 100) * 300
+    for law in ("ulaw", "alaw"):
+        dec, rate = decode_wav(encode_wav_g711(x, 8000, law))
+        assert rate == 8000 and len(dec) == 400
+        assert np.abs(dec * 32768 - x).max() < 2100  # top-segment step/2
+
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000, 1, 4)
+    adpcm = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+             + b"data" + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError, match="0x11"):
+        decode_wav(adpcm)
+
+
+def test_mp4_box_roundtrip_and_probe(spark):
+    """ISO-BMFF skeleton round trip (writer -> parser), 64-bit largesize
+    and to-end boxes handled, non-BMFF refused; probe_media fans one row
+    out per track and drops unparseable blobs (the pipeline filter
+    semantic)."""
+    import struct
+
+    import pytest
+
+    from cuml_spark.multimodal.mp4 import build_mp4, parse_mp4, probe_media
+
+    tracks = [
+        {"handler": "vide", "codec": "avc1", "width": 128, "height": 96,
+         "timescale": 30000, "duration": 90000, "n_samples": 90},
+        {"handler": "soun", "codec": "mp4a", "width": 0, "height": 0,
+         "timescale": 48000, "duration": 144000, "n_samples": 300},
+    ]
+    buf = build_mp4(tracks, movie_timescale=1000, movie_duration=3000)
+    meta = parse_mp4(buf)
+    assert meta["brand"] == "isom" and meta["movie_duration"] == 3000
+    assert [t["codec"] for t in meta["tracks"]] == ["avc1", "mp4a"]
+    assert meta["tracks"][0]["width"] == 128
+    assert meta["tracks"][0]["n_samples"] == 90
+    assert meta["tracks"][1]["handler"] == "soun"
+
+    # 64-bit largesize wrapping of the moov box must parse identically
+    i = buf.index(b"moov") - 4
+    size = struct.unpack(">I", buf[i:i + 4])[0]
+    wrapped = (buf[:i] + struct.pack(">I", 1) + b"moov"
+               + struct.pack(">Q", size + 8) + buf[i + 8:i + size]
+               + buf[i + size:])
+    assert parse_mp4(wrapped)["tracks"][0]["width"] == 128
+
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        parse_mp4(b"\x00" * 64)
+
+    rows = [(0, bytearray(buf)), (1, bytearray(b"garbage not a container"))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = probe_media(df).collect()
+    assert len(out) == 2  # two tracks from clip 0; the garbage blob dropped
+    assert {r["media_id"] for r in out} == {0}
+    assert {r["codec"] for r in out} == {"avc1", "mp4a"}
