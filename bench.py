@@ -214,8 +214,16 @@ def main() -> None:
         timings[name] = min(pair)
         # queries unpersist what they cache; clearing any stragglers keeps
         # the session's CacheManager (and Catalyst's cache-plan matching)
-        # from growing across 87 queries — untimed, outside the loop body
+        # from growing across the registry — untimed, outside the loop body
         spark.catalog.clearCache()
+        # force a JVM GC between queries (untimed): without it, whichever
+        # query runs while the heap happens to cross a collection threshold
+        # absorbs a multi-hundred-ms pause that belongs to its predecessors'
+        # garbage — a main source of the cross-round per-query noise
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

@@ -489,6 +489,7 @@ _DRIVER_WINDOW = [
     # CORRECTNESS file outrank re-confirmations for the last slots
     "media_decode_g711",
     "media_probe_mp4",
+    "media_decode_adpcm",
     # (d) r6-green re-confirmations with the remaining slots (spread across
     # families: cluster, decomposition, manifold, tsa, text, streaming)
     "kmeans_cluster_sizes",
@@ -496,7 +497,6 @@ _DRIVER_WINDOW = [
     "pca_variance_2d",
     "umap_trust",
     "tsne_trust",
-    "holtwinters_forecast",
     "kalman_local_level",
     "streaming_window_stats",
     # everything else (driver-green in r6, unchanged) stays in

@@ -434,6 +434,94 @@ FROM range({_PH_GROUPS}) t(r)
 """
 
 
+_ADPCM_N, _ADPCM_NIB = 40, 252
+_ADPCM_BA = 4 + _ADPCM_NIB // 2
+
+
+def q_media_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM (WAV tag 0x11) with an EXACT oracle for a stateful codec:
+    clip ``m`` is one block with planted header predictor
+    ((m·997) mod 4096) − 2048, step-index m mod 89 and nibble stream
+    (7·m + 3·t) mod 16.  Spark decodes via the block-parallel numpy
+    recurrence (codecs.adpcm_ima_decode); the oracle replays the SAME
+    recurrence as a DuckDB RECURSIVE CTE over the step/index tables — a
+    sequential codec value-checked end-to-end in SQL."""
+    from collections.abc import Iterator
+
+    from cuml_spark.multimodal import codecs
+
+    n_nib, ba, rate = _ADPCM_NIB, _ADPCM_BA, 8000
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                pred0 = ((m * 997) % 4096) - 2048
+                nibs = [(7 * m + 3 * t) % 16 for t in range(n_nib)]
+                payload = bytes(nibs[i] | (nibs[i + 1] << 4)
+                                for i in range(0, n_nib, 2))
+                blk = ((pred0 & 0xFFFF).to_bytes(2, "little")
+                       + bytes([m % 89, 0]) + payload)
+                bufs.append(codecs.wrap_wav_adpcm(blk, rate, ba))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
+
+    ids = spark.range(_ADPCM_N).select(F.col("id").alias("media_id"))
+    media = ids.mapInPandas(enc, "media_id long, content binary")
+    dec = decode_audio(media)
+    return dec.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        F.aggregate(
+            "samples", F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x * 32768.0, 0).cast("long"),
+        ).alias("sum_raw"),
+    )
+
+
+def _sql_media_decode_adpcm() -> str:
+    from cuml_spark.multimodal.codecs import _IMA_STEPS
+
+    steps_vals = ", ".join(f"({i}, {int(s)})" for i, s in enumerate(_IMA_STEPS))
+    return f"""
+WITH RECURSIVE ima_steps(i, s) AS (VALUES {steps_vals}),
+rec(m, t, pred, idx, acc) AS (
+  SELECT t.id, 0, ((t.id * 997) % 4096) - 2048, t.id % 89,
+         ((t.id * 997) % 4096) - 2048
+  FROM range({_ADPCM_N}) t(id)
+  UNION ALL
+  SELECT m, t, npred, nidx, acc + npred FROM (
+    SELECT m, t, acc,
+           GREATEST(-32768, LEAST(32767,
+             pred + CASE WHEN d >= 8 THEN -diff ELSE diff END)) AS npred,
+           GREATEST(0, LEAST(88, idx +
+             CASE (d % 8) WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                          WHEN 7 THEN 8 ELSE -1 END)) AS nidx
+    FROM (
+      SELECT r.m, r.t + 1 AS t, r.pred, r.idx, r.acc,
+             (7 * r.m + 3 * r.t) % 16 AS d,
+             (st.s // 8)
+             + CASE WHEN ((7 * r.m + 3 * r.t) % 16) % 8 >= 4
+                    THEN st.s ELSE 0 END
+             + CASE WHEN (((7 * r.m + 3 * r.t) % 16) % 4) >= 2
+                    THEN st.s // 2 ELSE 0 END
+             + CASE WHEN ((7 * r.m + 3 * r.t) % 16) % 2 = 1
+                    THEN st.s // 4 ELSE 0 END AS diff
+      FROM rec r JOIN ima_steps st ON st.i = r.idx
+      WHERE r.t < {_ADPCM_NIB}
+    )
+  )
+)
+SELECT m AS media_id, {_ADPCM_NIB + 1}::BIGINT AS n_samples,
+       8000 AS sample_rate, acc::BIGINT AS sum_raw
+FROM rec WHERE t = {_ADPCM_NIB}
+"""
+
+
 _MP4_N = 40
 
 
@@ -502,6 +590,7 @@ QUERIES_MEDIA = {
     "media_decode_wav": q_media_decode_wav,
     "media_decode_g711": q_media_decode_g711,
     "media_probe_mp4": q_media_probe_mp4,
+    "media_decode_adpcm": q_media_decode_adpcm,
     "image_dedup_groups": q_image_dedup_groups,
     "image_phash_invariance": q_image_phash_invariance,
     "frame_counts": q_frame_counts,
@@ -515,6 +604,7 @@ ORACLES_MEDIA = {
     "media_decode_wav": _SQL_MEDIA_DECODE_WAV,
     "media_decode_g711": _SQL_MEDIA_DECODE_G711,
     "media_probe_mp4": _SQL_MEDIA_PROBE_MP4,
+    "media_decode_adpcm": _sql_media_decode_adpcm(),
     "image_dedup_groups": _SQL_IMAGE_DEDUP_GROUPS,
     "image_phash_invariance": _SQL_IMAGE_PHASH_INVARIANCE,
     "frame_counts": _SQL_FRAME_COUNTS,

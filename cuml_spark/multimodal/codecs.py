@@ -488,6 +488,113 @@ def linear_to_alaw(x: np.ndarray) -> np.ndarray:
     return (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
 
 
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def adpcm_ima_decode(data: bytes, block_align: int) -> np.ndarray:
+    """IMA ADPCM (WAV format tag 0x11, mono) → int64 linear samples.
+
+    Block-PARALLEL: every block carries its own (predictor, step-index)
+    header, so the sequential nibble recurrence runs once per sample
+    POSITION with all blocks advanced together in numpy — decode cost is
+    O(samples_per_block) Python steps regardless of clip length."""
+    ba = int(block_align)
+    if ba < 4:
+        raise ValueError("IMA ADPCM block_align must be >= 4")
+    n_blocks = len(data) // ba
+    if n_blocks == 0:
+        return np.zeros(0, dtype=np.int64)
+    blk = np.frombuffer(data[:n_blocks * ba], dtype=np.uint8).reshape(
+        n_blocks, ba)
+    pred = (blk[:, 0].astype(np.int64)
+            | (blk[:, 1].astype(np.int64) << 8))
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)  # int16 header
+    index = np.clip(blk[:, 2].astype(np.int64), 0, 88)
+    payload = blk[:, 4:].astype(np.int64)
+    # low nibble first, per IMA-in-WAV byte packing
+    nibbles = np.empty((n_blocks, payload.shape[1] * 2), dtype=np.int64)
+    nibbles[:, 0::2] = payload & 0x0F
+    nibbles[:, 1::2] = payload >> 4
+    out = np.empty((n_blocks, 1 + nibbles.shape[1]), dtype=np.int64)
+    out[:, 0] = pred  # the header predictor IS sample 0 of the block
+    for t in range(nibbles.shape[1]):
+        d = nibbles[:, t]
+        step = _IMA_STEPS[index]
+        diff = (step >> 3)
+        diff += np.where(d & 4, step, 0)
+        diff += np.where(d & 2, step >> 1, 0)
+        diff += np.where(d & 1, step >> 2, 0)
+        pred = np.clip(pred + np.where(d & 8, -diff, diff), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_ADJ[d & 7], 0, 88)
+        out[:, t + 1] = pred
+    return out.reshape(-1)
+
+
+def adpcm_ima_encode(samples: np.ndarray, block_align: int = 1024) -> bytes:
+    """int linear samples → IMA ADPCM blocks (mono, WAV tag 0x11 layout).
+    Sequential reference encoder — used by tests and synthetic clips."""
+    x = np.asarray(samples, dtype=np.int64)
+    spb = (block_align - 4) * 2 + 1  # samples per block incl. header sample
+    out = bytearray()
+    pos = 0
+    index = 0
+    while pos < len(x):
+        chunk = x[pos:pos + spb]
+        pred = int(np.clip(chunk[0], -32768, 32767))
+        out += int(pred & 0xFFFF).to_bytes(2, "little")
+        out += bytes([index, 0])
+        nibs = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEPS[index])
+            delta = int(s) - pred
+            d = 0
+            if delta < 0:
+                d = 8
+                delta = -delta
+            diff = step >> 3
+            if delta >= step:
+                d |= 4
+                delta -= step
+                diff += step
+            if delta >= step >> 1:
+                d |= 2
+                delta -= step >> 1
+                diff += step >> 1
+            if delta >= step >> 2:
+                d |= 1
+                diff += step >> 2
+            pred = int(np.clip(pred + (-diff if d & 8 else diff),
+                               -32768, 32767))
+            index = int(np.clip(index + _IMA_INDEX_ADJ[d & 7], 0, 88))
+            nibs.append(d)
+        nibs += [0] * ((block_align - 4) * 2 - len(nibs))
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            out.append(lo | (hi << 4))
+        pos += spb
+    return bytes(out)
+
+
+def wrap_wav_adpcm(payload: bytes, rate: int, block_align: int) -> bytes:
+    """Raw IMA ADPCM blocks → a WAV container (format tag 0x11, mono;
+    fmt extension carries samples_per_block as the spec requires)."""
+    spb = (block_align - 4) * 2 + 1
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      rate * block_align // max(spb, 1), block_align, 4,
+                      2, spb)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def wrap_wav_g711(payload: bytes, rate: int, tag: int) -> bytes:
     """Raw G.711 bytes → a WAV container (format tag 7 = µ-law, 6 = A-law;
     18-byte fmt chunk with cbSize=0 as non-PCM requires)."""
@@ -532,11 +639,21 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
                 if nch > 1:
                     x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
                 return x, rate
+            if tag == 0x11 and data is not None:
+                nblock = struct.unpack_from("<H", fmt, 12)[0]
+                if nch != 1:
+                    raise NotImplementedError(
+                        "IMA ADPCM WAV: only mono streams supported "
+                        f"(got {nch} channels; stereo interleaves nibble "
+                        "words per channel)"
+                    )
+                lin = adpcm_ima_decode(data, nblock)
+                return lin.astype(np.float64) / 32768.0, rate
             if tag not in (1, 3, 0xFFFE):
                 raise NotImplementedError(
                     f"WAV format tag 0x{tag:02x} unsupported (PCM, "
-                    "G.711 u-law/A-law are; ADPCM/MP3-in-WAV need a codec "
-                    "library)"
+                    "G.711 u-law/A-law, mono IMA ADPCM are; MP3-in-WAV "
+                    "needs a codec library)"
                 )
     with wave.open(io.BytesIO(buf), "rb") as wf:
         nch, sw, rate, nframes = (wf.getnchannels(), wf.getsampwidth(),

@@ -972,7 +972,7 @@ def test_g711_expanders_exact_and_idempotent():
 def test_g711_wav_container_roundtrip_and_refusal():
     """decode_wav must route format tags 7/6 through the expanders (max
     quantization error bounded by the G.711 segment width) and refuse
-    ADPCM (tag 0x11) naming the tag instead of mis-parsing it as PCM."""
+    MP3-in-WAV (tag 0x55) naming the tag instead of mis-parsing it."""
     import struct
 
     import numpy as np
@@ -986,12 +986,20 @@ def test_g711_wav_container_roundtrip_and_refusal():
         assert rate == 8000 and len(dec) == 400
         assert np.abs(dec * 32768 - x).max() < 2100  # top-segment step/2
 
-    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000, 1, 4)
-    adpcm = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
-             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-             + b"data" + struct.pack("<I", 0))
-    with pytest.raises(NotImplementedError, match="0x11"):
-        decode_wav(adpcm)
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 4)
+    mp3wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError, match="0x55"):
+        decode_wav(mp3wav)
+
+    # stereo ADPCM (per-channel nibble interleave) also refuses, by name
+    fmt2 = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 256, 4, 2, 505)
+    st = (b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+          + b"fmt " + struct.pack("<I", len(fmt2)) + fmt2
+          + b"data" + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_wav(st)
 
 
 def test_mp4_box_roundtrip_and_probe(spark):
@@ -1036,3 +1044,42 @@ def test_mp4_box_roundtrip_and_probe(spark):
     assert len(out) == 2  # two tracks from clip 0; the garbage blob dropped
     assert {r["media_id"] for r in out} == {0}
     assert {r["codec"] for r in out} == {"avc1", "mp4a"}
+
+
+def test_adpcm_ima_matches_stdlib_and_roundtrips():
+    """IMA ADPCM: the nibble recurrence must match the stdlib audioop
+    reference bit-exactly (same step/index tables, state (0,0)), the
+    encoder->decoder loop must track a smooth signal within the coder's
+    slew limits, and the WAV tag-0x11 container must route through it."""
+    import numpy as np
+
+    from cuml_spark.multimodal.codecs import (adpcm_ima_decode,
+                                              adpcm_ima_encode, decode_wav,
+                                              wrap_wav_adpcm)
+
+    rng = np.random.RandomState(7)
+    t = np.arange(3000)
+    x = (8000 * np.sin(t / 20.0) + 3000 * np.sin(t / 7.3)
+         + rng.randint(-200, 200, len(t))).astype(np.int64)
+    ba = 256
+    enc = adpcm_ima_encode(x, ba)
+    dec = adpcm_ima_decode(enc, ba)
+    n = min(len(dec), len(x))
+    err = dec[:n] - x[:n]
+    assert np.sqrt(float((err ** 2).mean())) < 500  # tracks the signal
+
+    wav = wrap_wav_adpcm(enc, 8000, ba)
+    y, rate = decode_wav(wav)
+    assert rate == 8000 and np.allclose(y[:n] * 32768, dec[:n])
+
+    try:
+        import audioop  # removed in 3.13 — cross-check only where present
+    except ImportError:
+        return
+    nib = [3, 8, 15, 0, 7, 12, 1, 9, 4, 11, 2, 14]
+    hi_first = bytes((a << 4) | b for a, b in zip(nib[0::2], nib[1::2]))
+    ref = np.frombuffer(audioop.adpcm2lin(hi_first, 2, None)[0], dtype="<i2")
+    blk = b"\x00\x00\x00\x00" + bytes(
+        (b << 4) | a for a, b in zip(nib[0::2], nib[1::2]))
+    ours = adpcm_ima_decode(blk, 4 + len(nib) // 2)[1:]
+    assert (ours == ref).all()
