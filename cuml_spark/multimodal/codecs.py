@@ -499,34 +499,50 @@ _IMA_STEPS = np.array([
 _IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
 
 
-def adpcm_ima_decode(data: bytes, block_align: int) -> np.ndarray:
-    """IMA ADPCM (WAV format tag 0x11, mono) → int64 linear samples.
+def adpcm_ima_decode(data: bytes, block_align: int,
+                     nch: int = 1) -> np.ndarray:
+    """IMA ADPCM (WAV format tag 0x11) → int64 linear samples, channels
+    interleaved per sample frame for ``nch > 1``.
 
-    Block-PARALLEL: every block carries its own (predictor, step-index)
-    header, so the sequential nibble recurrence runs once per sample
-    POSITION with all blocks advanced together in numpy — decode cost is
-    O(samples_per_block) Python steps regardless of clip length."""
-    ba = int(block_align)
-    if ba < 4:
-        raise ValueError("IMA ADPCM block_align must be >= 4")
+    Block-PARALLEL: every block carries its own per-channel
+    (predictor, step-index) header, so the sequential nibble recurrence
+    runs once per sample POSITION with all (block, channel) states
+    advanced together in numpy — decode cost is O(samples_per_block)
+    Python steps regardless of clip length.  Stereo payloads interleave
+    4-byte (8-nibble) words per channel, per the WAV spec."""
+    ba, nch = int(block_align), int(nch)
+    if nch < 1:
+        raise ValueError("nch must be >= 1")
+    if ba < 4 * nch:
+        raise ValueError("IMA ADPCM block_align must be >= 4 per channel")
     n_blocks = len(data) // ba
     if n_blocks == 0:
         return np.zeros(0, dtype=np.int64)
     blk = np.frombuffer(data[:n_blocks * ba], dtype=np.uint8).reshape(
         n_blocks, ba)
-    pred = (blk[:, 0].astype(np.int64)
-            | (blk[:, 1].astype(np.int64) << 8))
-    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)  # int16 header
-    index = np.clip(blk[:, 2].astype(np.int64), 0, 88)
-    payload = blk[:, 4:].astype(np.int64)
-    # low nibble first, per IMA-in-WAV byte packing
-    nibbles = np.empty((n_blocks, payload.shape[1] * 2), dtype=np.int64)
-    nibbles[:, 0::2] = payload & 0x0F
-    nibbles[:, 1::2] = payload >> 4
-    out = np.empty((n_blocks, 1 + nibbles.shape[1]), dtype=np.int64)
-    out[:, 0] = pred  # the header predictor IS sample 0 of the block
-    for t in range(nibbles.shape[1]):
-        d = nibbles[:, t]
+    # per-channel 4-byte headers: int16 predictor, step index, reserved
+    head = blk[:, :4 * nch].reshape(n_blocks, nch, 4).astype(np.int64)
+    pred = head[:, :, 0] | (head[:, :, 1] << 8)
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)  # (blocks, nch)
+    index = np.clip(head[:, :, 2], 0, 88)
+    payload = blk[:, 4 * nch:].astype(np.int64)
+    # de-interleave the per-channel 4-byte words, then split nibbles
+    # low-first: (blocks, words, nch, 4) -> (blocks, nch, words*4).
+    # Mono skips the word regrouping so partial trailing words decode too.
+    if nch == 1:
+        by_ch = payload[:, None, :]
+    else:
+        n_words = payload.shape[1] // (4 * nch)
+        by_ch = payload[:, :n_words * 4 * nch].reshape(
+            n_blocks, n_words, nch, 4).transpose(0, 2, 1, 3).reshape(
+            n_blocks, nch, n_words * 4)
+    nibbles = np.empty((n_blocks, nch, by_ch.shape[2] * 2), dtype=np.int64)
+    nibbles[:, :, 0::2] = by_ch & 0x0F
+    nibbles[:, :, 1::2] = by_ch >> 4
+    out = np.empty((n_blocks, 1 + nibbles.shape[2], nch), dtype=np.int64)
+    out[:, 0, :] = pred  # the header predictor IS sample frame 0
+    for t in range(nibbles.shape[2]):
+        d = nibbles[:, :, t]
         step = _IMA_STEPS[index]
         diff = (step >> 3)
         diff += np.where(d & 4, step, 0)
@@ -534,8 +550,8 @@ def adpcm_ima_decode(data: bytes, block_align: int) -> np.ndarray:
         diff += np.where(d & 1, step >> 2, 0)
         pred = np.clip(pred + np.where(d & 8, -diff, diff), -32768, 32767)
         index = np.clip(index + _IMA_INDEX_ADJ[d & 7], 0, 88)
-        out[:, t + 1] = pred
-    return out.reshape(-1)
+        out[:, t + 1, :] = pred
+    return out.reshape(-1)  # (blocks · frames · channels), frame-interleaved
 
 
 def adpcm_ima_encode(samples: np.ndarray, block_align: int = 1024) -> bytes:
@@ -641,19 +657,16 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
                 return x, rate
             if tag == 0x11 and data is not None:
                 nblock = struct.unpack_from("<H", fmt, 12)[0]
-                if nch != 1:
-                    raise NotImplementedError(
-                        "IMA ADPCM WAV: only mono streams supported "
-                        f"(got {nch} channels; stereo interleaves nibble "
-                        "words per channel)"
-                    )
-                lin = adpcm_ima_decode(data, nblock)
-                return lin.astype(np.float64) / 32768.0, rate
+                lin = adpcm_ima_decode(data, nblock, nch=nch)
+                x = lin.astype(np.float64) / 32768.0
+                if nch > 1:
+                    x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+                return x, rate
             if tag not in (1, 3, 0xFFFE):
                 raise NotImplementedError(
                     f"WAV format tag 0x{tag:02x} unsupported (PCM, "
-                    "G.711 u-law/A-law, mono IMA ADPCM are; MP3-in-WAV "
-                    "needs a codec library)"
+                    "G.711 u-law/A-law, IMA ADPCM are; MP3-in-WAV needs "
+                    "a codec library)"
                 )
     with wave.open(io.BytesIO(buf), "rb") as wf:
         nch, sw, rate, nframes = (wf.getnchannels(), wf.getsampwidth(),

@@ -993,13 +993,31 @@ def test_g711_wav_container_roundtrip_and_refusal():
     with pytest.raises(NotImplementedError, match="0x55"):
         decode_wav(mp3wav)
 
-    # stereo ADPCM (per-channel nibble interleave) also refuses, by name
-    fmt2 = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 256, 4, 2, 505)
-    st = (b"RIFF" + struct.pack("<I", 40) + b"WAVE"
-          + b"fmt " + struct.pack("<I", len(fmt2)) + fmt2
-          + b"data" + struct.pack("<I", 0))
-    with pytest.raises(NotImplementedError, match="mono"):
-        decode_wav(st)
+def test_adpcm_stereo_deinterleaves_channel_words():
+    """Stereo IMA ADPCM interleaves 4-byte nibble words per channel with
+    independent per-channel header state — the stereo decode must equal
+    the two mono decodes of the de-interleaved streams, frame-interleaved."""
+    import numpy as np
+
+    from cuml_spark.multimodal.codecs import adpcm_ima_decode
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 16, 16)  # ch0 nibbles (4 words)
+    b = rng.randint(0, 16, 16)  # ch1 nibbles
+
+    def pack(nibs):
+        return bytes(int(nibs[i]) | (int(nibs[i + 1]) << 4)
+                     for i in range(0, len(nibs), 2))
+
+    hdr0 = (1000).to_bytes(2, "little") + bytes([20, 0])
+    hdr1 = (0x10000 - 500).to_bytes(2, "little") + bytes([35, 0])
+    pa, pb = pack(a), pack(b)
+    stereo = hdr0 + hdr1 + b"".join(
+        pa[i:i + 4] + pb[i:i + 4] for i in range(0, len(pa), 4))
+    st = adpcm_ima_decode(stereo, len(stereo), nch=2).reshape(-1, 2)
+    m0 = adpcm_ima_decode(hdr0 + pa, 4 + len(pa))
+    m1 = adpcm_ima_decode(hdr1 + pb, 4 + len(pb))
+    assert (st[:, 0] == m0).all() and (st[:, 1] == m1).all()
 
 
 def test_mp4_box_roundtrip_and_probe(spark):
