@@ -490,13 +490,13 @@ _DRIVER_WINDOW = [
     "media_decode_g711",
     "media_probe_mp4",
     "media_decode_adpcm",
+    "doc_repetition",
     # (d) r6-green re-confirmations with the remaining slots (spread across
     # families: cluster, decomposition, manifold, tsa, text, streaming)
     "kmeans_cluster_sizes",
     "dbscan_roles",
     "pca_variance_2d",
     "umap_trust",
-    "tsne_trust",
     "kalman_local_level",
     "streaming_window_stats",
     # everything else (driver-green in r6, unchanged) stays in

@@ -455,6 +455,64 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals over every document
+    (text/repetition.py): duplicate-line fraction, duplicate-line
+    character fraction, dominating word-bigram character share.  The
+    oracle replays the exact definitions with string_split/unnest in
+    DuckDB — full per-doc value parity."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text import repetition_signals
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    out = repetition_signals(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+    )
+
+
+_SQL_DOC_REPETITION = """
+WITH lines AS (
+  SELECT d.doc_id, t.x AS line
+  FROM documents d, unnest(string_split(d.text, chr(10))) AS t(x)
+  WHERE t.x <> ''
+), lc AS (
+  SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2
+), ls AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS nd,
+         sum(c * length(line)) AS ca, sum(length(line)) AS cd
+  FROM lc GROUP BY 1
+), words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws,
+         length(regexp_replace(text, '\\s', '', 'g')) AS wc
+  FROM documents
+), grams AS (
+  SELECT doc_id, wc, ws[i] || ' ' || ws[i + 1] AS g
+  FROM words, unnest(range(1, len(ws))) AS t(i)
+), gc AS (
+  SELECT doc_id, wc, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+), gs AS (
+  SELECT doc_id, max(wc) AS wc, max(c * (length(g) - 1)) AS covered
+  FROM gc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
+       round((ls.n_lines - ls.nd) / nullif(ls.n_lines, 0)::DOUBLE, 6)
+         AS dup_line_frac,
+       round((ls.ca - ls.cd) / nullif(ls.ca, 0)::DOUBLE, 6)
+         AS dup_line_char_frac,
+       round(gs.covered / nullif(gs.wc, 0)::DOUBLE, 6)
+         AS top_2gram_char_frac
+FROM documents d
+LEFT JOIN ls ON ls.doc_id = d.doc_id
+LEFT JOIN gs ON gs.doc_id = d.doc_id
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass with deterministic planted PII: every document
     gets an email, an IP and an SSN derived from its doc_id appended, so
@@ -525,6 +583,7 @@ QUERIES_TEXT = {
     "lang_id": q_lang_id,
     "eval_contamination": q_eval_contamination,
     "pii_scrub": q_pii_scrub,
+    "doc_repetition": q_doc_repetition,
     "knn_embeddings": q_knn_embeddings,
     "cosine_topk": q_cosine_topk,
     "kpss_events": q_kpss_events,
@@ -563,6 +622,7 @@ ORACLES_TEXT = {
     "lang_id": _sql_lang_id(),
     "eval_contamination": _SQL_EVAL_CONTAMINATION,
     "pii_scrub": _sql_pii_scrub(),
+    "doc_repetition": _SQL_DOC_REPETITION,
     "knn_embeddings": _SQL_KNN_EMBEDDINGS,
     "cosine_topk": _SQL_COSINE_TOPK,
     "kpss_events": _SQL_KPSS_EVENTS,

@@ -262,3 +262,31 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[2]["scrubbed"] == rows[2][1]
     assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_ssn"],
             out[2]["n_number"]) == (0, 0, 0, 0)
+
+
+def test_repetition_signals_exact_and_degenerate(spark):
+    """Gopher-style repetition signals (text/repetition.py): exact hand
+    computations on planted docs; empty/null texts survive with zero lines
+    and null fractions; one-line clean docs score 0.0."""
+    from cuml_spark.text import repetition_signals
+
+    rows = [
+        (0, "aa bb\naa bb\ncc dd"),   # one duplicated line, 'aa bb' x2
+        (1, "x y x y x y"),           # dominated by one bigram
+        (2, ""),
+        (3, None),
+        (4, "unique one\nunique two\nunique three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert len(out) == 5
+    r0 = out[0]
+    assert r0["n_lines"] == 3
+    assert abs(r0["dup_line_frac"] - 1 / 3) < 1e-9
+    assert abs(r0["dup_line_char_frac"] - 5 / 15) < 1e-9   # 5 excess of 15
+    assert abs(r0["top_2gram_char_frac"] - 8 / 12) < 1e-9  # 'aa bb' x2
+    assert abs(out[1]["top_2gram_char_frac"] - 1.0) < 1e-9  # 'x y' x3 of 6
+    for k in (2, 3):
+        assert out[k]["n_lines"] == 0 and out[k]["dup_line_frac"] is None
+    assert out[4]["dup_line_frac"] == 0.0
+    assert out[4]["dup_line_char_frac"] == 0.0
