@@ -487,8 +487,10 @@ WITH lines AS (
          sum(c * length(line)) AS ca, sum(length(line)) AS cd
   FROM lc GROUP BY 1
 ), words AS (
-  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws,
-         length(regexp_replace(text, '\\s', '', 'g')) AS wc
+  -- explicit whitespace class matching the Spark side (Java \\s would
+  -- also eat \\x0B; RE2 \\s would not — neither bare \\s is portable)
+  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+') AS ws,
+         length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS wc
   FROM documents
 ), grams AS (
   SELECT doc_id, wc, ws[i] || ' ' || ws[i + 1] AS g
@@ -505,7 +507,7 @@ SELECT d.doc_id,
          AS dup_line_frac,
        round((ls.ca - ls.cd) / nullif(ls.ca, 0)::DOUBLE, 6)
          AS dup_line_char_frac,
-       round(gs.covered / nullif(gs.wc, 0)::DOUBLE, 6)
+       round(least(gs.covered, gs.wc) / nullif(gs.wc, 0)::DOUBLE, 6)
          AS top_2gram_char_frac
 FROM documents d
 LEFT JOIN ls ON ls.doc_id = d.doc_id
@@ -594,6 +596,7 @@ WITH sh AS (
   SELECT DISTINCT doc_id, substr(text, i, 8) AS g
   FROM documents,
        LATERAL (SELECT unnest(generate_series(1, greatest(1, length(text) - 7))) AS i)
+  WHERE text IS NOT NULL
 ),
 ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
 tot AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
@@ -602,11 +605,17 @@ mt AS (
   FROM sh JOIN ev USING (g)
   GROUP BY sh.doc_id
 )
-SELECT t.doc_id,
-       t.n_grams::BIGINT AS n_grams,
+-- anchored on documents so a null-text row survives with n_grams = 0,
+-- n_matched = 0 and a NULL contamination ratio, matching
+-- ngram_contamination's null-text contract (text/contamination.py)
+SELECT d.doc_id,
+       coalesce(t.n_grams, 0)::BIGINT AS n_grams,
        coalesce(m.n_matched, 0)::BIGINT AS n_matched,
-       round(coalesce(m.n_matched, 0) / t.n_grams::DOUBLE, 6) AS contamination
-FROM tot t LEFT JOIN mt m ON m.doc_id = t.doc_id
+       round(coalesce(m.n_matched, 0)
+             / nullif(coalesce(t.n_grams, 0), 0)::DOUBLE, 6) AS contamination
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN mt m ON m.doc_id = d.doc_id
 """
 
 

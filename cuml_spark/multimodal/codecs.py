@@ -648,20 +648,30 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
                 data = payload
         if fmt is not None and len(fmt) >= 16:
             tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
-            if tag in (6, 7) and data is not None:
-                raw = np.frombuffer(data, dtype=np.uint8)
-                lin = ulaw_to_linear(raw) if tag == 7 else alaw_to_linear(raw)
+
+            def _norm_mono(lin: np.ndarray) -> np.ndarray:
+                # shared by the compressed branches: /32768 normalize,
+                # then average interleaved channels down to mono
                 x = lin.astype(np.float64) / 32768.0
                 if nch > 1:
                     x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
-                return x, rate
-            if tag == 0x11 and data is not None:
-                nblock = struct.unpack_from("<H", fmt, 12)[0]
-                lin = adpcm_ima_decode(data, nblock, nch=nch)
-                x = lin.astype(np.float64) / 32768.0
-                if nch > 1:
-                    x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
-                return x, rate
+                return x
+
+            if tag in (6, 7, 0x11):
+                if data is None:
+                    raise ValueError(
+                        f"WAV format tag 0x{tag:02x} is supported but the "
+                        "container has no 'data' chunk (truncated or "
+                        "malformed RIFF)"
+                    )
+                if tag in (6, 7):
+                    raw = np.frombuffer(data, dtype=np.uint8)
+                    lin = (ulaw_to_linear(raw) if tag == 7
+                           else alaw_to_linear(raw))
+                else:
+                    nblock = struct.unpack_from("<H", fmt, 12)[0]
+                    lin = adpcm_ima_decode(data, nblock, nch=nch)
+                return _norm_mono(lin), rate
             if tag not in (1, 3, 0xFFFE):
                 raise NotImplementedError(
                     f"WAV format tag 0x{tag:02x} unsupported (PCM, "

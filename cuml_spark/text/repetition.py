@@ -10,10 +10,18 @@ the DuckDB oracle can replay them):
   fraction of line OCCURRENCES that are repeats of an earlier line.
 - ``dup_line_char_frac``= excess characters in repeated lines / total
   line characters (each line weighted by its length).
-- ``top_2gram_char_frac`` = max over word-bigrams g of
-  count(g) · chars(g) / total word characters — the character share of
+- ``top_2gram_char_frac`` = min(1, max over word-bigrams g of
+  count(g) · chars(g) / total word characters) — the character share of
   the single most dominating bigram (ties resolved by the max of the
-  product, which is itself the quantity of interest).
+  product, which is itself the quantity of interest).  Capped at 1
+  because occurrences of a self-overlapping bigram (``"aa aa aa"``)
+  can nominally cover more characters than the document holds; the
+  filter contract is a fraction in [0, 1].
+
+Words are split on an EXPLICIT whitespace class ``[ \\t\\n\\x0B\\f\\r]``
+rather than ``\\s``: Java regex ``\\s`` includes vertical tab while
+DuckDB's RE2 ``\\s`` does not, and the oracle must replay the exact
+tokenization.
 
 Not in the cuML reference (dense-matrix data model); first-class here like
 the dedup tier (text/dedup.py).
@@ -58,7 +66,9 @@ def repetition_signals(
     words = df.select(
         F.col(id_col),
         F.filter(
-            F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+            # explicit class: Java \s would also eat \x0B, RE2 \s won't
+            F.split(F.col(text_col), "[ \\t\\n\\x0B\\f\\r]+"),
+            lambda x: x != "",
         ).alias("__w"),
     )
     bigrams = words.select(
@@ -99,8 +109,12 @@ def repetition_signals(
                 F.col("__chars_all") - F.col("__chars_distinct"),
                 F.col("__chars_all"),
             ).alias("dup_line_char_frac"),
+            # clamp the NUMERATOR (not the ratio): least() skips nulls in
+            # both engines, so least(1.0, null-ratio) would turn wordless
+            # docs into 1.0 instead of the contractual null
             F.try_divide(
-                F.col("__top_covered"), F.col("__word_chars")
+                F.least(F.col("__top_covered"), F.col("__word_chars")),
+                F.col("__word_chars"),
             ).alias("top_2gram_char_frac"),
         )
     )

@@ -1,5 +1,11 @@
-"""Ad-hoc single-query timer for perf work: mimics bench.py's protocol
-(shared session, warm second run, min-of-2) for a named subset of queries.
+"""Ad-hoc single-query timer for perf work: shared warm session, THREE
+timed runs per query, min-of-3 reported.
+
+NOT the bench.py protocol: bench runs each query twice with an untimed
+System.gc() between queries, so numbers from this tool are systematically
+a bit faster (extra warm run, no GC pause attribution) and must not be
+compared against bench_results.json — use it only to A/B two plans within
+one invocation.
 
 Usage: python scripts/time_queries.py eval_contamination fil_score ...
 """
@@ -35,15 +41,15 @@ def main() -> None:
 
     for name in names:
         fn = QUERIES[name]
-        pair = []
+        runs = []
         for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             rows = df.collect()
-            pair.append(round(time.time() - t0, 3))
+            runs.append(round(time.time() - t0, 3))
             del rows
         spark.catalog.clearCache()
-        print(f"{name}: runs={pair} min={min(pair)}")
+        print(f"{name}: runs={runs} min={min(runs)}")
 
 
 if __name__ == "__main__":

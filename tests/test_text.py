@@ -276,10 +276,20 @@ def test_repetition_signals_exact_and_degenerate(spark):
         (2, ""),
         (3, None),
         (4, "unique one\nunique two\nunique three"),
+        (5, "aa aa aa"),              # self-overlapping bigram: clamp to 1
+        (6, "vert\x0btab one two one two"),  # \x0B splits on BOTH engines
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
-    assert len(out) == 5
+    assert len(out) == 7
+    # 'aa aa' occurs twice covering nominally 8 of 6 word chars — the
+    # fraction contract is [0, 1], so it clamps to exactly 1.0
+    assert out[5]["top_2gram_char_frac"] == 1.0
+    # Java \s includes vertical tab, RE2 \s does not — the explicit class
+    # [ \t\n\x0B\f\r] pins ONE behavior (split) for both engines:
+    # words = [vert(4), tab(3), one, two, one, two] → word_chars = 19,
+    # top bigram 'one two' x2 covers 12 → exactly 12/19
+    assert abs(out[6]["top_2gram_char_frac"] - 12 / 19) < 1e-9
     r0 = out[0]
     assert r0["n_lines"] == 3
     assert abs(r0["dup_line_frac"] - 1 / 3) < 1e-9
