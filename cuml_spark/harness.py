@@ -491,6 +491,7 @@ _DRIVER_WINDOW = [
     "media_probe_mp4",
     "media_decode_adpcm",
     "doc_repetition",
+    "pq_search_exact",
     # (d) r6-green re-confirmations with the remaining slots (spread across
     # families: cluster, decomposition, manifold, tsa, text, streaming)
     "kmeans_cluster_sizes",
@@ -498,7 +499,8 @@ _DRIVER_WINDOW = [
     "pca_variance_2d",
     "umap_trust",
     "kalman_local_level",
-    "streaming_window_stats",
+    # (streaming_window_stats rotated out to keep 50 slots: r6-green,
+    # streaming/pipeline.py untouched since)
     # everything else (driver-green in r6, unchanged) stays in
     # queries()/bench — only the 50-slot verification window moves
 ]

@@ -119,14 +119,71 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_pq_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index driven through a provably-lossless configuration (the
+    `ivf_search_exact` trick, adapted): embeddings are sign-quantized to
+    ±1 in the query itself, so each 8-dim subspace has ≤ 2⁸ = 256 distinct
+    subvectors and the ksub=256 codebook stores every one of them exactly
+    (similarity/pq.py lossless branch).  ADC then reproduces brute-force
+    cosine BIT-EXACTLY: inner products of ±1 vectors are integers, norms
+    are exactly 8, and /64 is a power-of-two division — so the oracle is
+    plain exact KNN over the sign vectors, and any defect in training,
+    encoding, the LUT gather, or the top-k surfaces as a hash mismatch.
+    Train frac is 1.0 here so the codebook sees every subvector; at real
+    scale PQ trains on a sample and is approximate by design.
+    """
+    from cuml_spark.similarity.pq import PQIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> CASE WHEN x >= 0D THEN 1.0D ELSE -1.0D END)"
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    idx = PQIndex(m=8, ksub=256, train_size=10**9, seed=3).fit(emb)
+    out = idx.search(queries, k=5, metric="cosine")
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("cos_sim"), "rank"
+    )
+
+
+_SQL_PQ_EXACT = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.v, e.v)
+         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+           AS cos_sim
+  FROM q JOIN e ON q.vec_id != e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES_SIMILARITY = {
     "neardup_pairs": q_neardup_pairs,
     "pipeline_neardup_groups": q_pipeline_neardup_groups,
     "ivf_search_exact": q_ivf_search_exact,
+    "pq_search_exact": q_pq_search_exact,
 }
 
 ORACLES_SIMILARITY = {
     "neardup_pairs": _SQL_NEARDUP,
     "pipeline_neardup_groups": _SQL_PIPELINE_NEARDUP_GROUPS,
     "ivf_search_exact": _SQL_IVF_EXACT,
+    "pq_search_exact": _SQL_PQ_EXACT,
 }
