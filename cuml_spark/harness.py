@@ -492,15 +492,16 @@ _DRIVER_WINDOW = [
     "media_decode_adpcm",
     "doc_repetition",
     "pq_search_exact",
+    "c4_line_stats",
+    "span_dedup",
     # (d) r6-green re-confirmations with the remaining slots (spread across
     # families: cluster, decomposition, manifold, tsa, text, streaming)
-    "kmeans_cluster_sizes",
-    "dbscan_roles",
     "pca_variance_2d",
     "umap_trust",
     "kalman_local_level",
-    # (streaming_window_stats rotated out to keep 50 slots: r6-green,
-    # streaming/pipeline.py untouched since)
+    # (streaming_window_stats, kmeans_cluster_sizes, dbscan_roles rotated
+    # out to keep 50 slots: all r6-green, implementation files untouched
+    # since — slots went to the never-verified new queries above)
     # everything else (driver-green in r6, unchanged) stays in
     # queries()/bench — only the 50-slot verification window moves
 ]

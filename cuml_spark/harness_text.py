@@ -515,6 +515,147 @@ LEFT JOIN gs ON gs.doc_id = d.doc_id
 """
 
 
+def q_c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filtering (text/c4.py) over deterministically planted
+    multi-line pages (the synthetic documents are single-line, so the
+    query manufactures lines the way q_pii_scrub plants PII): every doc
+    gets a kept line, a too-short line, an unpunctuated line, a
+    doc_id-dependent blocklist-or-kept line, and a kept question line.
+    The oracle replays the exact construction and filter rules; the
+    cleaned text is md5-compared, so rule order and joining are pinned."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.c4 import c4_line_filter
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.expr("substring(text, 1, 40)"), F.lit(".\n"),
+            F.lit("short one.\n"),
+            F.expr("substring(text, 41, 40)"), F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("this long line mentions javascript frameworks today."),
+            ).otherwise(F.concat(F.expr("substring(text, 81, 40)"), F.lit("!"))),
+            F.lit("\n"),
+            F.expr("substring(text, 121, 40)"), F.lit("?"),
+        ).alias("text"),
+    )
+    out = c4_line_filter(planted)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "n_drop_punct", "n_drop_short",
+        "n_drop_blocklist", "page_kept",
+        F.md5(F.col("cleaned_text").cast("binary")).alias("cleaned_md5"),
+    )
+
+
+_SQL_C4_LINE_STATS = """
+WITH planted AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || '.' || chr(10)
+         || 'short one.' || chr(10)
+         || substr(text, 41, 40) || chr(10)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN 'this long line mentions javascript frameworks today.'
+                 ELSE substr(text, 81, 40) || '!' END || chr(10)
+         || substr(text, 121, 40) || '?' AS text
+  FROM documents
+), lx AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM planted
+), fl AS (
+  SELECT doc_id, ls,
+    list_filter(ls, x -> regexp_matches(x, '[.!?"][ \\t]*$')
+      AND len(list_filter(regexp_split_to_array(x, '[ \\t\\n\\x0B\\f\\r]+'),
+                          w -> w <> '')) >= 5
+      AND NOT (contains(lower(x), 'lorem ipsum')
+               OR contains(lower(x), 'javascript')
+               OR contains(lower(x), 'cookie')
+               OR contains(x, '{'))) AS kept,
+    list_filter(ls, x -> NOT regexp_matches(x, '[.!?"][ \\t]*$')) AS pf,
+    list_filter(ls, x -> regexp_matches(x, '[.!?"][ \\t]*$')
+      AND len(list_filter(regexp_split_to_array(x, '[ \\t\\n\\x0B\\f\\r]+'),
+                          w -> w <> '')) < 5) AS sf
+  FROM lx
+)
+SELECT doc_id,
+       len(ls)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       len(pf)::BIGINT AS n_drop_punct,
+       len(sf)::BIGINT AS n_drop_short,
+       (len(ls) - len(kept) - len(pf) - len(sf))::BIGINT AS n_drop_blocklist,
+       len(kept) >= 3 AS page_kept,
+       md5(array_to_string(kept, chr(10))) AS cleaned_md5
+FROM fl
+"""
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup (text/c4.py) over planted lines:
+    docs sharing ``doc_id % 7`` share their first three lines (their lead
+    span is an exact corpus-level duplicate, keep-first by doc_id), the
+    trailing line is per-doc unique, and every ``doc_id % 11 == 0`` doc
+    has only two lines (zero spans — pins the descending-sequence guard).
+    """
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.c4 import span_dedup_stats
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    cls = (F.col("doc_id") % 7).cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("lead "), cls, F.lit("\nonly two lines ") ,
+                     F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("shared "), cls, F.lit(" alpha\n"),
+                F.lit("shared "), cls, F.lit(" beta\n"),
+                F.lit("shared "), cls, F.lit(" gamma\n"),
+                F.lit("unique tail "), F.col("doc_id").cast("string"),
+            )
+        ).alias("text"),
+    )
+    return span_dedup_stats(planted)
+
+
+_SQL_SPAN_DEDUP = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN 'lead ' || (doc_id % 7)::VARCHAR || chr(10)
+                   || 'only two lines ' || doc_id::VARCHAR
+              ELSE 'shared ' || (doc_id % 7)::VARCHAR || ' alpha' || chr(10)
+                   || 'shared ' || (doc_id % 7)::VARCHAR || ' beta' || chr(10)
+                   || 'shared ' || (doc_id % 7)::VARCHAR || ' gamma' || chr(10)
+                   || 'unique tail ' || doc_id::VARCHAR END AS text
+  FROM documents
+), lx AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM planted
+), occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(ls[i:i+2], chr(10)) AS span
+  FROM lx, unnest(range(1, len(ls) - 1)) AS t(i)
+), marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) > 1 AS dup
+  FROM occ
+), st AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(st.n_dup_spans, 0)::BIGINT AS n_dup_spans
+FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass with deterministic planted PII: every document
     gets an email, an IP and an SSN derived from its doc_id appended, so
@@ -586,6 +727,8 @@ QUERIES_TEXT = {
     "eval_contamination": q_eval_contamination,
     "pii_scrub": q_pii_scrub,
     "doc_repetition": q_doc_repetition,
+    "c4_line_stats": q_c4_line_stats,
+    "span_dedup": q_span_dedup,
     "knn_embeddings": q_knn_embeddings,
     "cosine_topk": q_cosine_topk,
     "kpss_events": q_kpss_events,
@@ -632,6 +775,8 @@ ORACLES_TEXT = {
     "eval_contamination": _SQL_EVAL_CONTAMINATION,
     "pii_scrub": _sql_pii_scrub(),
     "doc_repetition": _SQL_DOC_REPETITION,
+    "c4_line_stats": _SQL_C4_LINE_STATS,
+    "span_dedup": _SQL_SPAN_DEDUP,
     "knn_embeddings": _SQL_KNN_EMBEDDINGS,
     "cosine_topk": _SQL_COSINE_TOPK,
     "kpss_events": _SQL_KPSS_EVENTS,

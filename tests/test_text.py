@@ -300,3 +300,65 @@ def test_repetition_signals_exact_and_degenerate(spark):
         assert out[k]["n_lines"] == 0 and out[k]["dup_line_frac"] is None
     assert out[4]["dup_line_frac"] == 0.0
     assert out[4]["dup_line_char_frac"] == 0.0
+
+
+def test_c4_line_filter_rules_and_attribution(spark):
+    """C4-style line filter (text/c4.py): rule semantics, first-failing-rule
+    drop attribution (counts must sum to n_lines - n_kept), page_kept
+    threshold, null-text survival."""
+    from cuml_spark.text.c4 import c4_line_filter
+
+    rows = [
+        (0, "A perfectly fine long sentence ends here.\n"      # kept
+            "too short.\n"                                     # short
+            "this has no terminal punctuation at all\n"        # punct
+            "a long line that mentions javascript frameworks.\n"  # blocklist
+            'He said the quoted line ends with a quote."'),    # kept (quote)
+        (1, None),
+        (2, ""),
+        (3, "One good long kept sentence number one.\n"
+            "One good long kept sentence number two.\n"
+            "One good long kept sentence number three."),      # page_kept
+        (4, "code line with brace { inside it ok.\n"
+            "short.\nbad\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert len(out) == 5
+    r0 = out[0]
+    assert (r0["n_lines"], r0["n_kept"]) == (5, 2)
+    assert (r0["n_drop_punct"], r0["n_drop_short"], r0["n_drop_blocklist"]) == (1, 1, 1)
+    assert not r0["page_kept"]  # 2 kept < 3
+    assert r0["cleaned_text"].count("\n") == 1  # two kept lines joined
+    assert out[1]["n_lines"] == 0 and out[1]["cleaned_text"] is None
+    assert not out[1]["page_kept"]
+    assert out[2]["n_lines"] == 0 and out[2]["cleaned_text"] == ""
+    assert out[3]["page_kept"] and out[3]["n_kept"] == 3
+    r4 = out[4]
+    # '{' line passes punct+words but hits the blocklist rule
+    assert r4["n_drop_blocklist"] == 1
+    for r in out.values():  # attribution closes exactly
+        assert (r["n_drop_punct"] + r["n_drop_short"] + r["n_drop_blocklist"]
+                == r["n_lines"] - r["n_kept"])
+
+
+def test_span_dedup_keep_first_and_degenerate(spark):
+    """Cross-doc span dedup (text/c4.py): an identical 3-line span in a
+    later doc is the duplicate (keep-first by doc_id); docs with < 3
+    lines, empty or null text have zero spans (pins the Spark descending-
+    sequence(1,0) guard); an in-doc repeated span dedups against itself."""
+    from cuml_spark.text.c4 import span_dedup_stats
+
+    rows = [
+        (0, "a.\nb.\nc.\nd."),                    # spans (a,b,c),(b,c,d)
+        (1, "a.\nb.\nc.\nz."),                    # (a,b,c) dup of doc 0's
+        (2, "x.\ny."),                            # < 3 lines → 0 spans
+        (3, None),
+        (4, ""),
+        (5, "r.\nr.\nr.\nr.\nr."),                # 3 identical spans in-doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+           for r in span_dedup_stats(df).collect()}
+    assert out == {0: (2, 0), 1: (2, 1), 2: (0, 0), 3: (0, 0), 4: (0, 0),
+                   5: (3, 2)}
