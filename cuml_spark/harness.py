@@ -494,14 +494,15 @@ _DRIVER_WINDOW = [
     "pq_search_exact",
     "c4_line_stats",
     "span_dedup",
+    "ivfpq_search_exact",
     # (d) r6-green re-confirmations with the remaining slots (spread across
     # families: cluster, decomposition, manifold, tsa, text, streaming)
     "pca_variance_2d",
     "umap_trust",
-    "kalman_local_level",
-    # (streaming_window_stats, kmeans_cluster_sizes, dbscan_roles rotated
-    # out to keep 50 slots: all r6-green, implementation files untouched
-    # since — slots went to the never-verified new queries above)
+    # (streaming_window_stats, kmeans_cluster_sizes, dbscan_roles,
+    # kalman_local_level rotated out to keep 50 slots: all r6-green,
+    # implementation files untouched since — slots went to the
+    # never-verified new queries above)
     # everything else (driver-green in r6, unchanged) stays in
     # queries()/bench — only the 50-slot verification window moves
 ]

@@ -174,11 +174,38 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ivfpq_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition under BOTH exactness levers at once: nprobe =
+    nlist (every list probed — the `ivf_search_exact` trick) and
+    sign-quantized input (lossless PQ codebooks — the `pq_search_exact`
+    trick).  Routing, the probe join, ADC code scoring and ranking must
+    then reproduce brute-force cosine bit-exactly, so the oracle is the
+    same exact-KNN SQL as `pq_search_exact`."""
+    from cuml_spark.similarity import IVFPQIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> CASE WHEN x >= 0D THEN 1.0D ELSE -1.0D END)"
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    idx = IVFPQIndex(
+        nlist=4, nprobe=4, m=8, ksub=256, train_size=10**9, seed=5
+    ).fit(emb)
+    out = idx.search(queries, k=5, metric="cosine")
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("cos_sim"), "rank"
+    )
+
+
 QUERIES_SIMILARITY = {
     "neardup_pairs": q_neardup_pairs,
     "pipeline_neardup_groups": q_pipeline_neardup_groups,
     "ivf_search_exact": q_ivf_search_exact,
     "pq_search_exact": q_pq_search_exact,
+    "ivfpq_search_exact": q_ivfpq_search_exact,
 }
 
 ORACLES_SIMILARITY = {
@@ -186,4 +213,5 @@ ORACLES_SIMILARITY = {
     "pipeline_neardup_groups": _SQL_PIPELINE_NEARDUP_GROUPS,
     "ivf_search_exact": _SQL_IVF_EXACT,
     "pq_search_exact": _SQL_PQ_EXACT,
+    "ivfpq_search_exact": _SQL_PQ_EXACT,
 }

@@ -1,5 +1,6 @@
 from cuml_spark.similarity.ivf import IVFIndex
+from cuml_spark.similarity.ivfpq import IVFPQIndex
 from cuml_spark.similarity.neardup import embedding_near_duplicates
 from cuml_spark.similarity.pq import PQIndex
 
-__all__ = ["IVFIndex", "PQIndex", "embedding_near_duplicates"]
+__all__ = ["IVFIndex", "IVFPQIndex", "PQIndex", "embedding_near_duplicates"]

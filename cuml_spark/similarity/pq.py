@@ -44,6 +44,28 @@ from cuml_spark.core.base import Base
 from cuml_spark.similarity.ivf import _kmeans_codebook
 
 
+def train_pq_codebooks(X: np.ndarray, m: int, ksub: int, iters: int,
+                       seed: int) -> np.ndarray:
+    """(m, ksub, d/m) per-subspace codebooks from a training matrix.
+    A subspace whose distinct subvectors fit in ``ksub`` entries stores
+    them verbatim (lossless; unused tail entries repeat the first value so
+    argmin never prefers an all-zero phantom); otherwise k-means."""
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        uniq = np.unique(sub, axis=0)
+        if len(uniq) <= ksub:
+            books[j, :len(uniq)] = uniq
+            books[j, len(uniq):] = uniq[0]
+        else:
+            books[j, :] = _kmeans_codebook(sub.copy(), ksub, iters, seed + j)
+    return books
+
+
 class PQIndex(Base):
     def __init__(self, m: int = 8, ksub: int = 256, train_size: int = 2000,
                  kmeans_iters: int = 10, seed: int = 42,
@@ -72,24 +94,10 @@ class PQIndex(Base):
             sample = pts.limit(self.train_size).toPandas()
         X = np.vstack(sample["v"].to_numpy())
         d = X.shape[1]
-        if d % self.m:
-            raise ValueError(f"dim {d} not divisible by m={self.m}")
-        dsub = d // self.m
-        self.d_, self.dsub_ = d, dsub
-
-        books = np.zeros((self.m, self.ksub, dsub))
-        for j in range(self.m):
-            sub = X[:, j * dsub:(j + 1) * dsub]
-            uniq = np.unique(sub, axis=0)
-            if len(uniq) <= self.ksub:
-                # lossless: every observed subvector is its own codeword
-                # (unused tail entries stay at the first value so argmin
-                # never selects an all-zero phantom over a real codeword)
-                books[j, :len(uniq)] = uniq
-                books[j, len(uniq):] = uniq[0]
-            else:
-                books[j, :] = _kmeans_codebook(
-                    sub.copy(), self.ksub, self.kmeans_iters, self.seed + j)
+        self.d_, self.dsub_ = d, d // self.m
+        dsub = self.dsub_
+        books = train_pq_codebooks(
+            X, self.m, self.ksub, self.kmeans_iters, self.seed)
         self.codebooks_ = books
         # per-codeword squared norms → exact ‖v̂‖² by summing over subspaces
         self._code_sqnorms = (books ** 2).sum(-1)  # (m, ksub)

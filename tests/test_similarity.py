@@ -156,6 +156,60 @@ def test_pq_guards(embeddings, spark):
         idx.search(emb.filter(F.col("vec_id") < 5), k=3, metric="l1")
 
 
+def test_ivfpq_exact_config_equals_brute(embeddings):
+    """nprobe = nlist AND sign-quantized input ⇒ the IVF-PQ composition is
+    exact end-to-end (routing, probe join, ADC code scoring, ranking)."""
+    from cuml_spark.similarity import IVFPQIndex
+
+    emb = embeddings.select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> CASE WHEN x >= 0D THEN 1.0D ELSE -1.0D END)"
+        ).alias("embedding"),
+    ).cache()
+    queries = emb.filter(F.col("vec_id") < 15)
+    truth = cosine_topk(emb, queries, k=5).toPandas().sort_values(
+        ["query_id", "rank"]
+    )
+    idx = IVFPQIndex(
+        nlist=4, nprobe=4, m=8, ksub=256, train_size=10**9, seed=5
+    ).fit(emb)
+    got = idx.search(queries, k=5, metric="cosine").toPandas().sort_values(
+        ["query_id", "rank"]
+    )
+    assert np.allclose(got["score"].to_numpy(), truth["cos_sim"].to_numpy())
+    got_sets = got.groupby("query_id")["neighbor_id"].apply(set)
+    tr_sets = truth.groupby("query_id")["neighbor_id"].apply(set)
+    for q in tr_sets.index:
+        assert got_sets[q] == tr_sets[q]
+
+
+def test_ivfpq_pruned_recall(embeddings):
+    """Real operating point: nprobe < nlist prunes the scan AND codes are
+    lossy — recall degrades gracefully, not catastrophically."""
+    from cuml_spark.similarity import IVFPQIndex
+
+    emb = embeddings.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).cache()
+    queries = emb.filter(F.col("vec_id") < 30)
+    truth = cosine_topk(emb, queries, k=5).toPandas()
+    idx = IVFPQIndex(
+        nlist=8, nprobe=4, m=16, ksub=128, train_size=400, seed=9
+    ).fit(emb)
+    approx = idx.search(queries, k=5, metric="cosine").toPandas()
+    t_sets = truth.groupby("query_id")["neighbor_id"].apply(set)
+    a_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(t_sets[q] & a_sets.get(q, set())) / len(t_sets[q])
+        for q in t_sets.index
+    ]
+    # nprobe/nlist = 1/2 of the data scanned, 16-byte codes: both cuts
+    # cost recall; the floor guards against the composition being broken
+    assert np.mean(recalls) > 0.3, np.mean(recalls)
+
+
 def test_neardup_default_is_lsh_and_brute_refuses_at_scale(dup_vecs):
     """The all-pairs brute mode broadcasts the whole packed table — it must
     refuse above max_brute_rows, and the operator default must be the LSH
