@@ -252,3 +252,35 @@ def test_pickle_mae_forest(spark, xy):
     m2 = _roundtrip(m)
     assert _rows(m.predict(xy, COLS), ["prediction"]) == \
         _rows(m2.predict(xy, COLS), ["prediction"])
+
+
+def test_saveload_pq(spark, tmp_path):
+    from cuml_spark.similarity import PQIndex
+
+    rng = np.random.RandomState(4)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=8)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = PQIndex(m=4, ksub=16, train_size=80, seed=1).fit(emb)
+    idx.save(str(tmp_path / "pq"))
+    idx2 = PQIndex.load(str(tmp_path / "pq"), spark)
+    q = emb.where(F.col("vec_id") < 5)
+    assert _rows(idx.search(q, k=3, metric="cosine"), ["query_id", "neighbor_id"]) == \
+        _rows(idx2.search(q, k=3, metric="cosine"), ["query_id", "neighbor_id"])
+
+
+def test_saveload_ivfpq(spark, tmp_path):
+    from cuml_spark.similarity import IVFPQIndex
+
+    rng = np.random.RandomState(5)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=8)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IVFPQIndex(nlist=4, nprobe=4, m=4, ksub=16, train_size=80, seed=1).fit(emb)
+    idx.save(str(tmp_path / "ivfpq"))
+    idx2 = IVFPQIndex.load(str(tmp_path / "ivfpq"), spark)
+    q = emb.where(F.col("vec_id") < 5)
+    assert _rows(idx.search(q, k=3, metric="cosine"), ["query_id", "neighbor_id"]) == \
+        _rows(idx2.search(q, k=3, metric="cosine"), ["query_id", "neighbor_id"])
