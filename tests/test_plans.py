@@ -191,3 +191,51 @@ def test_right_size_coalesces_small_and_passes_large(spark):
         "id", "cast(id as string) as s"
     )
     assert right_size(big).rdd.getNumPartitions() == 32
+
+
+def test_c4_line_filter_map_only(spark):
+    """The C4 line filter is a pure projection — zero shuffles, and the
+    scan prunes to the referenced columns (text/c4.py's 100 TB claim:
+    a cleaning pass is a map-only scan)."""
+    from cuml_spark.text.c4 import c4_line_filter
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = c4_line_filter(documents)
+    assert _n_shuffles(out) == 0
+    schemas = _read_schemas(out)
+    assert schemas and all("lang" not in s for s in schemas)
+
+
+def test_span_dedup_hash_only_shuffles(spark):
+    """Span dedup's exchanges must carry the 16-byte md5 (+ id/pos), never
+    span text: the global keep-first window and the per-doc agg are the
+    only shuffles, and '__span' is projected away before any exchange."""
+    from cuml_spark.text.c4 import span_dedup_stats
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = span_dedup_stats(documents)
+    plan = _plan(out)
+    # window over __h + groupBy __doc + the final join's two sides
+    assert _n_shuffles(out) <= 4
+    ex_inputs = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert ex_inputs and all("__span" not in e for e in ex_inputs)
+
+
+def test_pq_search_no_rowscale_shuffle(spark):
+    """PQ ADC search: the index side streams through mapInPandas with NO
+    exchange before it (scoring is map-only); the only hash shuffle is the
+    top-k window over the k+1-per-partition survivors."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from cuml_spark.similarity import PQIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx = PQIndex(m=8, ksub=16, train_size=200, seed=1).fit(emb)
+    out = idx.search(emb.filter(F.col("vec_id") < 5), k=3)
+    plan = _plan(out)
+    # exactly one hash shuffle: the window's partitionBy(query_id)
+    assert _n_shuffles(out) == 1
+    assert "query_id" in re.search(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan
+    ).group(1)
