@@ -26,12 +26,17 @@ tokenization.
 Not in the cuML reference (dense-matrix data model); first-class here like
 the dedup tier (text/dedup.py).
 
-Scale shape: lines/bigrams are exploded and aggregated KEYED BY DOC — a
-doc's text lives in one row, so map-side partial aggregation collapses
-each (doc, token) group within its partition and shuffle volume is
-O(sum of per-doc distincts), never O(corpus characters).  Per-row
-higher-order-function variants were rejected: counting duplicates in-row
-is O(tokens²) per document, which dies on long documents at 100 TB.
+Scale shape: everything computes IN-ROW — the doc's line/bigram array is
+``array_sort``-ed and duplicate runs are folded with one ``aggregate``
+higher-order function, O(t log t) per document, ZERO shuffle: a
+repetition pass over 100 TB is a map-only scan, like the quality/PII
+tier.  (An earlier version exploded tokens and aggregated keyed-by-doc —
+right shuffle volume at scale but a measured 4 s of shuffle machinery at
+sf0.1 for work each row can do locally.  A naive in-row count-per-token
+WOULD be O(tokens²); the sort-then-run-fold is what makes in-row cheap.)
+Only EQUALITY of sorted neighbors matters, so Spark/DuckDB collation
+differences in sort order are irrelevant — any total order groups
+identical strings adjacently.
 """
 
 from __future__ import annotations
@@ -39,82 +44,89 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# fold a SORTED string array into (n_distinct, distinct_char_sum,
+# best_run_cover): one pass, struct accumulator.  best_run_cover is
+# max over runs of run_length · (length(element) − 1) — the bigram
+# "covered chars excluding the joiner" objective; line stats ignore it.
+_RUN_FOLD = (
+    "aggregate({arr}, "
+    "named_struct('prev', cast(null as string), 'run', 0L, "
+    "             'nd', 0L, 'dchars', 0L, 'best', 0L), "
+    "(a, x) -> CASE WHEN a.prev IS NOT NULL AND x = a.prev THEN "
+    "  named_struct('prev', x, 'run', a.run + 1L, 'nd', a.nd, "
+    "               'dchars', a.dchars, "
+    "               'best', greatest(a.best, (a.run + 1L) * (length(x) - 1L))) "
+    "ELSE "
+    "  named_struct('prev', x, 'run', 1L, 'nd', a.nd + 1L, "
+    "               'dchars', a.dchars + length(x), "
+    "               'best', greatest(a.best, length(x) - 1L)) END)"
+)
+
 
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """→ (id_col, n_lines, dup_line_frac, dup_line_char_frac,
     top_2gram_char_frac).  Empty/whitespace-only texts yield zero lines
-    and null fractions (no ratio to take)."""
-    # ---- line-level duplicates --------------------------------------
-    lines = df.select(
+    and null fractions (no ratio to take); null texts survive likewise."""
+    # Regexes stay Python-side strings handed to the DataFrame API: routing
+    # them through an F.expr SQL literal would re-apply SQL escape rules,
+    # which silently turn \x0B into the three literal chars 'x0B'.
+    lines = F.array_sort(
+        F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    )
+    # explicit class: Java \s would also eat \x0B, RE2 \s won't
+    words = F.filter(
+        F.split(F.col(text_col), "[ \\t\\n\\x0B\\f\\r]+"), lambda x: x != ""
+    )
+    lf = _RUN_FOLD.format(arr="__sl")
+    gf = _RUN_FOLD.format(arr="__sg")
+    staged = df.select(
         F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
-        ).alias("__line"),
-    )
-    per_line = lines.groupBy(id_col, "__line").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    line_stats = per_line.groupBy(id_col).agg(
-        F.sum("__c").alias("n_lines"),
-        F.count(F.lit(1)).alias("__n_distinct"),
-        F.sum(F.col("__c") * F.length("__line")).alias("__chars_all"),
-        F.sum(F.length("__line")).alias("__chars_distinct"),
-    )
-    # ---- dominating word-bigram -------------------------------------
-    words = df.select(
+        lines.alias("__sl"),
+        words.alias("__w"),
+    ).select(
         F.col(id_col),
-        F.filter(
-            # explicit class: Java \s would also eat \x0B, RE2 \s won't
-            F.split(F.col(text_col), "[ \\t\\n\\x0B\\f\\r]+"),
-            lambda x: x != "",
-        ).alias("__w"),
-    )
-    bigrams = words.select(
-        id_col,
-        F.aggregate(
-            "__w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        ).alias("__word_chars"),
-        F.explode(
+        F.col("__sl"),
+        F.col("__w"),
+        F.array_sort(
             F.zip_with(
                 F.slice("__w", 1, F.greatest(F.size("__w") - 1, F.lit(0))),
                 F.slice("__w", 2, F.greatest(F.size("__w") - 1, F.lit(0))),
-                lambda a, b: F.concat_ws(" ", a, b),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             )
-        ).alias("__g"),
-    )
-    per_gram = bigrams.groupBy(id_col, "__word_chars", "__g").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    gram_stats = per_gram.groupBy(id_col).agg(
-        F.first("__word_chars").alias("__word_chars"),
-        F.max(
-            F.col("__c") * (F.length("__g") - 1)  # chars excl. the joiner
+        ).alias("__sg"),
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.size("__sl"), F.lit(0)).cast("long").alias("n_lines"),
+        F.expr(lf).alias("__lr"),
+        F.expr(
+            "aggregate(__sl, 0L, (a, x) -> a + length(x))"
+        ).alias("__chars_all"),
+        F.expr(
+            "aggregate(__w, 0L, (a, x) -> a + length(x))"
+        ).alias("__word_chars"),
+        # empty bigram array must yield NULL cover (single-word docs have
+        # no bigram share to take), not the fold's 0 initializer
+        F.expr(
+            f"CASE WHEN size(__sg) > 0 THEN {gf}.best END"
         ).alias("__top_covered"),
     )
-    # left-join from the corpus ids so empty/whitespace-only (or null)
-    # texts keep their row with n_lines = 0 and null fractions
-    base = df.select(id_col)
-    return (
-        base.join(line_stats, id_col, "left")
-        .join(gram_stats, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-            F.try_divide(
-                F.col("n_lines") - F.col("__n_distinct"), F.col("n_lines")
-            ).alias("dup_line_frac"),
-            F.try_divide(
-                F.col("__chars_all") - F.col("__chars_distinct"),
-                F.col("__chars_all"),
-            ).alias("dup_line_char_frac"),
-            # clamp the NUMERATOR (not the ratio): least() skips nulls in
-            # both engines, so least(1.0, null-ratio) would turn wordless
-            # docs into 1.0 instead of the contractual null
-            F.try_divide(
-                F.least(F.col("__top_covered"), F.col("__word_chars")),
-                F.col("__word_chars"),
-            ).alias("top_2gram_char_frac"),
-        )
+    return staged.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.try_divide(
+            F.col("n_lines") - F.col("__lr.nd"), F.col("n_lines")
+        ).alias("dup_line_frac"),
+        F.try_divide(
+            F.col("__chars_all") - F.col("__lr.dchars"),
+            F.col("__chars_all"),
+        ).alias("dup_line_char_frac"),
+        # clamp the NUMERATOR (not the ratio): least() skips nulls in
+        # both engines, so least(1.0, null-ratio) would turn wordless
+        # docs into 1.0 instead of the contractual null
+        F.try_divide(
+            F.least(F.col("__top_covered"), F.col("__word_chars")),
+            F.col("__word_chars"),
+        ).alias("top_2gram_char_frac"),
     )

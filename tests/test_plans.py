@@ -206,6 +206,19 @@ def test_c4_line_filter_map_only(spark):
     assert schemas and all("lang" not in s for s in schemas)
 
 
+def test_repetition_signals_map_only(spark):
+    """Repetition signals compute in-row (sorted-array run fold) — zero
+    shuffles, pruned scan (text/repetition.py's 100 TB claim: a
+    repetition pass is a map-only scan, not an explode+groupBy)."""
+    from cuml_spark.text import repetition_signals
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = repetition_signals(documents)
+    assert _n_shuffles(out) == 0
+    schemas = _read_schemas(out)
+    assert schemas and all("lang" not in s for s in schemas)
+
+
 def test_span_dedup_hash_only_shuffles(spark):
     """Span dedup's exchanges must carry the 16-byte md5 (+ id/pos), never
     span text: the global keep-first window and the per-doc agg are the
