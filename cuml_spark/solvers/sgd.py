@@ -5,14 +5,30 @@ learning-rate schedules cpp/src/solver/learning_rate.h).
 Losses: squared_loss, log, hinge; penalties none/l1/l2/elasticnet; schedules
 constant / invscaling / adaptive.
 
-Spark-native shape: every step computes the (sub)gradient as ONE distributed
-aggregation — per-row gradient contributions are JVM column expressions with
-the current weights folded in as literals, so a step is a map-side-combined
-``agg`` (the treeAggregate pattern MLlib itself uses), not a Python loop over
-rows.  ``batch_fraction < 1`` samples a mini-batch per step with a
-step-seeded Bernoulli sample (the reference's batch_size knob, sgd.pyx:205).
+Spark-native shape, two tiers:
+
+* **squared_loss (fused)** — the gradient is LINEAR in ``(w, b)``, so it is a
+  function of batch sufficient statistics ``(n, Σy, Σx_j, Σx_j·y, Σx_j·x_k)``
+  that do not depend on the weights.  The fit collapses ALL epochs into
+  ``ceil(T / steps_per_job)`` aggregation jobs: one job computes the masked
+  stats for up to ~4096 agg columns' worth of steps at once, and the step
+  recursion (update, schedule, prox, tol) runs driver-side over d×d arrays.
+  Full-batch (``batch_fraction == 1``) stats are step-invariant, so ANY epoch
+  count costs exactly ONE distributed job.  Mini-batch masks are per-row
+  ``rand(seed + t) < fraction`` Bernoulli indicators — same sampling law as
+  ``DataFrame.sample`` but expressible as columns, letting every step's mask
+  ride one shared scan.
+* **log / hinge (per-step)** — the gradient is nonlinear in the weights, so
+  each step is one map-side-combined ``agg`` with the current weights folded
+  in as literals (the treeAggregate pattern MLlib itself uses), over a
+  step-seeded Bernoulli ``sample`` (the reference's batch_size knob,
+  sgd.pyx:205).
+
 L1 is applied as a proximal soft-threshold on the driver after each step —
-the distributed part stays smooth.
+the distributed part stays smooth.  Sufficient stats are O(T·d²) scalars on
+the driver — fine for the small-d linear models this solver serves; if
+d²·steps exceeds the per-job column cap the fit falls back to the per-step
+loop automatically.
 """
 
 from __future__ import annotations
@@ -99,53 +115,155 @@ class SGD(Base):
         aggs.append(F.avg(err).alias("g__b"))
         return aggs
 
+    def _step_update(self, w, b, g, gb, t, state):
+        """Shared per-step recursion: penalty, schedule, update, prox, tol."""
+        l1, l2 = self._l1_l2()
+        if l2 > 0.0:
+            g = g + l2 * w
+        if self.learning_rate == "invscaling":
+            state["eta"] = self.eta0 / (t**self.power_t)
+        elif self.learning_rate == "adaptive":
+            gnorm = float(np.sqrt(g @ g + gb * gb))
+            if gnorm > state["prev_gnorm"]:  # plateau → shrink (learning_rate.h)
+                state["eta"] = state["eta"] / 5.0
+            state["prev_gnorm"] = gnorm
+        eta = state["eta"]
+        w = w - eta * g
+        if self.fit_intercept:
+            b = b - eta * gb
+        if l1 > 0.0:  # proximal soft-threshold
+            w = np.sign(w) * np.maximum(np.abs(w) - eta * l1, 0.0)
+        step = float(np.sqrt((eta * g) @ (eta * g)))
+        stop = step < self.tol * max(1.0, float(np.sqrt(w @ w)))
+        return w, b, stop
+
+    # columns-per-job budget for the fused path: ~4096 agg columns keeps the
+    # codegen'd aggregate well inside Janino/driver limits
+    _FUSED_COL_CAP = 4096
+
     def fit(self, df: DataFrame, feature_cols: list[str], label_col: str) -> "SGD":
-        # NOT right_sized (unlike the MLlib/MAE-forest fits): each epoch's
-        # aggregation evaluates the loss expression over EVERY row, so the
-        # job is compute-bearing, not overhead-bound — coalescing to 4
-        # partitions cost +0.6s on mbsgd_fit when tried (r7 bench)
-        data = check_features(df, [*feature_cols, label_col]).cache()
+        data = check_features(df, [*feature_cols, label_col])
         if self.batch_size is not None:
             n_rows = data.count()
             self.batch_fraction = min(1.0, self.batch_size / max(n_rows, 1))
         d = len(feature_cols)
+        # stats per step: n, Σy, d×(Σx, Σxy), d(d+1)/2 Σxx
+        group_sz = 2 + 2 * d + d * (d + 1) // 2
+        if self.loss == "squared_loss" and group_sz <= self._FUSED_COL_CAP:
+            return self._fit_squared_fused(data, feature_cols, label_col)
+        return self._fit_per_step(data, feature_cols, label_col)
+
+    def _fit_squared_fused(
+        self, data: DataFrame, cols: list[str], label: str
+    ) -> "SGD":
+        """All-steps-at-once fit for the linear gradient (see module doc)."""
+        d = len(cols)
+        pairs = [(j, k) for j in range(d) for k in range(j, d)]
+        group_sz = 2 + 2 * d + len(pairs)
+        full_batch = self.batch_fraction >= 1.0
+        y = F.col(label)
+
+        def stat_exprs(t: int):
+            # masks must be materialized in a projection BELOW the aggregate:
+            # Spark rejects non-deterministic exprs (rand) inside agg functions
+            ind = F.lit(1.0) if full_batch else F.col(f"ind_{t}")
+            e = [F.sum(ind).alias(f"n_{t}"), F.sum(ind * y).alias(f"sy_{t}")]
+            for j, c in enumerate(cols):
+                e.append(F.sum(ind * F.col(c)).alias(f"sx_{t}_{j}"))
+                e.append(F.sum(ind * F.col(c) * y).alias(f"sxy_{t}_{j}"))
+            for j, k in pairs:
+                e.append(
+                    F.sum(ind * F.col(cols[j]) * F.col(cols[k])).alias(
+                        f"sxx_{t}_{j}_{k}"
+                    )
+                )
+            return e
+
+        steps_per_job = max(1, self._FUSED_COL_CAP // group_sz)
+        multi_job = (not full_batch) and self.epochs > steps_per_job
+        if multi_job:
+            data = data.cache()
         w = np.zeros(d)
         b = 0.0
-        l1, l2 = self._l1_l2()
-        eta = self.eta0
-        prev_obj_grad = np.inf
+        state = {"eta": self.eta0, "prev_gnorm": np.inf}
+        full_row = None
+        chunk_rows: dict[int, object] = {}
+        for t in range(1, self.epochs + 1):
+            if full_batch:
+                if full_row is None:  # stats are step-invariant: ONE job total
+                    full_row = data.agg(*stat_exprs(0)).first()
+                row, rt = full_row, 0
+            else:
+                c0 = ((t - 1) // steps_per_job) * steps_per_job + 1
+                if c0 not in chunk_rows:  # lazily fetch this chunk's stats
+                    steps = range(c0, min(c0 + steps_per_job, self.epochs + 1))
+                    masked = data.select(
+                        *data.columns,
+                        *[
+                            (F.rand(self.seed + s) < self.batch_fraction)
+                            .cast("double")
+                            .alias(f"ind_{s}")
+                            for s in steps
+                        ],
+                    )
+                    exprs = []
+                    for s in steps:
+                        exprs.extend(stat_exprs(s))
+                    chunk_rows[c0] = masked.agg(*exprs).first()
+                row, rt = chunk_rows[c0], t
+            n_t = row[f"n_{rt}"]
+            if n_t is None or n_t == 0:  # empty frame / empty batch — skip
+                continue
+            n_t = float(n_t)
+            sx = np.array([row[f"sx_{rt}_{j}"] for j in range(d)])
+            sxy = np.array([row[f"sxy_{rt}_{j}"] for j in range(d)])
+            S = np.empty((d, d))
+            for j, k in pairs:
+                S[j, k] = S[k, j] = row[f"sxx_{rt}_{j}_{k}"]
+            # avg(err·x_j) and avg(err) reconstructed from the batch sums
+            g = (S @ w + b * sx - sxy) / n_t
+            gb = (float(w @ sx) + n_t * b - float(row[f"sy_{rt}"])) / n_t
+            w, b, stop = self._step_update(w, b, g, gb, t, state)
+            if stop:
+                break
+        if multi_job:
+            data.unpersist()
+        self.coef_ = w
+        self.intercept_ = b if self.fit_intercept else 0.0
+        self._cols = list(cols)
+        return self
+
+    def _fit_per_step(self, data: DataFrame, cols: list[str], label: str) -> "SGD":
+        """One aggregation job per step — the nonlinear-gradient path.
+
+        NOT right_sized (unlike the MLlib/MAE-forest fits): each epoch's
+        aggregation evaluates the loss expression over EVERY row, so the
+        job is compute-bearing, not overhead-bound — coalescing to 4
+        partitions cost +0.6s on mbsgd_fit when tried (r7 bench).
+        """
+        data = data.cache()
+        d = len(cols)
+        w = np.zeros(d)
+        b = 0.0
+        state = {"eta": self.eta0, "prev_gnorm": np.inf}
         for t in range(1, self.epochs + 1):
             batch = (
                 data.sample(fraction=self.batch_fraction, seed=self.seed + t)
                 if self.batch_fraction < 1.0
                 else data
             )
-            row = batch.agg(*self._grad_exprs(feature_cols, w, b, label_col)).first()
+            row = batch.agg(*self._grad_exprs(cols, w, b, label)).first()
             if row["g__b"] is None:  # empty sampled batch — skip step
                 continue
-            g = np.array([row[f"g_{c}"] for c in feature_cols])
+            g = np.array([row[f"g_{c}"] for c in cols])
             gb = float(row["g__b"])
-            if l2 > 0.0:
-                g = g + l2 * w
-            if self.learning_rate == "invscaling":
-                eta = self.eta0 / (t**self.power_t)
-            elif self.learning_rate == "adaptive":
-                gnorm = float(np.sqrt(g @ g + gb * gb))
-                if gnorm > prev_obj_grad:  # plateau → shrink (learning_rate.h)
-                    eta = eta / 5.0
-                prev_obj_grad = gnorm
-            w = w - eta * g
-            if self.fit_intercept:
-                b = b - eta * gb
-            if l1 > 0.0:  # proximal soft-threshold
-                w = np.sign(w) * np.maximum(np.abs(w) - eta * l1, 0.0)
-            step = float(np.sqrt((eta * g) @ (eta * g)))
-            if step < self.tol * max(1.0, float(np.sqrt(w @ w))):
+            w, b, stop = self._step_update(w, b, g, gb, t, state)
+            if stop:
                 break
         data.unpersist()
         self.coef_ = w
         self.intercept_ = b if self.fit_intercept else 0.0
-        self._cols = list(feature_cols)
+        self._cols = list(cols)
         return self
 
     # -- scoring -------------------------------------------------------------
