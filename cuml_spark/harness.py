@@ -495,14 +495,17 @@ _DRIVER_WINDOW = [
     "c4_line_stats",
     "span_dedup",
     "ivfpq_search_exact",
-    # (d) r6-green re-confirmations with the remaining slots (spread across
-    # families: cluster, decomposition, manifold, tsa, text, streaming)
-    "pca_variance_2d",
-    "umap_trust",
-    # (streaming_window_stats, kmeans_cluster_sizes, dbscan_roles,
-    # kalman_local_level rotated out to keep 50 slots: all r6-green,
-    # implementation files untouched since — slots went to the
-    # never-verified new queries above)
+    "domain_mixture_sample",
+    # (d) implementation touched late in r7: the squared-loss SGD fit was
+    # fused into sufficient-stat jobs (solvers/sgd.py) — mbsgd_fit
+    # exercises BOTH the fused (regressor) and per-step hinge (classifier)
+    # paths in one query
+    "mbsgd_fit",
+    # (pca_variance_2d, umap_trust, streaming_window_stats,
+    # kmeans_cluster_sizes, dbscan_roles, kalman_local_level rotated out
+    # to keep 50 slots: all r6-green, implementation files untouched
+    # since — slots went to the never-verified new queries and the
+    # touched-this-round pair above)
     # everything else (driver-green in r6, unchanged) stays in
     # queries()/bench — only the 50-slot verification window moves
 ]

@@ -714,8 +714,60 @@ FROM t
 """
 
 
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (text/mixing.py): alpha=0.5 boosts
+    tail sources, budget 0.6 of the corpus.  Keep decisions are Weyl-mix
+    integer arithmetic on doc_id — no rand() anywhere — so the DuckDB
+    oracle reproduces the sample bit-for-bit.  D-class: per-source totals,
+    kept counts and keep rates."""
+    from cuml_spark.text.mixing import domain_rates, temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("__n_d"))
+    kept = temperature_sample(
+        docs, "source", "doc_id", alpha=0.5, budget_frac=0.6, seed=5,
+        counts=counts,
+    )
+    rates = domain_rates(counts, "source", alpha=0.5, budget_frac=0.6)
+    k = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    return (
+        rates.join(k, "source", "left")
+        .select(
+            "source",
+            F.col("__n_d").cast("long").alias("n_total"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.col("__rate").alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_DOMAIN_MIXTURE_SAMPLE = """
+WITH c AS (SELECT source, count(*) AS n_d FROM documents GROUP BY source),
+t AS (SELECT sum(pow(n_d, 0.5)) AS z, sum(n_d) AS n FROM c),
+r AS (
+  SELECT source, n_d,
+         round(least(1.0, 0.6 * t.n * pow(c.n_d, 0.5) / (t.z * c.n_d)), 4)
+           AS rate
+  FROM c, t
+),
+k AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN r USING (source)
+  WHERE ((((d.doc_id + 5) % 1000003) * 2654435761) % 1000003) / 1000003.0
+          < r.rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_d::BIGINT AS n_total,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept, r.rate
+FROM r LEFT JOIN k USING (source)
+ORDER BY source
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "domain_mixture_sample": q_domain_mixture_sample,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -764,6 +816,7 @@ LEFT JOIN mt m ON m.doc_id = d.doc_id
 
 ORACLES_TEXT = {
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
+    "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

@@ -12,11 +12,13 @@ from cuml_spark.text.contamination import ngram_contamination
 from cuml_spark.text.pii import scrub_pii
 from cuml_spark.text.repetition import repetition_signals
 from cuml_spark.text.c4 import c4_line_filter, span_dedup_stats
+from cuml_spark.text.mixing import domain_rates, temperature_sample
 
 __all__ = [
     "exact_dedup_groups", "normalized_fingerprint", "shingles",
     "minhash_signatures", "lsh_candidate_pairs", "jaccard_similarity_pairs",
     "simhash", "quality_features", "language_id", "token_count",
     "ngram_contamination", "scrub_pii", "repetition_signals",
-    "c4_line_filter", "span_dedup_stats",
+    "c4_line_filter", "span_dedup_stats", "domain_rates",
+    "temperature_sample",
 ]

@@ -362,3 +362,52 @@ def test_span_dedup_keep_first_and_degenerate(spark):
            for r in span_dedup_stats(df).collect()}
     assert out == {0: (2, 0), 1: (2, 1), 2: (0, 0), 3: (0, 0), 4: (0, 0),
                    5: (3, 2)}
+
+
+def test_temperature_sample_mixing_laws(spark):
+    """alpha=1 keeps every domain at the budget rate; alpha=0 targets a
+    uniform-over-domains mixture; sampling is deterministic (no rand) and
+    never duplicates rows."""
+    from cuml_spark.text import domain_rates, temperature_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, "head" if i < 80 else "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # alpha=1: w_d = n_d/N, so rate_d = budget exactly for every domain
+    counts = df.groupBy("source").agg(F.count("*").alias("__n_d"))
+    r1 = {
+        r["source"]: r["__rate"]
+        for r in domain_rates(counts, "source", alpha=1.0,
+                              budget_frac=0.5).collect()
+    }
+    assert r1 == {"head": 0.5, "tail": 0.5}
+
+    # alpha=0: per-domain targets equalize (budget*N/D rows each); the
+    # 20-row tail's target (25) exceeds its size -> rate capped at 1
+    r0 = {
+        r["source"]: r["__rate"]
+        for r in domain_rates(counts, "source", alpha=0.0,
+                              budget_frac=0.5).collect()
+    }
+    assert r0["tail"] == 1.0
+    assert r0["head"] == pytest.approx(25 / 80, abs=1e-4)
+
+    kept = temperature_sample(df, "source", "doc_id", alpha=0.0,
+                              budget_frac=0.5, seed=5)
+    got = kept.collect()
+    # deterministic: identical result on a second run
+    again = temperature_sample(df, "source", "doc_id", alpha=0.0,
+                               budget_frac=0.5, seed=5).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        r["doc_id"] for r in again
+    )
+    # no duplication, schema preserved, capped tail kept whole
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == len(set(ids))
+    assert kept.columns == df.columns
+    n_tail = sum(1 for r in got if r["source"] == "tail")
+    assert n_tail == 20
+    # head kept close to its 25-row target (Weyl mix is uniform-ish)
+    n_head = len(ids) - n_tail
+    assert 10 <= n_head <= 40
