@@ -483,8 +483,18 @@ _DRIVER_WINDOW = [
     # rides along as the perf-watched pair-mate (impl unchanged — the r6
     # regression root cause is documented in SCALE.md).
     "eval_contamination",
-    "rf_mae_regression",
-    "fil_score",
+    "logreg_rule_accuracy",
+    # (rf_mae_regression yields its slot to the never-verified new queries:
+    # its r7 change is cache-lifecycle/right-sizing only — no split-math
+    # change — and tests/test_ensemble.py pins exact-split parity; its
+    # r6-green evidence is exactly one round old, within the invariant.)
+    # (fil_score rotated out: fil.py's scoring path is untouched in r7 —
+    # the r6 "regression" was root-caused to predecessor GC landing inside
+    # its 600k-row driver collect, documented with measurements in
+    # SCALE.md "Bench-cost root causes"; its r6-green evidence is exactly
+    # one round old, which the rotation invariant allows.  Perf stays
+    # watched through bench.  logistic_regression.py WAS touched in r7,
+    # so logreg_rule_accuracy takes the slot.)
     # (c) NEW this round — queries that have never appeared in any
     # CORRECTNESS file outrank re-confirmations for the last slots
     "media_decode_g711",
@@ -496,6 +506,7 @@ _DRIVER_WINDOW = [
     "span_dedup",
     "ivfpq_search_exact",
     "domain_mixture_sample",
+    "neardup_safe_split",
     # (d) implementation touched late in r7: the squared-loss SGD fit was
     # fused into sufficient-stat jobs (solvers/sgd.py) — mbsgd_fit
     # exercises BOTH the fused (regressor) and per-step hinge (classifier)

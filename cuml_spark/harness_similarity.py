@@ -200,8 +200,74 @@ def q_ivfpq_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split over the embedding near-dup components
+    (preprocessing.group_aware_split): near-duplicates never straddle the
+    split, so eval cannot leak into train.  Assignment hashes the component
+    id through the deterministic Weyl mix, so the DuckDB oracle replays the
+    whole thing — recursive-CTE CC + the same integer arithmetic —
+    bit-for-bit."""
+    from cuml_spark.preprocessing import group_aware_split
+    from cuml_spark.similarity.neardup import near_dup_groups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_duplicates(emb, threshold=_TH_GROUP, method="brute")
+    groups = near_dup_groups(pairs)
+    out = group_aware_split(emb, "vec_id", groups, test_frac=0.25, seed=9)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("group_id").alias("n_groups"),
+            F.min("group_id").alias("min_gid"),
+        )
+        .select(
+            "split", "n_rows", "n_groups",
+            F.col("min_gid").cast("long").alias("min_gid"),
+        )
+        .orderBy("split")
+    )
+
+
+_SQL_NEARDUP_SAFE_SPLIT = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {_TH_GROUP}
+),
+verts AS (SELECT DISTINCT id_a AS v FROM pairs
+          UNION SELECT DISTINCT id_b FROM pairs),
+edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+walk(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT w.v, ed.t FROM walk w JOIN edges ed ON ed.s = w.r
+),
+lbl AS (SELECT v, min(r) AS group_id FROM walk GROUP BY v),
+g AS (
+  SELECT e.vec_id, coalesce(l.group_id, e.vec_id)::BIGINT AS gid
+  FROM e LEFT JOIN lbl l ON l.v = e.vec_id
+),
+s AS (
+  SELECT vec_id, gid,
+         CASE WHEN ((((gid + 9) % 1000003) * 2654435761) % 1000003)
+                   / 1000003.0 < 0.25
+              THEN 'test' ELSE 'train' END AS split
+  FROM g
+)
+SELECT split, count(*)::BIGINT AS n_rows,
+       count(DISTINCT gid)::BIGINT AS n_groups, min(gid)::BIGINT AS min_gid
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 QUERIES_SIMILARITY = {
     "neardup_pairs": q_neardup_pairs,
+    "neardup_safe_split": q_neardup_safe_split,
     "pipeline_neardup_groups": q_pipeline_neardup_groups,
     "ivf_search_exact": q_ivf_search_exact,
     "pq_search_exact": q_pq_search_exact,
@@ -210,6 +276,7 @@ QUERIES_SIMILARITY = {
 
 ORACLES_SIMILARITY = {
     "neardup_pairs": _SQL_NEARDUP,
+    "neardup_safe_split": _SQL_NEARDUP_SAFE_SPLIT,
     "pipeline_neardup_groups": _SQL_PIPELINE_NEARDUP_GROUPS,
     "ivf_search_exact": _SQL_IVF_EXACT,
     "pq_search_exact": _SQL_PQ_EXACT,

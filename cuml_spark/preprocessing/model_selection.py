@@ -83,3 +83,44 @@ def train_test_split(
     # deterministic and the two sides disjoint by construction.
     train, test = df.randomSplit([p, 1.0 - p], seed=seed)
     return train, test
+
+
+def group_aware_split(
+    df: DataFrame,
+    id_col: str,
+    groups: DataFrame,
+    *,
+    group_key_col: str = "vid",
+    group_id_col: str = "group_id",
+    test_frac: float = 0.25,
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-safe split: all members of a group land on the same side.
+
+    The near-dup-aware eval split a training-data pipeline needs — if two
+    near-duplicate documents straddle train/test, the eval set leaks into
+    training.  ``groups`` is any ``(group_key_col, group_id_col)``
+    membership frame (e.g. ``near_dup_groups`` output, an exact-dup hash
+    group, a URL domain); rows absent from it form singleton groups keyed
+    by their own id.  Assignment hashes the GROUP id (not the row id)
+    through the deterministic Weyl mix (text/mixing.py), so the split is
+    reproducible, partitioning-invariant and engine-portable, and every
+    group is atomic by construction.
+
+    Returns ``df`` plus ``group_id`` (long) and ``split`` ('train'/'test')
+    columns.  Scale: one equi-join on the id (AQE broadcasts when the
+    membership frame is small — near-dup membership usually is) and a
+    map-only assignment; no other shuffle.
+    """
+    from cuml_spark.text.mixing import mix_uniform_expr
+
+    g = groups.select(
+        F.col(group_key_col).alias(id_col), F.col(group_id_col).alias("__gid")
+    )
+    joined = df.join(g, id_col, "left").withColumn(
+        "group_id", F.coalesce(F.col("__gid"), F.col(id_col)).cast("long")
+    ).drop("__gid")
+    is_test = mix_uniform_expr("group_id", seed) < float(test_frac)
+    return joined.withColumn(
+        "split", F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )

@@ -98,3 +98,48 @@ def test_top_level_api_surface():
         "RandomForestClassifier", "RandomForestRegressor",
     ):
         assert getattr(cuml_spark, name) is not None
+
+
+def test_group_aware_split_atomic_groups(spark):
+    """No group ever straddles the split; rows absent from the membership
+    frame are singletons; assignment is deterministic."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.preprocessing import group_aware_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # groups: pairs (2i, 2i+1) share a group for i < 50; ids >= 100 absent
+    members = [(2 * i, 2 * i) for i in range(50)] + [
+        (2 * i + 1, 2 * i) for i in range(50)
+    ]
+    groups = spark.createDataFrame(members, "vid long, group_id long")
+    out = group_aware_split(
+        df, "doc_id", groups, test_frac=0.3, seed=4
+    ).cache()
+    # every group is atomic: exactly one distinct split value per group
+    straddling = (
+        out.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .filter("n_sides > 1")
+        .count()
+    )
+    assert straddling == 0
+    # paired rows landed together
+    pair_sides = {
+        r["doc_id"]: r["split"] for r in out.filter("doc_id < 100").collect()
+    }
+    for i in range(50):
+        assert pair_sides[2 * i] == pair_sides[2 * i + 1]
+    # singletons got their own id as group and both sides are populated
+    single = out.filter("doc_id >= 100")
+    assert single.filter("group_id != doc_id").count() == 0
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "test"}
+    # deterministic re-run
+    again = group_aware_split(df, "doc_id", groups, test_frac=0.3, seed=4)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    out.unpersist()
