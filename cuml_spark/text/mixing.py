@@ -67,20 +67,24 @@ def domain_rates(
     kept whole — this sampler never duplicates rows; epoch-level
     upsampling is the training loader's job).
     """
-    tot = counts.agg(
-        F.sum(F.pow("__n_d", float(alpha))).alias("__Z"),
-        F.sum("__n_d").alias("__N"),
-    )
-    return counts.crossJoin(F.broadcast(tot)).select(
+    # totals via a whole-frame window, NOT a separate agg + cross-join: the
+    # counts subtree would otherwise appear twice in the plan, doubling the
+    # corpus histogram pass.  The window's single partition holds one row
+    # per DOMAIN — always tiny.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    pw = F.pow("__n_d", float(alpha))
+    return counts.select(
         domain_col,
         F.col("__n_d"),
         F.round(
             F.least(
                 F.lit(1.0),
                 F.lit(float(budget_frac))
-                * F.col("__N")
-                * F.pow("__n_d", float(alpha))
-                / (F.col("__Z") * F.col("__n_d")),
+                * F.sum("__n_d").over(w)
+                * pw
+                / (F.sum(pw).over(w) * F.col("__n_d")),
             ),
             rate_decimals,
         ).alias("__rate"),

@@ -252,3 +252,45 @@ def test_pq_search_no_rowscale_shuffle(spark):
     assert "query_id" in re.search(
         r"Exchange hashpartitioning\(([^)]*)\)", plan
     ).group(1)
+
+
+def test_temperature_sample_broadcast_rates_pruned_scan(spark):
+    """The mixing sampler's output plan: the per-domain rates ride a
+    BROADCAST exchange back onto the corpus (domains are tiny), the only
+    hash shuffles are the domains-sized count aggregations, and the corpus
+    scan prunes to the referenced columns."""
+    from cuml_spark.text import temperature_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = temperature_sample(docs, "source", "doc_id", alpha=0.5,
+                             budget_frac=0.5, seed=1)
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # two domains-sized shuffles only — the histogram's hash agg and the
+    # whole-frame rate window; nothing row-scale shuffles (keep decision
+    # is in-row) and the corpus histogram pass appears exactly once
+    assert _n_shuffles(out) <= 2
+    assert "SortMergeJoin" not in plan
+    assert len(_read_schemas(out)) == 2  # pass 1 histogram + pass 2 scan
+
+
+def test_group_aware_split_single_join_no_sort(spark):
+    """group_aware_split adds exactly the membership join (AQE broadcasts
+    the small membership side at runtime) and a map-only assignment — no
+    global sort."""
+    from cuml_spark.preprocessing import group_aware_split
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    groups = spark.createDataFrame(
+        [(i, i - i % 2) for i in range(100)], "vid long, group_id long"
+    )
+    out = group_aware_split(df, "doc_id", groups, test_frac=0.25, seed=3)
+    out.collect()  # materialize THIS frame so its final adaptive plan exists
+    # the adaptive plan string appends the pre-AQE "Initial Plan" (which
+    # legitimately contains the SMJ that AQE then demotes) — gate on the
+    # FINAL plan section only
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan  # AQE picked broadcast for 100 rows
+    assert "SortMergeJoin" not in plan
+    assert "Sort " not in plan  # no global or join sort anywhere
