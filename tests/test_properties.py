@@ -477,3 +477,36 @@ def test_phash_rotation_variant_noise_invariant(seed):
     assert bin(h0 ^ phash_py(rotated.ravel(), 64, 64)).count("1") > 12
     noisy = np.clip(img + rng.randint(-6, 7, img.shape), 0, 255)
     assert bin(h0 ^ phash_py(noisy.ravel(), 64, 64)).count("1") <= 6
+
+
+@SET
+@given(
+    hist=st.lists(st.integers(min_value=1, max_value=5000), min_size=2,
+                  max_size=6),
+    alpha=st.sampled_from([0.0, 0.3, 0.5, 0.7, 1.0]),
+    budget=st.sampled_from([0.2, 0.5, 0.8]),
+)
+def test_domain_rates_mass_conservation(spark, hist, alpha, budget):
+    """For ANY domain histogram: rates are in (0, 1]; expected kept mass
+    Σ rate_d·n_d equals budget·N when no domain caps (up to the 1e-4 rate
+    rounding), never exceeds it plus the rounding slack when caps bind;
+    alpha=1 keeps every domain at exactly the budget rate."""
+    from cuml_spark.text.mixing import domain_rates
+
+    counts = spark.createDataFrame(
+        [(f"d{i}", n) for i, n in enumerate(hist)], "source string, __n_d long"
+    )
+    rows = domain_rates(counts, "source", alpha=alpha,
+                        budget_frac=budget).collect()
+    rates = {r["source"]: r["__rate"] for r in rows}
+    n = {r["source"]: r["__n_d"] for r in rows}
+    assert all(0.0 < v <= 1.0 for v in rates.values())
+    total = sum(hist)
+    kept_mass = sum(rates[d] * n[d] for d in rates)
+    slack = 1e-4 * total + 1e-6
+    capped = any(v == 1.0 for v in rates.values())
+    assert kept_mass <= budget * total + slack
+    if not capped:
+        assert kept_mass == pytest.approx(budget * total, abs=slack)
+    if alpha == 1.0:
+        assert all(v == pytest.approx(budget, abs=1e-4) for v in rates.values())
