@@ -765,9 +765,52 @@ ORDER BY source
 """
 
 
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style count-LM quality scoring (text/lm.py): self-trained
+    add-1 bigram LM, per-doc average log-probability.  All probabilities
+    are integer-count ratios, so the DuckDB oracle reproduces the scores
+    to rounding precision.  (Registered r7; queues for the r8 driver
+    window — the 50-slot r7 window is full of never-verified r7 ops.)"""
+    from cuml_spark.text.lm import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_lm_scores(docs, "text", "doc_id", add_k=1.0)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
+    )
+
+
+_SQL_DOC_PERPLEXITY = """
+WITH lt AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+tok AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lt
+),
+bg AS (
+  SELECT a.doc_id, a.tok AS w1, a.tok || ' ' || b.tok AS bgk
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bgc AS (SELECT bgk, count(*) AS c FROM bg GROUP BY 1),
+ctx AS (SELECT split_part(bgk, ' ', 1) AS w1, sum(c) AS cw FROM bgc GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+sc AS (
+  SELECT g.doc_id, count(*) AS n_bigrams,
+         avg(ln((bgc.c + 1.0) / (ctx.cw + 1.0 * v.v))) AS lp
+  FROM bg g JOIN bgc ON bgc.bgk = g.bgk JOIN ctx ON ctx.w1 = g.w1, v
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(sc.lp, 6) AS avg_logp
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "domain_mixture_sample": q_domain_mixture_sample,
+    "doc_perplexity": q_doc_perplexity,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -817,6 +860,7 @@ LEFT JOIN mt m ON m.doc_id = d.doc_id
 ORACLES_TEXT = {
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
+    "doc_perplexity": _SQL_DOC_PERPLEXITY,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

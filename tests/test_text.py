@@ -411,3 +411,35 @@ def test_temperature_sample_mixing_laws(spark):
     # head kept close to its 25-row target (Weyl mix is uniform-ish)
     n_head = len(ids) - n_tail
     assert 10 <= n_head <= 40
+
+
+def test_bigram_lm_scores_hand_oracle(spark):
+    """Exact add-1 bigram LM scores on a hand-computed corpus; <2-token
+    and null-text docs survive with n_bigrams = 0 and null score."""
+    import math
+
+    from cuml_spark.text import bigram_lm_scores
+
+    rows = [(0, "a b a b"), (1, "a b"), (2, "c"), (3, None), (4, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    # corpus: c(a b)=3, c(b a)=1, c(x y)=1, c(y z)=1; contexts c(a.)=3,
+    # c(b.)=1, c(x.)=1, c(y.)=1; V=6
+    k, V = 1.0, 6
+
+    def p(cbg, cw):
+        return (cbg + k) / (cw + k * V)
+
+    lp0 = (2 * math.log(p(3, 3)) + math.log(p(1, 1))) / 3
+    lp1 = math.log(p(3, 3))
+    lp4 = (math.log(p(1, 1)) + math.log(p(1, 1))) / 2
+    assert out[2] == (0, None) and out[3] == (0, None)
+    assert out[0][0] == 3 and out[0][1] == pytest.approx(lp0, abs=1e-12)
+    assert out[1][0] == 1 and out[1][1] == pytest.approx(lp1, abs=1e-12)
+    assert out[4][0] == 2 and out[4][1] == pytest.approx(lp4, abs=1e-12)
+    # self-scored repetition reads as high probability: the repetitive doc
+    # scores above the one-off bigrams
+    assert out[0][1] > out[4][1]
