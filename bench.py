@@ -216,6 +216,16 @@ def main() -> None:
         # the session's CacheManager (and Catalyst's cache-plan matching)
         # from growing across the registry — untimed, outside the loop body
         spark.catalog.clearCache()
+        # release Python-side DataFrame/py4j refs BEFORE the JVM GC:
+        # localCheckpoint and cached-RDD blocks (which clearCache does NOT
+        # touch) are only dropped by the ContextCleaner once their py4j
+        # handles are collected — without this, CC-heavy queries late in
+        # the order run against a block manager still holding earlier
+        # queries' checkpoint blocks (measured r7: neardup_safe_split
+        # 2.96 s quiet vs 4.7–11.8 s late-in-run)
+        import gc as _pygc
+
+        _pygc.collect()
         # force a JVM GC between queries (untimed): without it, whichever
         # query runs while the heap happens to cross a collection threshold
         # absorbs a multi-hundred-ms pause that belongs to its predecessors'
