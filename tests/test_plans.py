@@ -294,3 +294,20 @@ def test_group_aware_split_single_join_no_sort(spark):
     assert "BroadcastHashJoin" in plan  # AQE picked broadcast for 100 rows
     assert "SortMergeJoin" not in plan
     assert "Sort " not in plan  # no global or join sort anywhere
+
+
+def test_bigram_lm_map_side_combined_pruned(spark):
+    """doc_perplexity's plan: bigram construction is in-row (no window, no
+    sort below the aggregates), the count shuffles are map-side combined
+    (partial aggregation), and every documents scan prunes to doc_id/text."""
+    from cuml_spark.text.lm import bigram_lm_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = bigram_lm_scores(docs, "text", "doc_id")
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    schemas = _read_schemas(out)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    )  # untouched columns pruned from every scan
