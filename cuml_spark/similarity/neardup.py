@@ -169,10 +169,48 @@ def embedding_near_duplicates(
     )
 
 
-def near_dup_groups(pairs: DataFrame) -> DataFrame:
+def near_dup_groups(pairs: DataFrame, driver_cap: int = 500_000) -> DataFrame:
     """Pairs → (vid, group_id = min reachable id): weak connected components
-    over the near-dup edge list (ops.sparse.connected_components — the
-    weak_cc prim; near-dup components are tiny so few rounds converge)."""
+    over the near-dup edge list.
+
+    Two tiers, same precedent as DBSCAN's "driver union-find on component
+    representatives": the near-dup edge list is candidate-bounded by
+    construction (LSH buckets / brute refusal caps), so up to
+    ``driver_cap`` edges it is collected ONCE (a single ``limit``-bounded
+    pass, ~16 B/edge → ≤8 MB at the default cap) and grouped with
+    path-compressed union-find on the driver — replacing the iterative
+    pointer-doubling loop (3 Spark jobs × O(log diameter) rounds plus an
+    eager ``localCheckpoint`` whose blocks linger in the block manager)
+    with one job.  Past the cap it falls back to the distributed weak-CC
+    prim (ops.sparse.connected_components), which scales to any edge
+    count.  Both tiers produce identical labels (min reachable id)."""
+    head = pairs.select("id_a", "id_b").limit(driver_cap + 1).collect()
+    if len(head) <= driver_cap:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in head:
+            a, b = int(row[0]), int(row[1])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict[int, int] = {}
+        for v in parent:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        rows = [(v, comp_min[find(v)]) for v in sorted(parent)]
+        return pairs.sparkSession.createDataFrame(
+            rows, "vid long, group_id long"
+        )
     from cuml_spark.ops.sparse import connected_components
 
     labels = connected_components(pairs, src="id_a", dst="id_b")
