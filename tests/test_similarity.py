@@ -82,6 +82,17 @@ def test_neardup_groups(dup_vecs):
     assert got == {tuple(sorted(p)) for p in truth}
 
 
+def test_neardup_groups_tiers_agree(dup_vecs):
+    """The driver union-find fast path and the distributed weak-CC
+    fallback (forced with driver_cap=0) must label identically —
+    component = min reachable id in both tiers."""
+    df, _ = dup_vecs
+    pairs = embedding_near_duplicates(df, threshold=0.999, method="brute")
+    fast = sorted(map(tuple, near_dup_groups(pairs).collect()))
+    dist = sorted(map(tuple, near_dup_groups(pairs, driver_cap=0).collect()))
+    assert fast == dist and fast  # same labels, non-empty
+
+
 def test_pq_lossless_equals_brute(embeddings):
     """Sign-quantized input ⇒ every 8-dim subspace has ≤ 256 distinct
     subvectors ⇒ the ksub=256 codebook is lossless ⇒ ADC must reproduce
