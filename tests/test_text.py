@@ -443,3 +443,29 @@ def test_bigram_lm_scores_hand_oracle(spark):
     # self-scored repetition reads as high probability: the repetitive doc
     # scores above the one-off bigrams
     assert out[0][1] > out[4][1]
+
+
+def test_temperature_sample_partitioning_invariant(spark):
+    """The Weyl-mix keep decision depends only on the id, so the sample is
+    identical under any repartitioning — the property rand()-based
+    sampling (partition-seeded) cannot provide."""
+    from cuml_spark.text import temperature_sample
+
+    rows = [(i, f"d{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sorted(
+        r["doc_id"]
+        for r in temperature_sample(
+            df, "source", "doc_id", alpha=0.5, budget_frac=0.4, seed=2
+        ).collect()
+    )
+    for parts in (1, 7):
+        again = sorted(
+            r["doc_id"]
+            for r in temperature_sample(
+                df.repartition(parts), "source", "doc_id",
+                alpha=0.5, budget_frac=0.4, seed=2,
+            ).collect()
+        )
+        assert again == kept
+    assert kept  # non-degenerate
