@@ -32,29 +32,59 @@ like the dedup tier.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import operator
+import re
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# lowercase phrase blocklist (C4 uses a longer list; the mechanism is the
-# contract here — extend per deployment)
+# lowercase phrase blocklist (C4 uses ~400 phrases; the shipped tuple is a
+# mechanism demo — pass ``blocklist=`` with a deployment's full list)
 C4_BLOCKLIST = ("lorem ipsum", "javascript", "cookie")
 
-_WS = "[ \\t\\n\\x0B\\f\\r]"
-# terminal-punctuation regex as a SQL string literal: [.!?"] then optional
-# trailing spaces/tabs.  chr(34) keeps the double quote out of the nested
-# f-string quoting.
-_TERM_RE_SQL = "'[.!?" + chr(34) + "][ \\t]*$'"
+# Regex strings built with REAL control characters and handed to the JVM
+# via the DataFrame API (Column.rlike / F.split), which passes them through
+# py4j verbatim.  Never embed these in a SQL string literal: Spark's SQL
+# unescaping has no \x escape and turns '\x0B' into the three literal
+# characters 'x0B', silently adding x/0/B to the whitespace class (the
+# exact pitfall text/repetition.py documents — and the r7 version of this
+# file hit).  \s is avoided because Java \s includes \x0B while DuckDB's
+# RE2 \s does not.
+_WS_RE = "[ \t\n\x0B\f\r]+"
+_TERM_RE = '[.!?"][ \t]*$'
+
+# Above this many phrases the per-phrase contains() OR-chain is folded into
+# a single regex alternation so codegen'd expression size stays bounded for
+# real C4-scale (~400-phrase) blocklists.  Both forms are substring
+# semantics over the lowercased line.
+_BLOCKLIST_REGEX_THRESHOLD = 16
 
 
-def _kept_pred(min_words: int) -> str:
-    """SQL predicate over a line ``x`` implementing rules 1–3."""
-    block = " OR ".join(
-        f"contains(lower(x), '{p}')" for p in C4_BLOCKLIST
-    )
+def _blocked(x: Column, blocklist: Sequence[str]) -> Column:
+    """True iff the lowercase line contains any blocklist phrase."""
+    if not blocklist:
+        return F.lit(False)
+    if len(blocklist) <= _BLOCKLIST_REGEX_THRESHOLD:
+        return reduce(
+            operator.or_, (F.lower(x).contains(p) for p in blocklist)
+        )
+    alt = "|".join(re.escape(p) for p in blocklist)
+    return F.lower(x).rlike(f"(?:{alt})")
+
+
+def _word_count(x: Column) -> Column:
+    return F.size(F.filter(F.split(x, _WS_RE), lambda w: w != F.lit("")))
+
+
+def _kept(x: Column, min_words: int, blocklist: Sequence[str]) -> Column:
+    """Rules 1–3 over a line ``x`` (first-failing-rule order documented
+    in the module docstring)."""
     return (
-        f"x rlike {_TERM_RE_SQL} "
-        f"AND size(filter(split(x, '{_WS}+'), w -> w != '')) >= {min_words} "
-        f"AND NOT ({block} OR contains(x, '{{'))"
+        x.rlike(_TERM_RE)
+        & (_word_count(x) >= min_words)
+        & ~(_blocked(x, blocklist) | x.contains("{"))
     )
 
 
@@ -64,6 +94,7 @@ def c4_line_filter(
     id_col: str = "doc_id",
     min_words: int = 5,
     min_lines: int = 3,
+    blocklist: Sequence[str] = C4_BLOCKLIST,
 ) -> DataFrame:
     """→ (id_col, n_lines, n_kept, n_drop_punct, n_drop_short,
     n_drop_blocklist, page_kept, cleaned_text).
@@ -71,19 +102,23 @@ def c4_line_filter(
     Null texts survive with zero counts, ``page_kept = false`` and a null
     ``cleaned_text``.  Drop attribution is first-failing-rule in the
     documented order, so the three counts sum to ``n_lines - n_kept``.
+    ``blocklist`` is caller-extensible; large lists compile to one regex
+    alternation so the plan stays a single map-only projection.
     """
-    lines = f"filter(split({text_col}, '\\n'), x -> x != '')"
-    kept = f"filter({lines}, x -> {_kept_pred(min_words)})"
-    punct_fail = f"filter({lines}, x -> NOT (x rlike {_TERM_RE_SQL}))"
-    # short: passes punct, fails words
-    short_fail = (
-        f"filter({lines}, x -> x rlike {_TERM_RE_SQL} "
-        f"AND size(filter(split(x, '{_WS}+'), w -> w != '')) < {min_words})"
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: x != F.lit("")
     )
-    n_lines = F.coalesce(F.size(F.expr(lines)), F.lit(0))
-    n_kept = F.coalesce(F.size(F.expr(kept)), F.lit(0))
-    n_punct = F.coalesce(F.size(F.expr(punct_fail)), F.lit(0))
-    n_short = F.coalesce(F.size(F.expr(short_fail)), F.lit(0))
+    kept = F.filter(lines, lambda x: _kept(x, min_words, blocklist))
+    punct_fail = F.filter(lines, lambda x: ~x.rlike(_TERM_RE))
+    # short: passes punct, fails words
+    short_fail = F.filter(
+        lines,
+        lambda x: x.rlike(_TERM_RE) & (_word_count(x) < min_words),
+    )
+    n_lines = F.coalesce(F.size(lines), F.lit(0))
+    n_kept = F.coalesce(F.size(kept), F.lit(0))
+    n_punct = F.coalesce(F.size(punct_fail), F.lit(0))
+    n_short = F.coalesce(F.size(short_fail), F.lit(0))
     return df.select(
         F.col(id_col),
         n_lines.cast("long").alias("n_lines"),
@@ -96,7 +131,7 @@ def c4_line_filter(
         (n_kept >= min_lines).alias("page_kept"),
         F.when(
             F.col(text_col).isNotNull(),
-            F.array_join(F.expr(kept), "\n"),
+            F.array_join(kept, "\n"),
         ).alias("cleaned_text"),
     )
 

@@ -342,6 +342,52 @@ def test_c4_line_filter_rules_and_attribution(spark):
                 == r["n_lines"] - r["n_kept"])
 
 
+def test_c4_word_count_with_x0B_lookalike_chars(spark):
+    """Regression (r7 ADVICE, high): the word-split whitespace class was
+    once routed through a SQL string literal, and Spark SQL's unescaping
+    turned '\\x0B' into the three literal chars x/0/B — so 'example box
+    zero' counted as 4+ words.  Pin the fix: words containing x, 0, or B
+    split ONLY on real whitespace, exactly at the min_words boundary, and
+    a real vertical tab separates words on both engines' class."""
+    from cuml_spark.text.c4 import c4_line_filter
+
+    rows = [
+        # 3 words, every one containing x/0/B → short at min_words=4
+        (0, "example box zero."),
+        # same 3 words + 1 → exactly 4 words → kept
+        (1, "example box zero bonus."),
+        # vertical tab IS a separator: 4 words at the boundary → kept
+        (2, "axe\x0Bb0x\x0BBee\x0Bxylophone."),
+        # without the VT it is one 'word' → short
+        (3, "axeb0xBeexylophone."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           c4_line_filter(df, min_words=4, min_lines=1).collect()}
+    assert out[0]["n_drop_short"] == 1 and out[0]["n_kept"] == 0
+    assert out[1]["n_kept"] == 1 and out[1]["page_kept"]
+    assert out[2]["n_kept"] == 1, "vertical tab must split words"
+    assert out[3]["n_drop_short"] == 1
+
+
+def test_c4_caller_blocklist_and_regex_fold(spark):
+    """blocklist= is caller-extensible; above the fold threshold the
+    phrases compile to one regex alternation with identical substring
+    semantics (regex metachars in phrases are escaped)."""
+    from cuml_spark.text.c4 import c4_line_filter
+
+    rows = [(0, "this line mentions a special offer today friend.\n"
+                "this line has costs like $9.99 (sale) prices ok.\n"
+                "a perfectly ordinary clean long line survives here.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    small = ("special offer", "$9.99 (sale)")
+    # pad past the fold threshold with never-matching phrases
+    big = small + tuple(f"zz-never-{i}-zz" for i in range(20))
+    for bl in (small, big):
+        r = c4_line_filter(df, min_lines=1, blocklist=bl).collect()[0]
+        assert (r["n_kept"], r["n_drop_blocklist"]) == (1, 2), bl
+
+
 def test_span_dedup_keep_first_and_degenerate(spark):
     """Cross-doc span dedup (text/c4.py): an identical 3-line span in a
     later doc is the duplicate (keep-first by doc_id); docs with < 3
