@@ -780,6 +780,23 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_perplexity_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual deployment shape (text/lm.py): a BigramLM fit once,
+    broadcast to executors, and scored IN-ROW by an Arrow-vectorized UDF —
+    the scoring pass is map-only, zero shuffle (plan-gated in
+    tests/test_plans.py).  Exactness config: the model is fit uncapped on
+    the same corpus, so scores equal the self-scoring path and the DuckDB
+    oracle is the same integer-ratio SQL as doc_perplexity."""
+    from cuml_spark.text.lm import bigram_lm_scores, fit_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = fit_bigram_lm(docs, "text", add_k=1.0)
+    out = bigram_lm_scores(docs, "text", "doc_id", model=model)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
+    )
+
+
 _SQL_DOC_PERPLEXITY = """
 WITH lt AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
@@ -811,6 +828,7 @@ QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "domain_mixture_sample": q_domain_mixture_sample,
     "doc_perplexity": q_doc_perplexity,
+    "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -861,6 +879,7 @@ ORACLES_TEXT = {
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
     "doc_perplexity": _SQL_DOC_PERPLEXITY,
+    "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

@@ -13,7 +13,7 @@ from cuml_spark.text.pii import scrub_pii
 from cuml_spark.text.repetition import repetition_signals
 from cuml_spark.text.c4 import c4_line_filter, span_dedup_stats
 from cuml_spark.text.mixing import domain_rates, temperature_sample
-from cuml_spark.text.lm import bigram_lm_scores
+from cuml_spark.text.lm import BigramLM, bigram_lm_scores, fit_bigram_lm
 
 __all__ = [
     "exact_dedup_groups", "normalized_fingerprint", "shingles",
@@ -21,5 +21,6 @@ __all__ = [
     "simhash", "quality_features", "language_id", "token_count",
     "ngram_contamination", "scrub_pii", "repetition_signals",
     "c4_line_filter", "span_dedup_stats", "domain_rates",
-    "temperature_sample", "bigram_lm_scores",
+    "temperature_sample", "bigram_lm_scores", "fit_bigram_lm",
+    "BigramLM",
 ]

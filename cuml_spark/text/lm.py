@@ -1,40 +1,186 @@
 """Count-based bigram LM perplexity scoring — the CCNet-style quality
 filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
 Datasets from Web Crawl Data"): score every document by the per-token
-log-probability a language model assigns it, then filter/ bucket on the
-score.  CCNet uses a pretrained KenLM; this operator trains the count LM
-on the corpus itself (or any reference corpus passed in), which is the
-same scoring shape without shipping a model artifact.
+log-probability a language model assigns it, then filter/bucket on the
+score.  CCNet ships a pretrained KenLM to every worker; both shapes exist
+here:
 
-Spark-first shape (100 TB):
+* **self-scoring** (default): the count LM is fit on the corpus itself
+  (or any ``lm_corpus`` passed in) and scoring joins against the
+  distributed count tables.  Exact, but the scoring join shuffles the
+  corpus' exploded bigrams whenever the count table outgrows the
+  broadcast threshold — fine for corpora whose vocabulary is small,
+  wrong at 100 TB.
+* **broadcast-model scoring** (``model=``): a :class:`BigramLM` fit once
+  (optionally bigram-capped) is broadcast to executors and every
+  document is scored IN-ROW by an Arrow-vectorized pandas UDF — the
+  scoring pass is map-only, zero shuffle, one corpus scan, exactly the
+  CCNet deployment shape (and the same plan class as
+  text/contamination.py after its in-row rewrite).
+
+Spark-first details (100 TB):
 
 * tokenization and bigram construction are IN-ROW (``split`` +
-  ``zip_with`` over two array slices) — zero shuffle, the corpus text
-  never leaves its scan;
+  ``zip_with`` over two array slices) — the corpus text never leaves its
+  scan;
 * model fitting is two keyed aggregations: bigram counts (one shuffle on
-  the bigram key, map-side combined) and context counts derived by
+  the (w1, w2) key, map-side combined) and context counts derived by
   re-aggregating the already-collapsed bigram table (tiny);
-* scoring joins each document's exploded bigrams against the count
-  tables — the joins carry (bigram, count) pairs, which AQE broadcasts
-  when the vocabulary is small;
 * smoothing is add-k over the corpus vocabulary, so every probability is
   a ratio of integers — deterministic and engine-portable (the DuckDB
   oracle reproduces scores to the rounding precision).
 
 Tokens are split on an EXPLICIT single-space separator, not ``\\s`` —
 regex whitespace classes diverge between engines (see the oracle-pitfall
-notes); callers with tab/newline-separated text normalize first.
+notes); callers with tab/newline-separated text normalize first.  The
+context word ``w1`` is carried as its own column end-to-end (never
+recovered by re-splitting a concatenated key), so separators that can
+appear inside tokens cannot corrupt the conditional denominators.
 """
 
 from __future__ import annotations
 
+import math
+from dataclasses import dataclass, field
+
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+@dataclass
+class BigramLM:
+    """A driver-side add-k bigram count model, broadcastable to executors.
+
+    ``bigram_counts`` maps ``(w1, w2)`` → count (possibly capped to the
+    most frequent ``max_bigrams``); ``context_counts`` maps ``w1`` → its
+    EXACT context-position count (never capped — capping only drops rare
+    numerator entries, it must not deflate denominators); ``vocab_size``
+    is the exact corpus vocabulary.  With no cap the model scores
+    identically to the self-scoring join path.
+    """
+
+    bigram_counts: dict = field(repr=False)
+    context_counts: dict = field(repr=False)
+    vocab_size: int
+    add_k: float = 1.0
+    token_sep: str = " "
+
+    def log_prob(self, w1: str, w2: str) -> float:
+        k = self.add_k
+        num = self.bigram_counts.get((w1, w2), 0) + k
+        den = self.context_counts.get(w1, 0) + k * self.vocab_size
+        return math.log(num / den)
 
 
 def _token_array(text_col: str, token_sep: str):
     return F.filter(
         F.split(F.col(text_col), token_sep), lambda x: x != F.lit("")
+    )
+
+
+def _bigram_rows(
+    frame: DataFrame, text_col: str, id_col: str, token_sep: str
+) -> DataFrame:
+    """One row per bigram occurrence: (id_col, __w1, __w2) — the context
+    word is a real column, not a re-split of a joined key."""
+    toks = _token_array(text_col, token_sep).alias("__t")
+    base = frame.select(F.col(id_col), toks)
+    n = F.size("__t")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("__t", 1, n - 1),
+            F.slice("__t", 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return base.select(
+        id_col, F.explode(pairs).alias("__p")
+    ).select(
+        id_col,
+        F.col("__p.w1").alias("__w1"),
+        F.col("__p.w2").alias("__w2"),
+    )
+
+
+def fit_bigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    *,
+    add_k: float = 1.0,
+    token_sep: str = " ",
+    max_bigrams: int | None = None,
+    id_col: str = "doc_id",
+) -> BigramLM:
+    """Fit a :class:`BigramLM` on ``corpus`` and collect it to the driver.
+
+    One map-side-combined shuffle on the (w1, w2) key; context counts and
+    vocabulary re-aggregate the collapsed tables.  ``max_bigrams`` keeps
+    only the most frequent bigrams (ties broken by key, deterministic) so
+    the broadcast stays bounded for huge corpora; context counts and V
+    remain exact so capping only coarsens rare-bigram numerators toward
+    the add-k floor.
+    """
+    pairs = _bigram_rows(corpus, text_col, id_col, token_sep)
+    bgc = pairs.groupBy("__w1", "__w2").agg(F.count("*").alias("__c"))
+    ctx = bgc.groupBy("__w1").agg(F.sum("__c").alias("__cw"))
+    vocab = (
+        corpus.select(
+            F.explode(_token_array(text_col, token_sep)).alias("__w")
+        )
+        .agg(F.countDistinct("__w"))
+        .collect()[0][0]
+    ) or 0
+    take = bgc
+    if max_bigrams is not None:
+        take = bgc.orderBy(
+            F.col("__c").desc(), "__w1", "__w2"
+        ).limit(int(max_bigrams))
+    bigram_counts = {
+        (r["__w1"], r["__w2"]): r["__c"] for r in take.collect()
+    }
+    context_counts = {r["__w1"]: r["__cw"] for r in ctx.collect()}
+    return BigramLM(
+        bigram_counts=bigram_counts,
+        context_counts=context_counts,
+        vocab_size=int(vocab),
+        add_k=float(add_k),
+        token_sep=token_sep,
+    )
+
+
+def _score_with_model(
+    df: DataFrame, text_col: str, id_col: str, model: BigramLM
+) -> DataFrame:
+    """Map-only scoring: broadcast the model, score each document in-row
+    via an Arrow-vectorized UDF over its token array.  Zero shuffle, one
+    corpus scan — the plan a 100 TB scoring pass needs."""
+    bc = df.sparkSession.sparkContext.broadcast(model)
+
+    @F.pandas_udf(DoubleType())
+    def _avg_logp(tok_arrays: pd.Series) -> pd.Series:
+        m = bc.value
+        out = []
+        for toks in tok_arrays:
+            if toks is None or len(toks) < 2:
+                out.append(None)
+                continue
+            s = 0.0
+            for w1, w2 in zip(toks[:-1], toks[1:]):
+                s += m.log_prob(w1, w2)
+            out.append(s / (len(toks) - 1))
+        return pd.Series(out, dtype="float64")
+
+    toks = _token_array(text_col, model.token_sep)
+    return df.select(
+        F.col(id_col),
+        F.greatest(
+            F.coalesce(F.size(toks), F.lit(1)) - 1, F.lit(0)
+        ).cast("long").alias("n_bigrams"),
+        _avg_logp(toks).alias("avg_logp"),
     )
 
 
@@ -46,11 +192,14 @@ def bigram_lm_scores(
     add_k: float = 1.0,
     token_sep: str = " ",
     lm_corpus: DataFrame | None = None,
+    model: BigramLM | None = None,
 ) -> DataFrame:
     """Per-document average bigram log-probability under an add-k count LM.
 
-    The LM is fit on ``lm_corpus`` (defaults to ``df`` itself — self-scoring,
-    the repetition/boilerplate signal) with conditionals
+    With ``model=`` (a :class:`BigramLM` from :func:`fit_bigram_lm`), the
+    pass is map-only broadcast scoring — the scale path.  Otherwise the LM
+    is fit on ``lm_corpus`` (defaults to ``df`` itself — self-scoring, the
+    repetition/boilerplate signal) with conditionals
     ``P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)`` where ``c(w1·)`` counts
     w1 in context position and ``V`` is the corpus vocabulary size.
 
@@ -59,39 +208,26 @@ def bigram_lm_scores(
     ``n_bigrams = 0``).  Lower (more negative) scores = text the LM finds
     surprising; CCNet keeps the middle band.
     """
+    if model is not None:
+        if lm_corpus is not None:
+            raise ValueError("pass either model= or lm_corpus=, not both")
+        return _score_with_model(df, text_col, id_col, model)
+
     src = lm_corpus if lm_corpus is not None else df
-
-    def bigram_rows(frame: DataFrame) -> DataFrame:
-        toks = _token_array(text_col, token_sep).alias("__t")
-        base = frame.select(F.col(id_col), toks)
-        n = F.size("__t")
-        bigrams = F.when(
-            n >= 2,
-            F.zip_with(
-                F.slice("__t", 1, n - 1),
-                F.slice("__t", 2, n - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return base.select(id_col, F.explode(bigrams).alias("__bg"))
-
-    model_pairs = bigram_rows(src)
-    bgc = model_pairs.groupBy("__bg").agg(F.count("*").alias("__cbg"))
+    model_pairs = _bigram_rows(src, text_col, id_col, token_sep)
+    bgc = model_pairs.groupBy("__w1", "__w2").agg(F.count("*").alias("__cbg"))
     # context counts c(w1·) re-aggregate the collapsed bigram table — no
     # second pass over the corpus
-    ctx = (
-        bgc.groupBy(F.split("__bg", " ")[0].alias("__w1"))
-        .agg(F.sum("__cbg").alias("__cw1"))
-    )
+    ctx = bgc.groupBy("__w1").agg(F.sum("__cbg").alias("__cw1"))
     vocab_n = (
         src.select(F.explode(_token_array(text_col, token_sep)).alias("__w"))
         .agg(F.countDistinct("__w").alias("__v"))
     )
     k = float(add_k)
     scored = (
-        bigram_rows(df)
-        .join(bgc, "__bg", "left")
-        .join(ctx, F.split(F.col("__bg"), " ")[0] == F.col("__w1"), "left")
+        _bigram_rows(df, text_col, id_col, token_sep)
+        .join(bgc, ["__w1", "__w2"], "left")
+        .join(ctx, ["__w1"], "left")
         .crossJoin(F.broadcast(vocab_n))
         .select(
             id_col,

@@ -296,6 +296,29 @@ def test_group_aware_split_single_join_no_sort(spark):
     assert "Sort " not in plan  # no global or join sort anywhere
 
 
+def test_bigram_lm_broadcast_model_scoring_map_only(spark):
+    """doc_perplexity_pretrained's plan: with a broadcast BigramLM the
+    scoring pass is ONE map-only scan — zero shuffle exchanges, zero
+    joins, Arrow-vectorized UDF (no row-at-a-time BatchEvalPython), and
+    the documents scan prunes to doc_id/text.  This is the CCNet
+    deployment shape: at 100 TB only the fit aggregates; scoring never
+    reshuffles the corpus."""
+    from cuml_spark.text.lm import bigram_lm_scores, fit_bigram_lm
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    model = fit_bigram_lm(docs.limit(50), "text")
+    out = bigram_lm_scores(docs, "text", "doc_id", model=model)
+    plan = _plan(out)
+    assert _n_shuffles(out) == 0
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    schemas = _read_schemas(out)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    )
+
+
 def test_bigram_lm_map_side_combined_pruned(spark):
     """doc_perplexity's plan: bigram construction is in-row (no window, no
     sort below the aggregates), the count shuffles are map-side combined

@@ -491,6 +491,68 @@ def test_bigram_lm_scores_hand_oracle(spark):
     assert out[0][1] > out[4][1]
 
 
+def test_bigram_lm_broadcast_model_parity_and_cap(spark):
+    """An uncapped fit_bigram_lm model scores every doc identically to the
+    self-scoring join path (the exactness config behind the pretrained
+    oracle); w1 tokens containing the separator-adjacent chars survive
+    because w1 is a real column, never re-split from a joined key; a
+    bigram cap floors only dropped numerators — context counts and V stay
+    exact, so retained bigrams score unchanged."""
+    import math
+
+    from cuml_spark.text import BigramLM, bigram_lm_scores, fit_bigram_lm
+
+    rows = [(0, "a b a b"), (1, "a b"), (2, "c"), (3, None), (4, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = fit_bigram_lm(df)
+    assert model.vocab_size == 6
+    assert model.context_counts == {"a": 3, "b": 1, "x": 1, "y": 1}
+    self_rows = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+                 for r in bigram_lm_scores(df).collect()}
+    model_rows = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+                  for r in bigram_lm_scores(df, model=model).collect()}
+    for k, (n, lp) in self_rows.items():
+        assert model_rows[k][0] == n
+        if lp is None:
+            assert model_rows[k][1] is None
+        else:
+            assert model_rows[k][1] == pytest.approx(lp, abs=1e-12)
+    # cap keeps the most frequent bigram; 'a b' docs score unchanged,
+    # dropped bigrams floor to the add-k smoothing term
+    capped = fit_bigram_lm(df, max_bigrams=1)
+    assert capped.bigram_counts == {("a", "b"): 3}
+    assert capped.context_counts == model.context_counts  # never capped
+    got = {r["doc_id"]: r["avg_logp"]
+           for r in bigram_lm_scores(df, model=capped).collect()}
+    assert got[1] == pytest.approx(self_rows[1][1], abs=1e-12)
+    assert got[4] == pytest.approx(
+        math.log(1.0 / (1 + 6)), abs=1e-12
+    )  # both x-y, y-z dropped: (0+1)/(c(w1)+V)
+    with pytest.raises(ValueError):
+        bigram_lm_scores(df, model=model, lm_corpus=df)
+
+
+def test_bigram_lm_model_handles_sep_in_token_denominators(spark):
+    """Regression (r7 ADVICE): with a non-space token_sep, tokens may
+    contain spaces; P(w2|w1) denominators must group by the TRUE w1."""
+    from cuml_spark.text import bigram_lm_scores, fit_bigram_lm
+
+    # tokens: 'a b' (with a space) and 'c' — sep is ';' (token_sep is a
+    # regex, so metachars like '|' would need escaping)
+    rows = [(0, "a b;c;a b;c"), (1, "a b;c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = fit_bigram_lm(df, token_sep=";")
+    # true contexts: c('a b'·)=3 ('a b'→c ×3), c(c·)=1 (c→'a b' in doc 0)
+    assert model.context_counts == {"a b": 3, "c": 1}
+    assert model.vocab_size == 2
+    a = {r["doc_id"]: r["avg_logp"]
+         for r in bigram_lm_scores(df, token_sep=";").collect()}
+    b = {r["doc_id"]: r["avg_logp"]
+         for r in bigram_lm_scores(df, model=model).collect()}
+    for k in a:
+        assert b[k] == pytest.approx(a[k], abs=1e-12)
+
+
 def test_temperature_sample_partitioning_invariant(spark):
     """The Weyl-mix keep decision depends only on the id, so the sample is
     identical under any repartitioning — the property rand()-based
