@@ -115,10 +115,13 @@ class IVFPQIndex(Base):
         return self
 
     def search(self, queries: DataFrame, k: int = 5, vec_col: str = "embedding",
-               id_col: str = "vec_id", metric: str = "cosine") -> DataFrame:
+               id_col: str = "vec_id", metric: str = "cosine",
+               exclude_self: bool = True) -> DataFrame:
         """→ (query_id, neighbor_id, score, rank): approx top-k per query.
         Candidates = rows in each query's ``nprobe`` nearest lists, scored
-        from PQ codes by ADC."""
+        from PQ codes by ADC.  ``exclude_self=False`` keeps hits whose
+        neighbor id equals the query id — required for cross-dataset
+        search, where a numeric id collision is not a self-match."""
         if not hasattr(self, "_index"):
             raise RuntimeError("fit() first")
         if metric not in ("cosine", "ip"):
@@ -165,12 +168,17 @@ class IVFPQIndex(Base):
                 ip += lut[qidx, j, codes[:, j]]
                 vsq += sqnorms[j, codes[:, j]]
             if cos:
-                return pd.Series(ip / (qnorm[qidx] * np.sqrt(vsq)))
+                # zero-norm codes score 0, not NaN/inf — NaN would sort
+                # FIRST in the descending window and corrupt the ranking
+                den = qnorm[qidx] * np.sqrt(vsq)
+                return pd.Series(
+                    np.divide(ip, den, out=np.zeros_like(ip), where=den > 0)
+                )
             return pd.Series(ip)
 
-        cand = probes.join(self._index, "list_id").filter(
-            F.col("query_id") != F.col("vid")
-        )
+        cand = probes.join(self._index, "list_id")
+        if exclude_self:
+            cand = cand.filter(F.col("query_id") != F.col("vid"))
         scored = cand.select(
             "query_id", F.col("vid").alias("neighbor_id"),
             adc(F.col("query_id"), F.col("codes")).alias("score"),

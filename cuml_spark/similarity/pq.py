@@ -121,11 +121,18 @@ class PQIndex(Base):
 
     # ---- ADC search --------------------------------------------------
     def search(self, queries: DataFrame, k: int = 5, vec_col: str = "embedding",
-               id_col: str = "vec_id", metric: str = "cosine") -> DataFrame:
+               id_col: str = "vec_id", metric: str = "cosine",
+               exclude_self: bool = True) -> DataFrame:
         """→ (query_id, neighbor_id, score, rank): approx top-k per query
         by asymmetric distance (raw query vs quantized neighbor).  The
         query side must be bounded (≤ ``max_queries`` — LUTs are broadcast
         to every partition); batch larger query sets through several calls.
+
+        ``exclude_self`` drops hits whose ``neighbor_id`` equals the
+        ``query_id`` — the self-search convention.  Pass ``False`` for
+        cross-dataset search: the id spaces are unrelated there, and a
+        numeric collision would otherwise silently discard a true
+        neighbor.
         """
         if not hasattr(self, "_index"):
             raise RuntimeError("fit() first")
@@ -148,7 +155,8 @@ class PQIndex(Base):
         sqnorms = self._code_sqnorms
         qnorm = np.sqrt((Q ** 2).sum(-1))
         cos = metric == "cosine"
-        kk = k + 1  # local head keeps one spare so a self-match can drop
+        # local head keeps one spare iff a self-match may drop post-window
+        kk = k + 1 if exclude_self else k
 
         out_schema = "query_id long, neighbor_id long, score double"
 
@@ -172,7 +180,17 @@ class PQIndex(Base):
                 for j in range(m):
                     ip += lut[:, j, codes[:, j]]
                     vsq += sqnorms[j, codes[:, j]]
-                sc = ip / (qnorm[:, None] * np.sqrt(vsq)[None, :]) if cos else ip
+                if cos:
+                    # a vector quantized to all-zero codewords has vsq=0;
+                    # score it 0 instead of NaN/inf (NaN sorts LAST in the
+                    # numpy argsort but FIRST in Spark's descending window,
+                    # so the local prefilter and the global ranking would
+                    # disagree)
+                    den = qnorm[:, None] * np.sqrt(vsq)[None, :]
+                    sc = np.divide(ip, den, out=np.zeros_like(ip),
+                                   where=den > 0)
+                else:
+                    sc = ip
                 head = min(kk, sc.shape[1])
                 top = np.argsort(-sc, axis=1, kind="stable")[:, :head]
                 yield pd.DataFrame({
@@ -182,10 +200,11 @@ class PQIndex(Base):
                 })
 
         local = self._index.mapInPandas(score_part, out_schema)
+        if exclude_self:
+            local = local.filter(F.col("query_id") != F.col("neighbor_id"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("neighbor_id").asc())
         return (
-            local.filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("rank", F.row_number().over(w))
+            local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )

@@ -167,6 +167,70 @@ def test_pq_guards(embeddings, spark):
         idx.search(emb.filter(F.col("vec_id") < 5), k=3, metric="l1")
 
 
+def test_pq_ivfpq_exclude_self_optin_cross_dataset(embeddings, spark):
+    """Cross-dataset search contract (r7 VERDICT #5): a query whose id
+    numerically collides with a DIFFERENT index row's id must keep its
+    true nearest neighbor under exclude_self=False; the default
+    (exclude_self=True) keeps the self-search convention of dropping
+    id-equal hits.  Pinned on both PQ and IVF-PQ in a lossless config so
+    'true neighbor' is unambiguous."""
+    from cuml_spark.similarity import IVFPQIndex, PQIndex
+
+    emb = embeddings.select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> CASE WHEN x >= 0D THEN 1.0D ELSE -1.0D END)"
+        ).alias("embedding"),
+    ).cache()
+    # query table from a DIFFERENT dataset: ids 0..9 reused, vectors are
+    # index rows 40..49 — so query id q's true top-1 is index row q+40,
+    # and index row with vec_id == q is just an unrelated id collision
+    qrows = [(int(r["vec_id"]) - 40, r["embedding"])
+             for r in emb.filter(
+                 (F.col("vec_id") >= 40) & (F.col("vec_id") < 50)
+             ).collect()]
+    queries = spark.createDataFrame(
+        qrows, "vec_id long, embedding array<double>")
+
+    pq = PQIndex(m=8, ksub=256, train_size=10**9, seed=3).fit(emb)
+    ivfpq = IVFPQIndex(nlist=4, nprobe=4, m=8, ksub=256,
+                       train_size=10**9, seed=3).fit(emb)
+    for idx in (pq, ivfpq):
+        got = idx.search(queries, k=1, metric="cosine",
+                         exclude_self=False).toPandas()
+        top1 = dict(zip(got["query_id"], got["neighbor_id"]))
+        for q in range(10):
+            assert top1[q] == q + 40, (type(idx).__name__, q, top1.get(q))
+        # default drops id-equal hits (here: spurious — which is exactly
+        # why cross-dataset callers must opt out)
+        dflt = idx.search(queries, k=5, metric="cosine").toPandas()
+        assert not (dflt["query_id"] == dflt["neighbor_id"]).any()
+
+
+def test_pq_zero_norm_codes_score_zero_not_nan(spark):
+    """A vector quantized to all-zero codewords must score 0 under cosine,
+    not NaN/inf (r7 ADVICE): NaN sorts FIRST in Spark's descending window
+    but LAST in the numpy local top-k, so the two stages would disagree.
+    An all-zeros index vector forces a zero codeword in every subspace."""
+    from cuml_spark.similarity import PQIndex
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(20)]
+    # enough identical zero vectors that k-means places a centroid at 0,
+    # making the zero codeword reachable
+    rows += [(20 + j, [0.0] * 16) for j in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = PQIndex(m=4, ksub=16, train_size=10**9, seed=2).fit(emb)
+    got = idx.search(
+        emb.filter(F.col("vec_id") < 3), k=28, metric="cosine",
+        exclude_self=False,
+    ).toPandas()
+    assert np.isfinite(got["score"]).all()
+    z = got[got["neighbor_id"] >= 20]
+    assert len(z) == 3 * 8 and (z["score"] == 0.0).all()
+
+
 def test_ivfpq_exact_config_equals_brute(embeddings):
     """nprobe = nlist AND sign-quantized input ⇒ the IVF-PQ composition is
     exact end-to-end (routing, probe join, ADC code scoring, ranking)."""
