@@ -101,6 +101,7 @@ def temperature_sample(
     seed: int = 0,
     rate_decimals: int = 4,
     counts: DataFrame | None = None,
+    on_missing_domain: str = "error",
 ) -> DataFrame:
     """Deterministically sample ``df`` to a temperature-``alpha`` mixture.
 
@@ -108,13 +109,41 @@ def temperature_sample(
     precondition the dedup tier documents); ``seed`` offsets the id before
     mixing so independent samples decorrelate.  Returns the kept rows with
     the original schema.
+
+    A caller-supplied ``counts`` histogram must cover every domain in
+    ``df`` (and a null domain never matches any histogram row).  Rows
+    whose domain has no rate are governed by ``on_missing_domain``:
+    ``"error"`` (default) raises at execution time, ``"keep"`` passes
+    them through unsampled, ``"drop"`` discards them (the pre-r8
+    behavior — silent, so now opt-in).
     """
+    if on_missing_domain not in ("error", "keep", "drop"):
+        raise ValueError(
+            f"on_missing_domain must be error|keep|drop, "
+            f"got {on_missing_domain!r}")
     if counts is None:
         counts = df.groupBy(domain_col).agg(F.count("*").alias("__n_d"))
+        on_missing_domain = "error"  # self-computed counts are complete;
+        # only a null domain can miss, and that's a data bug worth raising
     rates = domain_rates(
         counts, domain_col, alpha=alpha, budget_frac=budget_frac,
         rate_decimals=rate_decimals,
     ).drop("__n_d")
     u = mix_uniform_expr(id_col, seed)
-    out = df.join(F.broadcast(rates), domain_col).where(u < F.col("__rate"))
+    joined = df.join(F.broadcast(rates), df[domain_col].eqNullSafe(
+        rates[domain_col]), "left").drop(rates[domain_col])
+    rate = F.col("__rate")
+    if on_missing_domain == "error":
+        rate = F.when(rate.isNotNull(), rate).otherwise(
+            F.raise_error(F.concat(
+                F.lit("temperature_sample: no rate for domain "),
+                F.coalesce(F.col(domain_col).cast("string"), F.lit("NULL")),
+                F.lit(" — pass a complete counts= histogram or set "
+                      "on_missing_domain to keep/drop"),
+            )).cast("double"))
+    elif on_missing_domain == "keep":
+        rate = F.coalesce(rate, F.lit(1.0))
+    else:  # drop
+        rate = F.coalesce(rate, F.lit(-1.0))  # u >= 0 never passes
+    out = joined.where(u < rate)
     return out.drop("__rate").select(*df.columns)

@@ -491,6 +491,37 @@ def test_bigram_lm_scores_hand_oracle(spark):
     assert out[0][1] > out[4][1]
 
 
+def test_temperature_sample_missing_domain_contract(spark):
+    """A caller-passed counts= histogram that misses a domain must not
+    silently drop those rows (r7 ADVICE): the default raises at execution,
+    keep passes them through unsampled, and drop is the explicit opt-in
+    for the old behavior."""
+    from pyspark.errors import SparkRuntimeException
+
+    from cuml_spark.text import temperature_sample
+
+    rows = [(i, "a" if i < 50 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    partial = spark.createDataFrame([("a", 50)], "source string, __n_d long")
+    with pytest.raises(SparkRuntimeException, match="no rate for domain b"):
+        temperature_sample(
+            df, "source", "doc_id", budget_frac=0.5, counts=partial
+        ).collect()
+    kept = temperature_sample(
+        df, "source", "doc_id", budget_frac=0.5, counts=partial,
+        on_missing_domain="keep",
+    ).collect()
+    assert sum(1 for r in kept if r["source"] == "b") == 50  # all pass
+    dropped = temperature_sample(
+        df, "source", "doc_id", budget_frac=0.5, counts=partial,
+        on_missing_domain="drop",
+    ).collect()
+    assert all(r["source"] == "a" for r in dropped)
+    with pytest.raises(ValueError, match="keep"):
+        temperature_sample(df, "source", "doc_id", counts=partial,
+                           on_missing_domain="bogus")
+
+
 def test_bigram_lm_broadcast_model_parity_and_cap(spark):
     """An uncapped fit_bigram_lm model scores every doc identically to the
     self-scoring join path (the exactness config behind the pretrained
