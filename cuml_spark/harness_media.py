@@ -29,6 +29,20 @@ from cuml_spark.multimodal import (
 _PNG_N, _PNG_W, _PNG_H = 64, 16, 12
 
 
+def _ids(spark, n):
+    """Fabricated-media id frame, right-sized to a few partitions.
+
+    Every media query synthesizes 40-64 tiny payloads; at the session
+    default (32 partitions) each mapInPandas stage pays ~30 near-empty
+    Arrow worker round-trips, which is both slow (measured r8: warm
+    image_dedup_groups 1.2s at 32 parts vs 0.4s at 4) and the main
+    exposure to late-session worker-pool churn (its 4.3-6.7s r7 bench
+    anomaly).  Real media tables take the ensure_parallelism path
+    instead -- this sizing is for the fabricated fixtures only."""
+    return spark.range(n, numPartitions=4).select(F.col("id").alias("media_id"))
+
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     payload = docs.select(
@@ -89,7 +103,7 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
 
-    ids = spark.range(_PNG_N).select(F.col("id").alias("media_id"))
+    ids = _ids(spark, _PNG_N)
     media = ids.mapInPandas(enc, "media_id long, content binary")
     dec = decode_image(media, decoder="auto")
     return dec.select(
@@ -142,7 +156,7 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
 
-    ids = spark.range(_JPG_N).select(F.col("id").alias("media_id"))
+    ids = _ids(spark, _JPG_N)
     media = ids.mapInPandas(enc, "media_id long, content binary")
     dec = decode_image(media, decoder="auto")
     return dec.select(
@@ -193,7 +207,7 @@ def q_media_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
 
-    ids = spark.range(_PJPG_N).select(F.col("id").alias("media_id"))
+    ids = _ids(spark, _PJPG_N)
     media = ids.mapInPandas(enc, "media_id long, content binary")
     dec = decode_image(media, decoder="auto")
     return dec.select(
@@ -248,7 +262,7 @@ def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
 
-    ids = spark.range(_WAV_N).select(F.col("id").alias("media_id"))
+    ids = _ids(spark, _WAV_N)
     media = ids.mapInPandas(enc, "media_id long, content binary")
     dec = decode_audio(media)
     return dec.select(
@@ -299,7 +313,7 @@ def q_media_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
 
-    ids = spark.range(_WAV_N).select(F.col("id").alias("media_id"))
+    ids = _ids(spark, _WAV_N)
     media = ids.mapInPandas(enc, "media_id long, content binary")
     dec = decode_audio(media)
     return dec.select(
@@ -377,7 +391,7 @@ def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
 
-    ids = spark.range(_IMG_N).select(F.col("id").alias("media_id"))
+    ids = _ids(spark, _IMG_N)
     media = ids.mapInPandas(enc, "media_id long, content binary")
     hashes = image_hashes(decode_image(media, decoder="auto"), method="dhash")
     return image_dedup_groups(hashes).select("group_rep", "n_members")
@@ -422,7 +436,7 @@ def q_image_phash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
 
-    ids = spark.range(_PH_N).select(F.col("id").alias("media_id"))
+    ids = _ids(spark, _PH_N)
     media = ids.mapInPandas(enc, "media_id long, content binary")
     hashes = image_hashes(decode_image(media, decoder="auto"), method="phash")
     return image_dedup_groups(hashes).select("group_rep", "n_members")
@@ -469,7 +483,7 @@ def q_media_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
 
-    ids = spark.range(_ADPCM_N).select(F.col("id").alias("media_id"))
+    ids = _ids(spark, _ADPCM_N)
     media = ids.mapInPandas(enc, "media_id long, content binary")
     dec = decode_audio(media)
     return dec.select(
@@ -558,7 +572,7 @@ def q_media_probe_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
 
-    ids = spark.range(_MP4_N).select(F.col("id").alias("media_id"))
+    ids = _ids(spark, _MP4_N)
     media = ids.mapInPandas(enc, "media_id long, content binary")
     return probe_media(media).select(
         "media_id", "brand", "track_id", "handler", "codec",
