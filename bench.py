@@ -10,16 +10,18 @@ repeatable cost, not whichever transient the session happened to be in.
 Both raw runs are persisted (bench_results.json `runs`) so run-to-run
 agreement is auditable.
 
-r8 addition (VERDICT r7 #7): queries whose PREVIOUS persisted run pair was
-warm-up-shaped (run1 > 1.2x run2 — plan compile/codegen/worker spin-up
-landing in run1) get ONE untimed warm-up rep before the two timed reps, so
-both timed reps measure the repeatable cost and `run_agreement_within_20pct`
-reflects real noise instead of restating the warm-up gap (r7: 61 of 65
-sub-20% disagreements were warm-up-shaped).  The list self-selects from the
-last bench_results.json (committed with each round), capped at the
-_WARMUP_CAP worst absolute gaps to bound added wall time; the chosen set is
-persisted as `warmup_reps`.  Timings stay min-of-2 — comparable with prior
-rounds (warm-up reduction only removes one-time costs from run1).
+r8 addition (VERDICT r7 #7): EVERY query gets one untimed warm-up rep
+before its two timed reps, so both timed reps measure the repeatable cost
+and `run_agreement_within_20pct` reflects real noise instead of restating
+the warm-up gap.  A self-selecting variant (warm only the previous run's
+worst-gap queries) was tried first and could not converge: the
+warm-up-shaped population is unstable across sessions — in a measured r8
+pair only 12 of 55 disagreements fell in the 30-query set picked from the
+prior session, because EVERY query pays first-run plan compile/codegen,
+and for sub-second queries that alone exceeds the 20% band.  Timings stay
+min-of-2 — comparable with prior rounds (the warm-up only removes
+one-time costs that min-of-2 already tried to exclude); added wall time
+is roughly the sum of warm run costs (~2 min at sf0.1).
 """
 
 from __future__ import annotations
@@ -39,11 +41,6 @@ os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 
 # The r4 bench order (BENCH_r04.json), kept stable so per-query timings
 # compare like-for-like across rounds; later additions append at the end.
-# at most this many queries get the extra untimed warm-up rep (the r7 gap
-# table shows ~30 queries carry nearly all of the 42s summed run1-run2 gap;
-# warming more adds wall time without moving agreement)
-_WARMUP_CAP = 30
-
 _BENCH_ORDER = [
     "pipeline_clean_corpus", "streaming_clean_corpus", "pipeline_neardup_groups",
     "pipeline_event_profile", "scalar_functions", "gram_matrix",
@@ -191,7 +188,6 @@ def main() -> None:
     # changes (ADVICE r6 #1) — so compare only against a same-protocol,
     # same-heap prior, and record which prior was used
     prev: dict[str, float] = {}
-    prev_runs: dict[str, list[float]] = {}
     prev_protocol = prev_driver_mem = None
     try:
         prev_path = Path(__file__).resolve().parent / "bench_results.json"
@@ -201,23 +197,8 @@ def main() -> None:
         if (prev_protocol == "min_of_2"
                 and prev_driver_mem == os.environ["SPARK_DRIVER_MEM"]):
             prev = prev_data.get("queries", {})
-            prev_runs = prev_data.get("runs", {})
     except (OSError, ValueError):
         pass
-
-    # self-selected warm-up set (module docstring, r8): queries whose last
-    # persisted pair was warm-up-shaped, worst absolute gaps first
-    shaped = sorted(
-        (
-            (a - b, n)
-            for n, (a, b, *_rest) in (
-                (n, p) for n, p in prev_runs.items() if len(p) >= 2
-            )
-            if a > 1.2 * max(b, 0.05)
-        ),
-        reverse=True,
-    )
-    warm_extra = {n for _gap, n in shaped[:_WARMUP_CAP]}
 
     # Bench execution order is PINNED, decoupled from the registry order
     # (which the driver's correctness window dictates): measured per-query
@@ -233,12 +214,11 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     for name in order:
         fn = QUERIES[name]
-        if name in warm_extra:
-            # untimed warm-up rep: absorbs plan compile/codegen/worker
-            # spin-up so BOTH timed reps below measure the repeatable cost
-            df = fn(spark, sf_dir)
-            rows = df.collect() if hasattr(df, "collect") else list(df)
-            del rows, df
+        # untimed warm-up rep: absorbs plan compile/codegen/worker
+        # spin-up so BOTH timed reps below measure the repeatable cost
+        df = fn(spark, sf_dir)
+        rows = df.collect() if hasattr(df, "collect") else list(df)
+        del rows, df
         pair = []
         for _rep in range(2):
             t0 = time.time()
@@ -313,7 +293,7 @@ def main() -> None:
         "deltas_prev_driver_mem": prev_driver_mem,
         "run_agreement_within_20pct": round(len(agree) / max(len(runs), 1), 3),
         "run2_slower_than_run1": sorted(noise_flagged),
-        "warmup_reps": sorted(warm_extra),
+        "warmup_reps": "all",
         "sf": sf_val,
     }
     repo = Path(__file__).resolve().parent
