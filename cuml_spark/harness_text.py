@@ -824,11 +824,218 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Ranked retrieval: BM25, hybrid RRF, chunking (text/retrieval.py)
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = (
+    (0, "spark join window"),
+    (1, "hash table scan"),
+    (2, "customer query fast"),
+    (3, "stream batch merge vector"),
+)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over the documents corpus for four fixed keyword
+    queries (text/retrieval.py).  Every probability is a ratio of integer
+    counts except avgdl (one global mean), and scores round to 6 before
+    ranking so ties break on doc_id identically in both engines."""
+    from cuml_spark.text.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, text string")
+    out = bm25_topk(docs, qs, k=10, score_decimals=6)
+    return out.select(
+        "query_id", "doc_id", "score",
+        F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_bm25(query_values: str, k: int = 10) -> str:
+    """Shared BM25 SQL given a `(query_id, term)` VALUES list.  Arithmetic
+    mirrors the Spark expression tree term-for-term (left association,
+    same double literals: 1.2+1.0 == 2.2 and 1.0-0.75 == 0.25 exactly)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), dl AS (
+  SELECT doc_id, coalesce(len(l), 0) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), post AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(l) AS tok FROM toks) GROUP BY 1, 2
+), q(query_id, term) AS (VALUES {query_values}),
+dfq AS (
+  SELECT term, count(*) AS df FROM post
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+), sc AS (
+  SELECT q.query_id, p.doc_id,
+         sum(ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+         count(*) AS n_terms_matched
+  FROM q JOIN post p USING (term) JOIN dfq USING (term)
+       JOIN dl d ON d.doc_id = p.doc_id, stats s
+  GROUP BY 1, 2
+), r AS (
+  SELECT query_id, doc_id, round(score, 6) AS score, n_terms_matched,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, doc_id, score, n_terms_matched::BIGINT AS n_terms_matched,
+       rank::BIGINT AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def _bm25_query_values() -> str:
+    pairs = []
+    for qid, text in _BM25_QUERIES:
+        for term in dict.fromkeys(text.split(" ")):
+            pairs.append(f"({qid}, '{term}')")
+    return ", ".join(pairs)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking (text/retrieval.py): 40-token chunks with
+    8-token overlap (stride 32) — a map-only pass; the ~50-token synthetic
+    docs exercise both the full first chunk and the short tail."""
+    from cuml_spark.text.retrieval import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, 40, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+_SQL_DOC_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), st AS (
+  SELECT doc_id, l,
+         unnest(range(1, coalesce(len(l), 0) + 1, 32)) AS s
+  FROM toks
+)
+SELECT doc_id, ((s - 1) // 32)::BIGINT AS chunk_id,
+       len(list_slice(l, s, s + 39))::BIGINT AS n_tokens,
+       md5(array_to_string(list_slice(l, s, s + 39), ' ')) AS chunk_md5
+FROM st
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (text/retrieval.py): BM25 over the documents' own
+    text and brute cosine over their embeddings, for the same four query
+    documents (doc_id = vec_id < 4), fused by reciprocal-rank fusion.
+    rrf_score is an exact rational of the two integer ranks."""
+    from cuml_spark.text.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), "text")
+    lexical = bm25_topk(docs, qs, k=10, score_decimals=6)
+    semantic = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 4), k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse(lexical, semantic, k=10)
+    return fused.select(
+        "query_id", "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    """The bm25 pipeline inlined with the cosine_topk oracle's distance
+    CTE, fused exactly as rrf_fuse does."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), dl AS (
+  SELECT doc_id, coalesce(len(l), 0) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), post AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(l) AS tok FROM toks) GROUP BY 1, 2
+), q AS (
+  SELECT DISTINCT doc_id AS query_id, tok AS term
+  FROM (SELECT doc_id, unnest(l) AS tok FROM toks WHERE doc_id < 4)
+), dfq AS (
+  SELECT term, count(*) AS df FROM post
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+), sc AS (
+  SELECT q.query_id, p.doc_id,
+         sum(ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM q JOIN post p USING (term) JOIN dfq USING (term)
+       JOIN dl d ON d.doc_id = p.doc_id, stats s
+  GROUP BY 1, 2
+), lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+         ) AS rank
+  FROM sc QUALIFY rank <= 10
+), qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < 4
+), iv AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+), cosd AS (
+  SELECT q.query_id, i.doc_id,
+         1.0 - (list_dot_product(q.v, i.v)
+                / (sqrt(list_dot_product(q.v, q.v))
+                   * sqrt(list_dot_product(i.v, i.v)))) AS dist
+  FROM qv q, iv i WHERE q.query_id <> i.doc_id
+), sem AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dist, doc_id
+         ) AS rank
+  FROM cosd QUALIFY rank <= 10
+), unioned AS (
+  SELECT * FROM lex UNION ALL SELECT * FROM sem
+), fused AS (
+  SELECT query_id, doc_id,
+         sum(1.0 / (60.0 + rank)) AS rrf_score,
+         count(*) AS n_lists
+  FROM unioned GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(rrf_score, 6) AS rrf_score,
+       n_lists::BIGINT AS n_lists,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+       )::BIGINT AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "domain_mixture_sample": q_domain_mixture_sample,
     "doc_perplexity": q_doc_perplexity,
     "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
+    "bm25_topk": q_bm25_topk,
+    "doc_chunks": q_doc_chunks,
+    "hybrid_rrf": q_hybrid_rrf,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -880,6 +1087,9 @@ ORACLES_TEXT = {
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
     "doc_perplexity": _SQL_DOC_PERPLEXITY,
     "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,
+    "bm25_topk": _sql_bm25(_bm25_query_values()),
+    "doc_chunks": _SQL_DOC_CHUNKS,
+    "hybrid_rrf": _sql_hybrid_rrf(),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

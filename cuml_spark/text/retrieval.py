@@ -1,0 +1,207 @@
+"""Ranked retrieval for corpus curation: Okapi BM25, reciprocal-rank
+fusion, and token-budget document chunking.
+
+Training-data pipelines retrieve as much as they dedup: keyword search
+(BM25) selects topical subsets and audits contamination, hybrid fusion
+(RRF) combines it with the embedding tier (`neighbors.cosine_topk`, the
+ANN indexes), and chunking splits documents into model-window-sized
+pieces.  Not in the cuML reference (dense-matrix data model; its
+neighbors/ tier covers vector search only — `cuml/neighbors/
+nearest_neighbors.pyx`); first-class here like the dedup tier.
+
+Spark-first shapes (100 TB):
+
+* ``bm25_topk`` is the inverted-index plan expressed relationally:
+  postings = ONE map-side-combined shuffle on (term, doc) — the same
+  shape as the bigram-LM fit; document frequencies re-aggregate only the
+  postings that match the (broadcast) query terms; scoring joins
+  postings against the broadcast query list, so the only row-scale
+  shuffle after fit carries matched postings keyed by (query, doc), and
+  the final top-k is a per-query window over an already-k-bounded frame.
+  The query side is bounded (it is broadcast twice) — batch large query
+  sets through several calls, exactly like the ANN indexes' LUT contract.
+* ``rrf_fuse`` unions two per-query top-k frames (each ≤ k rows per
+  query) and re-aggregates — input-bounded, never corpus-scale.
+* ``chunk_documents`` is in-row array slicing (sequence → transform →
+  posexplode): map-only, zero shuffle, whole-stage codegen; at 100 TB a
+  chunking pass is one scan, the same plan class as the C4 line filter.
+
+Determinism/oracle notes: tokens split on an explicit separator (not
+``\\s`` — engine regex classes diverge, see text/repetition.py); BM25
+probabilities are ratios of integers except avgdl (a single global
+mean), and harness scores are rounded before ranking so ties break on
+doc_id identically in Spark and DuckDB.  The chunk-start ``sequence`` is
+gated behind ``size >= 1`` because Spark's ``sequence(1, 0)`` is a
+DESCENDING two-element sequence, not empty (the span-dedup pitfall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str, token_sep: str):
+    return F.filter(
+        F.split(F.col(text_col), token_sep), lambda x: x != F.lit("")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    token_sep: str = " ",
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Per-query BM25 top-k: → (query_id, doc_id, score,
+    n_terms_matched, rank ≤ k).
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    over the query's distinct terms, with the Lucene idf
+    ``ln((N − df + 0.5)/(df + 0.5) + 1)`` (always ≥ 0).  Documents
+    matching no query term are absent.  ``score_decimals`` rounds BEFORE
+    ranking so near-equal scores tie deterministically (broken by
+    doc_id); pass ``None`` to rank on raw floats.
+    """
+    toks = _toks(text_col, token_sep)
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__t"),
+    ).select(
+        id_col,
+        F.coalesce(F.size("__t"), F.lit(0)).alias("__dl"),
+        F.col("__t"),
+    )
+    stats = base.agg(
+        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl"))
+    postings = (
+        base.select(id_col, "__dl", F.explode("__t").alias("__term"))
+        .groupBy(id_col, "__term")
+        .agg(F.count("*").alias("__tf"), F.first("__dl").alias("__dl"))
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode(_toks(query_text_col, token_sep)).alias("__term"),
+        ).distinct()
+    )
+    matched = postings.join(
+        F.broadcast(qterms.select("__term").distinct()), "__term")
+    # document frequencies over the FULL corpus, computed only for the
+    # matched terms (postings carries every doc, so the count is exact)
+    dfreq = matched.groupBy("__term").agg(F.count("*").alias("__df"))
+    scored = (
+        matched.join(F.broadcast(qterms), "__term")
+        .join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "__qid", id_col,
+            (
+                F.log(
+                    (F.col("__n") - F.col("__df") + 0.5)
+                    / (F.col("__df") + 0.5) + 1.0
+                )
+                * (F.col("__tf") * (k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+        .groupBy("__qid", id_col)
+        .agg(F.sum("__s").alias("__score"),
+             F.count("*").alias("n_terms_matched"))
+    )
+    score = F.col("__score")
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    out = scored.select(
+        F.col("__qid").alias(query_id_col), F.col(id_col),
+        score.alias("score"), "n_terms_matched",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return out.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    *,
+    k0: float = 60.0,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query ranked lists (Cormack et
+    al. 2009): ``rrf_score(d) = Σ_lists 1/(k0 + rank_list(d))`` →
+    (query_id, doc_id, rrf_score, n_lists, rank ≤ k).
+
+    The canonical hybrid-search combiner: feed it ``bm25_topk`` and the
+    embedding tier's ``cosine_topk`` (or an ANN index's search) and the
+    fused ranking rewards documents both retrievers agree on without any
+    score calibration.  Input frames are already ≤ k rows per query, so
+    the union/re-aggregate is bounded by the query count — never
+    corpus-scale.
+    """
+    def sel(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(query_id_col), F.col(id_col),
+            F.col(rank_col).alias("__r"))
+
+    both = sel(ranked_a).unionByName(sel(ranked_b))
+    fused = both.groupBy(query_id_col, id_col).agg(
+        F.sum(1.0 / (F.lit(float(k0)) + F.col("__r"))).alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc())
+    return fused.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    *,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_sep: str = " ",
+) -> DataFrame:
+    """Token-budget chunking: → (id_col, chunk_id, n_tokens, chunk_text),
+    one row per chunk, chunks start every ``max_tokens − overlap`` tokens
+    and carry up to ``max_tokens`` each (the final chunk may be shorter).
+    Docs with zero tokens (empty or null text) produce no chunks.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}")
+    step = max_tokens - overlap
+    toks = _toks(text_col, token_sep)
+    starts = F.when(
+        F.size(toks) >= 1,
+        F.sequence(F.lit(1), F.size(toks), F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, max_tokens))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "__c"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("__c").cast("long").alias("n_tokens"),
+        F.array_join("__c", " ").alias("chunk_text"),
+    )

@@ -296,6 +296,45 @@ def test_group_aware_split_single_join_no_sort(spark):
     assert "Sort " not in plan  # no global or join sort anywhere
 
 
+def test_chunk_documents_map_only_pruned(spark):
+    """doc_chunks' plan: in-row sequence/slice/posexplode — zero shuffle
+    exchanges, no window, and the documents scan prunes to doc_id/text
+    (a 100 TB chunking pass is one scan)."""
+    from cuml_spark.text.retrieval import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = chunk_documents(docs, 40, overlap=8)
+    plan = _plan(out)
+    assert _n_shuffles(out) == 0
+    assert "Window" not in plan
+    schemas = _read_schemas(out)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    )
+
+
+def test_bm25_broadcast_joins_single_corpus_shuffle(spark):
+    """bm25_topk's plan: the inverted-index fit is the only corpus-row-
+    scale shuffle (map-side combined); every join is broadcast (no
+    SortMergeJoin — the query side and its derived term stats stay
+    broadcast), so matched-posting scoring never reshuffles the corpus by
+    anything but its own aggregation keys."""
+    from cuml_spark.text.retrieval import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    qs = spark.createDataFrame(
+        [(0, "spark join window")], "query_id long, text string")
+    out = bm25_topk(docs, qs, k=10)
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()  # map-side combine on the aggs
+    schemas = _read_schemas(out)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    )
+
+
 def test_bigram_lm_broadcast_model_scoring_map_only(spark):
     """doc_perplexity_pretrained's plan: with a broadcast BigramLM the
     scoring pass is ONE map-only scan — zero shuffle exchanges, zero

@@ -1,0 +1,130 @@
+"""BM25 / RRF / chunking vs hand-computed oracles (text/retrieval.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuml_spark.text import bm25_topk, chunk_documents, rrf_fuse
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "durian"),
+        (3, None),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_hand_oracle(corpus, spark):
+    """Exact Okapi scores on a tiny corpus: N=5, avgdl=1.2; null/empty
+    docs count toward N and avgdl but never match; a query term absent
+    from the corpus contributes nothing (df never hits the idf floor)."""
+    qs = spark.createDataFrame(
+        [(0, "apple banana"), (1, "durian missingterm")],
+        "query_id long, text string")
+    out = {(r["query_id"], r["doc_id"]): r
+           for r in bm25_topk(corpus, qs, k=3, score_decimals=None).collect()}
+    k1, b, n, avgdl = 1.2, 0.75, 5, 1.2
+
+    def s(tf, df, dl):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # query 0 vs doc 0: apple tf=2 df=1 dl=3; banana tf=1 df=2 dl=3
+    assert out[(0, 0)]["score"] == pytest.approx(
+        s(2, 1, 3) + s(1, 2, 3), abs=1e-12)
+    assert out[(0, 0)]["n_terms_matched"] == 2
+    # query 0 vs doc 1: banana tf=1 df=2 dl=2
+    assert out[(0, 1)]["score"] == pytest.approx(s(1, 2, 2), abs=1e-12)
+    # ranks: doc 0 above doc 1 for query 0
+    assert out[(0, 0)]["rank"] == 1 and out[(0, 1)]["rank"] == 2
+    # query 1: only durian matches (df=1, dl=1); missingterm is absent
+    assert out[(1, 2)]["score"] == pytest.approx(s(1, 1, 1), abs=1e-12)
+    assert out[(1, 2)]["n_terms_matched"] == 1
+    assert {(q, d) for q, d in out} == {(0, 0), (0, 1), (1, 2)}
+
+
+def test_bm25_k_bound_and_repeated_query_terms(corpus, spark):
+    """k bounds each query's list; duplicate terms in the query text count
+    once (distinct-term semantics)."""
+    qs = spark.createDataFrame(
+        [(0, "banana banana banana")], "query_id long, text string")
+    out = bm25_topk(corpus, qs, k=1).collect()
+    assert len(out) == 1 and out[0]["rank"] == 1
+    assert out[0]["n_terms_matched"] == 1
+    # dup terms: same score as a single mention
+    single = bm25_topk(
+        corpus,
+        spark.createDataFrame([(0, "banana")], "query_id long, text string"),
+        k=1,
+    ).collect()[0]
+    assert out[0]["score"] == single["score"]
+
+
+def test_chunk_documents_stride_tail_and_degenerate(corpus, spark):
+    """Chunks start every max_tokens-overlap tokens, the tail may be
+    short, zero-token docs yield no chunks, and overlap/max validation
+    rejects bad configs."""
+    rows = [(0, " ".join(f"t{i}" for i in range(10))), (1, "a"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+           for r in chunk_documents(df, 4, overlap=1).collect()}
+    # doc 0: 10 tokens, stride 3 -> starts 1,4,7,10
+    assert out[(0, 0)] == (4, "t0 t1 t2 t3")
+    assert out[(0, 1)] == (4, "t3 t4 t5 t6")
+    assert out[(0, 2)] == (4, "t6 t7 t8 t9")
+    assert out[(0, 3)] == (1, "t9")
+    assert out[(1, 0)] == (1, "a")
+    assert not any(d == 2 for d, _c in out)
+    # every token of every doc is covered (chunking loses nothing)
+    covered = set()
+    for (d, _c), (_n, txt) in out.items():
+        if d == 0:
+            covered.update(txt.split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, 4, overlap=4)
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, 0)
+
+
+def test_rrf_fusion_laws(spark):
+    """RRF score = sum of 1/(k0+rank) over lists; a doc in both lists
+    outranks same-rank single-list docs; ties break by doc_id."""
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse(a, b, k=10).collect()}
+    assert out[11]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61, abs=1e-15)
+    assert out[11]["n_lists"] == 2 and out[11]["rank"] == 1
+    # 10 (rank 1 in a) vs 12 (rank 2 in b): 1/61 > 1/62
+    assert out[10]["rank"] == 2 and out[12]["rank"] == 3
+    # exact tie: both single-list at the same rank -> doc_id ascending
+    c = spark.createDataFrame(
+        [(1, 20, 3)], "query_id long, doc_id long, rank long")
+    d = spark.createDataFrame(
+        [(1, 19, 3)], "query_id long, doc_id long, rank long")
+    tied = {r["doc_id"]: r["rank"] for r in rrf_fuse(c, d, k=10).collect()}
+    assert tied == {19: 1, 20: 2}
+
+
+def test_bm25_partitioning_invariant(corpus, spark):
+    """Scores and ranks are identical under any input repartitioning."""
+    qs = spark.createDataFrame(
+        [(0, "apple banana durian")], "query_id long, text string")
+    base = sorted(
+        (r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk(corpus, qs, k=5).collect())
+    for parts in (1, 7):
+        again = sorted(
+            (r["doc_id"], r["score"], r["rank"])
+            for r in bm25_topk(corpus.repartition(parts), qs, k=5).collect())
+        assert again == base
