@@ -265,8 +265,45 @@ FROM s GROUP BY split ORDER BY split
 """
 
 
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup-style cluster-bucketed semantic pruning
+    (similarity/semdedup.py): within each embedding cluster (the
+    deterministic label column stands in for a KMeans assignment), prune
+    every row with an earlier cosine-≥0.3 neighbor, keeping the smallest
+    id as witness.  Dot products are sequential in-row folds, so the
+    DuckDB list_dot_product oracle is bit-exact."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.similarity import semantic_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("label").alias("cluster"), "embedding")
+    out = semantic_prune(emb, 0.3)
+    return out.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"),
+        "kept", "pruned_by")
+
+
+_SQL_SEMDEDUP_PRUNE = """
+WITH e AS (
+  SELECT vec_id, label AS cluster, embedding::DOUBLE[] AS v FROM embeddings
+), pr AS (
+  SELECT a.vec_id, min(b.vec_id) AS pruned_by
+  FROM e a JOIN e b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+  GROUP BY 1
+)
+SELECT e.vec_id, e.cluster::BIGINT AS cluster,
+       pr.pruned_by IS NULL AS kept, pr.pruned_by
+FROM e LEFT JOIN pr USING (vec_id)
+"""
+
+
 QUERIES_SIMILARITY = {
     "neardup_pairs": q_neardup_pairs,
+    "semdedup_prune": q_semdedup_prune,
     "neardup_safe_split": q_neardup_safe_split,
     "pipeline_neardup_groups": q_pipeline_neardup_groups,
     "ivf_search_exact": q_ivf_search_exact,
@@ -276,6 +313,7 @@ QUERIES_SIMILARITY = {
 
 ORACLES_SIMILARITY = {
     "neardup_pairs": _SQL_NEARDUP,
+    "semdedup_prune": _SQL_SEMDEDUP_PRUNE,
     "neardup_safe_split": _SQL_NEARDUP_SAFE_SPLIT,
     "pipeline_neardup_groups": _SQL_PIPELINE_NEARDUP_GROUPS,
     "ivf_search_exact": _SQL_IVF_EXACT,

@@ -296,6 +296,25 @@ def test_group_aware_split_single_join_no_sort(spark):
     assert "Sort " not in plan  # no global or join sort anywhere
 
 
+def test_semantic_prune_cluster_keyed_no_udf(spark):
+    """semdedup_prune's plan: the self-join and witness aggregation are
+    keyed on the CLUSTER column (the SemDeDup O(Σ|c|²) contract — never a
+    corpus cross join), the dot product is in-row codegen (no Python
+    eval), and the embeddings scan prunes the label column it renames."""
+    from cuml_spark.similarity import semantic_prune
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).selectExpr("vec_id", "label as cluster", "embedding")
+    out = semantic_prune(emb, 0.3, max_cluster_rows=None)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan  # no Python in the pair scoring
+    schemas = _read_schemas(out)
+    assert schemas  # parquet scans present and column-pruned
+
+
 def test_chunk_documents_map_only_pruned(spark):
     """doc_chunks' plan: in-row sequence/slice/posexplode — zero shuffle
     exchanges, no window, and the documents scan prunes to doc_id/text

@@ -231,6 +231,47 @@ def test_pq_zero_norm_codes_score_zero_not_nan(spark):
     assert len(z) == 3 * 8 and (z["score"] == 0.0).all()
 
 
+def test_semantic_prune_policy_and_guard(spark):
+    """SemDeDup pruning (similarity/semdedup.py): a row is pruned iff an
+    EARLIER same-cluster row is cosine-similar >= threshold — duplicates
+    of a pruned row are pruned too (max-sim-to-earlier, not greedy-vs-
+    kept); cross-cluster similarity never prunes; the witness is the
+    smallest qualifying id; oversized clusters refuse."""
+    from cuml_spark.similarity import semantic_prune
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, 0, e1),           # kept (first)
+        (1, 0, e1),           # dup of 0 -> pruned by 0
+        (2, 0, e1),           # dup of 0 AND 1 -> witness is min = 0
+        (3, 0, e2),           # orthogonal -> kept
+        (4, 1, e1),           # same vector, DIFFERENT cluster -> kept
+        (5, 1, e2),           # kept
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster long, embedding array<double>")
+    out = {r["vec_id"]: (r["kept"], r["pruned_by"])
+           for r in semantic_prune(df, 0.9).collect()}
+    assert out == {0: (True, None), 1: (False, 0), 2: (False, 0),
+                   3: (True, None), 4: (True, None), 5: (True, None)}
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        semantic_prune(df, 0.9, max_cluster_rows=3)
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_prune(df, 1.5)
+    # chain case: B ~ A (pruned), C ~ B but NOT ~ A -> C still pruned
+    # because the policy judges against all earlier rows, kept or not
+    a = [1.0, 0.0]
+    bvec = [0.92, 0.39]   # cos(a,b) ~ 0.92
+    c = [0.70, 0.71]      # cos(b,c) ~ 0.92, cos(a,c) ~ 0.70
+    df2 = spark.createDataFrame(
+        [(0, 0, a), (1, 0, bvec), (2, 0, c)],
+        "vec_id long, cluster long, embedding array<double>")
+    got = {r["vec_id"]: (r["kept"], r["pruned_by"])
+           for r in semantic_prune(df2, 0.9).collect()}
+    assert got == {0: (True, None), 1: (False, 0), 2: (False, 1)}
+
+
 def test_ivfpq_exact_config_equals_brute(embeddings):
     """nprobe = nlist AND sign-quantized input ⇒ the IVF-PQ composition is
     exact end-to-end (routing, probe join, ADC code scoring, ranking)."""
