@@ -167,14 +167,45 @@ def _sql_streaming_clean_corpus() -> str:
     return _sql_pipeline_clean_corpus()
 
 
+def q_streaming_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking on a STREAM: chunk_documents is stateless
+    map-only (sequence/slice/posexplode), so it runs unchanged inside a
+    streaming query — file source → chunker → memory sink, availableNow.
+    The backfill must equal the batch `doc_chunks` answer ROW FOR ROW
+    (same oracle), which is the replayability contract for a chunking
+    ingest stage: reprocessing a day of files yields the same chunk
+    table the live stream produced."""
+    from cuml_spark.text.retrieval import chunk_documents
+
+    stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
+    chunks = chunk_documents(stream, 40, overlap=8)
+    sink = _run_to_memory(chunks, "append")
+    return sink.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+def _sql_streaming_chunk_docs() -> str:
+    # the batch chunking oracle verbatim: chunking is stateless, so the
+    # streaming backfill must reproduce every row exactly
+    from cuml_spark.harness_text import _SQL_DOC_CHUNKS
+
+    return _SQL_DOC_CHUNKS
+
+
 QUERIES_STREAMING = {
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_clean_corpus": q_streaming_clean_corpus,
+    "streaming_chunk_docs": q_streaming_chunk_docs,
 }
 
 ORACLES_STREAMING = {
     "streaming_dedup_docs": _SQL_STREAMING_DEDUP_DOCS,
     "streaming_window_stats": _SQL_STREAMING_WINDOW_STATS,
     "streaming_clean_corpus": _sql_streaming_clean_corpus(),
+    "streaming_chunk_docs": _sql_streaming_chunk_docs(),
 }
