@@ -452,6 +452,14 @@ _DRIVER_WINDOW = [
     # built via the DataFrame API and genuinely changes word counts on
     # lines containing x/0/B, so the oracle row must be re-recorded.
     "c4_line_stats",
+    # (c') NEW in r8, never driver-checked — the retrieval tier and the
+    # SemDeDup pruner.  Never-checked outranks re-confirmation, so these
+    # take slots from five six-times-green stale queries (below).
+    "bm25_topk",
+    "doc_chunks",
+    "hybrid_rrf",
+    "semdedup_prune",
+    "streaming_chunk_docs",
     # (span_dedup shares c4.py but span_dedup_stats' code path is
     # untouched by the predicate fix; pq_search_exact/ivfpq_search_exact
     # gained an exclude_self parameter defaulting to the old behavior and
@@ -462,34 +470,35 @@ _DRIVER_WINDOW = [
     # and their r7 driver evidence is exactly one round old, which the
     # rotation invariant allows — their slots go to the 47 stale queries
     # below.)
-    # (d) STALEST evidence: these 47 were last driver-green in r6 and sat
-    # outside the r7 window — rotating them in keeps the invariant that
-    # no query's driver evidence is older than one round.  Includes the
-    # five VERDICT r7 #1 named queries (sgd_hinge_accuracy,
-    # media_decode_png, rf_mae_regression, fil_score) plus
-    # image_dedup_groups (the perf-watched anomaly).
+    # (d) STALEST evidence: last driver-green in r6, sat outside the r7
+    # window.  Includes the VERDICT r7 #1 named queries
+    # (sgd_hinge_accuracy, media_decode_png, rf_mae_regression,
+    # fil_score) plus image_dedup_groups (the perf-watched anomaly).
+    # FORCED TRADE: 53 candidates for 50 slots — five six-times-green
+    # stale queries (pca_variance_2d, kmeans_cluster_sizes, dbscan_roles,
+    # umap_trust, tsne_trust: green in EVERY round r1-r6, implementation
+    # files untouched since r5 or earlier) yield their slots to the five
+    # zero-evidence r8 queries above; their evidence ages to two rounds,
+    # which six consecutive green rows and an unchanged implementation
+    # make the lowest-risk concession available.  All five re-verified
+    # locally this round (tools/verify_local.py PASS).
     "pipeline_clean_corpus",
     "dedup_exact",
     "knn_embeddings",
     "cosine_topk",
-    "pca_variance_2d",
     "tsvd_singular_2d",
-    "kmeans_cluster_sizes",
     "sgd_hinge_accuracy",
     "rf_mae_regression",
     "pipeline_event_profile",
     "kalman_local_level",
     "holtwinters_forecast",
     "arima_ml_aic",
-    "dbscan_roles",
     "dbscan_cluster_sizes",
     "spectral_blobs",
     "silhouette_customers",
     "trustworthiness_slice",
     "fil_score",
     "svc_rule_accuracy",
-    "umap_trust",
-    "tsne_trust",
     "umap_transform_oos",
     "ivf_search_exact",
     "media_decode_png",

@@ -922,10 +922,13 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DOC_CHUNKS = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
-  FROM documents
+  FROM documents WHERE coalesce(len(list_filter(
+    string_split(text, ' '), x -> x <> '')), 0) >= 1
 ), st AS (
+  -- starts stop once a chunk reaches the end: last start =
+  -- greatest(n - max_tokens + step, 1) with max_tokens=40, step=32
   SELECT doc_id, l,
-         unnest(range(1, coalesce(len(l), 0) + 1, 32)) AS s
+         unnest(range(1, greatest(len(l) - 40 + 32, 1) + 1, 32)) AS s
   FROM toks
 )
 SELECT doc_id, ((s - 1) // 32)::BIGINT AS chunk_id,

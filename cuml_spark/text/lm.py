@@ -68,10 +68,15 @@ class BigramLM:
     add_k: float = 1.0
     token_sep: str = " "
 
-    def log_prob(self, w1: str, w2: str) -> float:
+    def log_prob(self, w1: str, w2: str) -> float | None:
+        """None for a degenerate model (empty corpus: V = 0 and w1
+        unseen) — the same null the self-scoring join path degrades to,
+        instead of a ZeroDivisionError inside an executor UDF."""
         k = self.add_k
         num = self.bigram_counts.get((w1, w2), 0) + k
         den = self.context_counts.get(w1, 0) + k * self.vocab_size
+        if den <= 0:
+            return None
         return math.log(num / den)
 
 
@@ -124,25 +129,34 @@ def fit_bigram_lm(
     remain exact so capping only coarsens rare-bigram numerators toward
     the add-k floor.
     """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
     pairs = _bigram_rows(corpus, text_col, id_col, token_sep)
+    # persist the collapsed counts: three driver actions follow (bigram
+    # collect, context collect, vocabulary scan), and without it both
+    # count collects re-pay the corpus-scale exploded-bigram shuffle
     bgc = pairs.groupBy("__w1", "__w2").agg(F.count("*").alias("__c"))
-    ctx = bgc.groupBy("__w1").agg(F.sum("__c").alias("__cw"))
-    vocab = (
-        corpus.select(
-            F.explode(_token_array(text_col, token_sep)).alias("__w")
-        )
-        .agg(F.countDistinct("__w"))
-        .collect()[0][0]
-    ) or 0
-    take = bgc
-    if max_bigrams is not None:
-        take = bgc.orderBy(
-            F.col("__c").desc(), "__w1", "__w2"
-        ).limit(int(max_bigrams))
-    bigram_counts = {
-        (r["__w1"], r["__w2"]): r["__c"] for r in take.collect()
-    }
-    context_counts = {r["__w1"]: r["__cw"] for r in ctx.collect()}
+    bgc = bgc.persist()
+    try:
+        ctx = bgc.groupBy("__w1").agg(F.sum("__c").alias("__cw"))
+        vocab = (
+            corpus.select(
+                F.explode(_token_array(text_col, token_sep)).alias("__w")
+            )
+            .agg(F.countDistinct("__w"))
+            .collect()[0][0]
+        ) or 0
+        take = bgc
+        if max_bigrams is not None:
+            take = bgc.orderBy(
+                F.col("__c").desc(), "__w1", "__w2"
+            ).limit(int(max_bigrams))
+        bigram_counts = {
+            (r["__w1"], r["__w2"]): r["__c"] for r in take.collect()
+        }
+        context_counts = {r["__w1"]: r["__cw"] for r in ctx.collect()}
+    finally:
+        bgc.unpersist()
     return BigramLM(
         bigram_counts=bigram_counts,
         context_counts=context_counts,
@@ -163,9 +177,11 @@ def _score_with_model(
     @F.pandas_udf(DoubleType())
     def _avg_logp(tok_arrays: pd.Series) -> pd.Series:
         m = bc.value
+        degenerate = m.vocab_size <= 0  # empty-corpus model: score null,
+        # matching the self-scoring join path's degradation
         out = []
         for toks in tok_arrays:
-            if toks is None or len(toks) < 2:
+            if degenerate or toks is None or len(toks) < 2:
                 out.append(None)
                 continue
             s = 0.0
@@ -189,8 +205,8 @@ def bigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    add_k: float = 1.0,
-    token_sep: str = " ",
+    add_k: float | None = None,
+    token_sep: str | None = None,
     lm_corpus: DataFrame | None = None,
     model: BigramLM | None = None,
 ) -> DataFrame:
@@ -211,8 +227,15 @@ def bigram_lm_scores(
     if model is not None:
         if lm_corpus is not None:
             raise ValueError("pass either model= or lm_corpus=, not both")
+        if add_k is not None or token_sep is not None:
+            raise ValueError(
+                "add_k/token_sep are properties of the fitted model — "
+                "set them in fit_bigram_lm, not here (passing both would "
+                "silently score with the model's values)")
         return _score_with_model(df, text_col, id_col, model)
 
+    add_k = 1.0 if add_k is None else add_k
+    token_sep = " " if token_sep is None else token_sep
     src = lm_corpus if lm_corpus is not None else df
     model_pairs = _bigram_rows(src, text_col, id_col, token_sep)
     bgc = model_pairs.groupBy("__w1", "__w2").agg(F.count("*").alias("__cbg"))

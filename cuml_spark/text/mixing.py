@@ -111,11 +111,15 @@ def temperature_sample(
     the original schema.
 
     A caller-supplied ``counts`` histogram must cover every domain in
-    ``df`` (and a null domain never matches any histogram row).  Rows
-    whose domain has no rate are governed by ``on_missing_domain``:
-    ``"error"`` (default) raises at execution time, ``"keep"`` passes
-    them through unsampled, ``"drop"`` discards them (the pre-r8
-    behavior — silent, so now opt-in).
+    ``df``; the rates join is null-safe, so a null domain is a domain
+    value like any other — it matches a null histogram row and is
+    sampled at that row's rate.  Rows whose domain has NO histogram row
+    are governed by ``on_missing_domain``: ``"error"`` (default) raises
+    at execution time naming the domain, ``"keep"`` passes them through
+    unsampled, ``"drop"`` discards them (the pre-r8 behavior — silent,
+    so now opt-in).  Self-computed counts are complete by construction
+    (groupBy emits a row for every domain incl. null), so nothing can
+    miss on the default path.
     """
     if on_missing_domain not in ("error", "keep", "drop"):
         raise ValueError(
@@ -123,8 +127,6 @@ def temperature_sample(
             f"got {on_missing_domain!r}")
     if counts is None:
         counts = df.groupBy(domain_col).agg(F.count("*").alias("__n_d"))
-        on_missing_domain = "error"  # self-computed counts are complete;
-        # only a null domain can miss, and that's a data bug worth raising
     rates = domain_rates(
         counts, domain_col, alpha=alpha, budget_frac=budget_frac,
         rate_decimals=rate_decimals,

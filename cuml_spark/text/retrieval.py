@@ -41,10 +41,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _toks(text_col: str, token_sep: str):
-    return F.filter(
-        F.split(F.col(text_col), token_sep), lambda x: x != F.lit("")
-    )
+# single source of the tokenization contract (explicit separator regex,
+# drop empty tokens) — shared with the bigram LM so a future separator
+# fix cannot diverge the tiers
+from cuml_spark.text.lm import _token_array as _toks  # noqa: E402
 
 
 def bm25_topk(
@@ -178,11 +178,19 @@ def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_sep: str = " ",
+    join_sep: str = " ",
 ) -> DataFrame:
     """Token-budget chunking: → (id_col, chunk_id, n_tokens, chunk_text),
     one row per chunk, chunks start every ``max_tokens − overlap`` tokens
     and carry up to ``max_tokens`` each (the final chunk may be shorter).
-    Docs with zero tokens (empty or null text) produce no chunks.
+    Chunking stops once a chunk reaches the document's end, so no chunk
+    is ever fully contained in its predecessor (with ``overlap`` > 0 a
+    naive stride would emit a redundant ≤-overlap tail).  Docs with zero
+    tokens (empty or null text) produce no chunks.
+
+    ``token_sep`` is a split REGEX; ``join_sep`` is the literal string
+    chunks are re-joined with (a regex cannot be inverted, so callers
+    with a non-space separator choose the reconstruction themselves).
     """
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
@@ -191,9 +199,12 @@ def chunk_documents(
             f"overlap must be in [0, max_tokens), got {overlap}")
     step = max_tokens - overlap
     toks = _toks(text_col, token_sep)
+    # last start = the first one whose chunk reaches the end: starts stop
+    # at n - max_tokens + step (floored at 1)
+    ub = F.greatest(F.size(toks) - max_tokens + step, F.lit(1))
     starts = F.when(
         F.size(toks) >= 1,
-        F.sequence(F.lit(1), F.size(toks), F.lit(step)),
+        F.sequence(F.lit(1), ub, F.lit(step)),
     ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(starts, lambda s: F.slice(toks, s, max_tokens))
     return df.select(
@@ -203,5 +214,5 @@ def chunk_documents(
         id_col,
         F.col("chunk_id").cast("int").alias("chunk_id"),
         F.size("__c").cast("long").alias("n_tokens"),
-        F.array_join("__c", " ").alias("chunk_text"),
+        F.array_join("__c", join_sep).alias("chunk_text"),
     )

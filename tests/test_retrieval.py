@@ -69,18 +69,20 @@ def test_bm25_k_bound_and_repeated_query_terms(corpus, spark):
 
 
 def test_chunk_documents_stride_tail_and_degenerate(corpus, spark):
-    """Chunks start every max_tokens-overlap tokens, the tail may be
-    short, zero-token docs yield no chunks, and overlap/max validation
-    rejects bad configs."""
+    """Chunks start every max_tokens-overlap tokens, stop once a chunk
+    reaches the end (no chunk fully contained in its predecessor), the
+    tail may be short when overlap=0, zero-token docs yield no chunks,
+    and overlap/max validation rejects bad configs."""
     rows = [(0, " ".join(f"t{i}" for i in range(10))), (1, "a"), (2, None)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
            for r in chunk_documents(df, 4, overlap=1).collect()}
-    # doc 0: 10 tokens, stride 3 -> starts 1,4,7,10
+    # doc 0: 10 tokens, stride 3 -> starts 1,4,7; chunk 2 reaches t9, so
+    # no redundant ['t9'] tail (it would be fully inside chunk 2)
     assert out[(0, 0)] == (4, "t0 t1 t2 t3")
     assert out[(0, 1)] == (4, "t3 t4 t5 t6")
     assert out[(0, 2)] == (4, "t6 t7 t8 t9")
-    assert out[(0, 3)] == (1, "t9")
+    assert (0, 3) not in out
     assert out[(1, 0)] == (1, "a")
     assert not any(d == 2 for d, _c in out)
     # every token of every doc is covered (chunking loses nothing)
@@ -89,10 +91,24 @@ def test_chunk_documents_stride_tail_and_degenerate(corpus, spark):
         if d == 0:
             covered.update(txt.split(" "))
     assert covered == {f"t{i}" for i in range(10)}
+    # overlap=0: short tail still emitted (it is the only coverage)
+    tail = {(r["doc_id"], r["chunk_id"]): r["chunk_text"]
+            for r in chunk_documents(df, 4).collect()}
+    assert tail[(0, 2)] == "t8 t9"
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, 4, overlap=4)
     with pytest.raises(ValueError, match="max_tokens"):
         chunk_documents(df, 0)
+
+
+def test_chunk_documents_custom_join_sep(spark):
+    """token_sep is a split regex; join_sep reconstructs chunk text with
+    the caller's literal separator (a regex cannot be inverted)."""
+    df = spark.createDataFrame(
+        [(0, "a b;c d;e f")], "doc_id long, text string")
+    out = chunk_documents(df, 2, token_sep=";", join_sep=";").collect()
+    got = {r["chunk_id"]: r["chunk_text"] for r in out}
+    assert got == {0: "a b;c d", 1: "e f"}
 
 
 def test_rrf_fusion_laws(spark):
