@@ -824,6 +824,63 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style removal (text/substring.py): every 20-token
+    window occurring earlier in the corpus is cut from the text (global
+    keep-first by (doc_id, pos)).  The synthetic corpus contains exact
+    duplicate documents, so later copies are fully covered; the cleaned
+    text md5 pins the rebuild (position filtering + rejoin) exactly."""
+    from cuml_spark.text.substring import exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_substring_dedup(docs, k=20)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed_tokens",
+        F.md5(F.col("cleaned_text").cast("binary")).alias("cleaned_md5"),
+    )
+
+
+_SQL_SUBSTR_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), win AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 19], ' ')) AS h
+  FROM toks, unnest(range(1, len(l) - 20 + 2)) t(i)
+  WHERE coalesce(len(l), 0) >= 20
+), dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM win
+  ) WHERE rn > 1
+), cov AS (
+  SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS p
+  FROM dups, unnest(range(0, 20)) t(j)
+), tokpos AS (
+  SELECT doc_id, tok, CAST(p AS INT) AS p
+  FROM (SELECT doc_id, unnest(l) AS tok,
+               generate_subscripts(l, 1) AS p FROM toks)
+), kept AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.p) AS cleaned
+  FROM tokpos t ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(len(tk.l), 0)::BIGINT AS n_tokens,
+       coalesce(cv.n, 0)::BIGINT AS n_removed_tokens,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE md5(coalesce(kept.cleaned, '')) END AS cleaned_md5
+FROM documents d
+LEFT JOIN toks tk ON tk.doc_id = d.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM cov GROUP BY 1) cv
+       ON cv.doc_id = d.doc_id
+LEFT JOIN kept ON kept.doc_id = d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Ranked retrieval: BM25, hybrid RRF, chunking (text/retrieval.py)
 # --------------------------------------------------------------------------
@@ -1036,6 +1093,7 @@ QUERIES_TEXT = {
     "domain_mixture_sample": q_domain_mixture_sample,
     "doc_perplexity": q_doc_perplexity,
     "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
+    "substr_dedup": q_substr_dedup,
     "bm25_topk": q_bm25_topk,
     "doc_chunks": q_doc_chunks,
     "hybrid_rrf": q_hybrid_rrf,
@@ -1090,6 +1148,7 @@ ORACLES_TEXT = {
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
     "doc_perplexity": _SQL_DOC_PERPLEXITY,
     "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,
+    "substr_dedup": _SQL_SUBSTR_DEDUP,
     "bm25_topk": _sql_bm25(_bm25_query_values()),
     "doc_chunks": _SQL_DOC_CHUNKS,
     "hybrid_rrf": _sql_hybrid_rrf(),

@@ -15,6 +15,7 @@ from cuml_spark.text.c4 import c4_line_filter, span_dedup_stats
 from cuml_spark.text.mixing import domain_rates, temperature_sample
 from cuml_spark.text.lm import BigramLM, bigram_lm_scores, fit_bigram_lm
 from cuml_spark.text.retrieval import bm25_topk, chunk_documents, rrf_fuse
+from cuml_spark.text.substring import exact_substring_dedup
 
 __all__ = [
     "exact_dedup_groups", "normalized_fingerprint", "shingles",
@@ -24,4 +25,5 @@ __all__ = [
     "c4_line_filter", "span_dedup_stats", "domain_rates",
     "temperature_sample", "bigram_lm_scores", "fit_bigram_lm",
     "BigramLM", "bm25_topk", "rrf_fuse", "chunk_documents",
+    "exact_substring_dedup",
 ]

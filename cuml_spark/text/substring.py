@@ -1,0 +1,114 @@
+"""ExactSubstr-style cross-document substring deduplication (Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better"): find
+every ``k``-token window that occurs more than once in the corpus and
+REMOVE the repeated occurrences from the text, keeping the first
+(smallest ``(doc_id, position)``) occurrence — the dedup that line-level
+span statistics (text/c4.py ``span_dedup_stats``) only measures.
+
+The reference implementation builds a corpus-wide suffix array; the
+deterministic distributed rendition here works at TOKEN granularity
+(token boundaries are unambiguous where byte offsets inside a
+distributed corpus are not — the same trade span_dedup makes for lines):
+
+1. each document emits its ``k``-token windows IN-ROW as
+   ``(position, md5(window))`` — text never leaves the scan;
+2. one shuffle on the 16-byte window hash ranks occurrences by
+   ``(doc_id, position)``; every non-first occurrence is a duplicate
+   (a 128-bit hash makes collisions ignorable at corpus scale);
+3. duplicate occurrences expand to their covered token positions and
+   re-aggregate per document — the shuffle carries ``(doc_id, pos)``
+   pairs only;
+4. the covered-position set joins back to the corpus by id and the
+   cleaned text is rebuilt IN-ROW (indexed ``transform`` + ``filter``),
+   so document text is never exploded through a shuffle.
+
+Step 4 is O(n_tokens · n_covered) per document (``array_contains`` per
+token); for typical web documents (≤ ~10k tokens) this is cheap codegen.
+Corpora of book-length documents should chunk first
+(text/retrieval.py ``chunk_documents``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cuml_spark.text.lm import _token_array
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 50,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_sep: str = " ",
+    join_sep: str = " ",
+) -> DataFrame:
+    """→ (id_col, n_tokens, n_removed_tokens, cleaned_text).
+
+    A token position is removed iff it is covered by some ``k``-token
+    window whose content occurred earlier in the corpus (strictly
+    smaller ``(doc_id, position)`` — global keep-first).  Documents with
+    fewer than ``k`` tokens emit no windows and are returned unchanged;
+    null text survives with zero counts and null ``cleaned_text``.
+    Exact in-document repeats dedup against themselves.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = _token_array(text_col, token_sep)
+    n = F.size(toks)
+    wins = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(
+                    F.concat_ws(join_sep, F.slice(toks, i, k))
+                    .cast("binary")
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    occ = df.select(F.col(id_col), F.inline(wins))
+    w = Window.partitionBy("h").orderBy(id_col, "pos")
+    dups = (
+        occ.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(id_col, "pos")
+    )
+    covered = (
+        dups.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("__p"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__p").alias("__cov"))
+    )
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    joined = base.join(covered, [id_col], "left")
+    indexed = F.transform(
+        F.col("__t"),
+        lambda x, i: F.struct((i + 1).alias("p"), x.alias("t")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.coalesce(
+            F.array_contains(F.col("__cov"), s["p"]), F.lit(False)
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.coalesce(F.size("__t"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.size("__cov"), F.lit(0)).cast("long").alias(
+            "n_removed_tokens"),
+        F.when(
+            F.col("__t").isNotNull(),
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), join_sep
+            ),
+        ).alias("cleaned_text"),
+    )

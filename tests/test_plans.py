@@ -315,6 +315,25 @@ def test_semantic_prune_cluster_keyed_no_udf(spark):
     assert schemas  # parquet scans present and column-pruned
 
 
+def test_exact_substring_dedup_hash_only_shuffles(spark):
+    """substr_dedup's plan: windows are built in-row (hash + position —
+    text never leaves its scan), the keep-first ranking shuffles 16-byte
+    hashes, covered positions re-aggregate by id, and the text rebuild
+    is an in-row transform/filter after one id-keyed join — no
+    SortMergeJoin over exploded text, no Python eval anywhere."""
+    from cuml_spark.text import exact_substring_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = exact_substring_dedup(docs, k=20)
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    schemas = _read_schemas(out)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    )
+
+
 def test_chunk_documents_map_only_pruned(spark):
     """doc_chunks' plan: in-row sequence/slice/posexplode — zero shuffle
     exchanges, no window, and the documents scan prunes to doc_id/text

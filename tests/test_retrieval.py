@@ -132,6 +132,58 @@ def test_rrf_fusion_laws(spark):
     assert tied == {19: 1, 20: 2}
 
 
+def test_exact_substring_dedup_semantics(spark):
+    """ExactSubstr removal (text/substring.py): the first global
+    occurrence of a k-window keeps its text, later occurrences are cut
+    (including in-document repeats); overlapping duplicate windows union
+    their covered positions; short/null/empty docs pass through."""
+    from cuml_spark.text import exact_substring_dedup
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "x y a b c d z w"),     # shares 4-gram 'a b c d' at pos 3-6
+        (2, "a b c d e f g h"),     # exact dup of 0 -> fully covered
+        (3, "short one"),
+        (4, None),
+        (5, ""),
+        (6, "q q q q q q"),         # in-doc repeats of 'q q q q'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"],
+                         r["cleaned_text"])
+           for r in exact_substring_dedup(df, k=4).collect()}
+    assert out[0] == (8, 0, "a b c d e f g h")   # first occurrence kept
+    assert out[1] == (8, 4, "x y z w")
+    assert out[2] == (8, 8, "")
+    assert out[3] == (2, 0, "short one")         # < k: no windows
+    assert out[4] == (0, 0, None)
+    assert out[5] == (0, 0, "")
+    # windows at pos 1,2,3 are identical; pos 1 is kept, 2-3 cover 2..6
+    assert out[6] == (6, 5, "q")
+    with pytest.raises(ValueError, match="k must"):
+        exact_substring_dedup(df, k=0)
+
+
+def test_exact_substring_dedup_partitioning_invariant(spark):
+    """Keep-first is global (doc_id, pos) order — results are identical
+    under any repartitioning of the input."""
+    from cuml_spark.text import exact_substring_dedup
+
+    rows = [(i, "w" + " ".join(str((i * 7 + j) % 5) for j in range(12)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(
+        (r["doc_id"], r["n_removed_tokens"], r["cleaned_text"])
+        for r in exact_substring_dedup(df, k=5).collect())
+    for parts in (1, 7):
+        again = sorted(
+            (r["doc_id"], r["n_removed_tokens"], r["cleaned_text"])
+            for r in exact_substring_dedup(
+                df.repartition(parts), k=5).collect())
+        assert again == base
+    assert any(n > 0 for _d, n, _t in base)  # non-degenerate fixture
+
+
 def test_bm25_partitioning_invariant(corpus, spark):
     """Scores and ranks are identical under any input repartitioning."""
     qs = spark.createDataFrame(
