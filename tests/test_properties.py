@@ -510,3 +510,80 @@ def test_domain_rates_mass_conservation(spark, hist, alpha, budget):
         assert kept_mass == pytest.approx(budget * total, abs=slack)
     if alpha == 1.0:
         assert all(v == pytest.approx(budget, abs=1e-4) for v in rates.values())
+
+
+@SET
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=9), min_size=1,
+                  max_size=40),
+    max_tokens=st.integers(min_value=1, max_value=8),
+    overlap=st.integers(min_value=0, max_value=7),
+)
+def test_chunk_documents_coverage_and_bounds(spark, toks, max_tokens,
+                                             overlap):
+    """For ANY document and any legal (max_tokens, overlap): every token
+    position is covered by >= 1 chunk, no chunk exceeds max_tokens, no
+    chunk is fully contained in its predecessor, and with overlap=0 the
+    chunk texts concatenate back to the original document exactly."""
+    from hypothesis import assume
+
+    from cuml_spark.text import chunk_documents
+
+    assume(overlap < max_tokens)
+    text = " ".join(f"w{i}x{v}" for i, v in enumerate(toks))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, max_tokens, overlap=overlap).collect()
+    )
+    step = max_tokens - overlap
+    covered = set()
+    prev_end = None
+    for cid, n_tok, txt in rows:
+        words = txt.split(" ")
+        assert len(words) == n_tok <= max_tokens
+        start = cid * step
+        covered.update(range(start, start + n_tok))
+        if prev_end is not None:
+            assert start + n_tok > prev_end  # strictly extends coverage
+        prev_end = start + n_tok
+    assert covered == set(range(len(toks)))
+    if overlap == 0:
+        assert " ".join(txt for _c, _n, txt in rows) == text
+
+
+@SET
+@given(
+    n_docs=st.integers(min_value=2, max_value=8),
+    doc_len=st.integers(min_value=3, max_value=12),
+    k=st.integers(min_value=2, max_value=5),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_exact_substring_dedup_unique_and_duplicate_laws(
+        spark, n_docs, doc_len, k, seed):
+    """For ANY corpus of per-doc-unique token streams: nothing is removed
+    (no k-window can repeat).  Appending an exact copy of each doc (with
+    a fresh id) removes the copy ENTIRELY when it has >= k tokens, and
+    never touches the originals."""
+    from cuml_spark.text import exact_substring_dedup
+
+    base = [
+        (i, " ".join(f"d{i}t{j}" for j in range(doc_len)))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    clean = exact_substring_dedup(df, k=k).collect()
+    assert all(r["n_removed_tokens"] == 0 for r in clean)
+    assert all(r["cleaned_text"] == dict(base)[r["doc_id"]] for r in clean)
+
+    dup = base + [(i + n_docs, t) for i, t in base]
+    df2 = spark.createDataFrame(dup, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df2, k=k).collect()}
+    for i in range(n_docs):
+        assert out[i]["n_removed_tokens"] == 0          # originals intact
+        copy = out[i + n_docs]
+        if doc_len >= k:
+            assert copy["n_removed_tokens"] == doc_len  # copy erased
+            assert copy["cleaned_text"] == ""
+        else:
+            assert copy["n_removed_tokens"] == 0        # sub-k: no windows
