@@ -844,10 +844,14 @@ _SQL_SUBSTR_DEDUP = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
   FROM documents
+), toksh AS (
+  -- window identity = md5 over fixed-width per-token digests, mirroring
+  -- the Spark side's boundary-unambiguous encoding
+  SELECT doc_id, l, list_transform(l, x -> md5(x)) AS lh FROM toks
 ), win AS (
   SELECT doc_id, CAST(i AS INT) AS pos,
-         md5(array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 19], ' ')) AS h
-  FROM toks, unnest(range(1, len(l) - 20 + 2)) t(i)
+         md5(array_to_string(lh[CAST(i AS INT):CAST(i AS INT) + 19], '')) AS h
+  FROM toksh, unnest(range(1, len(l) - 20 + 2)) t(i)
   WHERE coalesce(len(l), 0) >= 20
 ), dups AS (
   SELECT doc_id, pos FROM (
@@ -872,6 +876,7 @@ SELECT d.doc_id,
        coalesce(len(tk.l), 0)::BIGINT AS n_tokens,
        coalesce(cv.n, 0)::BIGINT AS n_removed_tokens,
        CASE WHEN d.text IS NULL THEN NULL
+            WHEN coalesce(cv.n, 0) = 0 THEN md5(d.text)  -- verbatim
             ELSE md5(coalesce(kept.cleaned, '')) END AS cleaned_md5
 FROM documents d
 LEFT JOIN toks tk ON tk.doc_id = d.doc_id

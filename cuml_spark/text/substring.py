@@ -11,16 +11,27 @@ deterministic distributed rendition here works at TOKEN granularity
 distributed corpus are not — the same trade span_dedup makes for lines):
 
 1. each document emits its ``k``-token windows IN-ROW as
-   ``(position, md5(window))`` — text never leaves the scan;
-2. one shuffle on the 16-byte window hash ranks occurrences by
-   ``(doc_id, position)``; every non-first occurrence is a duplicate
-   (a 128-bit hash makes collisions ignorable at corpus scale);
+   ``(position, md5(window))`` — text never leaves the scan.  The
+   window hash concatenates PER-TOKEN md5s (computed once per token),
+   never the raw tokens: fixed-width token digests make the encoding
+   injective, so windows with different token boundaries can never
+   collide no matter what characters tokens contain (the
+   concatenated-key pitfall text/lm.py documents);
+2. the global first occurrence per window is ``min(struct(doc_id,
+   pos))`` — a map-side-combinable aggregation (duplicates collapse
+   inside their scan partition before the shuffle, and a hot window
+   repeated across millions of documents never funnels through one
+   reducer the way a ``row_number`` window would); occurrences that
+   differ from their window's minimum are the duplicates (one
+   AQE-skew-eligible equi-join on the 16-byte hash);
 3. duplicate occurrences expand to their covered token positions and
    re-aggregate per document — the shuffle carries ``(doc_id, pos)``
    pairs only;
 4. the covered-position set joins back to the corpus by id and the
    cleaned text is rebuilt IN-ROW (indexed ``transform`` + ``filter``),
-   so document text is never exploded through a shuffle.
+   so document text is never exploded through a shuffle.  Documents
+   with nothing removed return their text VERBATIM (no tokenize-rejoin
+   normalization).
 
 Step 4 is O(n_tokens · n_covered) per document (``array_contains`` per
 token); for typical web documents (≤ ~10k tokens) this is cheap codegen.
@@ -30,7 +41,7 @@ Corpora of book-length documents should chunk first
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cuml_spark.text.lm import _token_array
@@ -50,14 +61,19 @@ def exact_substring_dedup(
     A token position is removed iff it is covered by some ``k``-token
     window whose content occurred earlier in the corpus (strictly
     smaller ``(doc_id, position)`` — global keep-first).  Documents with
-    fewer than ``k`` tokens emit no windows and are returned unchanged;
-    null text survives with zero counts and null ``cleaned_text``.
-    Exact in-document repeats dedup against themselves.
+    NOTHING removed (sub-``k`` docs included) return their text
+    verbatim; documents with removals are rebuilt from their kept
+    tokens joined by ``join_sep``.  Null text survives with zero counts
+    and null ``cleaned_text``.  Exact in-document repeats dedup against
+    themselves.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     toks = _token_array(text_col, token_sep)
     n = F.size(toks)
+    # hash each token once; a window's identity is the md5 of its
+    # tokens' fixed-width digests — injective regardless of token content
+    toksh = F.transform(toks, lambda x: F.md5(x.cast("binary")))
     wins = F.when(
         n >= k,
         F.transform(
@@ -65,17 +81,20 @@ def exact_substring_dedup(
             lambda i: F.struct(
                 i.alias("pos"),
                 F.md5(
-                    F.concat_ws(join_sep, F.slice(toks, i, k))
-                    .cast("binary")
+                    F.concat_ws("", F.slice(toksh, i, k)).cast("binary")
                 ).alias("h"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
     occ = df.select(F.col(id_col), F.inline(wins))
-    w = Window.partitionBy("h").orderBy(id_col, "pos")
+    firsts = occ.groupBy("h").agg(
+        F.min(F.struct(id_col, "pos")).alias("__first"))
     dups = (
-        occ.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") > 1)
+        occ.join(firsts, "h")
+        .where(
+            (F.col(id_col) != F.col(f"__first.{id_col}"))
+            | (F.col("pos") != F.col("__first.pos"))
+        )
         .select(id_col, "pos")
     )
     covered = (
@@ -88,7 +107,7 @@ def exact_substring_dedup(
         .groupBy(id_col)
         .agg(F.collect_set("__p").alias("__cov"))
     )
-    base = df.select(F.col(id_col), toks.alias("__t"))
+    base = df.select(F.col(id_col), F.col(text_col), toks.alias("__t"))
     joined = base.join(covered, [id_col], "left")
     indexed = F.transform(
         F.col("__t"),
@@ -100,15 +119,14 @@ def exact_substring_dedup(
             F.array_contains(F.col("__cov"), s["p"]), F.lit(False)
         ),
     )
+    n_removed = F.coalesce(F.size("__cov"), F.lit(0))
     return joined.select(
         id_col,
         F.coalesce(F.size("__t"), F.lit(0)).cast("long").alias("n_tokens"),
-        F.coalesce(F.size("__cov"), F.lit(0)).cast("long").alias(
-            "n_removed_tokens"),
-        F.when(
-            F.col("__t").isNotNull(),
-            F.array_join(
-                F.transform(kept, lambda s: s["t"]), join_sep
-            ),
+        n_removed.cast("long").alias("n_removed_tokens"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .when(n_removed == 0, F.col(text_col))  # untouched: verbatim
+        .otherwise(
+            F.array_join(F.transform(kept, lambda s: s["t"]), join_sep)
         ).alias("cleaned_text"),
     )

@@ -328,6 +328,12 @@ def test_exact_substring_dedup_hash_only_shuffles(spark):
     plan = _plan(out)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # keep-first is a map-side-combinable min-struct aggregation, not a
+    # per-hash row_number window (a hot window would serialize through
+    # one reducer); shuffles: firsts agg + covered agg (+ at most one
+    # join exchange when the hash join outgrows broadcast)
+    assert "Window" not in plan
+    assert _n_shuffles(out) <= 3
     schemas = _read_schemas(out)
     assert schemas and all(
         "lang" not in s and "source" not in s for s in schemas

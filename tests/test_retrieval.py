@@ -164,6 +164,27 @@ def test_exact_substring_dedup_semantics(spark):
         exact_substring_dedup(df, k=0)
 
 
+def test_exact_substring_dedup_boundary_unambiguous_and_verbatim(spark):
+    """Review regressions: (a) window identity hashes per-token digests,
+    so different token boundaries that concatenate to the same string
+    never collide ('x y'+'c' vs 'x'+'y c' under token_sep=','); (b) docs
+    with zero removals return their text VERBATIM — no tokenize-rejoin
+    whitespace normalization."""
+    from cuml_spark.text import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [(0, "x y,c"), (1, "x,y c")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_removed_tokens"], r["cleaned_text"])
+           for r in exact_substring_dedup(
+               df, k=2, token_sep=",", join_sep=",").collect()}
+    assert out == {0: (0, "x y,c"), 1: (0, "x,y c")}  # no false dup
+    messy = spark.createDataFrame(
+        [(0, "  a  b\tc ")], "doc_id long, text string")
+    r = exact_substring_dedup(messy, k=20).collect()[0]
+    assert r["n_removed_tokens"] == 0
+    assert r["cleaned_text"] == "  a  b\tc "  # verbatim, not 'a b\tc'
+
+
 def test_exact_substring_dedup_partitioning_invariant(spark):
     """Keep-first is global (doc_id, pos) order — results are identical
     under any repartitioning of the input."""
