@@ -845,9 +845,10 @@ WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
   FROM documents
 ), toksh AS (
-  -- window identity = md5 over fixed-width per-token digests, mirroring
-  -- the Spark side's boundary-unambiguous encoding
-  SELECT doc_id, l, list_transform(l, x -> md5(x)) AS lh FROM toks
+  -- window identity = md5 over netstring-encoded tokens (<len>:<token>),
+  -- mirroring the Spark side's boundary-unambiguous encoding
+  SELECT doc_id, l, list_transform(l, x -> length(x) || ':' || x) AS lh
+  FROM toks
 ), win AS (
   SELECT doc_id, CAST(i AS INT) AS pos,
          md5(array_to_string(lh[CAST(i AS INT):CAST(i AS INT) + 19], '')) AS h

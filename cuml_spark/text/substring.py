@@ -12,18 +12,23 @@ distributed corpus are not — the same trade span_dedup makes for lines):
 
 1. each document emits its ``k``-token windows IN-ROW as
    ``(position, md5(window))`` — text never leaves the scan.  The
-   window hash concatenates PER-TOKEN md5s (computed once per token),
-   never the raw tokens: fixed-width token digests make the encoding
+   window hash covers NETSTRING-encoded tokens (``<len>:<token>``),
+   never a plain join: length prefixes make the concatenation
    injective, so windows with different token boundaries can never
    collide no matter what characters tokens contain (the
    concatenated-key pitfall text/lm.py documents);
 2. the global first occurrence per window is ``min(struct(doc_id,
-   pos))`` — a map-side-combinable aggregation (duplicates collapse
-   inside their scan partition before the shuffle, and a hot window
-   repeated across millions of documents never funnels through one
-   reducer the way a ``row_number`` window would); occurrences that
-   differ from their window's minimum are the duplicates (one
-   AQE-skew-eligible equi-join on the 16-byte hash);
+   pos))`` computed as an ORDER-FREE window aggregate over one shuffle
+   on the 16-byte hash — no rank sort, and the window-building
+   expression runs exactly once (a groupBy-min + self-join re-executes
+   the in-row hashing on both join sides: measured 4.5x slower).
+   Occurrences differing from their window's minimum are the
+   duplicates (min-struct also measured slightly FASTER than
+   row_number locally — no rank sort).  A pathologically hot window
+   (identical boilerplate k-gram across millions of documents)
+   concentrates its occurrences on one reducer; corpora like that
+   should run the C4 line filter or line-level span dedup first, which
+   is the order real pipelines use;
 3. duplicate occurrences expand to their covered token positions and
    re-aggregate per document — the shuffle carries ``(doc_id, pos)``
    pairs only;
@@ -41,7 +46,7 @@ Corpora of book-length documents should chunk first
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cuml_spark.text.lm import _token_array
@@ -71,26 +76,36 @@ def exact_substring_dedup(
         raise ValueError(f"k must be >= 1, got {k}")
     toks = _token_array(text_col, token_sep)
     n = F.size(toks)
-    # hash each token once; a window's identity is the md5 of its
-    # tokens' fixed-width digests — injective regardless of token content
-    toksh = F.transform(toks, lambda x: F.md5(x.cast("binary")))
+
+    # netstring-encode ("<len>:<token>") the k tokens of EACH WINDOW'S
+    # slice: length prefixes make the concatenation injective, so windows
+    # with different token boundaries can never hash equal no matter what
+    # characters tokens contain.  The encoding must live INSIDE the
+    # per-window lambda — a whole-array encoded column gets re-inlined at
+    # every window use by projection collapse, turning O(n·k) per doc
+    # into O(n²) (measured 2.5x slower at sf0.1)
+    def _win_hash(i):
+        enc = F.transform(
+            F.slice(toks, i, k),
+            lambda x: F.concat(F.length(x).cast("string"), F.lit(":"), x),
+        )
+        return F.md5(F.concat_ws("", enc).cast("binary"))
+
     wins = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(
-                    F.concat_ws("", F.slice(toksh, i, k)).cast("binary")
-                ).alias("h"),
-            ),
+            lambda i: F.struct(i.alias("pos"), _win_hash(i).alias("h")),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
     occ = df.select(F.col(id_col), F.inline(wins))
-    firsts = occ.groupBy("h").agg(
-        F.min(F.struct(id_col, "pos")).alias("__first"))
+    # first occurrence per window as an ORDER-FREE window aggregate: one
+    # shuffle on h, no sort-by-rank, and — crucially — occ is computed
+    # once.  (A groupBy-min + self-join re-executes the whole in-row
+    # hashing on both join sides: measured 16.2s vs 3.6s at sf0.1.)
+    mn = F.min(F.struct(id_col, "pos")).over(Window.partitionBy("h"))
     dups = (
-        occ.join(firsts, "h")
+        occ.withColumn("__first", mn)
         .where(
             (F.col(id_col) != F.col(f"__first.{id_col}"))
             | (F.col("pos") != F.col("__first.pos"))

@@ -328,11 +328,13 @@ def test_exact_substring_dedup_hash_only_shuffles(spark):
     plan = _plan(out)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # keep-first is a map-side-combinable min-struct aggregation, not a
-    # per-hash row_number window (a hot window would serialize through
-    # one reducer); shuffles: firsts agg + covered agg (+ at most one
-    # join exchange when the hash join outgrows broadcast)
-    assert "Window" not in plan
+    # keep-first is an order-free min-struct window aggregate over ONE
+    # shuffle on the 16-byte hash — occ is computed exactly once (a
+    # groupBy-min + self-join re-executes the window hashing on both
+    # join sides; measured 4.5x slower at sf0.1).  Shuffles: hash
+    # window + covered agg (+ the id join when covered outgrows
+    # broadcast); no rank sort anywhere.
+    assert plan.count("Window") <= 2  # the one min-struct window (pre/post AQE)
     assert _n_shuffles(out) <= 3
     schemas = _read_schemas(out)
     assert schemas and all(
