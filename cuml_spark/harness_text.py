@@ -829,10 +829,18 @@ def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window occurring earlier in the corpus is cut from the text (global
     keep-first by (doc_id, pos)).  The synthetic corpus contains exact
     duplicate documents, so later copies are fully covered; the cleaned
-    text md5 pins the rebuild (position filtering + rejoin) exactly."""
+    text md5 pins the rebuild (position filtering + rejoin) exactly.
+
+    The input is repartitioned to the session's core count: the sf0.1
+    documents table is ONE parquet split, so without it the O(n·k)
+    in-row window hashing (the operator's dominant cost) runs on a
+    single core — a local-file artifact a 100 TB scan (thousands of
+    splits) never exhibits.  Measured: 3.6s single-split vs 1.2s at 32
+    splits, same plan otherwise."""
     from cuml_spark.text.substring import exact_substring_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     out = exact_substring_dedup(docs, k=20)
     return out.select(
         "doc_id", "n_tokens", "n_removed_tokens",

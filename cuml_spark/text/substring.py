@@ -16,37 +16,49 @@ distributed corpus are not — the same trade span_dedup makes for lines):
    never a plain join: length prefixes make the concatenation
    injective, so windows with different token boundaries can never
    collide no matter what characters tokens contain (the
-   concatenated-key pitfall text/lm.py documents);
+   concatenated-key pitfall text/lm.py documents).  The occurrence
+   frame is ``localCheckpoint``-materialized so the O(n·k) in-row
+   hashing runs EXACTLY ONCE even though two consumers read it (an
+   unmaterialized groupBy-min + self-join re-executes the hashing on
+   both join sides: measured 4.5x slower at sf0.1);
 2. the global first occurrence per window is ``min(struct(doc_id,
-   pos))`` computed as an ORDER-FREE window aggregate over one shuffle
-   on the 16-byte hash — no rank sort, and the window-building
-   expression runs exactly once (a groupBy-min + self-join re-executes
-   the in-row hashing on both join sides: measured 4.5x slower).
-   Occurrences differing from their window's minimum are the
-   duplicates (min-struct also measured slightly FASTER than
-   row_number locally — no rank sort).  A pathologically hot window
-   (identical boilerplate k-gram across millions of documents)
-   concentrates its occurrences on one reducer; corpora like that
-   should run the C4 line filter or line-level span dedup first, which
-   is the order real pipelines use;
-3. duplicate occurrences expand to their covered token positions and
+   pos))`` as a keyed AGGREGATION — partial aggregation collapses a
+   hot window's occurrences inside each scan partition BEFORE the
+   shuffle, so a boilerplate k-gram repeated across millions of
+   documents sends at most one row per map task to its reducer (a
+   ``Window.partitionBy(h)`` form would funnel every occurrence of
+   the hot hash through one reducer — the skew the Lee et al.
+   workload is guaranteed to contain);
+3. occurrences re-join the first-occurrence table on the 16-byte hash
+   to find duplicates — an equi-join AQE's skew-join mitigation can
+   split when one hash dominates (enable
+   ``spark.sql.adaptive.skewJoin.enabled``, on by default); the
+   checkpointed occurrence frame is read, not recomputed, on both
+   sides;
+4. duplicate occurrences expand to their covered token positions and
    re-aggregate per document — the shuffle carries ``(doc_id, pos)``
    pairs only;
-4. the covered-position set joins back to the corpus by id and the
+5. the covered-position set joins back to the corpus by id and the
    cleaned text is rebuilt IN-ROW (indexed ``transform`` + ``filter``),
    so document text is never exploded through a shuffle.  Documents
    with nothing removed return their text VERBATIM (no tokenize-rejoin
    normalization).
 
-Step 4 is O(n_tokens · n_covered) per document (``array_contains`` per
+Step 5 is O(n_tokens · n_covered) per document (``array_contains`` per
 token); for typical web documents (≤ ~10k tokens) this is cheap codegen.
 Corpora of book-length documents should chunk first
 (text/retrieval.py ``chunk_documents``).
+
+The checkpoint lives in executor block storage (memory, spilling to
+local disk) for the lifetime of the returned DataFrame and is released
+when it is garbage-collected on the driver; an executor loss during the
+job fails the job (localCheckpoint trades lineage for speed — Spark's
+documented contract), which a retry of the whole operator handles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cuml_spark.text.lm import _token_array
@@ -70,7 +82,13 @@ def exact_substring_dedup(
     verbatim; documents with removals are rebuilt from their kept
     tokens joined by ``join_sep``.  Null text survives with zero counts
     and null ``cleaned_text``.  Exact in-document repeats dedup against
-    themselves.
+    themselves — note this is MORE aggressive than Lee et al.'s
+    keep-one-span on OVERLAPPING in-document repeats: only position 1
+    of the first window is guaranteed kept (``"q q q q q q"`` with
+    ``k=4`` keeps ``"q"``, because the windows at positions 2 and 3
+    duplicate position 1's and their coverage reaches back over tokens
+    2..4).  Callers wanting span-preserving behavior should gap-filter
+    on ``n_removed_tokens`` instead of using ``cleaned_text``.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -98,14 +116,23 @@ def exact_substring_dedup(
             lambda i: F.struct(i.alias("pos"), _win_hash(i).alias("h")),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
-    occ = df.select(F.col(id_col), F.inline(wins))
-    # first occurrence per window as an ORDER-FREE window aggregate: one
-    # shuffle on h, no sort-by-rank, and — crucially — occ is computed
-    # once.  (A groupBy-min + self-join re-executes the whole in-row
-    # hashing on both join sides: measured 16.2s vs 3.6s at sf0.1.)
-    mn = F.min(F.struct(id_col, "pos")).over(Window.partitionBy("h"))
+    # materialize the occurrence frame ONCE (lazily, at first job) so the
+    # O(n·k) in-row hashing is never recomputed even though both the
+    # first-occurrence aggregate and the duplicate join read it; the
+    # checkpoint is GC-released with the returned DataFrame
+    occ = df.select(F.col(id_col), F.inline(wins)).localCheckpoint(eager=False)
+    # global first occurrence per window hash as a keyed aggregation:
+    # partial_min collapses a hot hash's occurrences map-side, so no
+    # reducer ever receives more than one row per (hash, map task) —
+    # unlike a Window.partitionBy(h), which funnels every occurrence of
+    # a boilerplate k-gram through a single reducer
+    firsts = occ.groupBy("h").agg(
+        F.min(F.struct(id_col, "pos")).alias("__first"))
+    # duplicates = occurrences differing from their hash's minimum; the
+    # equi-join on h is AQE-skew-eligible (a dominant hash's partition is
+    # split across tasks at runtime), and both sides read the checkpoint
     dups = (
-        occ.withColumn("__first", mn)
+        occ.join(firsts, "h")
         .where(
             (F.col(id_col) != F.col(f"__first.{id_col}"))
             | (F.col("pos") != F.col("__first.pos"))

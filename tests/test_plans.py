@@ -315,12 +315,16 @@ def test_semantic_prune_cluster_keyed_no_udf(spark):
     assert schemas  # parquet scans present and column-pruned
 
 
-def test_exact_substring_dedup_hash_only_shuffles(spark):
+def test_exact_substring_dedup_funnel_free_keep_first(spark):
     """substr_dedup's plan: windows are built in-row (hash + position —
-    text never leaves its scan), the keep-first ranking shuffles 16-byte
-    hashes, covered positions re-aggregate by id, and the text rebuild
-    is an in-row transform/filter after one id-keyed join — no
-    SortMergeJoin over exploded text, no Python eval anywhere."""
+    text never leaves its scan) and materialized ONCE via localCheckpoint
+    (both keep-first consumers read `Scan ExistingRDD`, never recompute
+    the O(n·k) hashing); keep-first is a keyed aggregation with map-side
+    `partial_min` — NO Window operator, so a boilerplate k-gram repeated
+    across millions of docs collapses inside each map task instead of
+    funneling every occurrence through one reducer (the r8 scale `weak`);
+    the duplicate equi-join on the 16-byte hash is AQE-skew-eligible; no
+    Python eval, no cartesian product anywhere."""
     from cuml_spark.text import exact_substring_dedup
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
@@ -328,14 +332,14 @@ def test_exact_substring_dedup_hash_only_shuffles(spark):
     plan = _plan(out)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # keep-first is an order-free min-struct window aggregate over ONE
-    # shuffle on the 16-byte hash — occ is computed exactly once (a
-    # groupBy-min + self-join re-executes the window hashing on both
-    # join sides; measured 4.5x slower at sf0.1).  Shuffles: hash
-    # window + covered agg (+ the id join when covered outgrows
-    # broadcast); no rank sort anywhere.
-    assert plan.count("Window") <= 2  # the one min-struct window (pre/post AQE)
-    assert _n_shuffles(out) <= 3
+    assert "Window" not in plan          # no per-hash reducer funnel
+    assert "partial_min" in plan         # map-side combine on keep-first
+    # the checkpointed occurrence frame is read (not recomputed) on both
+    # the aggregate and probe sides
+    assert plan.count("Scan ExistingRDD") == 2
+    # shuffles: keep-first agg + covered-positions agg (+ the two joins
+    # when AQE doesn't demote them to broadcast at this size)
+    assert _n_shuffles(out) <= 4
     schemas = _read_schemas(out)
     assert schemas and all(
         "lang" not in s and "source" not in s for s in schemas

@@ -205,6 +205,39 @@ def test_exact_substring_dedup_partitioning_invariant(spark):
     assert any(n > 0 for _d, n, _t in base)  # non-degenerate fixture
 
 
+def test_exact_substring_dedup_hot_window_no_funnel(spark):
+    """Lee et al.'s motivating skew, at unit scale: ONE boilerplate
+    k-gram repeated across 1e5 documents.  The keep-first step is a
+    keyed aggregation whose map-side partial_min collapses the hot
+    hash's occurrences inside each input partition (the plan gate pins
+    no-Window / partial_min), so no reducer ever materializes the full
+    occurrence list — and the result stays exact: only doc 0 keeps its
+    text, every later copy is fully removed."""
+    from cuml_spark.text import exact_substring_dedup
+
+    n = 100_000
+    df = (
+        spark.range(0, n, 1, 16)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("text", F.lit("the same five token boilerplate"))
+    )
+    out = exact_substring_dedup(df, k=5)
+    agg = out.agg(
+        F.sum("n_removed_tokens").alias("removed"),
+        F.sum(F.when(F.col("cleaned_text") == "", 1).otherwise(0)).alias(
+            "emptied"),
+        F.sum(
+            F.when(
+                F.col("cleaned_text") == "the same five token boilerplate",
+                1,
+            ).otherwise(0)
+        ).alias("verbatim"),
+    ).collect()[0]
+    assert agg["removed"] == 5 * (n - 1)
+    assert agg["emptied"] == n - 1
+    assert agg["verbatim"] == 1  # exactly one survivor: the global first
+
+
 def test_bm25_partitioning_invariant(corpus, spark):
     """Scores and ranks are identical under any input repartitioning."""
     qs = spark.createDataFrame(
