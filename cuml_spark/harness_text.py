@@ -784,9 +784,11 @@ def q_doc_perplexity_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's actual deployment shape (text/lm.py): a BigramLM fit once,
     broadcast to executors, and scored IN-ROW by an Arrow-vectorized UDF —
     the scoring pass is map-only, zero shuffle (plan-gated in
-    tests/test_plans.py).  Exactness config: the model is fit uncapped on
-    the same corpus, so scores equal the self-scoring path and the DuckDB
-    oracle is the same integer-ratio SQL as doc_perplexity."""
+    tests/test_plans.py).  Exactness config: the model is fit on the same
+    corpus under the bounded default cap, which this corpus's distinct-
+    bigram count never reaches — so the model is identical to an uncapped
+    fit, scores equal the self-scoring path, and the DuckDB oracle is the
+    same integer-ratio SQL as doc_perplexity."""
     from cuml_spark.text.lm import bigram_lm_scores, fit_bigram_lm
 
     docs = _t(spark, sf_dir, "documents")

@@ -59,6 +59,10 @@ def semantic_prune(
     size through k, and a cluster bigger than the cap means the
     clustering, not this operator, needs fixing.  ``None`` skips the
     check (and its one cheap counting job).
+
+    Zero-norm embeddings have no defined cosine: they are treated as
+    never-similar (always kept, never a pruning witness) rather than
+    failing the job under ANSI division.
     """
     if not -1.0 <= threshold <= 1.0:
         raise ValueError(f"cosine threshold in [-1, 1], got {threshold}")
@@ -91,8 +95,13 @@ def semantic_prune(
         F.col("__v").alias("__vb"),
         F.col("__nrm").alias("__nb"),
     )
-    sim = _dot(F.col("__va"), F.col("__vb")) / (
-        F.col("__na") * F.col("__nb"))
+    # zero-norm guard: under Spark 4's default ANSI mode a 0/0 double
+    # division throws DIVIDE_BY_ZERO, so one zero embedding would fail
+    # the whole job; gate the division so zero-norm rows score NULL =
+    # never-similar (kept, never a witness) — the same semantics the
+    # DuckDB oracle's NULL comparison and the PQ/IVF-PQ numpy guards have
+    den = F.col("__na") * F.col("__nb")
+    sim = F.when(den > 0, _dot(F.col("__va"), F.col("__vb")) / den)
     pruned = (
         a.join(b, [cluster_col]).where(F.col("__idb") < F.col("__ida"))
         .where(sim >= float(threshold))

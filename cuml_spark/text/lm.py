@@ -111,23 +111,37 @@ def _bigram_rows(
     )
 
 
+DEFAULT_MAX_BIGRAMS = 1_000_000
+
+
 def fit_bigram_lm(
     corpus: DataFrame,
     text_col: str = "text",
     *,
     add_k: float = 1.0,
     token_sep: str = " ",
-    max_bigrams: int | None = None,
+    max_bigrams: int | None = DEFAULT_MAX_BIGRAMS,
     id_col: str = "doc_id",
 ) -> BigramLM:
     """Fit a :class:`BigramLM` on ``corpus`` and collect it to the driver.
 
     One map-side-combined shuffle on the (w1, w2) key; context counts and
-    vocabulary re-aggregate the collapsed tables.  ``max_bigrams`` keeps
-    only the most frequent bigrams (ties broken by key, deterministic) so
-    the broadcast stays bounded for huge corpora; context counts and V
-    remain exact so capping only coarsens rare-bigram numerators toward
-    the add-k floor.
+    vocabulary re-aggregate the collapsed tables.  ``max_bigrams``
+    (default ``DEFAULT_MAX_BIGRAMS`` = 1e6) keeps only the most frequent
+    bigrams (ties broken by key, deterministic) so the driver-side model
+    stays bounded no matter the corpus — a web-scale corpus has billions
+    of distinct bigrams, and an uncapped ``.collect()`` of them is a
+    driver OOM, the failure mode ``semantic_prune``'s
+    ``max_cluster_rows`` guard exists to refuse.  When the corpus has
+    fewer distinct bigrams than the cap the fitted model is identical to
+    an uncapped fit.  Context counts and V remain exact under any cap, so
+    capping only coarsens rare-bigram numerators toward the add-k floor.
+    Pass ``max_bigrams=None`` to deliberately fit uncapped (the caller
+    owns the driver-memory ceiling: ~150 bytes per retained bigram).
+
+    Context counts are NOT capped (one entry per distinct token): a
+    corpus whose VOCABULARY alone overwhelms the driver needs a real
+    pretrained LM (KenLM et al.), not a count model fit in-session.
     """
     if add_k <= 0:
         raise ValueError(f"add_k must be > 0, got {add_k}")
@@ -171,7 +185,14 @@ def _score_with_model(
 ) -> DataFrame:
     """Map-only scoring: broadcast the model, score each document in-row
     via an Arrow-vectorized UDF over its token array.  Zero shuffle, one
-    corpus scan — the plan a 100 TB scoring pass needs."""
+    corpus scan — the plan a 100 TB scoring pass needs.
+
+    Each call creates one Spark broadcast of the model that lives (on
+    the driver and every executor that scored a partition) until the
+    returned DataFrame — which captures it — is garbage-collected and
+    Spark's ContextCleaner reclaims the blocks.  Long-lived sessions
+    scoring many times should build ONE scored frame per model and
+    reuse it, not re-call this per pass."""
     bc = df.sparkSession.sparkContext.broadcast(model)
 
     @F.pandas_udf(DoubleType())

@@ -272,6 +272,25 @@ def test_semantic_prune_policy_and_guard(spark):
     assert got == {0: (True, None), 1: (False, 0), 2: (False, 1)}
 
 
+def test_semantic_prune_zero_norm_never_similar(spark):
+    """A zero-norm embedding has no defined cosine: it must neither fail
+    the job under ANSI 0/0 division nor prune (or be pruned by) anything
+    — including another zero vector in the same cluster — while normal
+    pairs in the same cluster still dedup (the ADVICE r8 divide-by-zero
+    guard, mirroring the oracle's NULL-comparison semantics)."""
+    from cuml_spark.similarity import semantic_prune
+
+    z = [0.0, 0.0, 0.0]
+    e = [1.0, 0.0, 0.0]
+    rows = [(0, 0, z), (1, 0, e), (2, 0, z), (3, 0, e)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster long, embedding array<double>")
+    out = {r["vec_id"]: (r["kept"], r["pruned_by"])
+           for r in semantic_prune(df, 0.9).collect()}
+    assert out == {0: (True, None), 1: (True, None),
+                   2: (True, None), 3: (False, 1)}
+
+
 def test_ivfpq_exact_config_equals_brute(embeddings):
     """nprobe = nlist AND sign-quantized input ⇒ the IVF-PQ composition is
     exact end-to-end (routing, probe join, ADC code scoring, ranking)."""

@@ -563,6 +563,33 @@ def test_bigram_lm_broadcast_model_parity_and_cap(spark):
         bigram_lm_scores(df, model=model, lm_corpus=df)
 
 
+def test_bigram_lm_fit_bounded_by_default(spark):
+    """fit_bigram_lm's default is a BOUNDED bigram cap (VERDICT r8 #3):
+    the driver-side model cannot grow with the corpus unless the caller
+    explicitly passes max_bigrams=None — below the cap the default fit
+    is identical to an uncapped one, above it only the most frequent
+    bigrams survive (deterministic tie-break by key)."""
+    import inspect
+
+    from cuml_spark.text import fit_bigram_lm
+    from cuml_spark.text.lm import DEFAULT_MAX_BIGRAMS
+
+    sig = inspect.signature(fit_bigram_lm)
+    assert sig.parameters["max_bigrams"].default == DEFAULT_MAX_BIGRAMS
+    assert DEFAULT_MAX_BIGRAMS == 1_000_000  # bounded, not None
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a c")], "doc_id long, text string")
+    default_fit = fit_bigram_lm(df)
+    uncapped = fit_bigram_lm(df, max_bigrams=None)  # explicit escape hatch
+    assert default_fit.bigram_counts == uncapped.bigram_counts
+    assert default_fit.context_counts == uncapped.context_counts
+    capped = fit_bigram_lm(df, max_bigrams=2)
+    assert len(capped.bigram_counts) == 2
+    assert ("a", "b") in capped.bigram_counts  # most frequent survives
+    assert capped.vocab_size == uncapped.vocab_size  # V never capped
+
+
 def test_bigram_lm_model_handles_sep_in_token_denominators(spark):
     """Regression (r7 ADVICE): with a non-space token_sep, tokens may
     contain spaces; P(w2|w1) denominators must group by the TRUE w1."""
