@@ -927,13 +927,19 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bm25(query_values: str, k: int = 10) -> str:
+_DEFAULT_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _sql_bm25(query_values: str, k: int = 10,
+              toks_expr: str = _DEFAULT_TOKS) -> str:
     """Shared BM25 SQL given a `(query_id, term)` VALUES list.  Arithmetic
     mirrors the Spark expression tree term-for-term (left association,
-    same double literals: 1.2+1.0 == 2.2 and 1.0-0.75 == 0.25 exactly)."""
+    same double literals: 1.2+1.0 == 2.2 and 1.0-0.75 == 0.25 exactly).
+    ``toks_expr`` is the analyzed token-list expression (the default is
+    the raw split; the analyzed query lowercases and drops stopwords)."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  SELECT doc_id, {toks_expr} AS l
   FROM documents
 ), dl AS (
   SELECT doc_id, coalesce(len(l), 0) AS dl FROM toks
@@ -974,6 +980,57 @@ def _bm25_query_values() -> str:
         for term in dict.fromkeys(text.split(" ")):
             pairs.append(f"({qid}, '{term}')")
     return ", ".join(pairs)
+
+
+# Mixed-case queries with embedded stopwords: only the analyzer (case
+# folding + stopword removal on BOTH sides) makes them match the
+# all-lowercase corpus, so a silent analyzer regression flips the result.
+_BM25_ANALYZED_QUERIES = (
+    (0, "SPARK the Join WINDOW"),
+    (1, "A Hash TABLE scan"),
+    (2, "the Customer QUERY fast a"),
+    (3, "Stream BATCH the merge Vector"),
+)
+_BM25_STOPWORDS = ("a", "the")
+
+
+def q_bm25_topk_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the r9 analyzer hooks (text/retrieval.py): case folding
+    + stopword removal applied in-row at tokenization on both the corpus
+    and the queries — dl, tf, df, and N all reflect the analyzed stream.
+    The corpus' heaviest tokens ('a', 'the') are the stopword list, so
+    every document length changes vs bm25_topk; the queries are
+    mixed-case, so they only match at all through the folding."""
+    from cuml_spark.text.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        list(_BM25_ANALYZED_QUERIES), "query_id long, text string")
+    out = bm25_topk(
+        docs, qs, k=10, score_decimals=6,
+        lowercase=True, stopwords=list(_BM25_STOPWORDS))
+    return out.select(
+        "query_id", "doc_id", "score",
+        F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _bm25_analyzed_query_values() -> str:
+    stop = set(_BM25_STOPWORDS)
+    pairs = []
+    for qid, text in _BM25_ANALYZED_QUERIES:
+        terms = [t.lower() for t in text.split(" ")]
+        for term in dict.fromkeys(t for t in terms if t not in stop):
+            pairs.append(f"({qid}, '{term}')")
+    return ", ".join(pairs)
+
+
+def _sql_bm25_analyzed() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in _BM25_STOPWORDS)
+    toks = ("list_filter(string_split(lower(text), ' '), "
+            f"x -> x <> '' AND x NOT IN ({stop_list}))")
+    return _sql_bm25(_bm25_analyzed_query_values(), toks_expr=toks)
 
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,6 +1168,7 @@ QUERIES_TEXT = {
     "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
     "substr_dedup": q_substr_dedup,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_analyzed": q_bm25_topk_analyzed,
     "doc_chunks": q_doc_chunks,
     "hybrid_rrf": q_hybrid_rrf,
     "dedup_exact": q_dedup_exact,
@@ -1166,6 +1224,7 @@ ORACLES_TEXT = {
     "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,
     "substr_dedup": _SQL_SUBSTR_DEDUP,
     "bm25_topk": _sql_bm25(_bm25_query_values()),
+    "bm25_topk_analyzed": _sql_bm25_analyzed(),
     "doc_chunks": _SQL_DOC_CHUNKS,
     "hybrid_rrf": _sql_hybrid_rrf(),
     "dedup_exact": _SQL_DEDUP_EXACT,

@@ -13,11 +13,15 @@ Spark-first shapes (100 TB):
 
 * ``bm25_topk`` is the inverted-index plan expressed relationally:
   postings = ONE map-side-combined shuffle on (term, doc) — the same
-  shape as the bigram-LM fit; document frequencies re-aggregate only the
-  postings that match the (broadcast) query terms; scoring joins
-  postings against the broadcast query list, so the only row-scale
-  shuffle after fit carries matched postings keyed by (query, doc), and
-  the final top-k is a per-query window over an already-k-bounded frame.
+  shape as the bigram-LM fit — materialized once via ``localCheckpoint``
+  so its two consumers (document-frequency counts and scoring) read one
+  index instead of each re-rooting the corpus scan (AQE's exchange
+  reuse measurably did not dedupe them); document frequencies
+  re-aggregate only the postings that match the (broadcast) query
+  terms; scoring joins postings against the broadcast query list, so
+  the only row-scale shuffle after fit carries matched postings keyed
+  by (query, doc), and the final top-k is a per-query window over an
+  already-k-bounded frame.
   The query side is bounded (it is broadcast twice) — batch large query
   sets through several calls, exactly like the ANN indexes' LUT contract.
 * ``rrf_fuse`` unions two per-query top-k frames (each ≤ k rows per
@@ -60,6 +64,8 @@ def bm25_topk(
     query_text_col: str = "text",
     token_sep: str = " ",
     score_decimals: int | None = 6,
+    lowercase: bool = False,
+    stopwords: list[str] | None = None,
 ) -> DataFrame:
     """Per-query BM25 top-k: → (query_id, doc_id, score,
     n_terms_matched, rank ≤ k).
@@ -70,8 +76,27 @@ def bm25_topk(
     matching no query term are absent.  ``score_decimals`` rounds BEFORE
     ranking so near-equal scores tie deterministically (broken by
     doc_id); pass ``None`` to rank on raw floats.
+
+    Analyzer hooks (applied IN-ROW at tokenization, identically to both
+    sides — the plan stays map-only below the postings aggregate):
+    ``lowercase`` case-folds every token; ``stopwords`` drops the listed
+    tokens AFTER folding (supply them already-lowercased when
+    ``lowercase`` is on), so document length, tf, and df all reflect the
+    analyzed token stream, the way a real index is built.
     """
-    toks = _toks(text_col, token_sep)
+    if stopwords is not None:
+        stopwords = [str(s) for s in stopwords]
+
+    def _analyze(col: str):
+        t = _toks(col, token_sep)
+        if lowercase:
+            t = F.transform(t, F.lower)
+        if stopwords:
+            sw = stopwords
+            t = F.filter(t, lambda x: ~x.isin(*sw))
+        return t
+
+    toks = _analyze(text_col)
     base = docs.select(
         F.col(id_col),
         toks.alias("__t"),
@@ -82,15 +107,24 @@ def bm25_topk(
     )
     stats = base.agg(
         F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl"))
+    # materialize the postings index ONCE: two consumers read it (the
+    # document-frequency aggregate and the scoring probe), and without
+    # the checkpoint each roots its own corpus scan + (doc, term)
+    # shuffle — measured in the executed plan: AQE's exchange reuse did
+    # NOT dedupe them (distinct exchange instances survived to the final
+    # plan).  With it, corpus-scale work is exactly one scan + one
+    # map-side-combined shuffle for the index, plus one column-pruned
+    # scan for (N, avgdl); the checkpoint is GC-released with the result
     postings = (
         base.select(id_col, "__dl", F.explode("__t").alias("__term"))
         .groupBy(id_col, "__term")
         .agg(F.count("*").alias("__tf"), F.first("__dl").alias("__dl"))
+        .localCheckpoint(eager=False)
     )
     qterms = (
         queries.select(
             F.col(query_id_col).alias("__qid"),
-            F.explode(_toks(query_text_col, token_sep)).alias("__term"),
+            F.explode(_analyze(query_text_col)).alias("__term"),
         ).distinct()
     )
     matched = postings.join(

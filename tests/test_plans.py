@@ -365,10 +365,13 @@ def test_chunk_documents_map_only_pruned(spark):
 
 def test_bm25_broadcast_joins_single_corpus_shuffle(spark):
     """bm25_topk's plan: the inverted-index fit is the only corpus-row-
-    scale shuffle (map-side combined); every join is broadcast (no
-    SortMergeJoin — the query side and its derived term stats stay
-    broadcast), so matched-posting scoring never reshuffles the corpus by
-    anything but its own aggregation keys."""
+    scale shuffle, and it runs ONCE — the postings frame is checkpoint-
+    materialized, so both its consumers (document frequencies and the
+    scoring probe) appear as `Scan ExistingRDD`, never as a second
+    corpus scan + (doc, term) exchange (the r8 ADVICE finding: AQE's
+    exchange reuse did not dedupe the duplicated subtree).  Every join
+    is broadcast (no SortMergeJoin), so matched-posting scoring never
+    reshuffles the corpus by anything but its own aggregation keys."""
     from cuml_spark.text.retrieval import bm25_topk
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
@@ -379,6 +382,15 @@ def test_bm25_broadcast_joins_single_corpus_shuffle(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "partial" in plan.lower()  # map-side combine on the aggs
+    # the postings index is read from the checkpoint on both sides
+    # (>= 2: the local query-side frame also scans as ExistingRDD), and
+    # no (doc, term) postings exchange survives in the consuming plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert not re.findall(
+        r"Exchange hashpartitioning\([^)]*__term[^)]*\bdoc_id|"
+        r"Exchange hashpartitioning\([^)]*doc_id[^)]*__term", plan)
+    # exactly one remaining corpus scan: the (N, avgdl) stats pass
+    assert plan.count("FileScan parquet") == 1
     schemas = _read_schemas(out)
     assert schemas and all(
         "lang" not in s and "source" not in s for s in schemas

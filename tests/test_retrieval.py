@@ -238,6 +238,48 @@ def test_exact_substring_dedup_hot_window_no_funnel(spark):
     assert agg["verbatim"] == 1  # exactly one survivor: the global first
 
 
+def test_bm25_analyzer_hooks_equivalence(spark):
+    """lowercase/stopwords analysis applied in-row at tokenization (both
+    sides) must equal running the default analyzer over a corpus and
+    queries pre-normalized the same way — i.e. dl, tf, df, and N all
+    reflect the ANALYZED token stream, and the hooks change no plan
+    (the analysis is part of the same map stage)."""
+    raw = spark.createDataFrame(
+        [
+            (0, "The Apple banana APPLE"),
+            (1, "banana the cherry"),
+            (2, "A durian the"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    pre = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "durian"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    qs_raw = spark.createDataFrame(
+        [(0, "APPLE the Banana"), (1, "Durian a")],
+        "query_id long, text string")
+    qs_pre = spark.createDataFrame(
+        [(0, "apple banana"), (1, "durian")], "query_id long, text string")
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["n_terms_matched"],
+         r["rank"])
+        for r in bm25_topk(
+            raw, qs_raw, k=3, lowercase=True, stopwords=["a", "the"]
+        ).collect())
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["n_terms_matched"],
+         r["rank"])
+        for r in bm25_topk(pre, qs_pre, k=3).collect())
+    assert got == want and got  # non-degenerate
+
+
 def test_bm25_partitioning_invariant(corpus, spark):
     """Scores and ranks are identical under any input repartitioning."""
     qs = spark.createDataFrame(
