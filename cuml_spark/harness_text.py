@@ -1161,6 +1161,147 @@ QUALIFY rank <= 10
 """
 
 
+# chunk_id is bounded by tokens/stride (synthetic docs are ~50 tokens;
+# the key space leaves room up to 100k chunks per doc regardless)
+_CHUNK_KEY_MULT = 100_000
+
+
+def q_pipeline_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval tier composed end-to-end, the shape a curation
+    pipeline actually runs (VERDICT r8 #6): chunk the corpus to
+    model-window size (chunk_documents, 40/8 — map-only), BM25-rank the
+    CHUNKS for four query documents, lift chunk hits to documents by
+    best-chunk score (top-40 chunk candidates per query, then max per
+    doc — both engines apply the same cut, so the lift is exact), and
+    fuse the resulting doc ranking with the embedding tier's cosine
+    top-k via reciprocal-rank fusion.  Every stage reuses a registry
+    operator; scores round before ranking so ties break on ids
+    identically in Spark and DuckDB."""
+    from pyspark.sql import Window
+    from cuml_spark.text.retrieval import bm25_topk, chunk_documents, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    chunks = chunk_documents(docs, 40, overlap=8)
+    chunk_docs = chunks.select(
+        (F.col("doc_id") * _CHUNK_KEY_MULT + F.col("chunk_id")).alias("ck"),
+        F.col("chunk_text").alias("text"),
+    )
+    qs = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), "text")
+    lex_chunks = bm25_topk(
+        chunk_docs, qs, k=40, id_col="ck", score_decimals=6)
+    lex_docs = (
+        lex_chunks
+        .select("query_id", (F.col("ck") / _CHUNK_KEY_MULT)
+                .cast("long").alias("doc_id"), "score")
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    lex = lex_docs.withColumn(
+        "rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    semantic = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 4), k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse(lex, semantic, k=10)
+    return fused.select(
+        "query_id", "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_pipeline_retrieval_hybrid() -> str:
+    """doc_chunks' chunk CTE feeding the bm25 pipeline at chunk
+    granularity, lifted to documents by best-chunk score, fused with the
+    cosine_topk oracle exactly as rrf_fuse does."""
+    m = _CHUNK_KEY_MULT
+    return f"""
+WITH dtoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), st AS (
+  SELECT doc_id, l,
+         unnest(range(1, greatest(len(l) - 40 + 32, 1) + 1, 32)) AS s
+  FROM dtoks WHERE coalesce(len(l), 0) >= 1
+), chunks AS (
+  SELECT doc_id * {m} + ((s - 1) // 32) AS ck,
+         list_slice(l, s, s + 39) AS cl
+  FROM st
+), dl AS (
+  SELECT ck, coalesce(len(cl), 0) AS dl FROM chunks
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), post AS (
+  SELECT ck, tok AS term, count(*) AS tf
+  FROM (SELECT ck, unnest(cl) AS tok FROM chunks) GROUP BY 1, 2
+), q AS (
+  SELECT DISTINCT doc_id AS query_id, tok AS term
+  FROM (SELECT doc_id, unnest(l) AS tok FROM dtoks WHERE doc_id < 4)
+), dfq AS (
+  SELECT term, count(*) AS df FROM post
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+), sc AS (
+  SELECT q.query_id, p.ck,
+         sum(ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM q JOIN post p USING (term) JOIN dfq USING (term)
+       JOIN dl d ON d.ck = p.ck, stats s
+  GROUP BY 1, 2
+), lexc AS (
+  SELECT query_id, ck, round(score, 6) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, ck
+         ) AS rnk
+  FROM sc QUALIFY rnk <= 40
+), lexd AS (
+  SELECT query_id, ck // {m} AS doc_id, max(score) AS score
+  FROM lexc GROUP BY 1, 2
+), lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS rank
+  FROM lexd QUALIFY rank <= 10
+), qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < 4
+), iv AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+), cosd AS (
+  SELECT q.query_id, i.doc_id,
+         1.0 - (list_dot_product(q.v, i.v)
+                / (sqrt(list_dot_product(q.v, q.v))
+                   * sqrt(list_dot_product(i.v, i.v)))) AS dist
+  FROM qv q, iv i WHERE q.query_id <> i.doc_id
+), sem AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dist, doc_id
+         ) AS rank
+  FROM cosd QUALIFY rank <= 10
+), unioned AS (
+  SELECT * FROM lex UNION ALL SELECT * FROM sem
+), fused AS (
+  SELECT query_id, doc_id,
+         sum(1.0 / (60.0 + rank)) AS rrf_score,
+         count(*) AS n_lists
+  FROM unioned GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(rrf_score, 6) AS rrf_score,
+       n_lists::BIGINT AS n_lists,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+       )::BIGINT AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "domain_mixture_sample": q_domain_mixture_sample,
@@ -1171,6 +1312,7 @@ QUERIES_TEXT = {
     "bm25_topk_analyzed": q_bm25_topk_analyzed,
     "doc_chunks": q_doc_chunks,
     "hybrid_rrf": q_hybrid_rrf,
+    "pipeline_retrieval_hybrid": q_pipeline_retrieval_hybrid,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -1227,6 +1369,7 @@ ORACLES_TEXT = {
     "bm25_topk_analyzed": _sql_bm25_analyzed(),
     "doc_chunks": _SQL_DOC_CHUNKS,
     "hybrid_rrf": _sql_hybrid_rrf(),
+    "pipeline_retrieval_hybrid": _sql_pipeline_retrieval_hybrid(),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

@@ -554,6 +554,44 @@ def test_chunk_documents_coverage_and_bounds(spark, toks, max_tokens,
 
 @SET
 @given(
+    toks=st.lists(st.integers(min_value=0, max_value=9), min_size=1,
+                  max_size=48),
+    max_tokens=st.integers(min_value=2, max_value=9),
+    overlap=st.integers(min_value=1, max_value=8),
+)
+def test_chunk_documents_overlap_reconstruction_law(spark, toks,
+                                                    max_tokens, overlap):
+    """The overlap>0 reconstruction law (VERDICT r8 #7): consecutive
+    chunks share EXACTLY ``overlap`` tokens (every non-last chunk is
+    full, so chunk[i+1]'s first ``overlap`` tokens equal chunk[i]'s
+    last ``overlap``), and dropping that prefix from every chunk after
+    the first concatenates back to the tokenized document exactly."""
+    from hypothesis import assume
+
+    from cuml_spark.text import chunk_documents
+
+    assume(overlap < max_tokens)
+    words = [f"w{i}x{v}" for i, v in enumerate(toks)]
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string")
+    chunks = [
+        t.split(" ")
+        for _c, t in sorted(
+            (r["chunk_id"], r["chunk_text"])
+            for r in chunk_documents(
+                df, max_tokens, overlap=overlap).collect())
+    ]
+    for prev, nxt in zip(chunks, chunks[1:]):
+        assert len(prev) == max_tokens  # every non-last chunk is full
+        assert nxt[:overlap] == prev[-overlap:]  # exact shared region
+    rebuilt = list(chunks[0])
+    for nxt in chunks[1:]:
+        rebuilt.extend(nxt[overlap:])
+    assert rebuilt == words
+
+
+@SET
+@given(
     n_docs=st.integers(min_value=2, max_value=8),
     doc_len=st.integers(min_value=3, max_value=12),
     k=st.integers(min_value=2, max_value=5),
