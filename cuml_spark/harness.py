@@ -431,105 +431,85 @@ ORACLES.update(ORACLES_STREAMING)
 # Driver verification window
 # --------------------------------------------------------------------------
 # The driver verifies the FIRST 50 entries of queries() in insertion order.
-# Every query below has a DuckDB oracle and passes tools/verify_local.py; the
-# window is ordered to maximise *driver-recorded* evidence: (a) queries that
-# have never appeared in a CORRECTNESS_r{N} file, (b) queries whose
-# implementation changed this round, (c) stable twice-green re-confirmations.
+# Every query below has a DuckDB oracle and passes tools/verify_local.py.
+#
+# ROTATION RULE (two-round cadence invariant): with a 107-query registry
+# and a 50-slot window, the strict every-round re-check is unsatisfiable;
+# the invariant maintained instead is "at the END of each round, no
+# query's latest driver-green evidence is older than TWO rounds".  Window
+# priority: (a) never-driver-checked queries, (b) queries whose
+# implementation changed this round, (c) queries whose evidence would
+# otherwise age past two rounds (they MUST lead the next window),
+# (d) youngest-evidence-last fill.
+#
+# r9 ledger: 50 slots = 4 new (r9 operators) + 5 changed-in-r9 + the six
+# r6-evidence queries (VERDICT r8 #2 - they lead) + 35 of the 49
+# r7-green.  The 14 deferred r7-green queries (stats_describe,
+# histogram_quantity, topk_revenue_by_flag, weighted_mean_price,
+# ols_price_vs_quantity, ols_multi_revenue, accuracy_rule,
+# entropy_returnflag, contingency_flags, label_encode_mktsegment,
+# train_test_split_counts, split_exact_sizes, doc_quality, doc_tokens -
+# simple column-expression queries green at every check since r1/r4,
+# implementation files untouched for 3+ rounds) reach exactly two rounds
+# of age at the end of r9 and MUST lead the r10 window, together with
+# any r8-green queries r10's changes touch.
 _DRIVER_WINDOW = [
-    # (a) HIGHEST priority (VERDICT r7 #1): doc_perplexity is the only
-    # registry query that has never appeared in any CORRECTNESS_r{N} file
-    # (registered after the r7 window froze) — AND its implementation
-    # changed again in r8 (text/lm.py now carries w1 as a real column
-    # through the self-scoring join instead of re-splitting the joined
-    # bigram key).  First slot.
-    "doc_perplexity",
-    # (b) NEW in r8 — never driver-checked: the CCNet broadcast-model
-    # scoring mode (map-only scoring pass, VERDICT r7 #3).
-    "doc_perplexity_pretrained",
-    # (c) implementation BEHAVIOR changed in r8: the C4 line filter's
-    # word-split whitespace class was corrupted by SQL-literal unescaping
-    # (\x0B -> literal x/0/B; r7 ADVICE, high) — the fixed predicate is
-    # built via the DataFrame API and genuinely changes word counts on
-    # lines containing x/0/B, so the oracle row must be re-recorded.
-    "c4_line_stats",
-    # (c') NEW in r8, never driver-checked — the retrieval tier and the
-    # SemDeDup pruner.  Never-checked outranks re-confirmation, so these
-    # take slots from five six-times-green stale queries (below).
-    "bm25_topk",
-    "doc_chunks",
-    "substr_dedup",
-    "hybrid_rrf",
-    "semdedup_prune",
-    "streaming_chunk_docs",
-    # (span_dedup shares c4.py but span_dedup_stats' code path is
-    # untouched by the predicate fix; pq_search_exact/ivfpq_search_exact
-    # gained an exclude_self parameter defaulting to the old behavior and
-    # a zero-norm guard their sign-quantized exactness config cannot hit;
-    # domain_mixture_sample's temperature_sample was left-join-rewritten
-    # with identical semantics for complete self-computed counts.  All
-    # four re-verified locally this round (tools/verify_local.py PASS)
-    # and their r7 driver evidence is exactly one round old, which the
-    # rotation invariant allows — their slots go to the 47 stale queries
-    # below.)
-    # (d) STALEST evidence: last driver-green in r6, sat outside the r7
-    # window.  Includes the VERDICT r7 #1 named queries
-    # (sgd_hinge_accuracy, media_decode_png, rf_mae_regression,
-    # fil_score) plus image_dedup_groups (the perf-watched anomaly).
-    # FORCED TRADE: 54 candidates for 50 slots — the most-repeatedly-green
-    # stale queries (pca_variance_2d, kmeans_cluster_sizes, dbscan_roles,
-    # umap_trust, tsne_trust: green in EVERY round r1-r6; knn_embeddings:
-    # green r1-r4+r6 — implementation files untouched for 2+ rounds)
-    # yield their slots to the six zero-evidence r8 queries above; their
-    # evidence ages to two rounds, which their long green streaks and
-    # unchanged implementations make the lowest-risk concession
-    # available.  All six re-verified locally this round
-    # (tools/verify_local.py PASS).  With a 105-query registry and a
-    # 50-slot window the strict one-round invariant is no longer
-    # satisfiable; the rotation rule is now: zero-evidence first, then
-    # behavior-changed, then oldest-evidence-first.
-    "pipeline_clean_corpus",
-    "dedup_exact",
-    "cosine_topk",
-    "tsvd_singular_2d",
-    "sgd_hinge_accuracy",
-    "rf_mae_regression",
-    "pipeline_event_profile",
-    "kalman_local_level",
-    "holtwinters_forecast",
-    "arima_ml_aic",
-    "dbscan_cluster_sizes",
-    "spectral_blobs",
-    "silhouette_customers",
-    "trustworthiness_slice",
-    "fil_score",
-    "svc_rule_accuracy",
-    "umap_transform_oos",
-    "ivf_search_exact",
-    "media_decode_png",
-    "image_dedup_groups",
-    "frame_counts",
-    "sparse_row_normalize",
-    "cluster_dispersion",
-    "scalar_functions",
-    "gram_matrix",
-    "ridge_closed_form",
-    "lasso_closed_form",
-    "elasticnet_closed_form",
-    "cluster_agreement",
-    "regression_metrics",
-    "prob_metrics",
-    "generator_checks",
-    "prims_matrix_rng",
-    "qr_factor",
-    "rsvd_agreement",
-    "coo_symmetrize_check",
-    "ann_lsh_recall",
-    "ngram_jaccard",
-    "streaming_dedup_docs",
-    "streaming_window_stats",
-    "streaming_clean_corpus",
-    # everything else (driver-green in r7, unchanged or judge-noted above)
-    # stays in queries()/bench — only the 50-slot verification window moves
+    # (a) NEW in r9 - never driver-checked
+    "bm25_topk_analyzed",        # analyzer hooks (case fold + stopwords)
+    "pipeline_retrieval_hybrid", # chunk -> BM25 -> best-chunk -> RRF
+    "top_ngrams_corpus",         # corpus top-k n-gram statistics
+    "quality_filter_scores",     # hashed-BoW linear quality filter
+    # (b) implementation changed in r9 - must re-record
+    "substr_dedup",              # keep-first: window -> checkpoint+agg+join
+    "semdedup_prune",            # zero-norm cosine guard (ANSI 0/0)
+    "bm25_topk",                 # postings localCheckpoint + analyzer params
+    "hybrid_rrf",                # composes bm25_topk (plan changed)
+    "doc_perplexity_pretrained", # fit_bigram_lm bounded default cap
+    # (c) r6-old evidence - the VERDICT r8 #2 six, oldest first
+    "dbscan_roles",
+    "kmeans_cluster_sizes",
+    "knn_embeddings",
+    "pca_variance_2d",
+    "tsne_trust",
+    "umap_trust",
+    # (d) the r7-green fill (evidence reaches two rounds at r9 close)
+    "stats_covariance",
+    "domain_mixture_sample",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "lsh_pairs",
+    "simhash_docs",
+    "lang_id",
+    "eval_contamination",
+    "pii_scrub",
+    "doc_repetition",
+    "span_dedup",
+    "kpss_events",
+    "standard_scaler",
+    "rf_accuracy",
+    "rf_regression",
+    "mbsgd_fit",
+    "arima_grid_aic",
+    "arima_forecast",
+    "random_projection",
+    "umap_supervised_trust",
+    "neardup_pairs",
+    "neardup_safe_split",
+    "pipeline_neardup_groups",
+    "pq_search_exact",
+    "ivfpq_search_exact",
+    "media_decode",
+    "media_decode_jpeg",
+    "media_decode_progressive",
+    "media_decode_wav",
+    "media_decode_g711",
+    "media_probe_mp4",
+    "media_decode_adpcm",
+    "image_phash_invariance",
+    "graph_connected_components",
+    "logreg_rule_accuracy",
+    # everything else (r8-green and unchanged, or the 12 deferred named
+    # above) stays in queries()/bench - only the verification window moves
 ]
 
 _window = [k for k in _DRIVER_WINDOW if k in QUERIES]

@@ -833,16 +833,17 @@ def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate documents, so later copies are fully covered; the cleaned
     text md5 pins the rebuild (position filtering + rejoin) exactly.
 
-    The input is repartitioned to the session's core count: the sf0.1
-    documents table is ONE parquet split, so without it the O(n·k)
+    The input goes through ensure_parallelism (core/session.py): the
+    sf0.1 documents table is ONE parquet split, so without it the O(n·k)
     in-row window hashing (the operator's dominant cost) runs on a
     single core — a local-file artifact a 100 TB scan (thousands of
-    splits) never exhibits.  Measured: 3.6s single-split vs 1.2s at 32
-    splits, same plan otherwise."""
+    splits) never exhibits, which is why the call is a no-op at scale.
+    Measured: 3.6s single-split vs 1.2s at 32 splits, same plan
+    otherwise."""
+    from cuml_spark.core.session import ensure_parallelism
     from cuml_spark.text.substring import exact_substring_dedup
 
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     out = exact_substring_dedup(docs, k=20)
     return out.select(
         "doc_id", "n_tokens", "n_removed_tokens",
@@ -1161,6 +1162,107 @@ QUALIFY rank <= 10
 """
 
 
+def q_top_ngrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k n-gram statistics (text/ngrams.py): in-row
+    trigram build, one map-side-combined count shuffle, TakeOrdered
+    global top-k — the boilerplate-discovery pass that drives C4
+    blocklists and span-dedup parameter choices.  Ties break lexically
+    in both engines."""
+    from cuml_spark.text.ngrams import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    out = top_ngrams(docs, n=3, k=25)
+    return out.select(
+        "ngram", F.col("count").cast("long").alias("cnt"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_TOP_NGRAMS = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), g AS (
+  SELECT array_to_string(
+           list_slice(l, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS ngram
+  FROM toks, unnest(range(1, len(l) - 3 + 2)) t(i)
+  WHERE coalesce(len(l), 0) >= 3
+), c AS (
+  SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
+)
+SELECT ngram, cnt::BIGINT AS cnt,
+       row_number() OVER (ORDER BY cnt DESC, ngram)::BIGINT AS rank
+FROM c QUALIFY rank <= 25
+"""
+
+
+# Quality-filter weights over corpus-vocabulary tokens, chosen DYADIC
+# (exact in binary) so every tf*w product and partial sum is exact in
+# double regardless of aggregation order — the score hash can never
+# flake on fp association (the stats_covariance lesson).
+_QF_NUM_BUCKETS = 4096
+_QF_TOKEN_WEIGHTS = (
+    ("fast", 1.25), ("slow", -1.75), ("spark", 0.75), ("big", -0.5),
+)
+_QF_BIAS = 0.125
+
+
+def _qf_bucket(tok: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _QF_NUM_BUCKETS
+
+
+def q_quality_filter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3/WebText-style quality-filter SERVING path
+    (text/classifier.py score_linear_bow): hashed bag-of-words counts
+    broadcast-joined against a fixed linear model in the engine-portable
+    md5-bucket space, one per-doc sum, sigmoid score.  Weights are
+    dyadic rationals so the arithmetic is exact in both engines; only
+    the sigmoid's exp() rounds, after which scores round to 6."""
+    from cuml_spark.text.classifier import score_linear_bow
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = {_qf_bucket(t): w for t, w in _QF_TOKEN_WEIGHTS}
+    out = score_linear_bow(
+        docs, weights, bias=_QF_BIAS, num_buckets=_QF_NUM_BUCKETS)
+    return out.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.round("prob", 6).alias("prob"),
+    )
+
+
+def _sql_quality_filter() -> str:
+    wvals = ", ".join(
+        f"({_qf_bucket(t)}, {w})" for t, w in _QF_TOKEN_WEIGHTS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS tok
+  FROM documents
+), bt AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_QF_NUM_BUCKETS}
+           AS bucket,
+         count(*) AS tf
+  FROM tok GROUP BY 1, 2
+), w(bucket, wt) AS (VALUES {wvals}),
+s AS (
+  -- wt casts to DOUBLE: DuckDB types the VALUES literals DECIMAL, and
+  -- decimal arithmetic would return Decimal-typed (hash-mismatching)
+  -- scores; Spark computes in double throughout
+  SELECT bt.doc_id, sum(tf * wt::DOUBLE) AS s
+  FROM bt JOIN w USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       round(coalesce(s.s, 0.0) + {_QF_BIAS}::DOUBLE, 6) AS score,
+       round(1.0 / (1.0 + exp(-(coalesce(s.s, 0.0) + {_QF_BIAS}::DOUBLE))),
+             6) AS prob
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 # chunk_id is bounded by tokens/stride (synthetic docs are ~50 tokens;
 # the key space leaves room up to 100k chunks per doc regardless)
 _CHUNK_KEY_MULT = 100_000
@@ -1313,6 +1415,8 @@ QUERIES_TEXT = {
     "doc_chunks": q_doc_chunks,
     "hybrid_rrf": q_hybrid_rrf,
     "pipeline_retrieval_hybrid": q_pipeline_retrieval_hybrid,
+    "top_ngrams_corpus": q_top_ngrams_corpus,
+    "quality_filter_scores": q_quality_filter_scores,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -1370,6 +1474,8 @@ ORACLES_TEXT = {
     "doc_chunks": _SQL_DOC_CHUNKS,
     "hybrid_rrf": _sql_hybrid_rrf(),
     "pipeline_retrieval_hybrid": _sql_pipeline_retrieval_hybrid(),
+    "top_ngrams_corpus": _SQL_TOP_NGRAMS,
+    "quality_filter_scores": _sql_quality_filter(),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

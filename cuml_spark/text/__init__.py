@@ -16,6 +16,14 @@ from cuml_spark.text.mixing import domain_rates, temperature_sample
 from cuml_spark.text.lm import BigramLM, bigram_lm_scores, fit_bigram_lm
 from cuml_spark.text.retrieval import bm25_topk, chunk_documents, rrf_fuse
 from cuml_spark.text.substring import exact_substring_dedup
+from cuml_spark.text.ngrams import top_ngrams
+from cuml_spark.text.classifier import (
+    QualityClassifier,
+    fit_quality_classifier,
+    hashed_token_counts,
+    score_linear_bow,
+    token_bucket,
+)
 
 __all__ = [
     "exact_dedup_groups", "normalized_fingerprint", "shingles",
@@ -25,5 +33,7 @@ __all__ = [
     "c4_line_filter", "span_dedup_stats", "domain_rates",
     "temperature_sample", "bigram_lm_scores", "fit_bigram_lm",
     "BigramLM", "bm25_topk", "rrf_fuse", "chunk_documents",
-    "exact_substring_dedup",
+    "exact_substring_dedup", "top_ngrams", "hashed_token_counts",
+    "score_linear_bow", "token_bucket", "fit_quality_classifier",
+    "QualityClassifier",
 ]

@@ -1,0 +1,73 @@
+"""Corpus n-gram statistics: the boilerplate/contamination discovery
+tool every curation pipeline runs before (and after) filtering — "what
+are the most repeated phrases in this crawl?" drives the C4 blocklist,
+the span-dedup k choice, and eval-set leak triage.
+
+Not in the cuML reference (dense-matrix data model); first-class here
+like the dedup tier (text/dedup.py).
+
+Spark shape (100 TB): n-grams are built IN-ROW (``transform`` over a
+start-index ``sequence``, each gram a ``concat_ws`` over an array
+``slice`` — text never leaves its scan), then ONE map-side-combined
+count shuffle on the gram key; the global top-k is
+``orderBy(...).limit(k)`` — Spark plans it as TakeOrderedAndProject
+(per-partition top-k merged on the driver, never a global sort), the
+same contract as ops/topk.  A boilerplate gram repeated across millions
+of documents partial-aggregates inside each scan partition, so no
+reducer sees its raw occurrence list.  Ranks are assigned AFTER the
+top-k cut over the ≤ k surviving rows (a single-partition window over k
+rows, not corpus-scale).
+
+Determinism: ties break lexically on the gram text in both engines;
+tokens split on an explicit separator (not ``\\s`` — engine regex
+classes diverge, see text/repetition.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cuml_spark.text.lm import _token_array
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    *,
+    text_col: str = "text",
+    token_sep: str = " ",
+    join_sep: str = " ",
+) -> DataFrame:
+    """→ (ngram, count, rank ≤ k): the ``k`` globally most frequent
+    word ``n``-grams, ranked by count descending with ties broken by
+    the gram text ascending.  Null/empty/short (< n tokens) documents
+    contribute nothing.  ``join_sep`` renders each gram (display
+    form; grams are counted on their token sequence, so a ``join_sep``
+    that can appear inside tokens cannot merge distinct grams only if
+    the caller keeps it out of the token alphabet — use the default
+    space with space-split tokens).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = _token_array(text_col, token_sep)
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - n + 1),
+            lambda i: F.concat_ws(join_sep, F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.col("count").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("ngram").asc())
+    return counted.withColumn("rank", F.row_number().over(w))

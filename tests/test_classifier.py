@@ -1,0 +1,116 @@
+"""Corpus n-gram stats (text/ngrams.py) and the hashing-trick quality
+classifier (text/classifier.py): portable bucket hashing, relational
+serving path, MLlib-backed fit returning weights in the same space."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuml_spark.text import (
+    fit_quality_classifier,
+    hashed_token_counts,
+    score_linear_bow,
+    top_ngrams,
+)
+
+
+def _bucket(tok: str, num_buckets: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % num_buckets
+
+
+def test_top_ngrams_hand_oracle(spark):
+    """Counts, ranks, lexical tie-break, short/null-doc exclusion, and
+    the k cut on a corpus small enough to count by hand."""
+    rows = [
+        (0, "a b a b c"),     # bigrams: 'a b' x2, 'b a', 'b c'
+        (1, "a b"),           # 'a b'
+        (2, "z"),             # < n tokens: nothing
+        (3, None),
+        (4, ""),
+        (5, "b c"),           # 'b c'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["ngram"], r["count"], r["rank"])
+           for r in top_ngrams(df, n=2, k=3).orderBy("rank").collect()]
+    # 'a b' 3, 'b c' 2, 'b a' 1
+    assert got == [("a b", 3, 1), ("b c", 2, 2), ("b a", 1, 3)]
+    # tie at the same count breaks lexically
+    tied = spark.createDataFrame(
+        [(0, "x y"), (1, "p q")], "doc_id long, text string")
+    got2 = [(r["ngram"], r["rank"])
+            for r in top_ngrams(tied, n=2, k=2).orderBy("rank").collect()]
+    assert got2 == [("p q", 1), ("x y", 2)]
+    # k bounds the output
+    assert top_ngrams(df, n=1, k=2).count() == 2
+    with pytest.raises(ValueError, match="n must"):
+        top_ngrams(df, n=0)
+    with pytest.raises(ValueError, match="k must"):
+        top_ngrams(df, n=1, k=0)
+
+
+def test_hashed_token_counts_matches_hashlib(spark):
+    """The md5 bucket is identical to Python's hashlib computation —
+    the portability contract the DuckDB oracle also relies on."""
+    b = 4096
+    df = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "beta"), (2, None), (3, "")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["bucket"]): r["tf"]
+           for r in hashed_token_counts(df, b).collect()}
+    want = {
+        (0, _bucket("alpha", b)): 2,
+        (0, _bucket("beta", b)): 1,
+        (1, _bucket("beta", b)): 1,
+    }
+    assert got == want  # null/empty docs emit nothing
+    with pytest.raises(ValueError, match="num_buckets"):
+        hashed_token_counts(df, 0)
+
+
+def test_score_linear_bow_hand_scores(spark):
+    """score = bias + sum(tf * w) with a broadcast weight table; docs
+    matching no weighted bucket (including null text) score the bias and
+    still appear in the output."""
+    b = 4096
+    w = {_bucket("fast", b): 1.5, _bucket("slow", b): -2.0}
+    df = spark.createDataFrame(
+        [(0, "fast fast slow"), (1, "other words"), (2, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["score"], r["prob"])
+           for r in score_linear_bow(df, w, bias=0.25, num_buckets=b)
+           .collect()}
+    s0 = 0.25 + 2 * 1.5 - 2.0
+    assert out[0][0] == pytest.approx(s0, abs=1e-12)
+    assert out[0][1] == pytest.approx(1 / (1 + math.exp(-s0)), abs=1e-12)
+    assert out[1][0] == pytest.approx(0.25, abs=1e-12)
+    assert out[2][0] == pytest.approx(0.25, abs=1e-12)  # null text = bias
+    with pytest.raises(ValueError, match="bucket"):
+        score_linear_bow(df, {b + 1: 1.0}, num_buckets=b)
+
+
+def test_fit_quality_classifier_learns_separable_rule(spark):
+    """Fit on a linearly separable corpus (quality marker tokens), then
+    serve through the RELATIONAL path (broadcast-join scoring, no MLlib)
+    — the round trip through the portable bucket space must classify the
+    training rule correctly."""
+    rows = []
+    for i in range(120):
+        noise = f"filler{i % 7} common text tokens here"
+        if i % 2 == 0:
+            rows.append((i, f"curated {noise} encyclopedia", 1))
+        else:
+            rows.append((i, f"spamword {noise} clickbait", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    clf = fit_quality_classifier(df, num_buckets=256, max_iter=50)
+    assert clf.num_buckets == 256
+    assert all(0 <= k < 256 for k in clf.weights)
+    scored = clf.score(df)
+    joined = scored.join(df.select("doc_id", "label"), "doc_id")
+    acc = joined.select(
+        F.avg(((F.col("prob") > 0.5).cast("int") == F.col("label"))
+              .cast("double")).alias("a")).collect()[0]["a"]
+    assert acc >= 0.98  # separable: the round trip preserves the rule

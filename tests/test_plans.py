@@ -435,3 +435,46 @@ def test_bigram_lm_map_side_combined_pruned(spark):
     assert schemas and all(
         "lang" not in s and "source" not in s for s in schemas
     )  # untouched columns pruned from every scan
+
+
+def test_top_ngrams_takeordered_single_shuffle(spark):
+    """top_ngrams_corpus's plan: grams build in-row (text never leaves
+    its scan), ONE map-side-combined count shuffle on the gram key, and
+    the global top-k is TakeOrderedAndProject — never a full sort of the
+    gram table; the final rank window runs over <= k rows.  The
+    documents scan prunes to the text column."""
+    from cuml_spark.text import top_ngrams
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = top_ngrams(docs, n=3, k=25)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine on the gram counts
+    assert "EvalPython" not in plan
+    # shuffles: the count agg + the k-row rank window's SinglePartition
+    assert _n_shuffles(out) <= 2
+    schemas = _read_schemas(out)
+    assert schemas and all(
+        "lang" not in s and "source" not in s and "doc_id" not in s
+        for s in schemas
+    )
+
+
+def test_score_linear_bow_broadcast_weights_pruned(spark):
+    """quality_filter_scores' plan: the weight table is broadcast (no
+    SortMergeJoin anywhere), bucket hashing and the sigmoid are in-row
+    codegen (no Python eval), and the corpus shuffles only on its own
+    aggregation/join keys.  The documents scan prunes to doc_id/text."""
+    from cuml_spark.text import score_linear_bow
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = score_linear_bow(docs, {3: 1.25, 7: -0.5}, bias=0.125)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on the tf counts
+    schemas = _read_schemas(out)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    )
