@@ -915,9 +915,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries (text/retrieval.py).  Every probability is a ratio of integer
     counts except avgdl (one global mean), and scores round to 6 before
     ranking so ties break on doc_id identically in both engines."""
+    from cuml_spark.core.session import ensure_parallelism
     from cuml_spark.text.retrieval import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     qs = spark.createDataFrame(
         list(_BM25_QUERIES), "query_id long, text string")
     out = bm25_topk(docs, qs, k=10, score_decimals=6)
@@ -1002,9 +1003,10 @@ def q_bm25_topk_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus' heaviest tokens ('a', 'the') are the stopword list, so
     every document length changes vs bm25_topk; the queries are
     mixed-case, so they only match at all through the folding."""
+    from cuml_spark.core.session import ensure_parallelism
     from cuml_spark.text.retrieval import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     qs = spark.createDataFrame(
         list(_BM25_ANALYZED_QUERIES), "query_id long, text string")
     out = bm25_topk(
@@ -1074,11 +1076,15 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     text and brute cosine over their embeddings, for the same four query
     documents (doc_id = vec_id < 4), fused by reciprocal-rank fusion.
     rrf_score is an exact rational of the two integer ranks."""
+    from cuml_spark.core.session import ensure_parallelism
     from cuml_spark.text.retrieval import bm25_topk, rrf_fuse
 
-    docs = _t(spark, sf_dir, "documents")
+    raw = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(raw)
     emb = _t(spark, sf_dir, "embeddings")
-    qs = docs.filter(F.col("doc_id") < 4).select(
+    # query side reads the raw scan: the doc_id < 4 filter pushes down to
+    # parquet instead of paying the corpus repartition
+    qs = raw.filter(F.col("doc_id") < 4).select(
         F.col("doc_id").alias("query_id"), "text")
     lexical = bm25_topk(docs, qs, k=10, score_decimals=6)
     semantic = cosine_topk(
@@ -1168,9 +1174,10 @@ def q_top_ngrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     global top-k — the boilerplate-discovery pass that drives C4
     blocklists and span-dedup parameter choices.  Ties break lexically
     in both engines."""
+    from cuml_spark.core.session import ensure_parallelism
     from cuml_spark.text.ngrams import top_ngrams
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     out = top_ngrams(docs, n=3, k=25)
     return out.select(
         "ngram", F.col("count").cast("long").alias("cnt"),
@@ -1220,9 +1227,10 @@ def q_quality_filter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-bucket space, one per-doc sum, sigmoid score.  Weights are
     dyadic rationals so the arithmetic is exact in both engines; only
     the sigmoid's exp() rounds, after which scores round to 6."""
+    from cuml_spark.core.session import ensure_parallelism
     from cuml_spark.text.classifier import score_linear_bow
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     weights = {_qf_bucket(t): w for t, w in _QF_TOKEN_WEIGHTS}
     out = score_linear_bow(
         docs, weights, bias=_QF_BIAS, num_buckets=_QF_NUM_BUCKETS)
@@ -1280,16 +1288,18 @@ def q_pipeline_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator; scores round before ranking so ties break on ids
     identically in Spark and DuckDB."""
     from pyspark.sql import Window
+    from cuml_spark.core.session import ensure_parallelism
     from cuml_spark.text.retrieval import bm25_topk, chunk_documents, rrf_fuse
 
-    docs = _t(spark, sf_dir, "documents")
+    raw = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(raw)
     emb = _t(spark, sf_dir, "embeddings")
     chunks = chunk_documents(docs, 40, overlap=8)
     chunk_docs = chunks.select(
         (F.col("doc_id") * _CHUNK_KEY_MULT + F.col("chunk_id")).alias("ck"),
         F.col("chunk_text").alias("text"),
     )
-    qs = docs.filter(F.col("doc_id") < 4).select(
+    qs = raw.filter(F.col("doc_id") < 4).select(
         F.col("doc_id").alias("query_id"), "text")
     lex_chunks = bm25_topk(
         chunk_docs, qs, k=40, id_col="ck", score_decimals=6)
