@@ -196,11 +196,44 @@ def _sql_streaming_chunk_docs() -> str:
     return _SQL_DOC_CHUNKS
 
 
+def q_streaming_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality filter as an INGEST-TIME gate: score_linear_bow_inline
+    is map-only/stateless (the weight map is a plan literal, the fold
+    runs in-row), so it runs unchanged inside a streaming query — file
+    source → scorer → memory sink, availableNow.  The backfill must
+    equal the batch `quality_filter_scores` answer ROW FOR ROW (same
+    oracle); with dyadic weights the inline fold is bit-identical to the
+    batch broadcast-join path, so one oracle serves both."""
+    from cuml_spark.harness_text import (_QF_BIAS, _QF_NUM_BUCKETS,
+                                         _QF_TOKEN_WEIGHTS, _qf_bucket)
+    from cuml_spark.text.classifier import score_linear_bow_inline
+
+    stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
+    weights = {_qf_bucket(t): w for t, w in _QF_TOKEN_WEIGHTS}
+    scored = score_linear_bow_inline(
+        stream, weights, bias=_QF_BIAS, num_buckets=_QF_NUM_BUCKETS)
+    sink = _run_to_memory(scored, "append")
+    return sink.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.round("prob", 6).alias("prob"),
+    )
+
+
+def _sql_streaming_quality_scores() -> str:
+    # the batch quality-filter oracle verbatim: the scorer is stateless,
+    # so the streaming backfill must reproduce every row exactly
+    from cuml_spark.harness_text import _sql_quality_filter
+
+    return _sql_quality_filter()
+
+
 QUERIES_STREAMING = {
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_clean_corpus": q_streaming_clean_corpus,
     "streaming_chunk_docs": q_streaming_chunk_docs,
+    "streaming_quality_scores": q_streaming_quality_scores,
 }
 
 ORACLES_STREAMING = {
@@ -208,4 +241,5 @@ ORACLES_STREAMING = {
     "streaming_window_stats": _SQL_STREAMING_WINDOW_STATS,
     "streaming_clean_corpus": _sql_streaming_clean_corpus(),
     "streaming_chunk_docs": _sql_streaming_chunk_docs(),
+    "streaming_quality_scores": _sql_streaming_quality_scores(),
 }

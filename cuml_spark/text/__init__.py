@@ -22,6 +22,7 @@ from cuml_spark.text.classifier import (
     fit_quality_classifier,
     hashed_token_counts,
     score_linear_bow,
+    score_linear_bow_inline,
     token_bucket,
 )
 
@@ -34,6 +35,7 @@ __all__ = [
     "temperature_sample", "bigram_lm_scores", "fit_bigram_lm",
     "BigramLM", "bm25_topk", "rrf_fuse", "chunk_documents",
     "exact_substring_dedup", "top_ngrams", "hashed_token_counts",
-    "score_linear_bow", "token_bucket", "fit_quality_classifier",
+    "score_linear_bow", "score_linear_bow_inline", "token_bucket",
+    "fit_quality_classifier",
     "QualityClassifier",
 ]

@@ -121,6 +121,56 @@ def score_linear_bow(
     )
 
 
+def score_linear_bow_inline(
+    df: DataFrame,
+    weights: dict[int, float],
+    bias: float = 0.0,
+    *,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_sep: str = " ",
+) -> DataFrame:
+    """Map-only (ZERO-shuffle) serving variant of :func:`score_linear_bow`:
+    the weight table folds into the plan as a literal map and every
+    document scores IN-ROW by folding its token array — one corpus scan,
+    stateless, so it runs unchanged inside a Structured Streaming query
+    (the ingest-time quality gate).  Use this when the model is
+    fit-sized (the plan literal carries the nonzero weights; beyond
+    ~10k entries prefer the broadcast-join variant).
+
+    Summation is per-token in array order rather than per-bucket: with
+    weights exact in binary (integers, dyadic rationals — what
+    :func:`fit_quality_classifier` consumers should round to for
+    reproducible serving) the result is bit-identical to
+    :func:`score_linear_bow`; arbitrary float weights may differ in the
+    last ulp between the two paths.
+    """
+    for b in weights:
+        if not 0 <= int(b) < num_buckets:
+            raise ValueError(
+                f"weight bucket {b} outside [0, {num_buckets})")
+    toks = _token_array(text_col, token_sep)
+    if weights:
+        wmap = F.create_map(
+            *[F.lit(v) for bk, w in sorted(weights.items())
+              for v in (int(bk), float(w))])
+        folded = F.aggregate(
+            F.transform(toks, lambda t: token_bucket(t, num_buckets)),
+            F.lit(float(bias)),
+            lambda acc, b: acc + F.coalesce(
+                F.try_element_at(wmap, b), F.lit(0.0)),
+        )
+    else:
+        folded = F.lit(float(bias))
+    score = F.coalesce(folded, F.lit(float(bias)))  # null text = bias
+    return df.select(
+        F.col(id_col),
+        score.alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias("prob"),
+    )
+
+
 @dataclass
 class QualityClassifier:
     """A fitted linear quality model in the portable md5-bucket space.

@@ -92,6 +92,33 @@ def test_score_linear_bow_hand_scores(spark):
         score_linear_bow(df, {b + 1: 1.0}, num_buckets=b)
 
 
+def test_score_linear_bow_inline_matches_relational(spark):
+    """The map-only inline scorer must equal the broadcast-join path
+    bit-for-bit with dyadic weights — including bias-only rows (null,
+    empty, and no-match text) and the empty-weights degenerate case."""
+    from cuml_spark.text import score_linear_bow_inline
+
+    b = 4096
+    w = {_bucket("fast", b): 1.25, _bucket("slow", b): -1.75,
+         _bucket("spark", b): 0.75}
+    df = spark.createDataFrame(
+        [(0, "fast slow fast spark unweighted"), (1, "nothing matches"),
+         (2, None), (3, "")],
+        "doc_id long, text string")
+    rel = {r["doc_id"]: (r["score"], r["prob"])
+           for r in score_linear_bow(df, w, bias=0.125, num_buckets=b)
+           .collect()}
+    inl = {r["doc_id"]: (r["score"], r["prob"])
+           for r in score_linear_bow_inline(
+               df, w, bias=0.125, num_buckets=b).collect()}
+    assert inl == rel  # dyadic weights: bit-identical
+    empty = {r["doc_id"]: r["score"]
+             for r in score_linear_bow_inline(df, {}, bias=0.5).collect()}
+    assert set(empty.values()) == {0.5}
+    with pytest.raises(ValueError, match="bucket"):
+        score_linear_bow_inline(df, {b: 1.0}, num_buckets=b)
+
+
 def test_fit_quality_classifier_learns_separable_rule(spark):
     """Fit on a linearly separable corpus (quality marker tokens), then
     serve through the RELATIONAL path (broadcast-join scoring, no MLlib)

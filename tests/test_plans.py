@@ -478,3 +478,21 @@ def test_score_linear_bow_broadcast_weights_pruned(spark):
     assert schemas and all(
         "lang" not in s and "source" not in s for s in schemas
     )
+
+
+def test_score_linear_bow_inline_zero_shuffle(spark):
+    """The inline quality scorer is the streaming-safe serving shape:
+    ZERO shuffle exchanges, no joins, no Python eval — the weight map is
+    a plan literal and the fold runs inside the scan's map stage."""
+    from cuml_spark.text import score_linear_bow_inline
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = score_linear_bow_inline(docs, {3: 1.25, 7: -0.5}, bias=0.125)
+    plan = _plan(out)
+    assert _n_shuffles(out) == 0
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    schemas = _read_schemas(out)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    )
