@@ -1271,6 +1271,53 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+_PACK_BUDGET = 120
+
+
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (text/packing.py): documents fill
+    fixed-token training sequences first-fit in id order, one
+    independent pack stream per source (the applyInPandas-per-group
+    shape — groups parallel, packing sequential only within a group).
+    The DuckDB oracle replays the fold with a recursive CTE, so the
+    assignment matches row for row."""
+    from cuml_spark.text.packing import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_documents(docs, _PACK_BUDGET, group_col="source")
+    return out.select(
+        "group", "doc_id", "n_tokens", "pack_id", "pack_pos",
+        F.col("oversize").cast("int").alias("oversize"),
+    )
+
+
+_SQL_PACK_DOCS = f"""
+WITH RECURSIVE d AS (
+  SELECT source AS grp, doc_id,
+         coalesce(len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')), 0)::BIGINT AS n,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), p AS (
+  SELECT grp, doc_id, n, rn,
+         0::BIGINT AS pack_id, 1::BIGINT AS pack_pos, n AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.doc_id, d.n, d.rn,
+         CASE WHEN p.fill + d.n > {_PACK_BUDGET}
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.fill + d.n > {_PACK_BUDGET}
+              THEN 1 ELSE p.pack_pos + 1 END,
+         CASE WHEN p.fill + d.n > {_PACK_BUDGET}
+              THEN d.n ELSE p.fill + d.n END
+  FROM d JOIN p ON d.grp = p.grp AND d.rn = p.rn + 1
+)
+SELECT grp AS "group", doc_id, n AS n_tokens, pack_id, pack_pos,
+       (n > {_PACK_BUDGET})::INT AS oversize
+FROM p
+"""
+
+
 # chunk_id is bounded by tokens/stride (synthetic docs are ~50 tokens;
 # the key space leaves room up to 100k chunks per doc regardless)
 _CHUNK_KEY_MULT = 100_000
@@ -1427,6 +1474,7 @@ QUERIES_TEXT = {
     "pipeline_retrieval_hybrid": q_pipeline_retrieval_hybrid,
     "top_ngrams_corpus": q_top_ngrams_corpus,
     "quality_filter_scores": q_quality_filter_scores,
+    "pack_docs": q_pack_docs,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -1486,6 +1534,7 @@ ORACLES_TEXT = {
     "pipeline_retrieval_hybrid": _sql_pipeline_retrieval_hybrid(),
     "top_ngrams_corpus": _SQL_TOP_NGRAMS,
     "quality_filter_scores": _sql_quality_filter(),
+    "pack_docs": _SQL_PACK_DOCS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

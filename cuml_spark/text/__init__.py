@@ -17,6 +17,7 @@ from cuml_spark.text.lm import BigramLM, bigram_lm_scores, fit_bigram_lm
 from cuml_spark.text.retrieval import bm25_topk, chunk_documents, rrf_fuse
 from cuml_spark.text.substring import exact_substring_dedup
 from cuml_spark.text.ngrams import top_ngrams
+from cuml_spark.text.packing import pack_documents
 from cuml_spark.text.classifier import (
     QualityClassifier,
     fit_quality_classifier,
@@ -36,6 +37,6 @@ __all__ = [
     "BigramLM", "bm25_topk", "rrf_fuse", "chunk_documents",
     "exact_substring_dedup", "top_ngrams", "hashed_token_counts",
     "score_linear_bow", "score_linear_bow_inline", "token_bucket",
-    "fit_quality_classifier",
+    "fit_quality_classifier", "pack_documents",
     "QualityClassifier",
 ]

@@ -141,3 +141,65 @@ def test_fit_quality_classifier_learns_separable_rule(spark):
         F.avg(((F.col("prob") > 0.5).cast("int") == F.col("label"))
               .cast("double")).alias("a")).collect()[0]["a"]
     assert acc >= 0.98  # separable: the round trip preserves the rule
+
+
+def test_pack_documents_greedy_semantics(spark):
+    """Streaming first-fit packing: docs append in id order while they
+    fit, an overflowing doc starts the next pack, oversize docs sit
+    alone (flagged), zero-token docs take a position without consuming
+    budget, and groups pack independently."""
+    from cuml_spark.text import pack_documents
+
+    rows = [
+        (0, "a b c", "s1"),        # 3 -> pack0 pos1 (fill 3)
+        (1, "d e", "s1"),          # 2 -> pack0 pos2 (fill 5 = budget)
+        (2, "", "s1"),             # 0 -> pack0 pos3 (fill stays 5)
+        (3, "f g h i j k l", "s1"),  # 7 > 5 -> pack1 alone, oversize
+        (4, "m", "s1"),            # pack2 (oversize pack never reused)
+        (5, "x y z w q", "s2"),    # other group: its own pack0
+        (6, None, "s2"),           # 0 tokens -> same pack, pos2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r["doc_id"]: (r["group"], r["pack_id"], r["pack_pos"],
+                         r["n_tokens"], r["oversize"])
+           for r in pack_documents(
+               df, 5, group_col="src").collect()}
+    assert out[0] == ("s1", 0, 1, 3, False)
+    assert out[1] == ("s1", 0, 2, 2, False)
+    assert out[2] == ("s1", 0, 3, 0, False)
+    assert out[3] == ("s1", 1, 1, 7, True)
+    assert out[4] == ("s1", 2, 1, 1, False)
+    assert out[5] == ("s2", 0, 1, 5, False)
+    assert out[6] == ("s2", 0, 2, 0, False)
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_documents(df, 0)
+    with pytest.raises(ValueError, match="max_group_rows"):
+        pack_documents(df, 5, max_group_rows=3)
+
+
+def test_pack_documents_fill_invariants(spark):
+    """Property-style invariants on a bigger random-ish group: every
+    non-oversize pack's fill <= budget, packs are contiguous in id
+    order, and a doc only starts a new pack when it would overflow the
+    previous one (greedy minimality)."""
+    from cuml_spark.text import pack_documents
+
+    rows = [(i, " ".join(["t"] * ((i * 37) % 9)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["pack_id"], r["pack_pos"])
+        for r in pack_documents(df, 10).collect())
+    fills: dict[int, int] = {}
+    prev_pack = 0
+    for _i, n, pack, _pos in got:
+        assert pack in (prev_pack, prev_pack + 1)  # contiguous
+        if pack != prev_pack:
+            # greedy: the doc would have overflowed the previous pack
+            assert fills[prev_pack] + n > 10
+        fills[pack] = fills.get(pack, 0) + n
+        prev_pack = pack
+    for pack, fill in fills.items():
+        assert fill <= 10 or fill == max(
+            n for _i, n, p, _ in got if p == pack
+        )  # oversize packs hold exactly their one doc
