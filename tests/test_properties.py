@@ -625,3 +625,63 @@ def test_exact_substring_dedup_unique_and_duplicate_laws(
             assert copy["cleaned_text"] == ""
         else:
             assert copy["n_removed_tokens"] == 0        # sub-k: no windows
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=0, max_value=12),  # n tokens
+        ),
+        min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=15),
+)
+def test_pack_documents_matches_python_fold(spark, docs, budget):
+    """For ANY groups and token counts, the distributed packing equals a
+    pure-Python first-fit fold over each group's id-ordered stream —
+    the same law the recursive-CTE oracle replays."""
+    from cuml_spark.text import pack_documents
+
+    rows = [(i, " ".join(["w"] * n), str(g)) for i, (g, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    got = {r["doc_id"]: (r["group"], r["pack_id"], r["pack_pos"])
+           for r in pack_documents(df, budget, group_col="src").collect()}
+    state: dict[str, list] = {}
+    for i, (g, n) in enumerate(docs):
+        grp = str(g)
+        fill, pack, pos, started = state.get(grp, (0, 0, 0, False))
+        if started and fill + n > budget:
+            pack, fill, pos = pack + 1, 0, 0
+        fill, pos = fill + n, pos + 1
+        state[grp] = (fill, pack, pos, True)
+        assert got[i] == (grp, pack, pos)
+
+
+@SET
+@given(
+    toks=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5),
+                 min_size=0, max_size=10),
+        min_size=1, max_size=15),
+    n=st.integers(min_value=1, max_value=4),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_top_ngrams_matches_counter(spark, toks, n, k):
+    """For ANY corpus, counts equal collections.Counter over the same
+    gram construction and the top-k cut uses (count desc, gram asc)."""
+    import collections
+
+    from cuml_spark.text import top_ngrams
+
+    rows = [(i, " ".join(f"t{v}" for v in ts)) for i, ts in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counter: collections.Counter = collections.Counter()
+    for ts in toks:
+        words = [f"t{v}" for v in ts]
+        for i in range(len(words) - n + 1):
+            counter[" ".join(words[i:i + n])] += 1
+    want = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = [(r["ngram"], r["count"])
+           for r in top_ngrams(df, n=n, k=k).orderBy("rank").collect()]
+    assert got == want
