@@ -284,3 +284,34 @@ def test_saveload_ivfpq(spark, tmp_path):
     q = emb.where(F.col("vec_id") < 5)
     assert _rows(idx.search(q, k=3, metric="cosine"), ["query_id", "neighbor_id"]) == \
         _rows(idx2.search(q, k=3, metric="cosine"), ["query_id", "neighbor_id"])
+
+
+def test_pickle_text_models(spark):
+    """The two driver-side text models (BigramLM, QualityClassifier)
+    round-trip through pickle and score identically after — the
+    fit-once / serve-later contract a pipeline checkpoint needs."""
+    import pickle
+
+    from cuml_spark.text import (QualityClassifier, fit_bigram_lm,
+                                 bigram_lm_scores)
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b c a")], "doc_id long, text string")
+    lm = fit_bigram_lm(docs)
+    lm2 = pickle.loads(pickle.dumps(lm))
+    assert lm2.bigram_counts == lm.bigram_counts
+    assert lm2.context_counts == lm.context_counts
+    before = {r["doc_id"]: r["avg_logp"]
+              for r in bigram_lm_scores(docs, model=lm).collect()}
+    after = {r["doc_id"]: r["avg_logp"]
+             for r in bigram_lm_scores(docs, model=lm2).collect()}
+    assert after == before
+
+    clf = QualityClassifier(
+        weights={3: 1.25, 9: -0.5}, bias=0.125, num_buckets=256)
+    clf2 = pickle.loads(pickle.dumps(clf))
+    assert (clf2.weights, clf2.bias, clf2.num_buckets) == (
+        clf.weights, clf.bias, clf.num_buckets)
+    a = {r["doc_id"]: r["score"] for r in clf.score(docs).collect()}
+    b = {r["doc_id"]: r["score"] for r in clf2.score(docs).collect()}
+    assert a == b
