@@ -442,15 +442,15 @@ ORACLES.update(ORACLES_STREAMING)
 # otherwise age past two rounds (they MUST lead the next window),
 # (d) youngest-evidence-last fill.
 #
-# r9 ledger: 50 slots = 6 new (r9 operators) + 5 changed-in-r9 + the six
-# r6-evidence queries (VERDICT r8 #2 - they lead) + 33 of the 49
-# r7-green.  The 16 deferred r7-green queries (stats_describe,
+# r9 ledger: 50 slots = 7 new (r9 operators) + 5 changed-in-r9 + the six
+# r6-evidence queries (VERDICT r8 #2 - they lead) + 32 of the 49
+# r7-green.  The 17 deferred r7-green queries (stats_describe,
 # histogram_quantity, topk_revenue_by_flag, weighted_mean_price,
 # ols_price_vs_quantity, ols_multi_revenue, accuracy_rule,
 # entropy_returnflag, contingency_flags, label_encode_mktsegment,
 # train_test_split_counts, split_exact_sizes, doc_quality, doc_tokens,
-# lang_id, standard_scaler - simple column-expression queries green at
-# every check since r1/r4,
+# lang_id, standard_scaler, doc_fingerprint - simple column-expression
+# queries green at every check since r1/r4,
 # implementation files untouched for 3+ rounds) reach exactly two rounds
 # of age at the end of r9 and MUST lead the r10 window, together with
 # any r8-green queries r10's changes touch.
@@ -462,6 +462,7 @@ _DRIVER_WINDOW = [
     "quality_filter_scores",     # hashed-BoW linear quality filter
     "streaming_quality_scores",  # the same filter as an ingest-time gate
     "pack_docs",                 # greedy sequence packing per source
+    "gopher_quality",            # Gopher rule bundle (map-only gates)
     # (b) implementation changed in r9 - must re-record
     "substr_dedup",              # keep-first: window -> checkpoint+agg+join
     "semdedup_prune",            # zero-norm cosine guard (ANSI 0/0)
@@ -478,7 +479,6 @@ _DRIVER_WINDOW = [
     # (d) the r7-green fill (evidence reaches two rounds at r9 close)
     "stats_covariance",
     "domain_mixture_sample",
-    "doc_fingerprint",
     "minhash_signatures",
     "lsh_pairs",
     "simhash_docs",

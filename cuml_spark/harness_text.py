@@ -1271,6 +1271,69 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule bundle (text/gopher.py): per-document boolean
+    gates + composite keep, all in-row column expressions — one scan at
+    any corpus size.  Paper thresholds except min_stopword_hits=1 (the
+    synthetic vocabulary contains only 'the' from the paper's stopword
+    list, so the paper's >= 2 would be constant-false; >= 1 varies with
+    the documents and still exercises the membership logic)."""
+    from cuml_spark.text.gopher import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, min_stopword_hits=1)
+
+
+_SQL_GOPHER_QUALITY = """
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), feat AS (
+  SELECT doc_id, t,
+         coalesce(len(l), 0) AS n_words,
+         coalesce(list_sum(list_transform(l, x -> length(x))), 0)
+           AS word_chars,
+         (length(t) - length(replace(t, '#', '')))
+           + (length(t) - length(replace(t, '...', ''))) // 3
+           + (length(t) - length(replace(t, '…', ''))) AS n_symbols,
+         greatest(len(string_split(t, chr(10))), 1) AS n_lines,
+         len(list_filter(string_split(t, chr(10)),
+             x -> starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')
+                  OR starts_with(ltrim(x), '•'))) AS bullet_lines,
+         len(list_filter(string_split(t, chr(10)),
+             x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')))
+           AS ellipsis_lines,
+         coalesce(len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))),
+                  0) AS alpha_words,
+         coalesce(len(list_filter(
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+             s -> list_contains(list_transform(l, x -> lower(x)), s))), 0)
+           AS stop_hits
+  FROM base
+), flags AS (
+  SELECT doc_id, n_words,
+         (n_words >= 50 AND n_words <= 100000)::INT AS ok_word_count,
+         (word_chars / greatest(n_words, 1) >= 3.0
+          AND word_chars / greatest(n_words, 1) <= 10.0)::INT
+           AS ok_mean_word_len,
+         (n_symbols / greatest(n_words, 1) <= 0.1)::INT AS ok_symbol_ratio,
+         (bullet_lines / n_lines <= 0.9)::INT AS ok_bullet_lines,
+         (ellipsis_lines / n_lines <= 0.3)::INT AS ok_ellipsis_lines,
+         (alpha_words / greatest(n_words, 1) >= 0.8)::INT AS ok_alpha_words,
+         (stop_hits >= 1)::INT AS ok_stopwords
+  FROM feat
+)
+SELECT doc_id, n_words::BIGINT AS n_words, ok_word_count, ok_mean_word_len,
+       ok_symbol_ratio, ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words,
+       ok_stopwords,
+       (ok_word_count * ok_mean_word_len * ok_symbol_ratio * ok_bullet_lines
+        * ok_ellipsis_lines * ok_alpha_words * ok_stopwords) AS keep
+FROM flags
+"""
+
+
 _PACK_BUDGET = 120
 
 
@@ -1475,6 +1538,7 @@ QUERIES_TEXT = {
     "top_ngrams_corpus": q_top_ngrams_corpus,
     "quality_filter_scores": q_quality_filter_scores,
     "pack_docs": q_pack_docs,
+    "gopher_quality": q_gopher_quality,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -1535,6 +1599,7 @@ ORACLES_TEXT = {
     "top_ngrams_corpus": _SQL_TOP_NGRAMS,
     "quality_filter_scores": _sql_quality_filter(),
     "pack_docs": _SQL_PACK_DOCS,
+    "gopher_quality": _SQL_GOPHER_QUALITY,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

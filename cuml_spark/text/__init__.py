@@ -18,6 +18,7 @@ from cuml_spark.text.retrieval import bm25_topk, chunk_documents, rrf_fuse
 from cuml_spark.text.substring import exact_substring_dedup
 from cuml_spark.text.ngrams import top_ngrams
 from cuml_spark.text.packing import pack_documents
+from cuml_spark.text.gopher import GOPHER_STOPWORDS, gopher_quality_flags
 from cuml_spark.text.classifier import (
     QualityClassifier,
     fit_quality_classifier,
@@ -38,5 +39,6 @@ __all__ = [
     "exact_substring_dedup", "top_ngrams", "hashed_token_counts",
     "score_linear_bow", "score_linear_bow_inline", "token_bucket",
     "fit_quality_classifier", "pack_documents",
+    "gopher_quality_flags", "GOPHER_STOPWORDS",
     "QualityClassifier",
 ]

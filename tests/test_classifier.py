@@ -203,3 +203,41 @@ def test_pack_documents_fill_invariants(spark):
         assert fill <= 10 or fill == max(
             n for _i, n, p, _ in got if p == pack
         )  # oversize packs hold exactly their one doc
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule fires on a purpose-built document and the
+    composite keep is the AND; null/empty docs fail the word rules with
+    the ratio rules vacuously true."""
+    from cuml_spark.text import gopher_quality_flags
+
+    good = " ".join(
+        ["the", "be", "to"] + [f"word{i}" for i in range(47)])  # 50 words
+    rows = [
+        (0, good),
+        (1, "short the be text"),                 # < min_words
+        (2, " ".join(["xx"] * 60)),               # mean len 2 < 3, no stops
+        (3, good + " " + "#" * 1 + " ##### ### #"),  # symbols
+        (4, "\n".join(["- bullet line"] * 10)),   # all lines bulleted
+        (5, "\n".join(["trailing..."] * 10)),     # all lines ellipsis
+        (6, " ".join(["123"] * 50) + " the be"),  # alpha frac low
+        (7, None),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert out[0]["keep"] == 1 and all(
+        v == 1 for k, v in out[0].items() if k.startswith("ok_"))
+    assert out[1]["ok_word_count"] == 0 and out[1]["keep"] == 0
+    assert out[2]["ok_mean_word_len"] == 0 and out[2]["ok_stopwords"] == 0
+    assert out[3]["ok_symbol_ratio"] == 0
+    assert out[4]["ok_bullet_lines"] == 0
+    assert out[5]["ok_ellipsis_lines"] == 0
+    assert out[6]["ok_alpha_words"] == 0 and out[6]["ok_stopwords"] == 1
+    for d in (7, 8):
+        assert out[d]["n_words"] == 0
+        assert out[d]["ok_word_count"] == 0
+        assert out[d]["ok_alpha_words"] == 0
+        assert out[d]["ok_stopwords"] == 0
+        assert out[d]["ok_symbol_ratio"] == 1  # vacuous ratios pass
+        assert out[d]["keep"] == 0

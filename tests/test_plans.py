@@ -496,3 +496,21 @@ def test_score_linear_bow_inline_zero_shuffle(spark):
     assert schemas and all(
         "lang" not in s and "source" not in s for s in schemas
     )
+
+
+def test_gopher_quality_flags_map_only(spark):
+    """The Gopher rule bundle is pure column expressions: zero shuffle
+    exchanges, no joins, no Python eval, documents scan pruned to
+    doc_id/text — a quality gate over 100 TB is one scan."""
+    from cuml_spark.text import gopher_quality_flags
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = gopher_quality_flags(docs)
+    plan = _plan(out)
+    assert _n_shuffles(out) == 0
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    schemas = _read_schemas(out)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    )
