@@ -1271,6 +1271,68 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level fuzzy decontamination (text/dedup.py
+    fuzzy_cross_contamination): the corpus screened against a
+    benchmark-sized reference (docs 0-99 standing in for an eval set)
+    via broadcast LSH buckets + candidate-bounded exact character-5-gram
+    Jaccard at threshold 0.2 — low enough that the 115-row answer
+    exercises both the banding probabilistics and the verify filter;
+    exact corpus duplicates of reference docs flag at jaccard 1.0;
+    same-id pairs are excluded."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text import fuzzy_cross_contamination
+
+    raw = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(raw)
+    ref = raw.filter(F.col("doc_id") < 100)
+    out = fuzzy_cross_contamination(docs, ref, threshold=0.2)
+    return out.select(
+        "doc_id", "n_matched_refs",
+        F.round("max_jaccard", 6).alias("max_jaccard"), "first_ref_id",
+    )
+
+
+def _sql_fuzzy_contamination() -> str:
+    r = N_BANDS and (N_HASHES // N_BANDS)
+    band_selects = []
+    for b in range(N_BANDS):
+        sig = " || '_' || ".join(
+            f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r))
+        band_selects.append(f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    return (
+        _sql_sig_cte()
+        + f""", bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT c.doc_id AS cid, e.doc_id AS rid
+  FROM bands c JOIN (SELECT * FROM bands WHERE doc_id < 100) e
+       USING (band, sig)
+  WHERE c.doc_id <> e.doc_id
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT cand.cid, cand.rid, count(*) AS ni
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.cid
+  JOIN sh b ON b.doc_id = cand.rid AND b.s = a.s
+  GROUP BY 1, 2
+), j AS (
+  SELECT i.cid, i.rid,
+         i.ni / (ca.n + cb.n - i.ni) AS jac
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.cid
+  JOIN cnt cb ON cb.doc_id = i.rid
+  WHERE i.ni / (ca.n + cb.n - i.ni) >= 0.2
+)
+SELECT cid AS doc_id, count(*)::BIGINT AS n_matched_refs,
+       round(max(jac), 6) AS max_jaccard,
+       min(rid) AS first_ref_id
+FROM j GROUP BY 1
+"""
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher rule bundle (text/gopher.py): per-document boolean
     gates + composite keep, all in-row column expressions — one scan at
@@ -1539,6 +1601,7 @@ QUERIES_TEXT = {
     "quality_filter_scores": q_quality_filter_scores,
     "pack_docs": q_pack_docs,
     "gopher_quality": q_gopher_quality,
+    "fuzzy_contamination": q_fuzzy_contamination,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -1600,6 +1663,7 @@ ORACLES_TEXT = {
     "quality_filter_scores": _sql_quality_filter(),
     "pack_docs": _SQL_PACK_DOCS,
     "gopher_quality": _SQL_GOPHER_QUALITY,
+    "fuzzy_contamination": _sql_fuzzy_contamination(),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

@@ -1,4 +1,5 @@
 from cuml_spark.text.dedup import (
+    fuzzy_cross_contamination,
     exact_dedup_groups,
     normalized_fingerprint,
     shingles,
@@ -39,6 +40,6 @@ __all__ = [
     "exact_substring_dedup", "top_ngrams", "hashed_token_counts",
     "score_linear_bow", "score_linear_bow_inline", "token_bucket",
     "fit_quality_classifier", "pack_documents",
-    "gopher_quality_flags", "GOPHER_STOPWORDS",
+    "gopher_quality_flags", "GOPHER_STOPWORDS", "fuzzy_cross_contamination",
     "QualityClassifier",
 ]

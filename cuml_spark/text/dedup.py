@@ -284,3 +284,106 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     for j in range(n_bits):
         fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
     return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def _banded_signatures(sig: DataFrame, id_col: str, out_id: str,
+                       n_bands: int) -> DataFrame:
+    """(id, band, sig) rows from a minhash signature frame — one
+    posexplode over the in-row band-signature array (the
+    lsh_candidate_pairs banding, factored for cross-frame reuse)."""
+    r = N_HASHES // n_bands
+    band_sigs = F.array(*[
+        F.concat_ws(
+            "_", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+        )
+        for b in range(n_bands)
+    ])
+    return sig.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(band_sigs).alias("band", "sig"),
+    )
+
+
+def fuzzy_cross_contamination(
+    corpus: DataFrame,
+    reference: DataFrame,
+    k: int = 5,
+    threshold: float = 0.5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    ref_id_col: str | None = None,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Fuzzy (MinHash-LSH + exact-Jaccard) contamination of ``corpus``
+    against a benchmark/eval ``reference`` set — the document-level
+    decontamination modern pipelines run besides the n-gram check
+    (text/contamination.py): a training document near-duplicating an
+    eval document leaks the benchmark even when no single n-gram run
+    survives verbatim.
+
+    → (id_col, n_matched_refs, max_jaccard, first_ref_id): one row per
+    CONTAMINATED corpus doc (some reference doc with character-k-gram
+    Jaccard ≥ ``threshold`` among its LSH candidates); ``first_ref_id``
+    is the smallest qualifying reference id — deterministic.  Pairs
+    with equal ids are excluded so a corpus can be screened against a
+    subset of itself in tests.
+
+    Scale shape: the reference side is benchmark-sized by contract
+    (same as ngram_contamination) — its banded signatures AND its
+    shingle sets broadcast; the corpus pays ONE signature pass streamed
+    against the broadcast buckets (map-side candidate join) and the
+    exact-Jaccard verify re-reads only candidate docs (semi-join
+    pruned).  Nothing all-pairs, nothing reference×corpus.
+    """
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold in [0, 1], got {threshold}")
+    ref_text_col = ref_text_col or text_col
+    ref_id_col = ref_id_col or id_col
+    sig_c = minhash_signatures(corpus, k=k, text_col=text_col, id_col=id_col)
+    sig_r = minhash_signatures(
+        reference, k=k, text_col=ref_text_col, id_col=ref_id_col)
+    cand = (
+        _banded_signatures(sig_c, id_col, "__cid", n_bands)
+        .join(F.broadcast(
+            _banded_signatures(sig_r, ref_id_col, "__rid", n_bands)),
+            ["band", "sig"])
+        .where(F.col("__cid") != F.col("__rid"))
+        .select("__cid", "__rid")
+        .distinct()
+    )
+
+    def _shingle_set(frame: DataFrame, tcol: str, icol: str,
+                     out_id: str, out_set: str) -> DataFrame:
+        arr = F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(1, length({tcol}) - {k - 1})), "
+            f"i -> substring({tcol}, i, {k}))"
+        ))
+        return frame.select(F.col(icol).alias(out_id), arr.alias(out_set))
+
+    # exact verify only re-reads CANDIDATE corpus docs (semi-join pruned);
+    # the reference shingle sets broadcast like its banded signatures
+    sets_c = _shingle_set(corpus, text_col, id_col, "__scid", "__cs").join(
+        cand.select(F.col("__cid").alias("__scid")).distinct(),
+        "__scid", "left_semi")
+    sets_r = _shingle_set(
+        reference, ref_text_col, ref_id_col, "__srid", "__rs")
+    inter = F.size(F.array_intersect(F.col("__cs"), F.col("__rs")))
+    union = F.size("__cs") + F.size("__rs") - inter
+    j = inter / F.greatest(union, F.lit(1))
+    pairs = (
+        cand
+        .join(sets_c, F.col("__scid") == F.col("__cid"))
+        .join(F.broadcast(sets_r), F.col("__srid") == F.col("__rid"))
+        .select("__cid", "__rid", j.alias("__j"))
+        .where(F.col("__j") >= float(threshold))
+    )
+    return (
+        pairs.groupBy(F.col("__cid").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_matched_refs"),
+            F.max("__j").alias("max_jaccard"),
+            F.min("__rid").alias("first_ref_id"),
+        )
+    )

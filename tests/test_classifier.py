@@ -241,3 +241,33 @@ def test_gopher_quality_flags_rules(spark):
         assert out[d]["ok_stopwords"] == 0
         assert out[d]["ok_symbol_ratio"] == 1  # vacuous ratios pass
         assert out[d]["keep"] == 0
+
+
+def test_fuzzy_cross_contamination_semantics(spark):
+    """LSH-candidate + exact-Jaccard decontamination: a near-duplicate
+    of a reference doc is flagged with the right max_jaccard and
+    smallest witness; unrelated docs are absent; identical-id pairs are
+    excluded so a corpus screens against a subset of itself."""
+    from cuml_spark.text import fuzzy_cross_contamination
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill in the afternoon sun")
+    near = base + " today"  # ~0.94 Jaccard; hits the fixed LSH bands
+    far = "completely different content about database query planning"
+    corpus = spark.createDataFrame(
+        [(10, base), (11, near), (12, far)], "doc_id long, text string")
+    ref = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_matched_refs"], r["max_jaccard"],
+                         r["first_ref_id"])
+           for r in fuzzy_cross_contamination(
+               corpus, ref, threshold=0.5).collect()}
+    assert out[10][0] == 1 and out[10][1] == 1.0 and out[10][2] == 0
+    assert 11 in out and 0.9 <= out[11][1] < 1.0
+    assert 12 not in out
+    # self-screening: same ids never pair
+    self_out = fuzzy_cross_contamination(
+        corpus, corpus.filter(F.col("doc_id") == 10), threshold=0.5
+    ).collect()
+    assert {r["doc_id"] for r in self_out} == {11}  # 10 == 10 excluded
+    with pytest.raises(ValueError, match="threshold"):
+        fuzzy_cross_contamination(corpus, ref, threshold=1.5)
