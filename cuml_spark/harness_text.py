@@ -1271,6 +1271,48 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (text/retrieval.py
+    tfidf_keywords): one map-side-combined (doc, term) count shuffle
+    materialized once, vocabulary-sized df equi-join (NOT broadcast —
+    unlike bm25's query-bounded df), WindowGroupLimit top-k.  Scores
+    round to 6 before ranking; ties break on the term text."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text import tfidf_keywords
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    out = tfidf_keywords(docs, k=3)
+    return out.select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf"),
+        "score", F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_DOC_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), nd AS (
+  SELECT count(*) AS n FROM documents
+), cnt AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(l) AS tok FROM toks) GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df FROM cnt GROUP BY 1
+), sc AS (
+  SELECT c.doc_id, c.term, c.tf,
+         round(c.tf * (ln((nd.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS score
+  FROM cnt c JOIN dfq USING (term), nd
+)
+SELECT doc_id, term, tf::BIGINT AS tf, score, rank::BIGINT AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rank FROM sc
+) WHERE rank <= 3
+"""
+
+
 def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level fuzzy decontamination (text/dedup.py
     fuzzy_cross_contamination): the corpus screened against a
@@ -1602,6 +1644,7 @@ QUERIES_TEXT = {
     "pack_docs": q_pack_docs,
     "gopher_quality": q_gopher_quality,
     "fuzzy_contamination": q_fuzzy_contamination,
+    "doc_keywords": q_doc_keywords,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -1664,6 +1707,7 @@ ORACLES_TEXT = {
     "pack_docs": _SQL_PACK_DOCS,
     "gopher_quality": _SQL_GOPHER_QUALITY,
     "fuzzy_contamination": _sql_fuzzy_contamination(),
+    "doc_keywords": _SQL_DOC_KEYWORDS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

@@ -15,7 +15,8 @@ from cuml_spark.text.repetition import repetition_signals
 from cuml_spark.text.c4 import c4_line_filter, span_dedup_stats
 from cuml_spark.text.mixing import domain_rates, temperature_sample
 from cuml_spark.text.lm import BigramLM, bigram_lm_scores, fit_bigram_lm
-from cuml_spark.text.retrieval import bm25_topk, chunk_documents, rrf_fuse
+from cuml_spark.text.retrieval import (bm25_topk, chunk_documents,
+                                       rrf_fuse, tfidf_keywords)
 from cuml_spark.text.substring import exact_substring_dedup
 from cuml_spark.text.ngrams import top_ngrams
 from cuml_spark.text.packing import pack_documents
@@ -37,6 +38,7 @@ __all__ = [
     "c4_line_filter", "span_dedup_stats", "domain_rates",
     "temperature_sample", "bigram_lm_scores", "fit_bigram_lm",
     "BigramLM", "bm25_topk", "rrf_fuse", "chunk_documents",
+    "tfidf_keywords",
     "exact_substring_dedup", "top_ngrams", "hashed_token_counts",
     "score_linear_bow", "score_linear_bow_inline", "token_bucket",
     "fit_quality_classifier", "pack_documents",

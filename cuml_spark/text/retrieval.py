@@ -171,6 +171,76 @@ def bm25_topk(
         F.col("rank") <= k)
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_sep: str = " ",
+    lowercase: bool = False,
+    stopwords: list[str] | None = None,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords → (id_col, term, tf, score,
+    rank ≤ k) — the corpus-curation tagging pass (topic audit, domain
+    labeling, boilerplate triage).
+
+    ``score = tf · (ln((N + 1)/(df + 1)) + 1)`` (the smoothed idf, so a
+    corpus-universal term still ranks by tf instead of zeroing out);
+    ``score_decimals`` rounds BEFORE ranking so ties break
+    deterministically on the term text.  Docs with no tokens emit no
+    rows.  Analyzer hooks match :func:`bm25_topk`.
+
+    Plan (100 TB): one in-row tokenize + explode, ONE map-side-combined
+    (doc, term) count shuffle materialized once (checkpoint — two
+    consumers), document frequencies re-aggregated from the collapsed
+    counts (no second corpus scan; UNLIKE bm25's query-bounded df table
+    this one is vocabulary-sized, so it equi-joins back on the term key
+    — AQE skew-split eligible for stopword-hot terms — rather than
+    broadcasting), and the per-doc top-k rides WindowGroupLimit — ≤ k
+    rows per doc cross the final shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if stopwords is not None:
+        stopwords = [str(s) for s in stopwords]
+    toks = _toks(text_col, token_sep)
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    if stopwords:
+        sw = stopwords
+        toks = F.filter(toks, lambda x: ~x.isin(*sw))
+    base = docs.select(F.col(id_col), F.explode(toks).alias("__term"))
+    counts = (
+        base.groupBy(id_col, "__term").agg(F.count("*").alias("tf"))
+        # two consumers (df re-aggregation + the scoring side) — same
+        # materialize-once contract as bm25_topk's matched postings
+        .localCheckpoint(eager=False)
+    )
+    n_docs = docs.select(F.count("*").alias("__n"))
+    dfreq = counts.groupBy("__term").agg(F.count("*").alias("__df"))
+    scored = (
+        counts.join(dfreq, "__term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col, F.col("__term").alias("term"), "tf",
+            (
+                F.col("tf")
+                * (F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) + 1.0)
+            ).alias("__s"),
+        )
+    )
+    score = F.col("__s")
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    out = scored.select(id_col, "term", "tf", score.alias("score"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return out.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

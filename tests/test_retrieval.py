@@ -292,3 +292,37 @@ def test_bm25_partitioning_invariant(corpus, spark):
             (r["doc_id"], r["score"], r["rank"])
             for r in bm25_topk(corpus.repartition(parts), qs, k=5).collect())
         assert again == base
+
+
+def test_tfidf_keywords_hand_oracle(spark):
+    """Smoothed tf-idf on a countable corpus: scores, per-doc top-k cut,
+    deterministic term tie-break, empty/null docs absent."""
+    import math
+
+    from cuml_spark.text import tfidf_keywords
+
+    rows = [
+        (0, "apple apple banana"),
+        (1, "banana cherry"),
+        (2, "apple"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): (r["tf"], r["score"], r["rank"])
+           for r in tfidf_keywords(df, k=2, score_decimals=None).collect()}
+    n = 5
+
+    def s(tf, dfreq):
+        return tf * (math.log((n + 1) / (dfreq + 1)) + 1)
+
+    assert out[(0, "apple")][0] == 2
+    assert out[(0, "apple")][1] == pytest.approx(s(2, 2), abs=1e-12)
+    assert out[(0, "apple")][2] == 1  # beats banana on score
+    assert out[(0, "banana")][2] == 2
+    assert out[(1, "cherry")][2] == 1  # rarer term outranks banana
+    assert out[(1, "banana")][2] == 2
+    assert out[(2, "apple")][2] == 1
+    assert {d for d, _t in out} == {0, 1, 2}  # null/empty docs absent
+    with pytest.raises(ValueError, match="k must"):
+        tfidf_keywords(df, k=0)
