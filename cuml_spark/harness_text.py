@@ -1328,7 +1328,11 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _t(spark, sf_dir, "documents")
     docs = ensure_parallelism(raw)
     ref = raw.filter(F.col("doc_id") < 100)
-    out = fuzzy_cross_contamination(docs, ref, threshold=0.2)
+    # reuse the session-cached corpus signatures (shared with
+    # minhash_signatures / lsh_pairs — one index, many consumers)
+    out = fuzzy_cross_contamination(
+        docs, ref, threshold=0.2,
+        corpus_signatures=_sigs_cached(spark, sf_dir))
     return out.select(
         "doc_id", "n_matched_refs",
         F.round("max_jaccard", 6).alias("max_jaccard"), "first_ref_id",

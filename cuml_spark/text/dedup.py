@@ -315,6 +315,7 @@ def fuzzy_cross_contamination(
     ref_text_col: str | None = None,
     ref_id_col: str | None = None,
     n_bands: int = N_BANDS,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy (MinHash-LSH + exact-Jaccard) contamination of ``corpus``
     against a benchmark/eval ``reference`` set — the document-level
@@ -341,7 +342,14 @@ def fuzzy_cross_contamination(
         raise ValueError(f"threshold in [0, 1], got {threshold}")
     ref_text_col = ref_text_col or text_col
     ref_id_col = ref_id_col or id_col
-    sig_c = minhash_signatures(corpus, k=k, text_col=text_col, id_col=id_col)
+    # pass corpus_signatures (minhash_signatures output, e.g. cached from
+    # the dedup pass) to skip the corpus signature pass — the one-index,
+    # many-consumers shape a real pipeline runs
+    sig_c = (
+        corpus_signatures if corpus_signatures is not None
+        else minhash_signatures(
+            corpus, k=k, text_col=text_col, id_col=id_col)
+    )
     sig_r = minhash_signatures(
         reference, k=k, text_col=ref_text_col, id_col=ref_id_col)
     cand = (

@@ -271,3 +271,27 @@ def test_fuzzy_cross_contamination_semantics(spark):
     assert {r["doc_id"] for r in self_out} == {11}  # 10 == 10 excluded
     with pytest.raises(ValueError, match="threshold"):
         fuzzy_cross_contamination(corpus, ref, threshold=1.5)
+
+
+def test_fuzzy_cross_contamination_reuses_signatures(spark):
+    """Passing precomputed corpus signatures (the cached dedup index)
+    must give identical results to the self-computed pass."""
+    from cuml_spark.text import fuzzy_cross_contamination, minhash_signatures
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill in the afternoon sun")
+    corpus = spark.createDataFrame(
+        [(10, base), (11, base + " today")], "doc_id long, text string")
+    ref = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    a = sorted(
+        (r["doc_id"], r["n_matched_refs"], r["max_jaccard"],
+         r["first_ref_id"])
+        for r in fuzzy_cross_contamination(
+            corpus, ref, threshold=0.5).collect())
+    sigs = minhash_signatures(corpus)
+    b = sorted(
+        (r["doc_id"], r["n_matched_refs"], r["max_jaccard"],
+         r["first_ref_id"])
+        for r in fuzzy_cross_contamination(
+            corpus, ref, threshold=0.5, corpus_signatures=sigs).collect())
+    assert a == b and a
