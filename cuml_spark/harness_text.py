@@ -826,6 +826,42 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (text/lm.py perplexity_buckets):
+    exact interpolated terciles of the ROUNDED self-scored LM scores,
+    computed in one aggregation and broadcast; >= on the upper cut puts
+    boundary docs in the better bucket in both engines.  Unscored
+    (sub-2-token) docs bucket null."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.lm import bigram_lm_scores, perplexity_buckets
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    scored = bigram_lm_scores(docs, "text", "doc_id", add_k=1.0).select(
+        "doc_id", F.round("avg_logp", 6).alias("avg_logp"))
+    return perplexity_buckets(scored)
+
+
+def _sql_ccnet_buckets() -> str:
+    # reuse the doc_perplexity CTE chain (identical scoring), swap the
+    # final projection for the tercile bucketing
+    ctes = _SQL_DOC_PERPLEXITY.rsplit("SELECT d.doc_id", 1)[0]
+    return ctes + """, scored AS (
+  SELECT d.doc_id, round(sc.lp, 6) AS avg_logp
+  FROM documents d LEFT JOIN sc USING (doc_id)
+), cuts AS (
+  SELECT quantile_cont(avg_logp, 1.0/3.0) AS t_lo,
+         quantile_cont(avg_logp, 2.0/3.0) AS t_hi
+  FROM scored
+)
+SELECT doc_id, avg_logp,
+       CASE WHEN avg_logp IS NULL THEN NULL
+            WHEN avg_logp >= t_hi THEN 'head'
+            WHEN avg_logp >= t_lo THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored, cuts
+"""
+
+
 def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style removal (text/substring.py): every 20-token
     window occurring earlier in the corpus is cut from the text (global
@@ -1649,6 +1685,7 @@ QUERIES_TEXT = {
     "gopher_quality": q_gopher_quality,
     "fuzzy_contamination": q_fuzzy_contamination,
     "doc_keywords": q_doc_keywords,
+    "ccnet_buckets": q_ccnet_buckets,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -1712,6 +1749,7 @@ ORACLES_TEXT = {
     "gopher_quality": _SQL_GOPHER_QUALITY,
     "fuzzy_contamination": _sql_fuzzy_contamination(),
     "doc_keywords": _SQL_DOC_KEYWORDS,
+    "ccnet_buckets": _sql_ccnet_buckets(),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

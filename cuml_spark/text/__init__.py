@@ -14,7 +14,8 @@ from cuml_spark.text.pii import scrub_pii
 from cuml_spark.text.repetition import repetition_signals
 from cuml_spark.text.c4 import c4_line_filter, span_dedup_stats
 from cuml_spark.text.mixing import domain_rates, temperature_sample
-from cuml_spark.text.lm import BigramLM, bigram_lm_scores, fit_bigram_lm
+from cuml_spark.text.lm import (BigramLM, bigram_lm_scores,
+                                fit_bigram_lm, perplexity_buckets)
 from cuml_spark.text.retrieval import (bm25_topk, chunk_documents,
                                        rrf_fuse, tfidf_keywords)
 from cuml_spark.text.substring import exact_substring_dedup
@@ -37,6 +38,7 @@ __all__ = [
     "ngram_contamination", "scrub_pii", "repetition_signals",
     "c4_line_filter", "span_dedup_stats", "domain_rates",
     "temperature_sample", "bigram_lm_scores", "fit_bigram_lm",
+    "perplexity_buckets",
     "BigramLM", "bm25_topk", "rrf_fuse", "chunk_documents",
     "tfidf_keywords",
     "exact_substring_dedup", "top_ngrams", "hashed_token_counts",

@@ -221,6 +221,54 @@ def _score_with_model(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    *,
+    score_col: str = "avg_logp",
+    id_col: str = "doc_id",
+    quantiles: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. §4.3): bucket
+    documents by their LM score's position in the corpus distribution —
+    ``head`` = best-scoring third (highest avg log-prob), ``tail`` =
+    worst, ``middle`` between.  CCNet trains on head+middle and drops
+    (or down-weights) tail.
+
+    → (id_col, score_col, ppl_bucket) with ``ppl_bucket`` ∈ {'head',
+    'middle', 'tail', null} (null for unscored docs — too short to have
+    bigrams — which a pipeline routes separately).
+
+    Thresholds are the EXACT interpolated percentiles of the non-null
+    scores (Spark ``percentile``; the oracle's ``quantile_cont`` is the
+    same definition), computed in ONE aggregation pass and broadcast —
+    at 100 TB this is one extra reduction over an already-scored frame,
+    never a sort.  Buckets use ``>=`` against the upper threshold so a
+    document exactly on a cut lands in the better bucket in both
+    engines.  Pass the SCORED frame (``bigram_lm_scores`` output) —
+    scores rounded by the caller round identically in both engines, so
+    thresholds and comparisons agree bit-for-bit.
+    """
+    lo, hi = quantiles
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(
+            f"quantiles must satisfy 0 < lo < hi < 1, got {quantiles}")
+    cuts = scored.agg(
+        F.percentile(F.col(score_col), F.lit(lo)).alias("__t_lo"),
+        F.percentile(F.col(score_col), F.lit(hi)).alias("__t_hi"),
+    )
+    s = F.col(score_col)
+    bucket = (
+        F.when(s.isNull(), F.lit(None).cast("string"))
+        .when(s >= F.col("__t_hi"), F.lit("head"))
+        .when(s >= F.col("__t_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(F.col(id_col), s.alias(score_col), bucket.alias("ppl_bucket"))
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -635,3 +635,23 @@ def test_temperature_sample_partitioning_invariant(spark):
         )
         assert again == kept
     assert kept  # non-degenerate
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Head/middle/tail by exact interpolated terciles: best third =
+    head, boundary docs land in the better bucket, null scores bucket
+    null, and the three buckets partition the scored docs ~evenly."""
+    from cuml_spark.text import perplexity_buckets
+
+    rows = [(i, float(-i)) for i in range(9)] + [(100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, avg_logp double")
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(df).collect()}
+    # scores 0..-8: terciles at interpolated (n-1)*q of sorted values;
+    # highest scores (0,-1,-2) = head, lowest (-6,-7,-8) = tail
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+    assert out[100] is None
+    import pytest as _pt
+    with _pt.raises(ValueError, match="quantiles"):
+        perplexity_buckets(df, quantiles=(0.7, 0.3))
