@@ -70,8 +70,21 @@ _BENCH_ORDER = [
     "arima_forecast", "random_projection", "media_decode",
     "media_decode_png", "media_decode_jpeg", "media_decode_wav",
     "image_dedup_groups",
+    # r5-r9 additions in the order the r9 closing bench actually ran
+    # (previously implied by registry insertion order, which window
+    # rotation shuffles - pinned so per-query deltas stay like-for-like)
+    "bm25_topk_analyzed", "pipeline_retrieval_hybrid", "top_ngrams_corpus",
+    "quality_filter_scores", "streaming_quality_scores", "pack_docs",
+    "gopher_quality", "fuzzy_contamination", "doc_keywords",
+    "ccnet_buckets", "substr_dedup", "semdedup_prune",
+    "bm25_topk", "hybrid_rrf", "doc_perplexity_pretrained",
+    "domain_mixture_sample", "eval_contamination", "pii_scrub",
+    "doc_repetition", "span_dedup", "neardup_safe_split",
+    "pq_search_exact", "ivfpq_search_exact", "media_decode_progressive",
+    "media_decode_g711", "media_probe_mp4", "media_decode_adpcm",
+    "image_phash_invariance", "doc_perplexity", "doc_chunks",
+    "c4_line_stats", "arima_ml_aic", "streaming_chunk_docs",
 ]
-
 # The driver archives only the LAST 2000 characters of this process's
 # output into the immutable BENCH_r{N}.json snapshot; a JSON line longer
 # than that gets its head clipped and archives as `parsed: null` (which is
