@@ -228,12 +228,33 @@ def _sql_streaming_quality_scores() -> str:
     return _sql_quality_filter()
 
 
+def q_streaming_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule bundle as an INGEST-TIME gate: pure column
+    expressions are stateless, so gopher_quality_flags runs unchanged
+    inside a streaming query — file source → rule flags → memory sink,
+    availableNow.  Row-for-row parity with the batch `gopher_quality`
+    answer (same oracle): reprocessing a day of files yields the same
+    audit table the live stream produced."""
+    from cuml_spark.text.gopher import gopher_quality_flags
+
+    stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
+    flags = gopher_quality_flags(stream, min_stopword_hits=1)
+    return _run_to_memory(flags, "append")
+
+
+def _sql_streaming_gopher_gate() -> str:
+    from cuml_spark.harness_text import _SQL_GOPHER_QUALITY
+
+    return _SQL_GOPHER_QUALITY
+
+
 QUERIES_STREAMING = {
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_clean_corpus": q_streaming_clean_corpus,
     "streaming_chunk_docs": q_streaming_chunk_docs,
     "streaming_quality_scores": q_streaming_quality_scores,
+    "streaming_gopher_gate": q_streaming_gopher_gate,
 }
 
 ORACLES_STREAMING = {
@@ -242,4 +263,5 @@ ORACLES_STREAMING = {
     "streaming_clean_corpus": _sql_streaming_clean_corpus(),
     "streaming_chunk_docs": _sql_streaming_chunk_docs(),
     "streaming_quality_scores": _sql_streaming_quality_scores(),
+    "streaming_gopher_gate": _sql_streaming_gopher_gate(),
 }
