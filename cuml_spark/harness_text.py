@@ -826,6 +826,26 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (text/bpe.py): the corpus collapses to its
+    word-frequency table in one map-side-combined shuffle and the merge
+    loop runs driver-side over that bounded table — the production BPE
+    training shape.  Output = the learned merge table in rank order,
+    fully deterministic (frequency ties break on the lexicographically
+    smaller pair).  ROWS-ONLY driver check: the training loop is
+    iterative and not SQL-expressible; exactness vs the published
+    Sennrich reference algorithm is pinned by tests/test_bpe.py
+    (25-case hypothesis parity sweep + the classic worked example)."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text import train_bpe
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    model = train_bpe(docs, n_merges=40)
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(model.merges)]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, merged string")
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail split (text/lm.py perplexity_buckets):
     exact interpolated terciles of the ROUNDED self-scored LM scores,
@@ -1686,6 +1706,7 @@ QUERIES_TEXT = {
     "fuzzy_contamination": q_fuzzy_contamination,
     "doc_keywords": q_doc_keywords,
     "ccnet_buckets": q_ccnet_buckets,
+    "bpe_merges": q_bpe_merges,  # rows-only: iterative training, no SQL twin
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,

@@ -22,6 +22,8 @@ from cuml_spark.text.substring import exact_substring_dedup
 from cuml_spark.text.ngrams import top_ngrams
 from cuml_spark.text.packing import pack_documents
 from cuml_spark.text.gopher import GOPHER_STOPWORDS, gopher_quality_flags
+from cuml_spark.text.bpe import (BPEModel, bpe_tokenize, corpus_word_counts,
+                                 train_bpe, train_bpe_from_counts)
 from cuml_spark.text.classifier import (
     QualityClassifier,
     fit_quality_classifier,
@@ -45,5 +47,7 @@ __all__ = [
     "score_linear_bow", "score_linear_bow_inline", "token_bucket",
     "fit_quality_classifier", "pack_documents",
     "gopher_quality_flags", "GOPHER_STOPWORDS", "fuzzy_cross_contamination",
+    "BPEModel", "train_bpe", "train_bpe_from_counts", "bpe_tokenize",
+    "corpus_word_counts",
     "QualityClassifier",
 ]
