@@ -126,3 +126,49 @@ def test_corpus_word_counts_cap_is_deterministic(spark):
     assert got == {"aa": 2, "bb": 2, "cc": 1}  # cc beats dd lexically
     with pytest.raises(ValueError, match="n_merges"):
         train_bpe_from_counts({"a": 1}, -1)
+
+
+import pytest as _pytest
+
+from tests.conftest import quality_param, unit_param
+
+
+@_pytest.mark.parametrize("n_docs", [unit_param(2000), quality_param(20000)])
+def test_fuzzy_contamination_recall_at_scale(spark, n_docs):
+    """Planted-leak recall of fuzzy_cross_contamination beyond the
+    500-doc fixture: every 40th corpus doc is a one-word-appended copy
+    of a reference doc (char-5-gram Jaccard ≈ 0.95); with b=4 bands,
+    r=4 rows the per-pair candidate probability is 1−(1−0.95⁴)⁴ ≈
+    0.9997, so ≥95% flagged recall is a conservative floor — and zero
+    unplanted docs may flag at threshold 0.9."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.text import fuzzy_cross_contamination
+
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("document body text "),
+            *[F.conv(F.xxhash64("id", F.lit(s)).cast("string"), 10, 16)
+              for s in range(8)],
+        ).alias("text"),
+    )
+    refs = base.filter(F.col("doc_id") % 40 == 0)
+    planted = base.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailer")).alias("text"),
+    )
+    corpus = base.unionAll(planted)
+    out = {r["doc_id"]: r["first_ref_id"]
+           for r in fuzzy_cross_contamination(
+               corpus, refs, threshold=0.9).collect()}
+    planted_ids = set(range(n_docs, 2 * n_docs, 40))
+    flagged_planted = {d for d in out if d in planted_ids}
+    recall = len(flagged_planted) / len(planted_ids)
+    assert recall >= 0.95, recall
+    # witnesses are the planted docs' own sources
+    assert all(out[d] == d - n_docs for d in flagged_planted)
+    # precision at this threshold: nothing unplanted flags (the
+    # originals themselves flag only if some ref is near-identical to
+    # them — by construction refs ⊂ corpus with same ids, excluded)
+    assert not {d for d in out if d not in planted_ids}
