@@ -514,3 +514,23 @@ def test_gopher_quality_flags_map_only(spark):
     assert schemas and all(
         "lang" not in s and "source" not in s for s in schemas
     )
+
+
+def test_bpe_tokenize_map_only_arrow(spark):
+    """BPE application is the broadcast-model serving shape: zero
+    shuffle exchanges, no joins, Arrow-vectorized (never row-at-a-time
+    BatchEvalPython), documents scan pruned to doc_id/text."""
+    from cuml_spark.text import bpe_tokenize, train_bpe_from_counts
+
+    model = train_bpe_from_counts({"table": 5, "scan": 4}, 6)
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = bpe_tokenize(docs, model)
+    plan = _plan(out)
+    assert _n_shuffles(out) == 0
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    schemas = _read_schemas(out)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    )

@@ -685,3 +685,47 @@ def test_top_ngrams_matches_counter(spark, toks, n, k):
     got = [(r["ngram"], r["count"])
            for r in top_ngrams(df, n=n, k=k).orderBy("rank").collect()]
     assert got == want
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab the#… -*\n.", min_size=0, max_size=60),
+        min_size=1, max_size=10),
+    min_words=st.integers(min_value=0, max_value=6),
+)
+def test_gopher_flags_match_python_reference(spark, docs, min_words):
+    """For ANY text (bullets, ellipses, newlines, symbols, empties) the
+    Gopher rule flags equal a pure-Python evaluation of the documented
+    definitions."""
+    from cuml_spark.text import GOPHER_STOPWORDS, gopher_quality_flags
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_quality_flags(df, min_words=min_words).collect()}
+    for i, t in enumerate(docs):
+        words = [w for w in t.split(" ") if w != ""]
+        n = len(words)
+        wc = sum(len(w) for w in words)
+        mean_wl = wc / max(n, 1)
+        syms = t.count("#") + t.count("...") + t.count("…")
+        lines = t.split("\n")
+        nl = max(len(lines), 1)
+        bullets = sum(1 for x in lines
+                      if x.lstrip(" ").startswith(("-", "*", "•")))
+        ell = sum(1 for x in lines
+                  if x.rstrip(" ").endswith(("...", "…")))
+        alpha = sum(1 for w in words if any(c.isascii() and c.isalpha()
+                                            for c in w))
+        hits = sum(1 for s in GOPHER_STOPWORDS
+                   if s in [w.lower() for w in words])
+        g = got[i]
+        assert g["n_words"] == n
+        assert g["ok_word_count"] == int(min_words <= n <= 100_000)
+        assert g["ok_mean_word_len"] == int(3.0 <= mean_wl <= 10.0)
+        assert g["ok_symbol_ratio"] == int(syms / max(n, 1) <= 0.1)
+        assert g["ok_bullet_lines"] == int(bullets / nl <= 0.9)
+        assert g["ok_ellipsis_lines"] == int(ell / nl <= 0.3)
+        assert g["ok_alpha_words"] == int(alpha / max(n, 1) >= 0.8)
+        assert g["ok_stopwords"] == int(hits >= 2)

@@ -326,3 +326,22 @@ def test_tfidf_keywords_hand_oracle(spark):
     assert {d for d, _t in out} == {0, 1, 2}  # null/empty docs absent
     with pytest.raises(ValueError, match="k must"):
         tfidf_keywords(df, k=0)
+
+
+def test_tfidf_keywords_partitioning_invariant(spark):
+    """Scores and ranks are identical under any input repartitioning
+    (the checkpoint + vocabulary join must not depend on layout)."""
+    from cuml_spark.text import tfidf_keywords
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 11}" for j in range(14)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["score"], r["rank"])
+        for r in tfidf_keywords(df, k=3).collect())
+    for parts in (1, 7):
+        again = sorted(
+            (r["doc_id"], r["term"], r["tf"], r["score"], r["rank"])
+            for r in tfidf_keywords(df.repartition(parts), k=3).collect())
+        assert again == base
+    assert base  # non-degenerate
