@@ -84,7 +84,7 @@ _BENCH_ORDER = [
     "media_decode_g711", "media_probe_mp4", "media_decode_adpcm",
     "image_phash_invariance", "doc_perplexity", "doc_chunks",
     "c4_line_stats", "arima_ml_aic", "streaming_chunk_docs",
-    "streaming_gopher_gate", "bpe_merges",
+    "streaming_gopher_gate", "bpe_merges", "text_neardup_groups",
 ]
 # The driver archives only the LAST 2000 characters of this process's
 # output into the immutable BENCH_r{N}.json snapshot; a JSON line longer

@@ -442,19 +442,19 @@ ORACLES.update(ORACLES_STREAMING)
 # otherwise age past two rounds (they MUST lead the next window),
 # (d) youngest-evidence-last fill.
 #
-# r9 ledger: 50 slots = 12 new (r9 operators; bpe_merges is the one
+# r9 ledger: 50 slots = 13 new (r9 operators; bpe_merges is the one
 # rows-only entry - iterative training has no SQL twin) + 5 changed-in-r9
 # + the six
-# r6-evidence queries (VERDICT r8 #2 - they lead) + 27 of the 49
-# r7-green.  The 22 deferred r7-green queries (stats_describe,
+# r6-evidence queries (VERDICT r8 #2 - they lead) + 26 of the 49
+# r7-green.  The 23 deferred r7-green queries (stats_describe,
 # histogram_quantity, topk_revenue_by_flag, weighted_mean_price,
 # ols_price_vs_quantity, ols_multi_revenue, accuracy_rule,
 # entropy_returnflag, contingency_flags, label_encode_mktsegment,
 # train_test_split_counts, split_exact_sizes, doc_quality, doc_tokens,
 # lang_id, standard_scaler, doc_fingerprint, kpss_events,
 # random_projection, arima_forecast, umap_supervised_trust,
-# neardup_pairs - stable queries green at every check since r1/r4 (or
-# r7 for the newest),
+# neardup_pairs, simhash_docs - stable queries green at every check
+# since r1/r4 (or r7 for the newest),
 # implementation files untouched for 3+ rounds) reach exactly two rounds
 # of age at the end of r9 and MUST lead the r10 window, together with
 # any r8-green queries r10's changes touch.
@@ -472,6 +472,7 @@ _DRIVER_WINDOW = [
     "ccnet_buckets",             # CCNet head/middle/tail LM-score split
     "streaming_gopher_gate",     # Gopher rules as a streaming ingest gate
     "bpe_merges",                # BPE merge table (rows-only check)
+    "text_neardup_groups",       # LSH -> jaccard -> CC keep-one groups
     # (b) implementation changed in r9 - must re-record
     "substr_dedup",              # keep-first: window -> checkpoint+agg+join
     "semdedup_prune",            # zero-norm cosine guard (ANSI 0/0)
@@ -490,7 +491,6 @@ _DRIVER_WINDOW = [
     "domain_mixture_sample",
     "minhash_signatures",
     "lsh_pairs",
-    "simhash_docs",
     "eval_contamination",
     "pii_scrub",
     "doc_repetition",

@@ -301,8 +301,60 @@ FROM e LEFT JOIN pr USING (vec_id)
 """
 
 
+def q_text_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-side dedup ACTION end-to-end: MinHash-LSH candidates →
+    exact 5-gram Jaccard ≥ 0.8 edges → weak connected components →
+    per-group report (component = the kept doc id, member count, member
+    id checksum).  Every stage is a registry operator (lsh_pairs,
+    ngram_jaccard, graph CC); this composes them into the "keep one per
+    near-dup cluster" pipeline the dedup tier exists for.  The DuckDB
+    oracle replays the candidates + verify SQL and closes components
+    with a recursive reachability CTE."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.harness_text import _t, lsh_pairs_cached
+    from cuml_spark.ops.sparse import connected_components
+    from cuml_spark.text.dedup import jaccard_similarity_pairs
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    cand = lsh_pairs_cached(spark, sf_dir)
+    edges = (
+        jaccard_similarity_pairs(docs, k=5, candidates=cand)
+        .where(F.col("jaccard") >= 0.8)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(edges, src="src", dst="dst")
+    return comp.groupBy(F.col("component").cast("long").alias("keep_id")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("vertex").cast("long").alias("member_sum"),
+    )
+
+
+def _sql_text_neardup_groups() -> str:
+    from cuml_spark.harness_linalg import _sql_ngram_jaccard
+
+    return f"""
+WITH RECURSIVE j AS ({_sql_ngram_jaccard()}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.8
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach AS (
+  SELECT src AS v, dst AS r FROM und
+  UNION
+  SELECT re.v, u.dst FROM reach re JOIN und u ON u.src = re.r
+), comp AS (
+  SELECT v AS vertex, least(v, min(r)) AS component
+  FROM reach GROUP BY v
+)
+SELECT component::BIGINT AS keep_id, count(*)::BIGINT AS n_members,
+       sum(vertex)::BIGINT AS member_sum
+FROM comp GROUP BY 1
+"""
+
+
 QUERIES_SIMILARITY = {
     "neardup_pairs": q_neardup_pairs,
+    "text_neardup_groups": q_text_neardup_groups,
     "semdedup_prune": q_semdedup_prune,
     "neardup_safe_split": q_neardup_safe_split,
     "pipeline_neardup_groups": q_pipeline_neardup_groups,
@@ -313,6 +365,7 @@ QUERIES_SIMILARITY = {
 
 ORACLES_SIMILARITY = {
     "neardup_pairs": _SQL_NEARDUP,
+    "text_neardup_groups": _sql_text_neardup_groups(),
     "semdedup_prune": _SQL_SEMDEDUP_PRUNE,
     "neardup_safe_split": _SQL_NEARDUP_SAFE_SPLIT,
     "pipeline_neardup_groups": _SQL_PIPELINE_NEARDUP_GROUPS,
