@@ -729,3 +729,72 @@ def test_gopher_flags_match_python_reference(spark, docs, min_words):
         assert g["ok_ellipsis_lines"] == int(ell / nl <= 0.3)
         assert g["ok_alpha_words"] == int(alpha / max(n, 1) >= 0.8)
         assert g["ok_stopwords"] == int(hits >= 2)
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.text(alphabet="abcd ", min_size=10, max_size=60),
+        min_size=2, max_size=8),
+    t_lo=st.floats(min_value=0.1, max_value=0.5),
+    t_hi=st.floats(min_value=0.5, max_value=0.9),
+)
+def test_fuzzy_contamination_threshold_monotone(spark, docs, t_lo, t_hi):
+    """Raising the Jaccard threshold can only SHRINK the contaminated
+    set, and every flagged doc's max_jaccard clears the threshold — for
+    any corpus, with the first doc as the reference."""
+    from hypothesis import assume
+
+    from cuml_spark.text import fuzzy_cross_contamination
+
+    assume(t_lo < t_hi)
+    rows = [(i + 10, t) for i, t in enumerate(docs)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame([(0, docs[0])], "doc_id long, text string")
+    lo = {r["doc_id"]: r["max_jaccard"]
+          for r in fuzzy_cross_contamination(
+              corpus, ref, threshold=t_lo).collect()}
+    hi = {r["doc_id"]: r["max_jaccard"]
+          for r in fuzzy_cross_contamination(
+              corpus, ref, threshold=t_hi).collect()}
+    assert set(hi) <= set(lo)
+    assert all(v >= t_lo for v in lo.values())
+    assert all(v >= t_hi for v in hi.values())
+    # the same-content doc (id 10) always flags at any threshold <= 1
+    assert 10 in lo and lo[10] == 1.0
+
+
+@SET
+@given(
+    scores=st.lists(
+        st.one_of(st.none(),
+                  st.floats(min_value=-9, max_value=0, allow_nan=False)),
+        min_size=3, max_size=30),
+)
+def test_perplexity_buckets_partition_of_scored(spark, scores):
+    """For ANY score distribution: every scored doc lands in exactly one
+    bucket, null scores bucket null, head scores >= middle >= tail
+    pointwise, and results are partitioning-invariant."""
+    from hypothesis import assume
+
+    from cuml_spark.text import perplexity_buckets
+
+    assume(sum(s is not None for s in scores) >= 2)
+    rows = [(i, s) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "doc_id long, avg_logp double")
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(df).collect()}
+    assert len(out) == len(scores)
+    by = {"head": [], "middle": [], "tail": []}
+    for i, s in enumerate(scores):
+        if s is None:
+            assert out[i] is None
+        else:
+            by[out[i]].append(s)
+    if by["head"] and by["middle"]:
+        assert min(by["head"]) >= max(by["middle"])
+    if by["middle"] and by["tail"]:
+        assert min(by["middle"]) >= max(by["tail"])
+    again = {r["doc_id"]: r["ppl_bucket"]
+             for r in perplexity_buckets(df.repartition(5)).collect()}
+    assert again == out
