@@ -443,18 +443,19 @@ ORACLES.update(ORACLES_STREAMING)
 # (d) youngest-evidence-last fill.
 #
 # r9 ledger: 50 slots = 13 new (r9 operators; bpe_merges is the one
-# rows-only entry - iterative training has no SQL twin) + 5 changed-in-r9
-# + the six
-# r6-evidence queries (VERDICT r8 #2 - they lead) + 26 of the 49
-# r7-green.  The 23 deferred r7-green queries (stats_describe,
+# rows-only entry - iterative training has no SQL twin) + 6 changed-in-r9
+# (incl. ngram_jaccard, whose harness now reads the session-shared
+# verified-pair cache) + the six
+# r6-evidence queries (VERDICT r8 #2 - they lead) + 25 of the 49
+# r7-green.  The 24 deferred r7-green queries (stats_describe,
 # histogram_quantity, topk_revenue_by_flag, weighted_mean_price,
 # ols_price_vs_quantity, ols_multi_revenue, accuracy_rule,
 # entropy_returnflag, contingency_flags, label_encode_mktsegment,
 # train_test_split_counts, split_exact_sizes, doc_quality, doc_tokens,
 # lang_id, standard_scaler, doc_fingerprint, kpss_events,
 # random_projection, arima_forecast, umap_supervised_trust,
-# neardup_pairs, simhash_docs - stable queries green at every check
-# since r1/r4 (or r7 for the newest),
+# neardup_pairs, simhash_docs, span_dedup - stable queries green at
+# every check since r1/r4 (or r7 for the newest),
 # implementation files untouched for 3+ rounds) reach exactly two rounds
 # of age at the end of r9 and MUST lead the r10 window, together with
 # any r8-green queries r10's changes touch.
@@ -479,6 +480,7 @@ _DRIVER_WINDOW = [
     "bm25_topk",                 # postings localCheckpoint + analyzer params
     "hybrid_rrf",                # composes bm25_topk (plan changed)
     "doc_perplexity_pretrained", # fit_bigram_lm bounded default cap
+    "ngram_jaccard",             # harness now reads the shared pair cache
     # (c) r6-old evidence - the VERDICT r8 #2 six, oldest first
     "dbscan_roles",
     "kmeans_cluster_sizes",
@@ -494,7 +496,6 @@ _DRIVER_WINDOW = [
     "eval_contamination",
     "pii_scrub",
     "doc_repetition",
-    "span_dedup",
     "rf_accuracy",
     "rf_regression",
     "mbsgd_fit",
