@@ -315,8 +315,11 @@ def q_text_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuml_spark.harness_text import jaccard_pairs_cached
     from cuml_spark.similarity.neardup import near_dup_groups
 
+    # threshold the ROUNDED score: the oracle inherits round(...,6) from
+    # the ngram_jaccard SQL, so a raw-score filter would diverge on pairs
+    # whose exact Jaccard sits in [0.7999995, 0.8) (review r9 finding)
     edges = jaccard_pairs_cached(spark, sf_dir).where(
-        F.col("jaccard") >= 0.8)
+        F.round(F.col("jaccard"), 6) >= 0.8)
     # candidate-bounded edge list -> driver union-find (near_dup_groups'
     # <=500k-edge tier), not the iterative distributed CC: grouping a few
     # hundred verified pairs must not pay pointer-doubling rounds

@@ -118,20 +118,12 @@ def lsh_candidate_pairs(df: DataFrame, k: int = 5, text_col: str = "text",
         signatures if signatures is not None
         else minhash_signatures(df, k=k, text_col=text_col, id_col=id_col)
     )
-    r = N_HASHES // n_bands
     # One posexplode over the array of band signatures: the minhash
     # pipeline (shingle explode + 64 min-aggregates) runs ONCE, not once
     # per band as a per-band union would — at scale that's an 8× saving on
-    # the dominant stage.
-    band_sigs = F.array(*[
-        F.concat_ws(
-            "_", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
-        )
-        for b in range(n_bands)
-    ])
-    banded = sig.select(
-        F.col(id_col), F.posexplode(band_sigs).alias("band", "sig")
-    )
+    # the dominant stage.  (Banding construction shared with the
+    # cross-corpus path via _banded_signatures.)
+    banded = _banded_signatures(sig, id_col, id_col, n_bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -316,6 +308,7 @@ def fuzzy_cross_contamination(
     ref_id_col: str | None = None,
     n_bands: int = N_BANDS,
     corpus_signatures: DataFrame | None = None,
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Fuzzy (MinHash-LSH + exact-Jaccard) contamination of ``corpus``
     against a benchmark/eval ``reference`` set — the document-level
@@ -327,9 +320,14 @@ def fuzzy_cross_contamination(
     → (id_col, n_matched_refs, max_jaccard, first_ref_id): one row per
     CONTAMINATED corpus doc (some reference doc with character-k-gram
     Jaccard ≥ ``threshold`` among its LSH candidates); ``first_ref_id``
-    is the smallest qualifying reference id — deterministic.  Pairs
-    with equal ids are excluded so a corpus can be screened against a
-    subset of itself in tests.
+    is the smallest qualifying reference id — deterministic.
+
+    ``exclude_same_id`` (default True) drops pairs whose corpus and
+    reference ids are EQUAL so a corpus can be screened against a
+    subset of itself.  When the two datasets are independently numbered
+    (ids coincide by accident, the common cross-dataset case), pass
+    ``exclude_same_id=False`` — otherwise a genuine leak whose ids
+    happen to collide is silently suppressed.
 
     Scale shape: the reference side is benchmark-sized by contract
     (same as ngram_contamination) — its banded signatures AND its
@@ -357,10 +355,15 @@ def fuzzy_cross_contamination(
         .join(F.broadcast(
             _banded_signatures(sig_r, ref_id_col, "__rid", n_bands)),
             ["band", "sig"])
-        .where(F.col("__cid") != F.col("__rid"))
-        .select("__cid", "__rid")
-        .distinct()
     )
+    if exclude_same_id:
+        cand = cand.where(F.col("__cid") != F.col("__rid"))
+    # two consumers read the candidate pairs (the corpus-side semi-join
+    # and the verify join); without materialization each would re-root
+    # the corpus signature pass (the bm25 AQE-reuse finding) — the pair
+    # frame is LSH-bounded, so the checkpoint is small
+    cand = cand.select("__cid", "__rid").distinct().localCheckpoint(
+        eager=False)
 
     def _shingle_set(frame: DataFrame, tcol: str, icol: str,
                      out_id: str, out_set: str) -> DataFrame:

@@ -31,9 +31,11 @@ Rule set (thresholds are the paper's, overridable):
                           (the, be, to, of, and, that, have, with;
                           paper: 2)
 
-Null/empty documents fail rules 1, 6, 7 (no words) and pass the ratio
-rules vacuously — ``keep`` is false either way, with the flags showing
-why, matching the audit-not-just-filter contract.
+Null/empty documents fail rules 1, 2, 6, 7 (no words: the word-count,
+mean-word-length — 0 < min — alpha-word and stopword gates all refuse)
+and pass the symbol/bullet/ellipsis ratio rules vacuously — ``keep`` is
+false either way, with the flags showing why, matching the
+audit-not-just-filter contract.
 """
 
 from __future__ import annotations

@@ -252,6 +252,12 @@ def perplexity_buckets(
     if not 0.0 < lo < hi < 1.0:
         raise ValueError(
             f"quantiles must satisfy 0 < lo < hi < 1, got {quantiles}")
+    # two consumers read the scored frame (the cuts aggregation and the
+    # bucketed output); materialize once so an expensive upstream scoring
+    # pipeline (the usual caller feeds bigram_lm_scores directly) is not
+    # evaluated twice — the bm25 AQE-reuse finding.  GC-released with the
+    # result.
+    scored = scored.localCheckpoint(eager=False)
     cuts = scored.agg(
         F.percentile(F.col(score_col), F.lit(lo)).alias("__t_lo"),
         F.percentile(F.col(score_col), F.lit(hi)).alias("__t_hi"),

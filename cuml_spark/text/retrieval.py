@@ -51,6 +51,20 @@ from pyspark.sql import functions as F
 from cuml_spark.text.lm import _token_array as _toks  # noqa: E402
 
 
+def _analyzed_tokens(text_col: str, token_sep: str, lowercase: bool,
+                     stopwords: list[str] | None):
+    """The shared analyzer: tokenize, optionally case-fold, optionally
+    drop stopwords — ONE definition so bm25_topk and tfidf_keywords can
+    never tokenize the same corpus differently (review r9 finding)."""
+    t = _toks(text_col, token_sep)
+    if lowercase:
+        t = F.transform(t, F.lower)
+    if stopwords:
+        sw = stopwords
+        t = F.filter(t, lambda x: ~x.isin(*sw))
+    return t
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -88,13 +102,7 @@ def bm25_topk(
         stopwords = [str(s) for s in stopwords]
 
     def _analyze(col: str):
-        t = _toks(col, token_sep)
-        if lowercase:
-            t = F.transform(t, F.lower)
-        if stopwords:
-            sw = stopwords
-            t = F.filter(t, lambda x: ~x.isin(*sw))
-        return t
+        return _analyzed_tokens(col, token_sep, lowercase, stopwords)
 
     toks = _analyze(text_col)
     base = docs.select(
@@ -205,12 +213,7 @@ def tfidf_keywords(
         raise ValueError(f"k must be >= 1, got {k}")
     if stopwords is not None:
         stopwords = [str(s) for s in stopwords]
-    toks = _toks(text_col, token_sep)
-    if lowercase:
-        toks = F.transform(toks, F.lower)
-    if stopwords:
-        sw = stopwords
-        toks = F.filter(toks, lambda x: ~x.isin(*sw))
+    toks = _analyzed_tokens(text_col, token_sep, lowercase, stopwords)
     base = docs.select(F.col(id_col), F.explode(toks).alias("__term"))
     counts = (
         base.groupBy(id_col, "__term").agg(F.count("*").alias("tf"))

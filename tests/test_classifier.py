@@ -269,6 +269,15 @@ def test_fuzzy_cross_contamination_semantics(spark):
         corpus, corpus.filter(F.col("doc_id") == 10), threshold=0.5
     ).collect()
     assert {r["doc_id"] for r in self_out} == {11}  # 10 == 10 excluded
+    # independently-numbered datasets: colliding ids are REAL leaks —
+    # exclude_same_id=False must report them (review r9 finding)
+    ref_same_id = spark.createDataFrame(
+        [(10, base)], "doc_id long, text string")
+    incl = {r["doc_id"]
+            for r in fuzzy_cross_contamination(
+                corpus, ref_same_id, threshold=0.5,
+                exclude_same_id=False).collect()}
+    assert 10 in incl  # the id-colliding verbatim copy is reported
     with pytest.raises(ValueError, match="threshold"):
         fuzzy_cross_contamination(corpus, ref, threshold=1.5)
 
