@@ -1716,6 +1716,62 @@ QUALIFY rank <= 10
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (text/dsir.py, Xie et al. 2023): the
+    French subset is the TARGET, the whole corpus is RAW; the top 50
+    docs by hashed-unigram importance log-weight are the selection.
+    Fit = two bounded bucket aggregations (≤ 4096 rows each); scoring =
+    the score_linear_bow broadcast-join serving plan with weights = the
+    per-bucket log-ratios; ranking = TakeOrderedAndProject at k=50.
+    Weights round to 6 BEFORE ranking (the bm25 determinism rule); ties
+    break on doc_id."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.dsir import dsir_select_topk, fit_dsir
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    model = fit_dsir(docs.filter(F.col("lang") == "fr"), docs,
+                     num_buckets=4096)
+    return dsir_select_topk(docs, model, 50)
+
+
+_SQL_DSIR_WEIGHTS = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket
+  FROM tok
+), raw AS (
+  SELECT bucket, count(*) AS rc FROM b GROUP BY 1
+), tgt AS (
+  SELECT bucket, count(*) AS tc FROM b WHERE lang = 'fr' GROUP BY 1
+), tot AS (
+  SELECT (SELECT count(*) FROM b WHERE lang = 'fr') AS tt,
+         (SELECT count(*) FROM b) AS rt
+), lr AS (
+  -- add-one smoothing over 4096 buckets, exactly text/dsir.py's
+  -- dsir_log_ratios; raw covers every bucket a scored doc can contain
+  SELECT r.bucket,
+         ln((coalesce(t.tc, 0) + 1.0) / (tot.tt + 4096.0))
+       - ln((r.rc + 1.0) / (tot.rt + 4096.0)) AS lw
+  FROM raw r LEFT JOIN tgt t USING (bucket), tot
+), doc_tf AS (
+  SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2
+), w AS (
+  SELECT doc_id, sum(tf * lw) AS lw FROM doc_tf JOIN lr USING (bucket)
+  GROUP BY 1
+), allw AS (
+  SELECT d.doc_id, round(coalesce(w.lw, 0.0), 6) AS log_weight
+  FROM documents d LEFT JOIN w USING (doc_id)
+)
+SELECT doc_id, log_weight,
+       row_number() OVER (ORDER BY log_weight DESC, doc_id)::BIGINT AS rank
+FROM allw QUALIFY rank <= 50
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "domain_mixture_sample": q_domain_mixture_sample,
@@ -1734,6 +1790,7 @@ QUERIES_TEXT = {
     "fuzzy_contamination": q_fuzzy_contamination,
     "doc_keywords": q_doc_keywords,
     "ccnet_buckets": q_ccnet_buckets,
+    "dsir_weights": q_dsir_weights,
     "bpe_merges": q_bpe_merges,  # rows-only: iterative training, no SQL twin
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1799,6 +1856,7 @@ ORACLES_TEXT = {
     "fuzzy_contamination": _sql_fuzzy_contamination(),
     "doc_keywords": _SQL_DOC_KEYWORDS,
     "ccnet_buckets": _sql_ccnet_buckets(),
+    "dsir_weights": _SQL_DSIR_WEIGHTS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

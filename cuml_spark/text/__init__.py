@@ -24,6 +24,14 @@ from cuml_spark.text.packing import pack_documents
 from cuml_spark.text.gopher import GOPHER_STOPWORDS, gopher_quality_flags
 from cuml_spark.text.bpe import (BPEModel, bpe_tokenize, corpus_word_counts,
                                  train_bpe, train_bpe_from_counts)
+from cuml_spark.text.dsir import (
+    DSIRModel,
+    dsir_log_ratios,
+    dsir_select_gumbel,
+    dsir_select_topk,
+    fit_dsir,
+    hashed_bucket_totals,
+)
 from cuml_spark.text.classifier import (
     QualityClassifier,
     fit_quality_classifier,
@@ -50,4 +58,6 @@ __all__ = [
     "BPEModel", "train_bpe", "train_bpe_from_counts", "bpe_tokenize",
     "corpus_word_counts",
     "QualityClassifier",
+    "DSIRModel", "fit_dsir", "dsir_log_ratios", "dsir_select_topk",
+    "dsir_select_gumbel", "hashed_bucket_totals",
 ]
