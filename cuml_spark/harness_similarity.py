@@ -330,6 +330,74 @@ def q_text_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb-style dedup ACTION: same clusters as
+    ``text_neardup_groups`` (session-shared verified pair cache), but
+    each group keeps its BEST member — here the longest document
+    (n_chars), ties to the smaller id — via keep_best_in_groups' single
+    map-side-combinable min(struct) aggregation.  Reports the kept doc
+    alongside the group checksum columns so the oracle pins both the
+    grouping and the selection."""
+    from cuml_spark.harness_text import jaccard_pairs_cached
+    from cuml_spark.similarity.neardup import (keep_best_in_groups,
+                                               near_dup_groups)
+
+    edges = jaccard_pairs_cached(spark, sf_dir).where(
+        F.round(F.col("jaccard"), 6) >= 0.8)
+    groups = near_dup_groups(edges)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    best = keep_best_in_groups(groups, docs.select("doc_id", "n_chars"),
+                               score_col="n_chars")
+    sums = groups.groupBy("group_id").agg(
+        F.sum("vid").cast("long").alias("member_sum"))
+    return (
+        best.join(sums, "group_id")
+        .select(
+            F.col("group_id").cast("long").alias("keep_id"),
+            F.col("best_id").cast("long").alias("best_id"),
+            F.col("best_score").cast("long").alias("best_n_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+            "member_sum",
+        )
+    )
+
+
+def _sql_neardup_keep_best() -> str:
+    from cuml_spark.harness_linalg import _sql_ngram_jaccard
+
+    return f"""
+WITH RECURSIVE j AS ({_sql_ngram_jaccard()}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.8
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach AS (
+  SELECT src AS v, dst AS r FROM und
+  UNION
+  SELECT re.v, u.dst FROM reach re JOIN und u ON u.src = re.r
+), comp AS (
+  SELECT v AS vertex, least(v, min(r)) AS component
+  FROM reach GROUP BY v
+), m AS (
+  SELECT c.component, c.vertex, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.vertex
+), ranked AS (
+  SELECT component, vertex AS best_id, n_chars AS best_n_chars,
+         row_number() OVER (
+           PARTITION BY component ORDER BY n_chars DESC, vertex
+         ) AS rn
+  FROM m
+)
+SELECT m.component::BIGINT AS keep_id,
+       max(b.best_id)::BIGINT AS best_id,
+       max(b.best_n_chars)::BIGINT AS best_n_chars,
+       count(*)::BIGINT AS n_members,
+       sum(m.vertex)::BIGINT AS member_sum
+FROM m JOIN (SELECT * FROM ranked WHERE rn = 1) b USING (component)
+GROUP BY 1
+"""
+
+
 def _sql_text_neardup_groups() -> str:
     from cuml_spark.harness_linalg import _sql_ngram_jaccard
 
@@ -356,6 +424,7 @@ FROM comp GROUP BY 1
 QUERIES_SIMILARITY = {
     "neardup_pairs": q_neardup_pairs,
     "text_neardup_groups": q_text_neardup_groups,
+    "neardup_keep_best": q_neardup_keep_best,
     "semdedup_prune": q_semdedup_prune,
     "neardup_safe_split": q_neardup_safe_split,
     "pipeline_neardup_groups": q_pipeline_neardup_groups,
@@ -367,6 +436,7 @@ QUERIES_SIMILARITY = {
 ORACLES_SIMILARITY = {
     "neardup_pairs": _SQL_NEARDUP,
     "text_neardup_groups": _sql_text_neardup_groups(),
+    "neardup_keep_best": _sql_neardup_keep_best(),
     "semdedup_prune": _SQL_SEMDEDUP_PRUNE,
     "neardup_safe_split": _SQL_NEARDUP_SAFE_SPLIT,
     "pipeline_neardup_groups": _SQL_PIPELINE_NEARDUP_GROUPS,

@@ -1,8 +1,10 @@
 from cuml_spark.similarity.ivf import IVFIndex
 from cuml_spark.similarity.ivfpq import IVFPQIndex
-from cuml_spark.similarity.neardup import embedding_near_duplicates
+from cuml_spark.similarity.neardup import (embedding_near_duplicates,
+                                           keep_best_in_groups,
+                                           near_dup_groups)
 from cuml_spark.similarity.pq import PQIndex
 from cuml_spark.similarity.semdedup import semantic_prune
 
 __all__ = ["IVFIndex", "IVFPQIndex", "PQIndex", "embedding_near_duplicates",
-           "semantic_prune"]
+           "keep_best_in_groups", "near_dup_groups", "semantic_prune"]

@@ -216,3 +216,52 @@ def near_dup_groups(pairs: DataFrame, driver_cap: int = 500_000) -> DataFrame:
     labels = connected_components(pairs, src="id_a", dst="id_b")
     return labels.select(F.col("vertex").alias("vid"),
                          F.col("component").alias("group_id"))
+
+
+def keep_best_in_groups(
+    groups: DataFrame,
+    scores: DataFrame,
+    *,
+    score_col: str,
+    id_col: str = "doc_id",
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """The dedup ACTION on near-dup clusters, FineWeb-style: instead of
+    keeping each group's arbitrary min-id member, keep its BEST member
+    by a caller-supplied quality score (length, Gopher composite,
+    classifier prob, ...).
+
+    ``groups`` is ``near_dup_groups`` output (vid, group_id); ``scores``
+    carries (id_col, score_col).  → (group_id, best_id, best_score,
+    n_members).
+
+    Plan: one equi-join (the score frame projects two columns) and ONE
+    map-side-combinable ``min(struct)`` aggregation — the extremal
+    member folds inside each partition before the shuffle, so a
+    pathologically large near-dup cluster (the boilerplate-page case)
+    sends one partial row per map task, never its full membership, to
+    the reducer (the substring.py keep-first lesson).  Ties break on the
+    smaller id; members with NULL scores never win and a group whose
+    every score is NULL reports ``best_score`` NULL.
+    """
+    sc = scores.select(F.col(id_col).alias("vid"),
+                       F.col(score_col).alias("__score"))
+    joined = groups.join(sc, "vid", "left")
+    # sort key: worst-last sentinel for NULLs, negated for descending
+    raw = F.col("__score").cast("double")
+    key = F.when(raw.isNull(), F.lit(float("inf"))).otherwise(
+        -raw if higher_is_better else raw)
+    best = (
+        joined.groupBy("group_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(F.struct(key.alias("k"), F.col("vid").alias("best_id"),
+                           F.col("__score").alias("best_score"))).alias("b"),
+        )
+        .select(
+            "group_id", F.col("b.best_id").alias("best_id"),
+            F.col("b.best_score").alias("best_score"),
+            F.col("n_members"),
+        )
+    )
+    return best

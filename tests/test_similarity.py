@@ -363,3 +363,56 @@ def test_neardup_default_is_lsh_and_brute_refuses_at_scale(dup_vecs):
         df, threshold=0.999, method="brute", max_brute_rows=1_000
     ).toPandas()
     assert {(r.id_a, r.id_b) for r in got.itertuples()} == truth
+
+
+def test_keep_best_in_groups_semantics(spark):
+    """Best = extremal score; ties break to the smaller id; NULL scores
+    never win; a missing/all-NULL-score group reports best_score NULL;
+    lower_is_better flips the extremum."""
+    from cuml_spark.similarity import keep_best_in_groups
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),      # group 1: scores 5, 9, 9 -> best 2? no: ids 2,3 tie at 9 -> 2
+         (7, 7), (8, 7),              # group 7: 8 has NULL score -> 7 wins
+         (20, 20), (21, 20)],         # group 20: both NULL -> best_score NULL, min id kept
+        "vid long, group_id long")
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (7, 1.0), (8, None), (20, None)],
+        "doc_id long, s double")
+    got = {r["group_id"]: r for r in keep_best_in_groups(
+        groups, scores, score_col="s").collect()}
+    assert (got[1]["best_id"], got[1]["best_score"], got[1]["n_members"]) == (2, 9.0, 3)
+    assert (got[7]["best_id"], got[7]["best_score"]) == (7, 1.0)
+    assert got[20]["best_id"] == 20 and got[20]["best_score"] is None
+    low = {r["group_id"]: r for r in keep_best_in_groups(
+        groups, scores, score_col="s", higher_is_better=False).collect()}
+    assert (low[1]["best_id"], low[1]["best_score"]) == (1, 5.0)
+
+
+def test_keep_best_matches_python_reference(spark):
+    """Randomized parity: groups from near_dup_groups over a random edge
+    list, keep-best vs a plain Python fold."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    from cuml_spark.similarity import keep_best_in_groups, near_dup_groups
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    groups = near_dup_groups(pairs)
+    score_rows = [(i, float((i * 37) % 11)) for i in range(40)]
+    scores = spark.createDataFrame(score_rows, "doc_id long, s double")
+    got = {r["group_id"]: (r["best_id"], r["best_score"])
+           for r in keep_best_in_groups(groups, scores, score_col="s").collect()}
+
+    membership = {(r["vid"], r["group_id"])
+                  for r in groups.collect()}
+    want: dict[int, tuple[int, float]] = {}
+    sd = dict(score_rows)
+    for vid, gid in sorted(membership):
+        cand = (vid, sd[vid])
+        cur = want.get(gid)
+        if cur is None or (-cand[1], cand[0]) < (-cur[1], cur[0]):
+            want[gid] = cand
+    assert got == want
