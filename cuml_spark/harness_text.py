@@ -1720,17 +1720,17 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (text/dsir.py, Xie et al. 2023): the
     French subset is the TARGET, the whole corpus is RAW; the top 50
     docs by hashed-unigram importance log-weight are the selection.
-    Fit = two bounded bucket aggregations (≤ 4096 rows each); scoring =
-    the score_linear_bow broadcast-join serving plan with weights = the
-    per-bucket log-ratios; ranking = TakeOrderedAndProject at k=50.
-    Weights round to 6 BEFORE ranking (the bm25 determinism rule); ties
-    break on doc_id."""
+    Fit = ONE corpus scan (the target is a labeled subset, so both
+    bucket distributions come out of a single conditional aggregation,
+    ≤ 4096 rows); scoring = the score_linear_bow broadcast-join serving
+    plan with weights = the per-bucket log-ratios; ranking =
+    TakeOrderedAndProject at k=50.  Weights round to 6 BEFORE ranking
+    (the bm25 determinism rule); ties break on doc_id."""
     from cuml_spark.core.session import ensure_parallelism
-    from cuml_spark.text.dsir import dsir_select_topk, fit_dsir
+    from cuml_spark.text.dsir import dsir_select_topk, fit_dsir_subset
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    model = fit_dsir(docs.filter(F.col("lang") == "fr"), docs,
-                     num_buckets=4096)
+    model = fit_dsir_subset(docs, F.col("lang") == "fr", num_buckets=4096)
     return dsir_select_topk(docs, model, 50)
 
 

@@ -30,7 +30,9 @@ from cuml_spark.text.dsir import (
     dsir_select_gumbel,
     dsir_select_topk,
     fit_dsir,
+    fit_dsir_subset,
     hashed_bucket_totals,
+    hashed_bucket_totals_pair,
 )
 from cuml_spark.text.classifier import (
     QualityClassifier,
@@ -58,6 +60,7 @@ __all__ = [
     "BPEModel", "train_bpe", "train_bpe_from_counts", "bpe_tokenize",
     "corpus_word_counts",
     "QualityClassifier",
-    "DSIRModel", "fit_dsir", "dsir_log_ratios", "dsir_select_topk",
-    "dsir_select_gumbel", "hashed_bucket_totals",
+    "DSIRModel", "fit_dsir", "fit_dsir_subset", "dsir_log_ratios",
+    "dsir_select_topk", "dsir_select_gumbel", "hashed_bucket_totals",
+    "hashed_bucket_totals_pair",
 ]

@@ -55,7 +55,9 @@ __all__ = [
     "dsir_select_gumbel",
     "dsir_select_topk",
     "fit_dsir",
+    "fit_dsir_subset",
     "hashed_bucket_totals",
+    "hashed_bucket_totals_pair",
 ]
 
 
@@ -79,6 +81,59 @@ def hashed_bucket_totals(
         .collect()
     )
     return {int(r["bucket"]): int(r["cnt"]) for r in rows}
+
+
+def hashed_bucket_totals_pair(
+    df: DataFrame,
+    target_pred,
+    num_buckets: int,
+    *,
+    text_col: str = "text",
+    token_sep: str = " ",
+) -> tuple[dict[int, int], dict[int, int]]:
+    """(target_counts, raw_counts) in ONE corpus scan, for the common
+    case where the target is a labeled SUBSET of the raw corpus (a
+    ``Column`` predicate, e.g. ``F.col("lang") == "fr"``): one explode,
+    one bucket-keyed aggregation computing ``count(*)`` and the
+    predicate-conditional count side by side — half the scan cost of two
+    :func:`hashed_bucket_totals` passes at 100 TB."""
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    rows = (
+        df.select(F.explode(_token_array(text_col, token_sep)).alias("__tok"),
+                  target_pred.alias("__is_target"))
+        .select(token_bucket(F.col("__tok"), num_buckets).alias("bucket"),
+                "__is_target")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("rc"),
+             F.count_if(F.col("__is_target")).alias("tc"))
+        .collect()
+    )
+    tc = {int(r["bucket"]): int(r["tc"]) for r in rows if r["tc"]}
+    rc = {int(r["bucket"]): int(r["rc"]) for r in rows}
+    return tc, rc
+
+
+def fit_dsir_subset(
+    raw: DataFrame,
+    target_pred,
+    *,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+    token_sep: str = " ",
+    smoothing: float = 1.0,
+) -> DSIRModel:
+    """:func:`fit_dsir` for a target that is a predicate-selected subset
+    of the raw corpus — ONE scan fits both distributions."""
+    tc, rc = hashed_bucket_totals_pair(
+        raw, target_pred, num_buckets, text_col=text_col,
+        token_sep=token_sep)
+    return DSIRModel(
+        log_ratios=dsir_log_ratios(tc, rc, num_buckets,
+                                   smoothing=smoothing),
+        num_buckets=num_buckets,
+        token_sep=token_sep,
+    )
 
 
 def dsir_log_ratios(

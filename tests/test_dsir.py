@@ -121,3 +121,22 @@ def test_model_pickles(spark):
     assert isinstance(clone, DSIRModel)
     assert clone.log_ratios == model.log_ratios
     assert clone.num_buckets == model.num_buckets
+
+
+def test_subset_fit_matches_two_pass_fit(spark):
+    """fit_dsir_subset (one conditional scan) must produce the exact
+    log-ratio table of fit_dsir over the filtered target."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.text import fit_dsir_subset, hashed_bucket_totals_pair
+
+    rows = [(0, "a b a", "fr"), (1, "b c", "en"), (2, None, "fr"),
+            (3, "c c d", "en"), (4, "", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B = 128
+    two = fit_dsir(df.filter(F.col("lang") == "fr"), df, num_buckets=B)
+    one = fit_dsir_subset(df, F.col("lang") == "fr", num_buckets=B)
+    assert one.log_ratios == two.log_ratios
+    tc, rc = hashed_bucket_totals_pair(df, F.col("lang") == "fr", B)
+    assert tc == hashed_bucket_totals(df.filter(F.col("lang") == "fr"), B)
+    assert rc == hashed_bucket_totals(df, B)

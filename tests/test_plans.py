@@ -534,3 +534,47 @@ def test_bpe_tokenize_map_only_arrow(spark):
     assert schemas and all(
         "lang" not in s and "source" not in s for s in schemas
     )
+
+
+def test_dsir_scoring_broadcast_topk_no_sort(spark):
+    """DSIR serving (dsir_select_topk): the log-ratio table is broadcast
+    (a BroadcastHashJoin, never a shuffled join on the weight side),
+    scoring is in-row codegen (no Python eval), the corpus shuffles only
+    on its own (doc, bucket) aggregation/join keys with map-side
+    combine (the id join back for zero-match docs is corpus-keyed and
+    co-partitioned at scale), and the k-selection is
+    TakeOrderedAndProject — never a corpus-wide Sort.  Scan prunes to
+    doc_id/text."""
+    from cuml_spark.text.dsir import DSIRModel, dsir_select_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    model = DSIRModel(log_ratios={3: 0.5, 7: -0.25}, num_buckets=64)
+    out = dsir_select_topk(docs, model, 10)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine on tf
+    schemas = _read_schemas(out)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    )
+
+
+def test_keep_best_in_groups_partial_min_no_window(spark):
+    """keep_best_in_groups is ONE aggregation, map-side combinable
+    (partial_min visible below the exchange), with NO window exec — the
+    giant-cluster funnel the window form would create is designed out.
+    No Python eval, no cartesian product."""
+    from cuml_spark.similarity import keep_best_in_groups
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "vid long, group_id long")
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 1.0)], "doc_id long, s double")
+    out = keep_best_in_groups(groups, scores, score_col="s")
+    plan = _plan(out)
+    assert "partial_min" in plan or "partial_finalmerge" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
