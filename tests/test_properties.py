@@ -798,3 +798,55 @@ def test_perplexity_buckets_partition_of_scored(spark, scores):
     again = {r["doc_id"]: r["ppl_bucket"]
              for r in perplexity_buckets(df.repartition(5)).collect()}
     assert again == out
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["a", "b", "c", "dd", "e f"]),
+                     min_size=0, max_size=12),   # tokens (incl. a space-free
+                                                 # impossibility guard below)
+            st.booleans(),                       # is_target
+        ),
+        min_size=1, max_size=25),
+    num_buckets=st.sampled_from([4, 16, 64]),
+)
+def test_dsir_weights_match_python_fold(spark, docs, num_buckets):
+    """For ANY corpus and bucket count: the distributed DSIR log-weight
+    equals a pure-Python fold of tf[b] * (ln p̂[b] − ln q̂[b]) with
+    add-one smoothing, and the one-scan subset fit equals the two-pass
+    fit exactly.  ('e f' would be two tokens — drop it from text to keep
+    the python tokenizer aligned with the ' '-split contract.)"""
+    import hashlib
+    import math
+
+    from cuml_spark.text import fit_dsir_subset
+
+    rows = [(i, " ".join(t for t in toks if " " not in t), bool(tgt))
+            for i, (toks, tgt) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    model = fit_dsir_subset(df, F.col("tgt"), num_buckets=num_buckets)
+    got = {r["doc_id"]: r["log_weight"]
+           for r in model.log_weights(df).collect()}
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8],
+                   16) % num_buckets
+
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    for _, text, tgt in rows:
+        for tok in text.split(" "):
+            if tok:
+                b = bucket(tok)
+                rc[b] = rc.get(b, 0) + 1
+                if tgt:
+                    tc[b] = tc.get(b, 0) + 1
+    tt = sum(tc.values()) + num_buckets
+    rt = sum(rc.values()) + num_buckets
+    lr = {b: math.log((tc.get(b, 0) + 1) / tt)
+          - math.log((rc[b] + 1) / rt) for b in rc}
+    for i, text, _ in rows:
+        want = sum(lr[bucket(t)] for t in text.split(" ") if t)
+        assert got[i] == pytest.approx(want, rel=1e-9, abs=1e-9)
