@@ -248,6 +248,34 @@ def _sql_streaming_gopher_gate() -> str:
     return _SQL_GOPHER_QUALITY
 
 
+def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR as an INGEST-TIME gate (the deployment shape: fit once on
+    yesterday's corpus, score today's stream): the model is fit BATCH
+    side (one conditional scan, fit_dsir_subset at 512 buckets — gate
+    models stay literal-map-sized), then log_weights_inline scores the
+    stream map-only/stateless — file source → in-row fold → memory
+    sink, availableNow.  Weights round to 6; the oracle is the batch
+    DSIR computation without the top-k cut, so the streaming backfill
+    must reproduce every document's weight."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.dsir import fit_dsir_subset
+
+    batch = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    model = fit_dsir_subset(batch, F.col("lang") == "fr", num_buckets=512)
+    stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
+    scored = model.log_weights_inline(stream)
+    sink = _run_to_memory(scored, "append")
+    return sink.select(
+        "doc_id", F.round("log_weight", 6).alias("log_weight"))
+
+
+def _sql_streaming_dsir_gate() -> str:
+    from cuml_spark.harness_text import _sql_dsir
+
+    return _sql_dsir(512, None)
+
+
 QUERIES_STREAMING = {
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "streaming_window_stats": q_streaming_window_stats,
@@ -255,6 +283,7 @@ QUERIES_STREAMING = {
     "streaming_chunk_docs": q_streaming_chunk_docs,
     "streaming_quality_scores": q_streaming_quality_scores,
     "streaming_gopher_gate": q_streaming_gopher_gate,
+    "streaming_dsir_gate": q_streaming_dsir_gate,
 }
 
 ORACLES_STREAMING = {
@@ -264,4 +293,5 @@ ORACLES_STREAMING = {
     "streaming_chunk_docs": _sql_streaming_chunk_docs(),
     "streaming_quality_scores": _sql_streaming_quality_scores(),
     "streaming_gopher_gate": _sql_streaming_gopher_gate(),
+    "streaming_dsir_gate": _sql_streaming_dsir_gate(),
 }

@@ -1734,14 +1734,26 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select_topk(docs, model, 50)
 
 
-_SQL_DSIR_WEIGHTS = """
+def _sql_dsir(num_buckets: int, topk: int | None) -> str:
+    """DSIR oracle generator: with ``topk`` the ranked selection (the
+    batch query); without, every document's rounded log-weight (the
+    streaming ingest gate, which scores but does not rank)."""
+    b = num_buckets
+    tail = (
+        f"""SELECT doc_id, log_weight,
+       row_number() OVER (ORDER BY log_weight DESC, doc_id)::BIGINT AS rank
+FROM allw QUALIFY rank <= {topk}"""
+        if topk is not None
+        else "SELECT doc_id, log_weight FROM allw"
+    )
+    return f"""
 WITH tok AS (
   SELECT doc_id, lang,
          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
   FROM documents
 ), b AS (
   SELECT doc_id, lang,
-         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {b} AS bucket
   FROM tok
 ), raw AS (
   SELECT bucket, count(*) AS rc FROM b GROUP BY 1
@@ -1751,11 +1763,11 @@ WITH tok AS (
   SELECT (SELECT count(*) FROM b WHERE lang = 'fr') AS tt,
          (SELECT count(*) FROM b) AS rt
 ), lr AS (
-  -- add-one smoothing over 4096 buckets, exactly text/dsir.py's
+  -- add-one smoothing over {b} buckets, exactly text/dsir.py's
   -- dsir_log_ratios; raw covers every bucket a scored doc can contain
   SELECT r.bucket,
-         ln((coalesce(t.tc, 0) + 1.0) / (tot.tt + 4096.0))
-       - ln((r.rc + 1.0) / (tot.rt + 4096.0)) AS lw
+         ln((coalesce(t.tc, 0) + 1.0) / (tot.tt + {b}.0))
+       - ln((r.rc + 1.0) / (tot.rt + {b}.0)) AS lw
   FROM raw r LEFT JOIN tgt t USING (bucket), tot
 ), doc_tf AS (
   SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2
@@ -1766,9 +1778,7 @@ WITH tok AS (
   SELECT d.doc_id, round(coalesce(w.lw, 0.0), 6) AS log_weight
   FROM documents d LEFT JOIN w USING (doc_id)
 )
-SELECT doc_id, log_weight,
-       row_number() OVER (ORDER BY log_weight DESC, doc_id)::BIGINT AS rank
-FROM allw QUALIFY rank <= 50
+{tail}
 """
 
 
@@ -1856,7 +1866,7 @@ ORACLES_TEXT = {
     "fuzzy_contamination": _sql_fuzzy_contamination(),
     "doc_keywords": _SQL_DOC_KEYWORDS,
     "ccnet_buckets": _sql_ccnet_buckets(),
-    "dsir_weights": _SQL_DSIR_WEIGHTS,
+    "dsir_weights": _sql_dsir(4096, 50),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),

@@ -183,6 +183,26 @@ class DSIRModel:
             text_col=text_col, id_col=id_col, token_sep=self.token_sep)
         return scored.select(id_col, F.col("score").alias("log_weight"))
 
+    def log_weights_inline(
+        self, df: DataFrame, *, text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ZERO-shuffle serving variant (``score_linear_bow_inline``):
+        the log-ratio table folds into the plan as a literal map and
+        each document scores in-row — stateless, so it runs unchanged
+        inside a Structured Streaming query (the DSIR ingest-time
+        gate).  Use for fit-sized models (≲10k nonzero ratios); beyond
+        that prefer the broadcast-join :meth:`log_weights`.  Summation
+        is per-token in array order, so the result can differ from the
+        per-bucket join path in the last ulp (the
+        score_linear_bow_inline caveat) — round before comparing."""
+        from cuml_spark.text.classifier import score_linear_bow_inline
+
+        scored = score_linear_bow_inline(
+            df, self.log_ratios, 0.0, num_buckets=self.num_buckets,
+            text_col=text_col, id_col=id_col, token_sep=self.token_sep)
+        return scored.select(id_col, F.col("score").alias("log_weight"))
+
 
 def fit_dsir(
     target: DataFrame,

@@ -140,3 +140,39 @@ def test_subset_fit_matches_two_pass_fit(spark):
     tc, rc = hashed_bucket_totals_pair(df, F.col("lang") == "fr", B)
     assert tc == hashed_bucket_totals(df.filter(F.col("lang") == "fr"), B)
     assert rc == hashed_bucket_totals(df, B)
+
+
+def test_inline_weights_match_join_path(spark):
+    """log_weights_inline (zero-shuffle literal-map fold) equals the
+    broadcast-join path to 1e-9 (log ratios are not dyadic, so the two
+    summation orders may differ in the last ulp — never more)."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.text import fit_dsir_subset
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(i % 9)),
+             i % 3 == 0) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    model = fit_dsir_subset(df, F.col("tgt"), num_buckets=64)
+    a = {r["doc_id"]: r["log_weight"]
+         for r in model.log_weights(df).collect()}
+    b = {r["doc_id"]: r["log_weight"]
+         for r in model.log_weights_inline(df).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-9, abs=1e-9)
+
+
+def test_inline_weights_zero_shuffle(spark):
+    """The inline DSIR scorer is the streaming-safe shape: zero shuffle
+    exchanges, no joins, no Python eval."""
+    import re
+
+    from cuml_spark.text import DSIRModel
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    model = DSIRModel(log_ratios={3: 0.5, 7: -0.25}, num_buckets=64)
+    out = model.log_weights_inline(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"Exchange (?:hash|range|RoundRobin|Single)", plan)
+    assert "Join" not in plan and "EvalPython" not in plan
