@@ -330,6 +330,59 @@ def q_text_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (similarity/kcenter.py): 5 maximally
+    spread embeddings by cosine farthest-point sampling, seeded at the
+    min id.  Each round is one zero-shuffle codegen scan + a top-1
+    TakeOrdered; distances round to 6 before min/argmax so the DuckDB
+    chain of 5 CTEs replays the selection value-for-value."""
+    from cuml_spark.similarity.kcenter import kcenter_select
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kcenter_select(emb, 5)
+
+
+def _sql_kcenter(k: int) -> str:
+    """Chained-CTE replay of the greedy selection: s1 = min id; each
+    d_i drops the just-selected point and folds the rounded distance to
+    it into the running min; each s_{i+1} is the (mind DESC, vec_id)
+    top-1 — exactly kcenter_select's rounding and tie-break."""
+    parts = ["""
+WITH en AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n
+  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings)
+), s1 AS (
+  SELECT vec_id, v, n, CAST(NULL AS DOUBLE) AS mind
+  FROM en ORDER BY vec_id LIMIT 1
+), d1 AS (
+  SELECT en.vec_id, en.v, en.n,
+         round(CASE WHEN en.n * s1.n > 0
+               THEN 1.0 - list_dot_product(en.v, s1.v) / (en.n * s1.n)
+               ELSE 1.0 END, 6) AS mind
+  FROM en, s1 WHERE en.vec_id <> s1.vec_id
+)"""]
+    for i in range(2, k + 1):
+        parts.append(f""", s{i} AS (
+  SELECT vec_id, v, n, mind FROM d{i - 1}
+  ORDER BY mind DESC, vec_id LIMIT 1
+)""")
+        if i < k:
+            parts.append(f""", d{i} AS (
+  SELECT d.vec_id, d.v, d.n,
+         least(d.mind,
+               round(CASE WHEN d.n * s{i}.n > 0
+                     THEN 1.0 - list_dot_product(d.v, s{i}.v)
+                          / (d.n * s{i}.n)
+                     ELSE 1.0 END, 6)) AS mind
+  FROM d{i - 1} d, s{i} WHERE d.vec_id <> s{i}.vec_id
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {i}::BIGINT AS sel_order, mind AS dist FROM s{i}"
+        for i in range(1, k + 1))
+    return "".join(parts) + "\n" + sel
+
+
 def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FineWeb-style dedup ACTION: same clusters as
     ``text_neardup_groups`` (session-shared verified pair cache), but
@@ -425,6 +478,7 @@ QUERIES_SIMILARITY = {
     "neardup_pairs": q_neardup_pairs,
     "text_neardup_groups": q_text_neardup_groups,
     "neardup_keep_best": q_neardup_keep_best,
+    "kcenter_coreset": q_kcenter_coreset,
     "semdedup_prune": q_semdedup_prune,
     "neardup_safe_split": q_neardup_safe_split,
     "pipeline_neardup_groups": q_pipeline_neardup_groups,
@@ -437,6 +491,7 @@ ORACLES_SIMILARITY = {
     "neardup_pairs": _SQL_NEARDUP,
     "text_neardup_groups": _sql_text_neardup_groups(),
     "neardup_keep_best": _sql_neardup_keep_best(),
+    "kcenter_coreset": _sql_kcenter(5),
     "semdedup_prune": _SQL_SEMDEDUP_PRUNE,
     "neardup_safe_split": _SQL_NEARDUP_SAFE_SPLIT,
     "pipeline_neardup_groups": _SQL_PIPELINE_NEARDUP_GROUPS,

@@ -1,5 +1,6 @@
 from cuml_spark.similarity.ivf import IVFIndex
 from cuml_spark.similarity.ivfpq import IVFPQIndex
+from cuml_spark.similarity.kcenter import kcenter_select
 from cuml_spark.similarity.neardup import (embedding_near_duplicates,
                                            keep_best_in_groups,
                                            near_dup_groups)
@@ -7,4 +8,5 @@ from cuml_spark.similarity.pq import PQIndex
 from cuml_spark.similarity.semdedup import semantic_prune
 
 __all__ = ["IVFIndex", "IVFPQIndex", "PQIndex", "embedding_near_duplicates",
-           "keep_best_in_groups", "near_dup_groups", "semantic_prune"]
+           "kcenter_select", "keep_best_in_groups", "near_dup_groups",
+           "semantic_prune"]

@@ -416,3 +416,77 @@ def test_keep_best_matches_python_reference(spark):
         if cur is None or (-cand[1], cand[0]) < (-cur[1], cur[0]):
             want[gid] = cand
     assert got == want
+
+
+def _kcenter_numpy(vecs: dict[int, list[float]], k: int):
+    """Pure-python replay of kcenter_select's contract (rounded cosine,
+    tie to smaller id, exclude selected, seed = min id)."""
+    import math
+
+    def dist(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb <= 0:
+            return 1.0
+        return round(1.0 - sum(x * y for x, y in zip(a, b)) / (na * nb), 6)
+
+    sel = [min(vecs)]
+    out = [(sel[0], 1, None)]
+    for i in range(2, k + 1):
+        rest = [v for v in vecs if v not in sel]
+        if not rest:
+            break
+        best = max(rest, key=lambda v: (min(dist(vecs[v], vecs[c])
+                                            for c in sel), -v))
+        out.append((best, i, min(dist(vecs[best], vecs[c]) for c in sel)))
+        sel.append(best)
+    return out
+
+
+def test_kcenter_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(3)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(25)}
+    vecs[7] = [0.0] * 8  # zero-norm row: distance defined as 1.0
+    from cuml_spark.similarity.kcenter import kcenter_select
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>")
+    got = [(r["vec_id"], r["sel_order"], r["dist"])
+           for r in kcenter_select(df, 6).orderBy("sel_order").collect()]
+    want = _kcenter_numpy(
+        {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}, 6)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        if w[2] is None:
+            assert g[2] is None
+        else:
+            assert g[2] == pytest.approx(w[2], abs=2e-6)
+
+
+def test_kcenter_edge_cases(spark):
+    from cuml_spark.similarity.kcenter import kcenter_select
+
+    df = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    # k > n selects everything then stops
+    got = kcenter_select(df, 5).collect()
+    assert [(r["vec_id"], r["sel_order"]) for r in got] == [(3, 1), (9, 2)]
+    # explicit seed
+    seeded = kcenter_select(df, 2, seed_id=9).collect()
+    assert [r["vec_id"] for r in seeded] == [9, 3]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        kcenter_select(df, 0)
+    with _pt.raises(ValueError, match="empty input"):
+        kcenter_select(df.filter("vec_id > 100"), 2)
+    # covering distances are non-increasing after the seed
+    rng_rows = [(i, [float((i * 13 + j * 7) % 5) for j in range(4)])
+                for i in range(12)]
+    df2 = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+    dists = [r["dist"] for r in
+             kcenter_select(df2, 6).orderBy("sel_order").collect()][1:]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
