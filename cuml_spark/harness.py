@@ -442,12 +442,12 @@ ORACLES.update(ORACLES_STREAMING)
 # otherwise age past two rounds (they MUST lead the next window),
 # (d) youngest-evidence-last fill.
 #
-# r9 ledger: 50 slots = 17 new (r9 operators; bpe_merges is the one
+# r9 ledger: 50 slots = 18 new (r9 operators; bpe_merges is the one
 # rows-only entry - iterative training has no SQL twin) + 6 changed-in-r9
 # (incl. ngram_jaccard, whose harness now reads the session-shared
 # verified-pair cache) + the six
-# r6-evidence queries (VERDICT r8 #2 - they lead) + 21 of the 49
-# r7-green.  The 28 deferred r7-green queries (stats_describe,
+# r6-evidence queries (VERDICT r8 #2 - they lead) + 20 of the 49
+# r7-green.  The 29 deferred r7-green queries (stats_describe,
 # histogram_quantity, topk_revenue_by_flag, weighted_mean_price,
 # ols_price_vs_quantity, ols_multi_revenue, accuracy_rule,
 # entropy_returnflag, contingency_flags, label_encode_mktsegment,
@@ -456,7 +456,7 @@ ORACLES.update(ORACLES_STREAMING)
 # random_projection, arima_forecast, umap_supervised_trust,
 # neardup_pairs, simhash_docs, span_dedup, logreg_rule_accuracy,
 # graph_connected_components, image_phash_invariance,
-# media_decode_adpcm -
+# media_decode_adpcm, media_probe_mp4 -
 # stable queries green at
 # every check since r1/r4 (or r7 for the newest),
 # implementation files untouched for 3+ rounds) reach exactly two rounds
@@ -481,6 +481,7 @@ _DRIVER_WINDOW = [
     "neardup_keep_best",         # FineWeb-style keep-best-per-cluster
     "streaming_dsir_gate",       # DSIR inline scoring as ingest gate
     "kcenter_coreset",           # greedy k-center diversity coreset
+    "pipeline_curation_dsir",    # gopher -> dedup -> DSIR end-to-end
     # (b) implementation changed in r9 - must re-record
     "substr_dedup",              # keep-first: window -> checkpoint+agg+join
     "semdedup_prune",            # zero-norm cosine guard (ANSI 0/0)
@@ -516,7 +517,6 @@ _DRIVER_WINDOW = [
     "media_decode_progressive",
     "media_decode_wav",
     "media_decode_g711",
-    "media_probe_mp4",
     # everything else (r8-green and unchanged, or the 12 deferred named
     # above) stays in queries()/bench - only the verification window moves
 ]

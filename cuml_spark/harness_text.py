@@ -1476,12 +1476,15 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(docs, min_stopword_hits=1)
 
 
-_SQL_GOPHER_QUALITY = """
-WITH base AS (
+def _gopher_ctes(source: str = "documents") -> str:
+    """The Gopher rule computation as composable CTEs (base … flags),
+    reading from ``source`` — shared by the standalone oracle and the
+    curation-pipeline composition."""
+    return f"""base AS (
   SELECT doc_id,
          coalesce(text, '') AS t,
          list_filter(string_split(text, ' '), x -> x <> '') AS l
-  FROM documents
+  FROM {source}
 ), feat AS (
   SELECT doc_id, t,
          coalesce(len(l), 0) AS n_words,
@@ -1516,7 +1519,11 @@ WITH base AS (
          (alpha_words / greatest(n_words, 1) >= 0.8)::INT AS ok_alpha_words,
          (stop_hits >= 1)::INT AS ok_stopwords
   FROM feat
-)
+)"""
+
+
+_SQL_GOPHER_QUALITY = f"""
+WITH {_gopher_ctes()}
 SELECT doc_id, n_words::BIGINT AS n_words, ok_word_count, ok_mean_word_len,
        ok_symbol_ratio, ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words,
        ok_stopwords,
@@ -1734,23 +1741,15 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select_topk(docs, model, 50)
 
 
-def _sql_dsir(num_buckets: int, topk: int | None) -> str:
-    """DSIR oracle generator: with ``topk`` the ranked selection (the
-    batch query); without, every document's rounded log-weight (the
-    streaming ingest gate, which scores but does not rank)."""
+def _dsir_ctes(num_buckets: int, source: str) -> str:
+    """The DSIR computation as composable CTEs (tok … allw) reading the
+    corpus from ``source`` — `documents` for the standalone queries, a
+    survivor CTE for pipeline compositions."""
     b = num_buckets
-    tail = (
-        f"""SELECT doc_id, log_weight,
-       row_number() OVER (ORDER BY log_weight DESC, doc_id)::BIGINT AS rank
-FROM allw QUALIFY rank <= {topk}"""
-        if topk is not None
-        else "SELECT doc_id, log_weight FROM allw"
-    )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, lang,
          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-  FROM documents
+  FROM {source}
 ), b AS (
   SELECT doc_id, lang,
          ('0x' || substr(md5(tok), 1, 8))::BIGINT % {b} AS bucket
@@ -1776,9 +1775,68 @@ WITH tok AS (
   GROUP BY 1
 ), allw AS (
   SELECT d.doc_id, round(coalesce(w.lw, 0.0), 6) AS log_weight
-  FROM documents d LEFT JOIN w USING (doc_id)
-)
-{tail}
+  FROM {source} d LEFT JOIN w USING (doc_id)
+)"""
+
+
+def _dsir_tail(topk: int | None) -> str:
+    if topk is None:
+        return "SELECT doc_id, log_weight FROM allw"
+    return f"""SELECT doc_id, log_weight,
+       row_number() OVER (ORDER BY log_weight DESC, doc_id)::BIGINT AS rank
+FROM allw QUALIFY rank <= {topk}"""
+
+
+def _sql_dsir(num_buckets: int, topk: int | None,
+              source: str = "documents") -> str:
+    """DSIR oracle: with ``topk`` the ranked selection (the batch
+    query); without, every document's rounded log-weight (the streaming
+    ingest gate, which scores but does not rank)."""
+    return (f"\nWITH {_dsir_ctes(num_buckets, source)}\n"
+            f"{_dsir_tail(topk)}\n")
+
+
+def q_pipeline_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation recipe end-to-end: Gopher quality gate →
+    exact-dedup keep-first → DSIR target-likeness selection (top 40
+    toward the French subset at 1024 buckets).  Every stage is a
+    registry operator; the survivor frame is localCheckpoint'd because
+    BOTH the DSIR fit and the scoring pass read it (at corpus scale the
+    gate+dedup must not run twice).  The oracle replays all three
+    stages from the shared CTE generators."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.dedup import exact_dedup_groups
+    from cuml_spark.text.dsir import dsir_select_topk, fit_dsir_subset
+    from cuml_spark.text.gopher import gopher_quality_flags
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    flags = gopher_quality_flags(docs, min_stopword_hits=1)
+    surv1 = docs.join(
+        flags.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+    firsts = exact_dedup_groups(surv1).select(
+        F.col("keep_id").alias("doc_id"))
+    surv = surv1.join(firsts, "doc_id").localCheckpoint(eager=False)
+    model = fit_dsir_subset(surv, F.col("lang") == "fr", num_buckets=1024)
+    return dsir_select_topk(surv, model, 40)
+
+
+def _sql_pipeline_curation() -> str:
+    return f"""
+WITH {_gopher_ctes("documents")},
+keepg AS (
+  SELECT doc_id FROM flags
+  WHERE ok_word_count * ok_mean_word_len * ok_symbol_ratio
+        * ok_bullet_lines * ok_ellipsis_lines * ok_alpha_words
+        * ok_stopwords = 1
+), surv1 AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d JOIN keepg USING (doc_id)
+), firsts AS (
+  SELECT min(doc_id) AS doc_id FROM surv1 GROUP BY md5(text)
+), surv AS (
+  SELECT s.* FROM surv1 s JOIN firsts USING (doc_id)
+),
+{_dsir_ctes(1024, "surv")}
+{_dsir_tail(40)}
 """
 
 
@@ -1801,6 +1859,7 @@ QUERIES_TEXT = {
     "doc_keywords": q_doc_keywords,
     "ccnet_buckets": q_ccnet_buckets,
     "dsir_weights": q_dsir_weights,
+    "pipeline_curation_dsir": q_pipeline_curation_dsir,
     "bpe_merges": q_bpe_merges,  # rows-only: iterative training, no SQL twin
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1867,6 +1926,7 @@ ORACLES_TEXT = {
     "doc_keywords": _SQL_DOC_KEYWORDS,
     "ccnet_buckets": _sql_ccnet_buckets(),
     "dsir_weights": _sql_dsir(4096, 50),
+    "pipeline_curation_dsir": _sql_pipeline_curation(),
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "minhash_signatures": _sql_minhash(),
