@@ -272,13 +272,14 @@ def dsir_select_gumbel(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = model.log_weights(df, text_col=text_col, id_col=id_col)
-    # u in (0, 1]: (h + 1) / 2^32 over the first 8 md5 hex digits
+    # u STRICTLY inside (0, 1): (h + 0.5) / 2^32 over the first 8 md5
+    # hex digits — u = 1 would make ln(-ln(u)) degenerate
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws(" ", F.col(id_col).cast("string"),
                               F.lit(str(seed)))), 1, 8),
         16, 10).cast("double")
-    u = (h + F.lit(1.0)) / F.lit(float(1 << 32))
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
     key = F.col("log_weight") - F.log(-F.log(u))
     return (
         w.select(id_col, "log_weight", key.alias("gumbel_key"))
