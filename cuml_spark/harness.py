@@ -517,7 +517,7 @@ _DRIVER_WINDOW = [
     "media_decode_progressive",
     "media_decode_wav",
     "media_decode_g711",
-    # everything else (r8-green and unchanged, or the 12 deferred named
+    # everything else (r8-green and unchanged, or the 29 deferred named
     # above) stays in queries()/bench - only the verification window moves
 ]
 
