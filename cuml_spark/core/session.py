@@ -44,6 +44,27 @@ def get_spark(app_name: str = "cuml_spark", shuffle_partitions: int | None = Non
     return builder.getOrCreate()
 
 
+def session_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
+    """Memoize ``build()`` per (LIVE session, sf_dir) in ``cache``.
+
+    Keying on ``id(spark)`` keeps a restart (or regenerated testdata at
+    the same path) from serving a plan/model bound to a dead session;
+    entries for the same sf_dir under a superseded session are evicted
+    eagerly so their cached blocks can be GC'd.  Shared by every harness
+    cross-query cache (minhash signatures, LSH candidates, verified
+    Jaccard pairs, the DBSCAN fit, the lineitem feature frame, the DSIR
+    gate model) — one implementation, one place to fix the keying.
+    """
+    key = (id(spark), sf_dir)
+    out = cache.get(key)
+    if out is None:
+        for k in [k for k in cache if k[1] == sf_dir]:
+            del cache[k]
+        out = build()
+        cache[key] = out
+    return out
+
+
 def right_size(df, target_bytes: int = 16 << 20, floor: int = 4):
     """Coalesce a SMALL working set so pure-JVM iterative jobs stop paying
     per-task overheads for near-empty partitions.

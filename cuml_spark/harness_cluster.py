@@ -33,17 +33,15 @@ def _fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One DBSCAN fit per (session, sf_dir), shared by both queries (labels
     + roles); keyed on the live session so a restart never serves a dead
     cached plan (same contract as harness_text lsh_pairs_cached)."""
-    key = (id(spark), sf_dir)
-    out = _FIT_CACHE.get(key)
-    if out is None:
-        for k in [k for k in _FIT_CACHE if k[1] == sf_dir]:
-            del _FIT_CACHE[k]
+    from cuml_spark.core.session import session_cached
+
+    def build() -> DataFrame:
         pts = _points(spark, sf_dir)
-        out = DBSCAN(eps=_EPS, min_samples=_MIN_SAMPLES).fit_predict(
+        return DBSCAN(eps=_EPS, min_samples=_MIN_SAMPLES).fit_predict(
             pts, ["x1", "x2"], id_col="pid", include_role=True
         ).cache()
-        _FIT_CACHE[key] = out
-    return out
+
+    return session_cached(_FIT_CACHE, spark, sf_dir, build)
 
 
 def q_dbscan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:

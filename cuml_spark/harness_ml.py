@@ -34,11 +34,9 @@ def _ml_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     sgd_hinge_accuracy, rf_regression, rf_mae_regression, mbsgd_fit): one
     cached scan carrying every derived column they need, the same cross-query
     reuse pattern as the DBSCAN shared fit.  Keyed by (session, sf_dir)."""
-    key = (id(spark), sf_dir)
-    out = _ML_BASE_CACHE.get(key)
-    if out is None:
-        for k in [k for k in _ML_BASE_CACHE if k[1] == sf_dir]:
-            del _ML_BASE_CACHE[k]
+    from cuml_spark.core.session import ensure_parallelism, session_cached
+
+    def build() -> DataFrame:
         li = _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_linenumber",
             "l_quantity", "l_discount", "l_tax",
@@ -46,8 +44,6 @@ def _ml_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_quantity") * (1 + F.col("l_tax"))
              + 100 * F.col("l_discount")).alias("y"),
         )
-        from cuml_spark.core.session import ensure_parallelism
-
         # single-row-group local files scan as 1 split; spread the cached
         # working set before the iterative fits hit it.  16 partitions, not
         # full core count: each fit iteration is one job over this frame, so
@@ -55,9 +51,9 @@ def _ml_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (measured: RF fit 4.1s@4p, 1.7s@8p, 2.0s@16p, 1.8s@32p; MAE forest
         # 5.4s@8p, 6.9s@32p — fits plateau at 8-16 while UDF-scoring paths
         # keep scaling, which is why score paths use the full default)
-        out = ensure_parallelism(li, min_parts=16).cache()
-        _ML_BASE_CACHE[key] = out
-    return out
+        return ensure_parallelism(li, min_parts=16).cache()
+
+    return session_cached(_ML_BASE_CACHE, spark, sf_dir, build)
 
 
 def q_pca_variance_2d(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -403,10 +403,13 @@ def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                                score_col="n_chars")
     sums = groups.groupBy("group_id").agg(
         F.sum("vid").cast("long").alias("member_sum"))
+    # the group representative column is named group_id, NOT keep_id:
+    # unlike text_neardup_groups (keep-first, where the min member IS
+    # the kept doc), here the kept doc is best_id
     return (
         best.join(sums, "group_id")
         .select(
-            F.col("group_id").cast("long").alias("keep_id"),
+            F.col("group_id").cast("long").alias("group_id"),
             F.col("best_id").cast("long").alias("best_id"),
             F.col("best_score").cast("long").alias("best_n_chars"),
             F.col("n_members").cast("long").alias("n_members"),
@@ -441,7 +444,7 @@ e AS (
          ) AS rn
   FROM m
 )
-SELECT m.component::BIGINT AS keep_id,
+SELECT m.component::BIGINT AS group_id,
        max(b.best_id)::BIGINT AS best_id,
        max(b.best_n_chars)::BIGINT AS best_n_chars,
        count(*)::BIGINT AS n_members,

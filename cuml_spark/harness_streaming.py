@@ -253,23 +253,23 @@ _DSIR_GATE_MODELS: dict = {}
 
 def _dsir_gate_model(spark: SparkSession, sf_dir: str):
     """Session-cached gate model (the fit-once/score-stream deployment
-    contract — same sharing precedent as jaccard_pairs_cached; the FIT
-    cost is reported by the batch `dsir_weights` query, the gate reports
-    the scoring pass)."""
-    from cuml_spark.core.session import ensure_parallelism
+    contract — same sharing precedent as jaccard_pairs_cached).  The
+    512-bucket gate fit is its own scan, run once per (session, sf_dir):
+    a cold session's FIRST gate run pays it (under bench's warm-ALL
+    protocol that lands in the untimed warm rep), and every later run
+    reports the pure scoring pass.  The batch `dsir_weights` query fits
+    its own separate 4096-bucket model — nothing is shared between the
+    two; each query's reported cost is its own."""
+    from cuml_spark.core.session import ensure_parallelism, session_cached
     from cuml_spark.text.dsir import fit_dsir_subset
 
-    key = (id(spark), sf_dir)
-    model = _DSIR_GATE_MODELS.get(key)
-    if model is None:
-        for k in [k for k in _DSIR_GATE_MODELS if k[1] == sf_dir]:
-            del _DSIR_GATE_MODELS[k]
+    def build():
         batch = ensure_parallelism(
             spark.read.parquet(f"{sf_dir}/documents.parquet"))
-        model = fit_dsir_subset(batch, F.col("lang") == "fr",
-                                num_buckets=512)
-        _DSIR_GATE_MODELS[key] = model
-    return model
+        return fit_dsir_subset(batch, F.col("lang") == "fr",
+                               num_buckets=512)
+
+    return session_cached(_DSIR_GATE_MODELS, spark, sf_dir, build)
 
 
 def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,19 +74,16 @@ _SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minhash signatures computed once per (session, sf_dir) — the shared
     upstream of both ``minhash_signatures`` and the LSH candidate pairs."""
-    key = (id(spark), sf_dir)
-    out = _SIG_CACHE.get(key)
-    if out is None:
-        for k in [k for k in _SIG_CACHE if k[1] == sf_dir]:
-            del _SIG_CACHE[k]
-        from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.core.session import ensure_parallelism, session_cached
 
+    def build() -> DataFrame:
         out = minhash_signatures(
             ensure_parallelism(_t(spark, sf_dir, "documents"))
         ).cache()
         out.count()
-        _SIG_CACHE[key] = out
-    return out
+        return out
+
+    return session_cached(_SIG_CACHE, spark, sf_dir, build)
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,24 +109,19 @@ def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs computed once per (session, sf_dir) — shared by
     ``lsh_pairs`` and the ``ngram_jaccard`` verify stage (the two halves of
     the two-stage near-dup pipeline run over the same candidate set).
-    Keying on the live SparkSession keeps a restart (or regenerated testdata
-    at the same path) from serving a plan bound to a dead session; stale
-    entries are dropped eagerly."""
-    key = (id(spark), sf_dir)
-    out = _LSH_CACHE.get(key)
-    if out is None:
-        for k in [k for k in _LSH_CACHE if k[1] == sf_dir]:
-            del _LSH_CACHE[k]  # superseded session: let its cache be GC'd
-        from cuml_spark.core.session import ensure_parallelism
+    Keyed on the live SparkSession (session_cached's contract)."""
+    from cuml_spark.core.session import ensure_parallelism, session_cached
 
+    def build() -> DataFrame:
         out = lsh_candidate_pairs(
             ensure_parallelism(_t(spark, sf_dir, "documents")),
             signatures=_sigs_cached(spark, sf_dir),
         ).cache()
         out.count()  # materialize: consumers reference it multiple times
         # within single actions (pair join + both id sides)
-        _LSH_CACHE[key] = out
-    return out
+        return out
+
+    return session_cached(_LSH_CACHE, spark, sf_dir, build)
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,22 +138,18 @@ def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pipeline read the same verified pair set; without sharing, the
     grouping query re-paid the whole pack+intersect pass: measured
     19.3s cold / 8.9s warm at sf0.1)."""
+    from cuml_spark.core.session import ensure_parallelism, session_cached
     from cuml_spark.text.dedup import jaccard_similarity_pairs
 
-    key = (id(spark), sf_dir)
-    out = _JACCARD_CACHE.get(key)
-    if out is None:
-        for k in [k for k in _JACCARD_CACHE if k[1] == sf_dir]:
-            del _JACCARD_CACHE[k]
-        from cuml_spark.core.session import ensure_parallelism
-
+    def build() -> DataFrame:
         docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
         out = jaccard_similarity_pairs(
             docs, k=5, candidates=lsh_pairs_cached(spark, sf_dir)
         ).cache()
         out.count()
-        _JACCARD_CACHE[key] = out
-    return out
+        return out
+
+    return session_cached(_JACCARD_CACHE, spark, sf_dir, build)
 
 
 def _sql_lsh_pairs() -> str:

@@ -16,8 +16,10 @@ IN-ROW against a literal center vector (whole-stage codegen `zip_with`
 dot product — no UDF, no join, no shuffle of the embedding column), the
 running minimum folds via ``least(...)`` over the ≤k literal-center
 distances, and the argmax is ``TakeOrderedAndProject`` (top-1, never a
-sort).  Total cost: k scans, each O(n·k·d) codegen flops, zero
-shuffles.  Distances ROUND to 6 before the min/argmax (the bm25
+sort).  Total cost: k scans, O(n·k²·d) codegen flops (round i
+recomputes all i center distances — the lazy-expression trade for zero
+materialization), zero shuffles.  Distances ROUND to 6 before the
+min/argmax (the bm25
 determinism rule), ties break on the smaller id, and already-selected
 ids are excluded — so the selection is deterministic on any
 partitioning, and a DuckDB chain of k CTEs replays it value-for-value.

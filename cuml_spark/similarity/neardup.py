@@ -241,21 +241,25 @@ def keep_best_in_groups(
     pathologically large near-dup cluster (the boilerplate-page case)
     sends one partial row per map task, never its full membership, to
     the reducer (the substring.py keep-first lesson).  Ties break on the
-    smaller id; members with NULL scores never win and a group whose
-    every score is NULL reports ``best_score`` NULL.
+    smaller id; members with NULL scores never win — even against
+    real ``±inf`` scores (an explicit null-flag struct field, not a
+    collidable sentinel) — and a group whose every score is NULL
+    reports ``best_score`` NULL.  NaN scores rank below every real
+    score (Spark sorts NaN greatest) but above NULL.
     """
     sc = scores.select(F.col(id_col).alias("vid"),
                        F.col(score_col).alias("__score"))
     joined = groups.join(sc, "vid", "left")
-    # sort key: worst-last sentinel for NULLs, negated for descending
+    # sort key: (null-flag, value) — the flag, not a sentinel value,
+    # pushes NULLs last, so real +/-inf scores can never tie with them
     raw = F.col("__score").cast("double")
-    key = F.when(raw.isNull(), F.lit(float("inf"))).otherwise(
-        -raw if higher_is_better else raw)
+    key = F.coalesce(-raw if higher_is_better else raw, F.lit(0.0))
     best = (
         joined.groupBy("group_id")
         .agg(
             F.count("*").alias("n_members"),
-            F.min(F.struct(key.alias("k"), F.col("vid").alias("best_id"),
+            F.min(F.struct(raw.isNull().cast("int").alias("nf"),
+                           key.alias("k"), F.col("vid").alias("best_id"),
                            F.col("__score").alias("best_score"))).alias("b"),
         )
         .select(

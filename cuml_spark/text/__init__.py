@@ -29,6 +29,7 @@ from cuml_spark.text.dsir import (
     dsir_log_ratios,
     dsir_select_gumbel,
     dsir_select_topk,
+    dsir_unseen_log_ratio,
     fit_dsir,
     fit_dsir_subset,
     hashed_bucket_totals,
@@ -61,6 +62,6 @@ __all__ = [
     "corpus_word_counts",
     "QualityClassifier",
     "DSIRModel", "fit_dsir", "fit_dsir_subset", "dsir_log_ratios",
-    "dsir_select_topk", "dsir_select_gumbel", "hashed_bucket_totals",
-    "hashed_bucket_totals_pair",
+    "dsir_select_topk", "dsir_select_gumbel", "dsir_unseen_log_ratio",
+    "hashed_bucket_totals", "hashed_bucket_totals_pair",
 ]

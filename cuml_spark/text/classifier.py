@@ -84,13 +84,17 @@ def score_linear_bow(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_sep: str = " ",
+    default_weight: float = 0.0,
 ) -> DataFrame:
     """→ (id_col, score, prob): ``score = bias + Σ_b tf_b · w_b`` over
     the hashed bag-of-words, ``prob = 1/(1+e^-score)``.
 
     The weight table is broadcast (≤ num_buckets rows by construction);
-    docs matching no weighted bucket — including empty/null docs —
-    score exactly ``bias``.  Every row of ``df`` appears in the output.
+    buckets missing from ``weights`` contribute ``default_weight`` per
+    occurrence (0 for a sparse classifier; DSIR passes the smoothed
+    unseen-bucket log-ratio so out-of-vocabulary tokens are priced,
+    not ignored).  Docs with no tokens — empty/null text — score
+    exactly ``bias``.  Every row of ``df`` appears in the output.
     """
     for b in weights:
         if not 0 <= int(b) < num_buckets:
@@ -104,10 +108,20 @@ def score_linear_bow(
     counts = hashed_token_counts(
         df, num_buckets, text_col=text_col, id_col=id_col,
         token_sep=token_sep)
+    # default 0: inner join — unmatched buckets contribute nothing, so
+    # dropping them BEFORE the per-doc aggregation keeps the agg input
+    # at matched-rows scale (the sparse-classifier fast path).  A
+    # nonzero default prices every bucket: left join + coalesce.
+    if default_weight == 0.0:
+        joined = counts.join(F.broadcast(wdf), "bucket")
+        contrib = F.col("tf") * F.col("__w")
+    else:
+        joined = counts.join(F.broadcast(wdf), "bucket", "left")
+        contrib = F.col("tf") * F.coalesce(
+            F.col("__w"), F.lit(float(default_weight)))
     sums = (
-        counts.join(F.broadcast(wdf), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("tf") * F.col("__w")).alias("__s"))
+        joined.groupBy(id_col)
+        .agg(F.sum(contrib).alias("__s"))
     )
     score = F.coalesce(F.col("__s"), F.lit(0.0)) + float(bias)
     return (
@@ -130,6 +144,7 @@ def score_linear_bow_inline(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_sep: str = " ",
+    default_weight: float = 0.0,
 ) -> DataFrame:
     """Map-only (ZERO-shuffle) serving variant of :func:`score_linear_bow`:
     the weight table folds into the plan as a literal map and every
@@ -159,10 +174,13 @@ def score_linear_bow_inline(
             F.transform(toks, lambda t: token_bucket(t, num_buckets)),
             F.lit(float(bias)),
             lambda acc, b: acc + F.coalesce(
-                F.try_element_at(wmap, b), F.lit(0.0)),
+                F.try_element_at(wmap, b), F.lit(float(default_weight))),
         )
-    else:
+    elif default_weight == 0.0:
         folded = F.lit(float(bias))
+    else:
+        folded = (F.lit(float(bias))
+                  + F.size(toks) * F.lit(float(default_weight)))
     score = F.coalesce(folded, F.lit(float(bias)))  # null text = bias
     return df.select(
         F.col(id_col),

@@ -14,7 +14,11 @@ the curation-side composition.
 
 The bucket space is the ENGINE-PORTABLE md5 space shared with
 text/classifier.py (``token_bucket``), so a fit's distributions mean
-the same thing in Spark, DuckDB, and Python.
+the same thing in Spark, DuckDB, and Python.  Caveat shared with the
+whole text tier: ``token_sep`` reaches Spark's regex-based ``F.split``,
+while DuckDB/Python oracles split LITERALLY — the portable contract
+holds for the single-space default; regex-metachar separators (``|``,
+``.``) diverge across engines and are not supported.
 
 Spark shapes (100 TB):
 
@@ -54,6 +58,7 @@ __all__ = [
     "dsir_log_ratios",
     "dsir_select_gumbel",
     "dsir_select_topk",
+    "dsir_unseen_log_ratio",
     "fit_dsir",
     "fit_dsir_subset",
     "hashed_bucket_totals",
@@ -133,6 +138,8 @@ def fit_dsir_subset(
                                    smoothing=smoothing),
         num_buckets=num_buckets,
         token_sep=token_sep,
+        default_log_ratio=dsir_unseen_log_ratio(
+            tc, rc, num_buckets, smoothing=smoothing),
     )
 
 
@@ -144,11 +151,12 @@ def dsir_log_ratios(
     smoothing: float = 1.0,
 ) -> dict[int, float]:
     """Per-bucket ``ln p̂[b] − ln q̂[b]`` under add-``smoothing``
-    estimation.  Buckets unseen in BOTH corpora share one constant
-    log-ratio (their smoothed estimates differ only by the corpus
-    totals); since a document can only ever contain buckets present in
-    the raw corpus it was drawn from, the returned dict covers the union
-    of observed buckets and that is sufficient for scoring."""
+    estimation, for the union of observed buckets.  Buckets unseen in
+    BOTH corpora share one constant smoothed log-ratio —
+    :func:`dsir_unseen_log_ratio` — which the model carries as its
+    ``default_log_ratio`` so that out-of-vocabulary tokens in a LATER
+    corpus (the fit-yesterday/score-today deployment) are priced at the
+    estimator's true value rather than silently contributing 0."""
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     t_total = sum(target_counts.values()) + smoothing * num_buckets
@@ -161,6 +169,24 @@ def dsir_log_ratios(
     return out
 
 
+def dsir_unseen_log_ratio(
+    target_counts: dict[int, int],
+    raw_counts: dict[int, int],
+    num_buckets: int,
+    *,
+    smoothing: float = 1.0,
+) -> float:
+    """The smoothed log-ratio of a bucket unseen in both corpora:
+    ``ln(smoothing/t_total) − ln(smoothing/r_total)`` = ln(r_total /
+    t_total) — positive when the raw corpus is larger, reflecting that
+    novelty is (weak) evidence toward the rarer distribution."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    t_total = sum(target_counts.values()) + smoothing * num_buckets
+    r_total = sum(raw_counts.values()) + smoothing * num_buckets
+    return math.log(smoothing / t_total) - math.log(smoothing / r_total)
+
+
 @dataclass
 class DSIRModel:
     """Fitted importance-weight model: the bounded per-bucket log-ratio
@@ -171,16 +197,19 @@ class DSIRModel:
     log_ratios: dict[int, float] = field(repr=False)
     num_buckets: int
     token_sep: str = " "
+    default_log_ratio: float = 0.0
 
     def log_weights(
         self, df: DataFrame, *, text_col: str = "text",
         id_col: str = "doc_id",
     ) -> DataFrame:
         """→ (id_col, log_weight): importance log-weight per document.
-        Empty/null docs weigh exactly 0 (no evidence either way)."""
+        Empty/null docs weigh exactly 0 (no evidence either way);
+        buckets unseen at fit time price at ``default_log_ratio``."""
         scored = score_linear_bow(
             df, self.log_ratios, 0.0, num_buckets=self.num_buckets,
-            text_col=text_col, id_col=id_col, token_sep=self.token_sep)
+            text_col=text_col, id_col=id_col, token_sep=self.token_sep,
+            default_weight=self.default_log_ratio)
         return scored.select(id_col, F.col("score").alias("log_weight"))
 
     def log_weights_inline(
@@ -200,7 +229,8 @@ class DSIRModel:
 
         scored = score_linear_bow_inline(
             df, self.log_ratios, 0.0, num_buckets=self.num_buckets,
-            text_col=text_col, id_col=id_col, token_sep=self.token_sep)
+            text_col=text_col, id_col=id_col, token_sep=self.token_sep,
+            default_weight=self.default_log_ratio)
         return scored.select(id_col, F.col("score").alias("log_weight"))
 
 
@@ -224,6 +254,8 @@ def fit_dsir(
                                    smoothing=smoothing),
         num_buckets=num_buckets,
         token_sep=token_sep,
+        default_log_ratio=dsir_unseen_log_ratio(
+            tc, rc, num_buckets, smoothing=smoothing),
     )
 
 
@@ -268,10 +300,14 @@ def dsir_select_gumbel(
     the k largest ``log_weight + Gumbel(0,1)`` keys, with the Gumbel
     noise ``−ln(−ln(u))`` derived from a deterministic md5 uniform of
     (id, seed) — a pure row function, so membership is identical on any
-    partitioning (no ``rand()``, which re-rolls per task retry)."""
+    partitioning (no ``rand()``, which re-rolls per task retry).  The
+    weight is ROUNDED to 6 before the noise is added (the same
+    round-before-rank rule as :func:`dsir_select_topk`) — an unrounded
+    float sum could flip the k-th member on aggregation-order ulps."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    w = model.log_weights(df, text_col=text_col, id_col=id_col)
+    w = model.log_weights(df, text_col=text_col, id_col=id_col).select(
+        id_col, F.round("log_weight", 6).alias("log_weight"))
     # u STRICTLY inside (0, 1): (h + 0.5) / 2^32 over the first 8 md5
     # hex digits — u = 1 would make ln(-ln(u)) degenerate
     h = F.conv(

@@ -176,3 +176,34 @@ def test_inline_weights_zero_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert not re.findall(r"Exchange (?:hash|range|RoundRobin|Single)", plan)
     assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_oov_buckets_priced_at_smoothed_default(spark):
+    """Fit-yesterday/score-today: tokens hashing to buckets unseen at
+    fit time must contribute the smoothed constant ln(r_total/t_total)
+    per occurrence — never a silent 0 (review r9 finding)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cuml_spark.text import fit_dsir_subset
+
+    B = 4096  # large space so the novel token collides with nothing
+    fit_df = spark.createDataFrame(
+        [(0, "alpha beta", True), (1, "alpha gamma delta", False)],
+        "doc_id long, text string, tgt boolean")
+    model = fit_dsir_subset(fit_df, F.col("tgt"), num_buckets=B)
+    # default = ln(r_total/t_total) with add-1 smoothing
+    want_default = math.log((5 + B) / (2 + B))
+    assert model.default_log_ratio == pytest.approx(want_default)
+    today = spark.createDataFrame(
+        [(10, "zzz-novel-token"), (11, "zzz-novel-token zzz-novel-token")],
+        "doc_id long, text string")
+    w = {r["doc_id"]: r["log_weight"]
+         for r in model.log_weights(today).collect()}
+    assert w[10] == pytest.approx(want_default)
+    assert w[11] == pytest.approx(2 * want_default)
+    wi = {r["doc_id"]: r["log_weight"]
+          for r in model.log_weights_inline(today).collect()}
+    assert wi[10] == pytest.approx(want_default)
+    assert wi[11] == pytest.approx(2 * want_default)

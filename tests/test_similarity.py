@@ -490,3 +490,24 @@ def test_kcenter_edge_cases(spark):
     dists = [r["dist"] for r in
              kcenter_select(df2, 6).orderBy("sel_order").collect()][1:]
     assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_keep_best_null_never_beats_inf(spark):
+    """NULL scores must lose even to real -inf/+inf scores (explicit
+    null-flag ordering, not a collidable sentinel); NaN ranks below
+    every real score but above NULL."""
+    from cuml_spark.similarity import keep_best_in_groups
+
+    groups = spark.createDataFrame(
+        [(7, 7), (8, 7), (30, 30), (31, 30)], "vid long, group_id long")
+    scores = spark.createDataFrame(
+        [(7, None), (8, float("-inf")),
+         (30, float("nan")), (31, None)],
+        "doc_id long, s double")
+    got = {r["group_id"]: r for r in keep_best_in_groups(
+        groups, scores, score_col="s").collect()}
+    assert got[7]["best_id"] == 8 and got[7]["best_score"] == float("-inf")
+    assert got[30]["best_id"] == 30  # NaN beats NULL
+    low = {r["group_id"]: r for r in keep_best_in_groups(
+        groups, scores, score_col="s", higher_is_better=False).collect()}
+    assert low[7]["best_id"] == 8
