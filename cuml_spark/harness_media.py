@@ -126,6 +126,60 @@ FROM range({_PNG_N}) t(id)
 """
 
 
+_LL_N, _LL_W, _LL_H = 48, 14, 10
+
+
+def q_media_decode_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless JPEG (SOF3) encode→decode round trip with an exact
+    integer oracle: unlike baseline JPEG (bit-exact only for constant
+    blocks), lossless is exact for ARBITRARY images, so the fixture is
+    a full-gradient image pixel(j) = (47·m + 3·j) mod 256 and the
+    checksum is its closed form; the predictor cycles 1..7 by media id
+    so every Annex-H predictor is exercised under the Spark decode
+    path."""
+    from collections.abc import Iterator
+
+    from cuml_spark.multimodal.jpeg_lossless import encode_jpeg_lossless
+
+    w, h = _LL_W, _LL_H
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = []
+            for mid in pdf["media_id"]:
+                j = np.arange(w * h, dtype=np.int64)
+                img = ((47 * int(mid) + 3 * j) % 256).astype(
+                    np.uint8).reshape(h, w)
+                bufs.append(encode_jpeg_lossless(
+                    img, predictor=1 + int(mid) % 7))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
+
+    ids = _ids(spark, _LL_N)
+    media = ids.mapInPandas(enc, "media_id long, content binary")
+    dec = decode_image(media, decoder="auto")
+    return dec.select(
+        "media_id",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate("pixels", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_px"),
+        "width",
+        "height",
+    )
+
+
+_SQL_MEDIA_DECODE_LOSSLESS = f"""
+SELECT t.id AS media_id,
+       {_LL_W * _LL_H} AS n_pixels,
+       (SELECT sum((47 * t.id + 3 * j.g) % 256)
+        FROM generate_series(0, {_LL_W * _LL_H - 1}) j(g))::BIGINT AS sum_px,
+       {_LL_W} AS width, {_LL_H} AS height
+FROM range({_LL_N}) t(id)
+"""
+
+
 _JPG_N, _JPG_W, _JPG_H = 48, 24, 16
 
 
@@ -599,6 +653,7 @@ FROM range({_MP4_N}) t(id)
 QUERIES_MEDIA = {
     "media_decode": q_media_decode,
     "media_decode_png": q_media_decode_png,
+    "media_decode_lossless": q_media_decode_lossless,
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_decode_progressive": q_media_decode_progressive,
     "media_decode_wav": q_media_decode_wav,
@@ -613,6 +668,7 @@ QUERIES_MEDIA = {
 ORACLES_MEDIA = {
     "media_decode": _SQL_MEDIA_DECODE,
     "media_decode_png": _SQL_MEDIA_DECODE_PNG,
+    "media_decode_lossless": _SQL_MEDIA_DECODE_LOSSLESS,
     "media_decode_jpeg": _SQL_MEDIA_DECODE_JPEG,
     "media_decode_progressive": _SQL_MEDIA_DECODE_PROGRESSIVE,
     "media_decode_wav": _SQL_MEDIA_DECODE_WAV,

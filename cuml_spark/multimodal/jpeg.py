@@ -264,12 +264,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 decode_jpeg_progressive
 
             return decode_jpeg_progressive(buf)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # SOF3 lossless sequential — own decoder
+            from cuml_spark.multimodal.jpeg_lossless import \
+                decode_jpeg_lossless
+
+            return decode_jpeg_lossless(buf)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (arithmetic/lossless/hierarchical) "
-                "needs a full codec library (e.g. Pillow); baseline (SOF0/1) "
-                "and progressive (SOF2) are supported here")
+                f"JPEG SOF{marker - 0xC0} (arithmetic/hierarchical) "
+                "needs a full codec library (e.g. Pillow); baseline (SOF0/1), "
+                "progressive (SOF2) and lossless (SOF3) are supported here")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS

@@ -1101,3 +1101,81 @@ def test_adpcm_ima_matches_stdlib_and_roundtrips():
         (b << 4) | a for a, b in zip(nib[0::2], nib[1::2]))
     ours = adpcm_ima_decode(blk, 4 + len(nib) // 2)[1:]
     assert (ours == ref).all()
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H)
+# ---------------------------------------------------------------------------
+
+def test_lossless_jpeg_hand_assembled_stream_decodes_per_spec():
+    """Decoder anchored to T.81 Annex H independently of the encoder: a
+    hand-assembled 2x2 8-bit stream, predictor 1, one Huffman table with
+    categories 0..16 at code length 5 (code == symbol).
+
+    Pixels [[130,131],[129,200]]; hand-derived samples:
+      (0,0) px=128 (first sample: 1<<(8-0-1)), diff=+2  -> SSSS=2, bits 10
+      (0,1) px=Ra=130,                         diff=+1  -> SSSS=1, bit  1
+      (1,0) px=Rb=130 (first column),          diff=-1  -> SSSS=1, bit  0
+      (1,1) px=Ra=129 (predictor 1),           diff=+71 -> SSSS=7, 1000111
+    Bitstream 00010·10·00001·1·00001·0·00111·1000111 + 1-pad
+      = 0x14 0x18 0x47 0x8F."""
+    import struct
+
+    from cuml_spark.multimodal.jpeg import decode_jpeg
+    from cuml_spark.multimodal.jpeg_lossless import decode_jpeg_lossless
+
+    dht = bytes([0x00]) + bytes([0, 0, 0, 0, 17] + [0] * 11) + bytes(range(17))
+    sof = bytes([8]) + struct.pack(">HH", 2, 2) + bytes([1, 1, 0x11, 0x00])
+    sos = bytes([1, 1, 0x00, 1, 0x00, 0x00])
+    buf = (b"\xff\xd8"
+           + b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+           + b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+           + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+           + bytes([0x14, 0x18, 0x47, 0x8F])
+           + b"\xff\xd9")
+    want = np.array([[130, 131], [129, 200]], dtype=np.uint8)[:, :, None]
+    assert np.array_equal(decode_jpeg_lossless(buf), want)
+    # the generic entry point dispatches SOF3 to the lossless decoder
+    assert np.array_equal(decode_jpeg(buf), want)
+
+
+def test_lossless_jpeg_round_trip_every_predictor_exact():
+    """The format's contract IS exactness: every predictor, gray + RGB,
+    8- and 16-bit, including restart intervals, decodes back to the
+    identical array."""
+    from cuml_spark.multimodal.jpeg_lossless import (decode_jpeg_lossless,
+                                                     encode_jpeg_lossless)
+
+    rng = np.random.RandomState(7)
+    img8 = rng.randint(0, 256, size=(11, 6, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, size=(5, 9), dtype=np.uint8)
+    img16 = rng.randint(0, 65536, size=(6, 7), dtype=np.uint16)
+    for pred in range(1, 8):
+        assert np.array_equal(
+            decode_jpeg_lossless(encode_jpeg_lossless(img8, predictor=pred)),
+            img8)
+        assert np.array_equal(
+            decode_jpeg_lossless(encode_jpeg_lossless(gray, predictor=pred)),
+            gray[:, :, None])
+    assert np.array_equal(
+        decode_jpeg_lossless(encode_jpeg_lossless(img16, predictor=4)),
+        img16[:, :, None])
+    # restart intervals reset prediction state on BOTH sides
+    withrst = encode_jpeg_lossless(img8, predictor=7, restart_interval=5)
+    assert np.array_equal(decode_jpeg_lossless(withrst), img8)
+    # extreme diffs exercise mod-2^16 wrap and category 16
+    extreme = np.array([[0, 65535], [65535, 0]], dtype=np.uint16)
+    assert np.array_equal(
+        decode_jpeg_lossless(encode_jpeg_lossless(extreme, predictor=1)),
+        extreme[:, :, None])
+
+
+def test_lossless_jpeg_rejects_bad_inputs():
+    from cuml_spark.multimodal.jpeg_lossless import encode_jpeg_lossless
+
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(np.zeros((2, 2), np.uint8), predictor=0)
+    with pytest.raises(ValueError, match="dtype"):
+        encode_jpeg_lossless(np.zeros((2, 2), np.float64))
+    with pytest.raises(ValueError, match="image"):
+        encode_jpeg_lossless(np.zeros((2, 2, 2), np.uint8))
