@@ -850,3 +850,25 @@ def test_dsir_weights_match_python_fold(spark, docs, num_buckets):
     for i, text, _ in rows:
         want = sum(lr[bucket(t)] for t in text.split(" ") if t)
         assert got[i] == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@SET
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    nc=st.sampled_from([1, 3]),
+    pred=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    rst=st.sampled_from([0, 3]),
+)
+def test_lossless_jpeg_round_trip_property(h, w, nc, pred, seed, rst):
+    """For ANY image, predictor, shape and restart interval, lossless
+    JPEG decodes back to the identical array — the format's contract,
+    searched rather than sampled."""
+    from cuml_spark.multimodal.jpeg_lossless import (decode_jpeg_lossless,
+                                                     encode_jpeg_lossless)
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, nc)).astype(np.uint8)
+    buf = encode_jpeg_lossless(img, predictor=pred, restart_interval=rst)
+    assert np.array_equal(decode_jpeg_lossless(buf), img)
