@@ -301,6 +301,58 @@ SELECT query_id, neighbor_id, round(dist, 6) AS distance, rank FROM r WHERE rank
 """
 
 
+def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized similarity search (similarity/quantize.py): both
+    sides compress to symmetric int8 codes in-row (map-only, the 4×
+    storage play), then rank on integer dot products and integer norms
+    — per-vector scales cancel in cosine, so the whole computation up
+    to one final division is EXACT and the DuckDB oracle matches
+    value-for-value, not to a rounding band."""
+    from cuml_spark.similarity.quantize import cosine_topk_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_int8(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_COSINE_TOPK_INT8 = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), c AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> round(x / scale)::BIGINT)
+              ELSE list_transform(v, x -> 0::BIGINT) END AS qv
+  FROM s
+), qq AS (
+  SELECT vec_id AS query_id, qv FROM c WHERE vec_id < 10
+), pair AS (
+  SELECT qq.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qq.qv, c.qv)::DOUBLE AS dot,
+         list_dot_product(c.qv, c.qv)::DOUBLE AS n2a,
+         list_dot_product(qq.qv, qq.qv)::DOUBLE AS n2b
+  FROM c, qq WHERE c.vec_id <> qq.query_id
+), simt AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos_sim
+  FROM pair WHERE n2a > 0 AND n2b > 0
+)
+SELECT query_id, neighbor_id, cos_sim,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+       )::BIGINT AS rank
+FROM simt QUALIFY rank <= 5
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -1864,6 +1916,7 @@ QUERIES_TEXT = {
     "span_dedup": q_span_dedup,
     "knn_embeddings": q_knn_embeddings,
     "cosine_topk": q_cosine_topk,
+    "cosine_topk_int8": q_cosine_topk_int8,
     "kpss_events": q_kpss_events,
 }
 
@@ -1930,5 +1983,6 @@ ORACLES_TEXT = {
     "span_dedup": _SQL_SPAN_DEDUP,
     "knn_embeddings": _SQL_KNN_EMBEDDINGS,
     "cosine_topk": _SQL_COSINE_TOPK,
+    "cosine_topk_int8": _SQL_COSINE_TOPK_INT8,
     "kpss_events": _SQL_KPSS_EVENTS,
 }

@@ -1,12 +1,15 @@
 from cuml_spark.similarity.ivf import IVFIndex
 from cuml_spark.similarity.ivfpq import IVFPQIndex
 from cuml_spark.similarity.kcenter import kcenter_select
+from cuml_spark.similarity.quantize import (cosine_topk_int8,
+                                            dequantize_int8, quantize_int8)
 from cuml_spark.similarity.neardup import (embedding_near_duplicates,
                                            keep_best_in_groups,
                                            near_dup_groups)
 from cuml_spark.similarity.pq import PQIndex
 from cuml_spark.similarity.semdedup import semantic_prune
 
-__all__ = ["IVFIndex", "IVFPQIndex", "PQIndex", "embedding_near_duplicates",
+__all__ = ["IVFIndex", "IVFPQIndex", "PQIndex", "cosine_topk_int8",
+           "dequantize_int8", "embedding_near_duplicates",
            "kcenter_select", "keep_best_in_groups", "near_dup_groups",
-           "semantic_prune"]
+           "quantize_int8", "semantic_prune"]

@@ -511,3 +511,67 @@ def test_keep_best_null_never_beats_inf(spark):
     low = {r["group_id"]: r for r in keep_best_in_groups(
         groups, scores, score_col="s", higher_is_better=False).collect()}
     assert low[7]["best_id"] == 8
+
+
+def test_int8_quantize_exact_contract(spark):
+    """Codes match the python reference (round-half-away, scale =
+    max|x|/127), stay in [-127, 127], dequantize within scale/2 per
+    element, and zero vectors keep scale 0 / all-zero codes."""
+    import math
+
+    from cuml_spark.similarity.quantize import dequantize_int8, quantize_int8
+
+    rows = [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0]),
+            (2, [127.0, -127.0, 63.5]), (3, [1e-8, -1e-8, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (list(r["qvec"]), r["scale"])
+           for r in quantize_int8(df).collect()}
+
+    def ref(v):
+        m = max(abs(x) for x in v)
+        s = m / 127.0
+        if s == 0:
+            return [0] * len(v), 0.0
+        q = []
+        for x in v:
+            t = x / s
+            f = math.floor(abs(t) + 0.5)  # half away from zero
+            q.append(int(math.copysign(f, t)))
+        return q, s
+
+    for vid, vec in rows:
+        wq, ws = ref(vec)
+        assert got[vid][0] == wq, (vid, got[vid][0], wq)
+        assert got[vid][1] == pytest.approx(ws)
+        assert all(-127 <= q <= 127 for q in got[vid][0])
+    deq = {r["vec_id"]: list(r["embedding"])
+           for r in dequantize_int8(quantize_int8(df)).collect()}
+    for vid, vec in rows:
+        s = got[vid][1]
+        for x, y in zip(vec, deq[vid]):
+            assert abs(x - y) <= s / 2 + 1e-12
+
+
+def test_int8_cosine_topk_recall_vs_float(spark, embeddings):
+    """int8 search must agree with float cosine search almost always:
+    recall@5 over 20 queries >= 0.9 on the synthetic embeddings, and
+    ranking is deterministic (two runs identical)."""
+    from cuml_spark.neighbors.nearest_neighbors import cosine_topk
+    from cuml_spark.similarity.quantize import cosine_topk_int8
+
+    emb = embeddings.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")).cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = cosine_topk(emb, queries, k=5).toPandas()
+    got = cosine_topk_int8(emb, queries, k=5).toPandas()
+    t_sets = truth.groupby("query_id")["neighbor_id"].apply(set)
+    g_sets = got.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(t_sets[q] & g_sets.get(q, set())) / len(t_sets[q])
+               for q in t_sets.index]
+    assert np.mean(recalls) >= 0.9
+    again = cosine_topk_int8(emb, queries, k=5).toPandas()
+    a = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    with pytest.raises(ValueError, match="k must"):
+        cosine_topk_int8(emb, queries, k=0)
