@@ -99,14 +99,18 @@ def cosine_topk_int8(
     with zero-norm codes never match (similarity NULL → filtered)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # squared norms fold PER SIDE before the join — each pair then pays
+    # one integer dot, not three (the n_index × n_query blowup is where
+    # redundant per-pair work actually costs)
     qi = quantize_int8(index, vec_col=vec_col, id_col=index_id).select(
-        F.col(index_id).alias("neighbor_id"), F.col("qvec").alias("__iv"))
+        F.col(index_id).alias("neighbor_id"), F.col("qvec").alias("__iv"),
+    ).withColumn("__n2a", _int_dot(F.col("__iv"), F.col("__iv")))
     qq = quantize_int8(queries, vec_col=vec_col, id_col=query_id).select(
-        F.col(query_id).alias("query_id"), F.col("qvec").alias("__qv"))
+        F.col(query_id).alias("query_id"), F.col("qvec").alias("__qv"),
+    ).withColumn("__n2b", _int_dot(F.col("__qv"), F.col("__qv")))
     pairs = qi.crossJoin(F.broadcast(qq))
     dot = _int_dot(F.col("__iv"), F.col("__qv"))
-    n2a = _int_dot(F.col("__iv"), F.col("__iv"))
-    n2b = _int_dot(F.col("__qv"), F.col("__qv"))
+    n2a, n2b = F.col("__n2a"), F.col("__n2b")
     sim = F.when(
         (n2a > 0) & (n2b > 0),
         dot.cast("double") / (F.sqrt(n2a.cast("double"))
