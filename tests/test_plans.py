@@ -578,3 +578,20 @@ def test_keep_best_in_groups_partial_min_no_window(spark):
     assert "Window" not in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantize_int8_map_only_pruned(spark):
+    """int8 quantization is the storage pass over 100 TB of embeddings:
+    ZERO shuffle exchanges, no joins, no Python eval — one in-row
+    max-abs fold + transform fused into the scan, which prunes to
+    vec_id/embedding."""
+    from cuml_spark.similarity import quantize_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = quantize_int8(emb)
+    plan = _plan(out)
+    assert _n_shuffles(out) == 0
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    schemas = _read_schemas(out)
+    assert schemas and all("label" not in s for s in schemas)
