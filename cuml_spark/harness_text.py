@@ -353,6 +353,52 @@ FROM simt QUALIFY rank <= 5
 """
 
 
+def q_hamming_topk_signs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit similarity search (similarity/quantize.py sign_quantize +
+    hamming_topk_bits): embeddings compress 32× to packed sign words
+    in-row, search ranks on Σ popcount(xor) — exact integers end to
+    end, no rounding anywhere in query or oracle."""
+    from cuml_spark.similarity.quantize import hamming_topk_bits
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return hamming_topk_bits(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "hamming",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_HAMMING_TOPK_SIGNS = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), pos AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+), wordsrc AS (
+  SELECT vec_id, (i - 1) // 32 AS w,
+         sum(CASE WHEN x > 0 THEN (1::BIGINT << ((i - 1) % 32))
+                  ELSE 0 END)::BIGINT AS word
+  FROM pos GROUP BY 1, 2
+), packed AS (
+  SELECT vec_id, list(word ORDER BY w) AS words FROM wordsrc GROUP BY 1
+), qq AS (
+  SELECT vec_id AS query_id, words FROM packed WHERE vec_id < 10
+), ham AS (
+  SELECT qq.query_id, p.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(p.words) + 1),
+             wi -> bit_count(xor(p.words[wi], qq.words[wi]))))::BIGINT
+           AS hamming
+  FROM packed p, qq WHERE p.vec_id <> qq.query_id
+)
+SELECT query_id, neighbor_id, hamming,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY hamming, neighbor_id
+       )::BIGINT AS rank
+FROM ham QUALIFY rank <= 5
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -1917,6 +1963,7 @@ QUERIES_TEXT = {
     "knn_embeddings": q_knn_embeddings,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_int8": q_cosine_topk_int8,
+    "hamming_topk_signs": q_hamming_topk_signs,
     "kpss_events": q_kpss_events,
 }
 
@@ -1984,5 +2031,6 @@ ORACLES_TEXT = {
     "knn_embeddings": _SQL_KNN_EMBEDDINGS,
     "cosine_topk": _SQL_COSINE_TOPK,
     "cosine_topk_int8": _SQL_COSINE_TOPK_INT8,
+    "hamming_topk_signs": _SQL_HAMMING_TOPK_SIGNS,
     "kpss_events": _SQL_KPSS_EVENTS,
 }

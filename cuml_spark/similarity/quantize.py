@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk_int8", "dequantize_int8", "quantize_int8"]
+__all__ = ["cosine_topk_int8", "dequantize_int8", "hamming_topk_bits",
+           "quantize_int8", "sign_quantize"]
 
 
 def _maxabs(v: Column) -> Column:
@@ -71,6 +72,79 @@ def dequantize_int8(
         F.col(qvec_col),
         lambda q: q.cast("double") * F.col(scale_col))
     return df.select(F.col(id_col), out.alias(out_col))
+
+
+def sign_quantize(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """→ (id_col, words array<long>): 1-BIT quantization — bit j of
+    word w is set iff ``x[32w + j] > 0`` (32 sign bits per word, so
+    every word value stays well inside a signed 64-bit long and the
+    packing is plain exact integer arithmetic any engine reproduces).
+    32× smaller than float32; map-only, zero shuffle.  The Hamming
+    distance between two codes is the classic angular-similarity proxy
+    (random-hyperplane LSH with axis-aligned planes)."""
+    v = F.col(vec_col).cast("array<double>")
+    nwords = (F.size(v) + F.lit(31)) / F.lit(32)
+    words = F.transform(
+        F.sequence(F.lit(0), nwords.cast("int") - 1),
+        lambda w: F.aggregate(
+            F.zip_with(
+                F.slice(v, w * 32 + 1, 32),
+                F.sequence(F.lit(0), F.lit(31)),
+                # 2^j via pow (exact in double through 2^31, then cast)
+                # — F.shiftleft requires a literal python int shift
+                lambda x, j: F.when(
+                    x > 0,
+                    F.pow(F.lit(2.0), j.cast("double")).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"), lambda acc, b: acc + b,
+        ),
+    )
+    return df.select(F.col(id_col), words.alias("words"))
+
+
+def hamming_topk_bits(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    index_id: str = "vec_id",
+    query_id: str = "vec_id",
+) -> DataFrame:
+    """Brute-force Hamming top-k over sign codes →
+    (query_id, neighbor_id, hamming, rank), nearest first.
+
+    Distance = Σ popcount(word_a XOR word_b) — EXACT integers end to
+    end, so ranking (ties to the smaller neighbor id) is reproducible
+    on any partitioning and in any engine, with no rounding anywhere.
+    The broadcast-queries / WindowGroupLimit plan of cosine_topk."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qi = sign_quantize(index, vec_col=vec_col, id_col=index_id).select(
+        F.col(index_id).alias("neighbor_id"), F.col("words").alias("__iw"))
+    qq = sign_quantize(queries, vec_col=vec_col, id_col=query_id).select(
+        F.col(query_id).alias("query_id"), F.col("words").alias("__qw"))
+    ham = F.aggregate(
+        F.zip_with(F.col("__iw"), F.col("__qw"),
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = (
+        qi.crossJoin(F.broadcast(qq))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", ham.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
 
 
 def _int_dot(a: Column, b: Column) -> Column:

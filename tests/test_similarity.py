@@ -575,3 +575,65 @@ def test_int8_cosine_topk_recall_vs_float(spark, embeddings):
     assert a.equals(b)
     with pytest.raises(ValueError, match="k must"):
         cosine_topk_int8(emb, queries, k=0)
+
+
+def test_sign_quantize_packing_matches_python(spark):
+    """Bit j of word w set iff x[32w+j] > 0 — checked against a plain
+    python pack over dims that straddle word boundaries (1, 31, 32,
+    33, 64, 70), including zeros (not set) and negatives (not set)."""
+    from cuml_spark.similarity.quantize import sign_quantize
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for vid, d in enumerate([1, 31, 32, 33, 64, 70]):
+        v = rng.standard_normal(d)
+        v[::5] = 0.0  # exercise the x > 0 (not >=) contract
+        rows.append((vid, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: list(r["words"]) for r in sign_quantize(df).collect()}
+    for vid, v in rows:
+        want = [0] * ((len(v) + 31) // 32)
+        for i, x in enumerate(v):
+            if x > 0:
+                want[i // 32] |= 1 << (i % 32)
+        assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_hamming_topk_bits_exact_and_angularish(spark, embeddings):
+    """Hamming over sign codes equals the python popcount fold, ranking
+    is deterministic across partitionings, and the nearest-by-hamming
+    neighbor sets overlap the float-cosine ones well above chance."""
+    from cuml_spark.neighbors.nearest_neighbors import cosine_topk
+    from cuml_spark.similarity.quantize import hamming_topk_bits
+
+    emb = embeddings.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")).cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = hamming_topk_bits(emb, queries, k=5).toPandas()
+    # python reference on a small slice
+    ref_vecs = {r["vec_id"]: np.asarray(r["embedding"])
+                for r in emb.filter(F.col("vec_id") < 50).collect()}
+
+    def code(v):
+        return sum(1 << i for i, x in enumerate(v) if x > 0)
+
+    q3 = got[got.query_id == 3]
+    for _, row in q3.iterrows():
+        n = row["neighbor_id"]
+        if n in ref_vecs:
+            want = bin(code(ref_vecs[3]) ^ code(ref_vecs[n])).count("1")
+            assert row["hamming"] == want
+    rep = hamming_topk_bits(emb.repartition(7), queries, k=5).toPandas()
+    a = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = rep.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    truth = cosine_topk(emb, queries, k=20).toPandas()
+    t_sets = truth.groupby("query_id")["neighbor_id"].apply(set)
+    g_sets = got.groupby("query_id")["neighbor_id"].apply(set)
+    overlap = np.mean([len(t_sets[q] & g_sets.get(q, set())) / 5.0
+                       for q in g_sets.index])
+    # 5000-row corpus: random top-5 would hit a top-20 set ~0.4% of the
+    # time; the sign-code proxy must do far better
+    assert overlap >= 0.2
+    with pytest.raises(ValueError, match="k must"):
+        hamming_topk_bits(emb, queries, k=0)
