@@ -463,8 +463,9 @@ ORACLES.update(ORACLES_STREAMING)
 # of age at the end of r9.  ONE r9 query is never-driver-checked by
 # necessity: media_decode_lossless (the SOF3 codec) landed after the 50
 # slots were committed; so did cosine_topk_int8 (scalar-quantized
-# search) and hamming_topk_signs (1-bit sign codes).  All three are
-# verify_local-green (sf0.01) and MUST open
+# search), hamming_topk_signs (1-bit sign codes), and
+# pipeline_ann_ladder (hamming shortlist -> exact cosine rerank).  All
+# four are verify_local-green (sf0.01) and MUST open
 # r10's (a) section alongside the 29 deferred.  The rest of the ledger:
 # they reach exactly two rounds
 # of age at the end of r9 and MUST lead the r10 window, together with

@@ -7,7 +7,7 @@ coefficient tables as the Spark implementation so the arithmetic is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cuml_spark.neighbors import cosine_topk, knn_join
@@ -396,6 +396,94 @@ SELECT query_id, neighbor_id, hamming,
          PARTITION BY query_id ORDER BY hamming, neighbor_id
        )::BIGINT AS rank
 FROM ham QUALIFY rank <= 5
+"""
+
+
+def q_pipeline_ann_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage retrieval ladder end-to-end: 1-bit Hamming
+    shortlist (top-40 sign-code candidates per query — exact integers,
+    cheap) → exact float-cosine RERANK of only the shortlist (top-5).
+    The shape every production vector store runs: the coarse tier
+    bounds the candidate set, the precise tier never touches the full
+    corpus.  Cosine reranks in-row on the joined pairs (zip_with dot —
+    no GEMM needed at shortlist scale); scores round to 6 before
+    ranking, ties to the smaller id."""
+    from cuml_spark.similarity.quantize import hamming_topk_bits
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    short = hamming_topk_bits(emb, queries, k=40).select(
+        "query_id", "neighbor_id")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.zip_with(F.col(c), F.col(c), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x))
+    joined = (
+        short
+        .join(vecs.select(F.col("vec_id").alias("query_id"),
+                          F.col("v").alias("qv")), "query_id")
+        .join(vecs.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("v").alias("nv")), "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(dot / (norm("qv") * norm("nv")), 6)
+                .alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+_SQL_PIPELINE_ANN_LADDER = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), pos AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+), wordsrc AS (
+  SELECT vec_id, (i - 1) // 32 AS w,
+         sum(CASE WHEN x > 0 THEN (1::BIGINT << ((i - 1) % 32))
+                  ELSE 0 END)::BIGINT AS word
+  FROM pos GROUP BY 1, 2
+), packed AS (
+  SELECT vec_id, list(word ORDER BY w) AS words FROM wordsrc GROUP BY 1
+), qq AS (
+  SELECT vec_id AS query_id, words FROM packed WHERE vec_id < 10
+), ham AS (
+  SELECT qq.query_id, p.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(p.words) + 1),
+             wi -> bit_count(xor(p.words[wi], qq.words[wi]))))::BIGINT
+           AS hamming
+  FROM packed p, qq WHERE p.vec_id <> qq.query_id
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY hamming, neighbor_id
+           ) AS hr
+    FROM ham
+  ) WHERE hr <= 40
+), rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS cos_sim
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+       )::BIGINT AS rank
+FROM rer QUALIFY rank <= 5
 """
 
 
@@ -1964,6 +2052,7 @@ QUERIES_TEXT = {
     "cosine_topk": q_cosine_topk,
     "cosine_topk_int8": q_cosine_topk_int8,
     "hamming_topk_signs": q_hamming_topk_signs,
+    "pipeline_ann_ladder": q_pipeline_ann_ladder,
     "kpss_events": q_kpss_events,
 }
 
@@ -2032,5 +2121,6 @@ ORACLES_TEXT = {
     "cosine_topk": _SQL_COSINE_TOPK,
     "cosine_topk_int8": _SQL_COSINE_TOPK_INT8,
     "hamming_topk_signs": _SQL_HAMMING_TOPK_SIGNS,
+    "pipeline_ann_ladder": _SQL_PIPELINE_ANN_LADDER,
     "kpss_events": _SQL_KPSS_EVENTS,
 }
