@@ -872,3 +872,85 @@ def test_lossless_jpeg_round_trip_property(h, w, nc, pred, seed, rst):
     img = rng.randint(0, 256, size=(h, w, nc)).astype(np.uint8)
     buf = encode_jpeg_lossless(img, predictor=pred, restart_interval=rst)
     assert np.array_equal(decode_jpeg_lossless(buf), img)
+
+
+@SET
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(min_value=-100, max_value=100,
+                           allow_nan=False, allow_infinity=False,
+                           width=32),
+                 min_size=1, max_size=12),
+        min_size=1, max_size=8),
+)
+def test_int8_quantize_matches_python_reference(spark, vecs):
+    """For ANY float vectors, int8 codes equal the python reference
+    (half-away rounding, scale = max|x|/127) and stay in [-127, 127]."""
+    import math
+
+    from cuml_spark.similarity.quantize import quantize_int8
+
+    d = max(len(v) for v in vecs)
+    rows = [(i, [float(x) for x in (v + [0.0] * (d - len(v)))])
+            for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (list(r["qvec"]), r["scale"])
+           for r in quantize_int8(df).collect()}
+    for vid, v in rows:
+        m = max(abs(x) for x in v)
+        s = m / 127.0
+        if s == 0:
+            assert got[vid] == ([0] * len(v), 0.0)
+            continue
+        for x, q in zip(v, got[vid][0]):
+            t = x / s
+            want = int(math.copysign(math.floor(abs(t) + 0.5), t))
+            assert q == want
+            assert -127 <= q <= 127
+        assert got[vid][1] == pytest.approx(s)
+
+
+@SET
+@given(
+    edges=st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                   min_size=1, max_size=25),
+    scores=st.lists(st.one_of(st.none(),
+                              st.floats(-1e6, 1e6, allow_nan=False)),
+                    min_size=16, max_size=16),
+    higher=st.booleans(),
+)
+def test_keep_best_matches_python_reference_property(
+        spark, edges, scores, higher):
+    """For ANY groups and (possibly NULL) scores, keep_best equals a
+    plain python fold under the documented ordering (nulls last, ties
+    to the smaller id)."""
+    from cuml_spark.similarity import keep_best_in_groups, near_dup_groups
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    groups_df = near_dup_groups(pairs)
+    sc = spark.createDataFrame(list(enumerate(scores)),
+                               "doc_id long, s double")
+    got = {r["group_id"]: (r["best_id"], r["best_score"])
+           for r in keep_best_in_groups(
+               groups_df, sc, score_col="s",
+               higher_is_better=higher).collect()}
+    membership = sorted((r["vid"], r["group_id"])
+                        for r in groups_df.collect())
+    want: dict[int, tuple[int, float | None]] = {}
+    for vid, gid in membership:
+        s = scores[vid]
+        cand = (vid, s)
+        cur = want.get(gid)
+
+        def key(item):
+            v, sc_ = item
+            if sc_ is None:
+                return (1, 0.0, v)
+            return (0, -sc_ if higher else sc_, v)
+
+        if cur is None or key(cand) < key(cur):
+            want[gid] = cand
+    assert got == want
