@@ -637,3 +637,18 @@ def test_hamming_topk_bits_exact_and_angularish(spark, embeddings):
     assert overlap >= 0.2
     with pytest.raises(ValueError, match="k must"):
         hamming_topk_bits(emb, queries, k=0)
+
+
+def test_kcenter_all_identical_points(spark):
+    """Degenerate corpus (every vector identical): selection still
+    returns k DISTINCT ids in ascending order with covering distance 0
+    — the exclusion filter prevents re-picking a chosen point."""
+    from cuml_spark.similarity.kcenter import kcenter_select
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    got = kcenter_select(df, 4).orderBy("sel_order").collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 2, 3]
+    assert got[0]["dist"] is None
+    assert all(r["dist"] == 0.0 for r in got[1:])
