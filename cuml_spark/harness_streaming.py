@@ -296,6 +296,51 @@ def _sql_streaming_dsir_gate() -> str:
     return _sql_dsir(512, None)
 
 
+_BLOOM_GATE_MODELS: dict = {}
+
+
+def _bloom_gate_model(spark: SparkSession, sf_dir: str):
+    """Session-cached fitted bloom filter (fit-once/probe-stream, the
+    same deployment contract as _dsir_gate_model): ONE bit-position-keyed
+    aggregation over the "previous snapshot" (doc_id % 7 == 0), packed to
+    128 longs on the driver.  A cold session's first gate run pays the
+    fit (bench's warm-ALL protocol absorbs it); later runs report the
+    pure map-only probe."""
+    from cuml_spark.core.session import ensure_parallelism, session_cached
+    from cuml_spark.text.bloom import fit_bloom
+
+    def build():
+        batch = ensure_parallelism(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        return fit_bloom(batch.where(F.col("doc_id") % 7 == 0), "text",
+                         num_bits=8192, num_hashes=5)
+
+    return session_cached(_BLOOM_GATE_MODELS, spark, sf_dir, build)
+
+
+def q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom membership gate as an INGEST-TIME filter (the
+    cross-crawl "seen in the last snapshot?" suppression shape): the
+    filter is fit BATCH side and rides the streaming plan as a literal
+    long array — bloom_probe is stateless codegen (element_at +
+    shiftrightunsigned), so it drops unchanged into a streaming query.
+    Row-for-row parity with the batch `bloom_dedup_gate` answer (same
+    oracle)."""
+    from cuml_spark.text.bloom import bloom_probe
+
+    model = _bloom_gate_model(spark, sf_dir)
+    stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
+    probed = bloom_probe(stream, model, "text")
+    sink = _run_to_memory(probed, "append")
+    return sink.select("doc_id", "maybe_seen")
+
+
+def _sql_streaming_bloom_gate() -> str:
+    from cuml_spark.harness_text import _SQL_BLOOM_DEDUP_GATE
+
+    return _SQL_BLOOM_DEDUP_GATE
+
+
 QUERIES_STREAMING = {
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "streaming_window_stats": q_streaming_window_stats,
@@ -304,6 +349,7 @@ QUERIES_STREAMING = {
     "streaming_quality_scores": q_streaming_quality_scores,
     "streaming_gopher_gate": q_streaming_gopher_gate,
     "streaming_dsir_gate": q_streaming_dsir_gate,
+    "streaming_bloom_gate": q_streaming_bloom_gate,
 }
 
 ORACLES_STREAMING = {
@@ -314,4 +360,5 @@ ORACLES_STREAMING = {
     "streaming_quality_scores": _sql_streaming_quality_scores(),
     "streaming_gopher_gate": _sql_streaming_gopher_gate(),
     "streaming_dsir_gate": _sql_streaming_dsir_gate(),
+    "streaming_bloom_gate": _sql_streaming_bloom_gate(),
 }

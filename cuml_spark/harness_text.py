@@ -2014,8 +2014,51 @@ keepg AS (
 """
 
 
+def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate (text/bloom.py): fit a packed
+    8192-bit / 5-hash filter over the "previous snapshot" (docs with
+    ``doc_id % 7 == 0``) — ONE bit-position-keyed aggregation bounded at
+    ≤ num_bits rows — then probe the full corpus map-only (the bitmap is
+    a plan-literal long array; element_at + shiftrightunsigned codegen,
+    zero shuffle, no UDF).  No false negatives by construction: every
+    fitted doc MUST flag true; false positives are md5-deterministic, so
+    the relational DuckDB replay matches bit-for-bit."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.bloom import bloom_probe, fit_bloom
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    seen = docs.where(F.col("doc_id") % 7 == 0)
+    bf = fit_bloom(seen, "text", num_bits=8192, num_hashes=5)
+    return bloom_probe(docs, bf, "text").select("doc_id", "maybe_seen")
+
+
+# relational replay of bloom membership: a probe key is flagged iff ALL
+# num_hashes of its bit positions appear among the fitted corpus'
+# distinct positions — same semantics as the packed-bitmap test, no bit
+# arithmetic needed oracle-side
+_SQL_BLOOM_DEDUP_GATE = """
+WITH pos AS (
+  SELECT doc_id,
+         i,
+         CAST(('0x' || substr(md5(text || ':' || i), 1, 8)) AS BIGINT)
+           % 8192 AS p
+  FROM documents, unnest([0, 1, 2, 3, 4]) t(i)
+  WHERE text IS NOT NULL
+), fitted AS (
+  SELECT DISTINCT p FROM pos WHERE doc_id % 7 = 0
+), hits AS (
+  SELECT pos.doc_id, count(*) AS nhit
+  FROM pos JOIN fitted USING (p)
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(h.nhit, 0) = 5 AS maybe_seen
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "bloom_dedup_gate": q_bloom_dedup_gate,
     "domain_mixture_sample": q_domain_mixture_sample,
     "doc_perplexity": q_doc_perplexity,
     "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
@@ -2086,6 +2129,7 @@ LEFT JOIN mt m ON m.doc_id = d.doc_id
 
 ORACLES_TEXT = {
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
+    "bloom_dedup_gate": _SQL_BLOOM_DEDUP_GATE,
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
     "doc_perplexity": _SQL_DOC_PERPLEXITY,
     "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,

@@ -595,3 +595,22 @@ def test_quantize_int8_map_only_pruned(spark):
     assert "EvalPython" not in plan
     schemas = _read_schemas(out)
     assert schemas and all("label" not in s for s in schemas)
+
+
+def test_bloom_probe_zero_shuffle_no_udf(spark):
+    """The bloom probe is the ingest-time membership gate over a 100 TB
+    stream: the packed bitmap rides the plan as a literal long array, so
+    the probe is map-only — ZERO shuffle exchanges, no joins, no Python
+    eval — and the scan prunes to the probed column + id."""
+    from cuml_spark.text.bloom import bloom_probe, fit_bloom
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bf = fit_bloom(documents.where(F.col("doc_id") % 7 == 0), "text",
+                   num_bits=1024, num_hashes=3)
+    out = bloom_probe(documents.select("doc_id", "text"), bf, "text")
+    plan = _plan(out)
+    assert _n_shuffles(out) == 0
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    schemas = _read_schemas(out)
+    assert schemas and all("lang" not in s for s in schemas)

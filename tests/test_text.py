@@ -655,3 +655,78 @@ def test_perplexity_buckets_terciles(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="quantiles"):
         perplexity_buckets(df, quantiles=(0.7, 0.3))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter membership gate (text/bloom.py)
+# --------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_null_policy(spark):
+    from pyspark.sql import functions as F
+
+    from cuml_spark.text.bloom import bloom_probe, fit_bloom
+
+    rows = [(i, f"document number {i} body") for i in range(200)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fitted = df.where(F.col("doc_id") % 3 == 0)
+    bf = fit_bloom(fitted, "text", num_bits=4096, num_hashes=4)
+    out = {r["doc_id"]: r["seen"] for r in bloom_probe(
+        df, bf, "text", out_col="seen").collect()}
+    # no false negatives: every fitted key probes true
+    assert all(out[i] for i in range(0, 200, 3))
+    # null keys are never "seen"
+    assert out[999] is False
+
+
+def test_bloom_positions_and_packing_match_python(spark):
+    import hashlib as _hl
+
+    from cuml_spark.text.bloom import fit_bloom
+
+    keys = ["alpha", "beta", "gamma delta", ""]
+    df = spark.createDataFrame([(k,) for k in keys], "text string")
+    num_bits, k = 1024, 3
+    bf = fit_bloom(df, "text", num_bits=num_bits, num_hashes=k)
+
+    expect = set()
+    for key in keys:
+        for i in range(k):
+            h = int(_hl.md5(f"{key}:{i}".encode()).hexdigest()[:8], 16)
+            expect.add(h % num_bits)
+    got = set()
+    for j, w in enumerate(bf.words):
+        w &= (1 << 64) - 1
+        for b in range(64):
+            if (w >> b) & 1:
+                got.add(j * 64 + b)
+    assert got == expect
+    assert bf.bits_set == len(expect)
+
+
+def test_bloom_false_positive_rate_in_range(spark):
+    from pyspark.sql import functions as F
+
+    from cuml_spark.text.bloom import bloom_probe, fit_bloom
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("key-"), F.col("id")).alias("text"))
+    fitted = df.where(F.col("doc_id") < 1000)
+    bf = fit_bloom(fitted, "text", num_bits=1 << 14, num_hashes=5)
+    probed = bloom_probe(df.where(F.col("doc_id") >= 1000), bf, "text")
+    fp = probed.where(F.col("maybe_seen")).count()
+    # theoretical fpr ~0.9%; 1000 probes -> expect ~9, bound loosely
+    assert fp <= 60
+    assert bf.false_positive_rate(1000) < 0.02
+
+
+def test_bloom_validation():
+    import pytest as _pt
+
+    from cuml_spark.text.bloom import BloomFilter, fit_bloom
+
+    with _pt.raises(ValueError, match="multiple of 64"):
+        fit_bloom(None, "text", num_bits=100)
+    with _pt.raises(ValueError, match="num_hashes"):
+        fit_bloom(None, "text", num_bits=128, num_hashes=0)
