@@ -2056,9 +2056,66 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (text/winnow.py, MOSS): in-row
+    4-gram/5-window minimum selection (~1/3 fingerprint density; any
+    shared run of ≥ 8 tokens is guaranteed caught), then a df-capped
+    fingerprint equi-join — pairs ranked by distinct shared
+    fingerprints.  The partial-overlap detector whole-doc MinHash
+    misses; df cap = the quadratic-bucket skew guard."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.winnow import winnow_fingerprints, winnow_overlap
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    return winnow_overlap(fps, max_df=50, min_shared=2).select(
+        "doc_a", "doc_b", F.col("shared_fps").cast("long").alias("shared_fps")
+    )
+
+
+# winnowing replay: window minima via a ROWS frame (the m < w single
+# short window falls out of the greatest(1, m-w+1) start bound); pair
+# counts over DISTINCT (doc, fp) — selection positions don't matter for
+# overlap, so the oracle skips them (they're pinned by unit tests)
+_SQL_WINNOW_OVERLAP = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST(('0x' || substr(md5(array_to_string(
+           list_slice(l, CAST(i AS INT), CAST(i AS INT) + 3), ' ')), 1, 8))
+           AS BIGINT) AS h
+  FROM toks, unnest(range(1, len(l) - 4 + 2)) t(i)
+  WHERE coalesce(len(l), 0) >= 4
+), mg AS (
+  SELECT doc_id, max(i) AS m FROM g GROUP BY 1
+), wmin AS (
+  SELECT doc_id, i AS ws,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+  FROM g
+), fps AS (
+  SELECT DISTINCT w.doc_id, w.fp
+  FROM wmin w JOIN mg USING (doc_id)
+  WHERE w.ws <= greatest(1, mg.m - 5 + 1)
+), dfc AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+), kept AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS shared_fps
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "bloom_dedup_gate": q_bloom_dedup_gate,
+    "winnow_overlap": q_winnow_overlap,
     "domain_mixture_sample": q_domain_mixture_sample,
     "doc_perplexity": q_doc_perplexity,
     "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
@@ -2130,6 +2187,7 @@ LEFT JOIN mt m ON m.doc_id = d.doc_id
 ORACLES_TEXT = {
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
     "bloom_dedup_gate": _SQL_BLOOM_DEDUP_GATE,
+    "winnow_overlap": _SQL_WINNOW_OVERLAP,
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
     "doc_perplexity": _SQL_DOC_PERPLEXITY,
     "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,

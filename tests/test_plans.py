@@ -614,3 +614,22 @@ def test_bloom_probe_zero_shuffle_no_udf(spark):
     assert "EvalPython" not in plan
     schemas = _read_schemas(out)
     assert schemas and all("lang" not in s for s in schemas)
+
+
+def test_winnow_fingerprints_map_only_overlap_bounded(spark):
+    """Winnowing selection is IN-ROW (zero shuffles — text never leaves
+    its scan partition); the overlap join shuffles only (doc, fp) longs:
+    distinct + df-count + count-per-pair, no cartesian product."""
+    from cuml_spark.text.winnow import winnow_fingerprints, winnow_overlap
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fps = winnow_fingerprints(documents, k=4, w=5)
+    assert _n_shuffles(fps) == 0
+    assert "EvalPython" not in _plan(fps)
+    out = winnow_overlap(fps, max_df=50, min_shared=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # text is not among the shuffled columns: every exchange key/row is ids+fp
+    schemas = _read_schemas(out)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas)

@@ -730,3 +730,105 @@ def test_bloom_validation():
         fit_bloom(None, "text", num_bits=100)
     with _pt.raises(ValueError, match="num_hashes"):
         fit_bloom(None, "text", num_bits=128, num_hashes=0)
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (text/winnow.py)
+# --------------------------------------------------------------------------
+
+
+def _ref_winnow(tokens, k, w):
+    """Pure-python winnowing reference: leftmost-min per window,
+    distinct (1-based pos, hash) selections."""
+    import hashlib as _hl
+
+    grams = [
+        int(_hl.md5(" ".join(tokens[i:i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(len(tokens) - k + 1)
+    ]
+    m = len(grams)
+    if m < 1:
+        return set()
+    out = set()
+    for j in range(max(1, m - w + 1)):
+        win = grams[j:j + w]
+        mn = min(win)
+        out.add((j + win.index(mn) + 1, mn))
+    return out
+
+
+def test_winnow_matches_python_reference(spark):
+    import random
+
+    from cuml_spark.text.winnow import winnow_fingerprints
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        n = rng.randint(0, 25)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows.append((98, None))
+    rows.append((99, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=3, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for d, text in rows:
+        toks = text.split() if text else []
+        expect = _ref_winnow(toks, 3, 4)
+        assert got.get(d, set()) == expect, f"doc {d}"
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Any shared token run of length >= w + k - 1 MUST yield a shared
+    fingerprint (the paper's correctness guarantee)."""
+    from cuml_spark.text.winnow import winnow_fingerprints, winnow_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = 5+4-1
+    d1 = "xx1 yy1 zz1 " + shared + " aa1 bb1"
+    d2 = "qq2 rr2 " + shared + " ss2 tt2 uu2"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, "totally different words only here")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=4, w=5)
+    pairs = winnow_overlap(fps, max_df=10, min_shared=1).collect()
+    assert any(r["doc_a"] == 1 and r["doc_b"] == 2 for r in pairs)
+    assert not any(3 in (r["doc_a"], r["doc_b"]) for r in pairs)
+
+
+def test_winnow_overlap_max_df_drops_boilerplate(spark):
+    """A fingerprint present in every document is dropped by the df cap,
+    so ubiquitous boilerplate can't create quadratic pair blowup."""
+    from cuml_spark.text.winnow import winnow_fingerprints, winnow_overlap
+
+    boiler = ("same boiler plate line repeated everywhere with quite a few "
+              "more shared tokens to guarantee interior windows")
+    # identical docs: every fingerprint has df = 10, so a cap below 10
+    # drops ALL of them — no pair can survive on boilerplate alone
+    same = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id long, text string")
+    fps_same = winnow_fingerprints(same, k=4, w=5)
+    assert winnow_overlap(fps_same, max_df=5, min_shared=1).count() == 0
+    # distinct prefixes + a shared run >= w+k-1: interior all-shared
+    # windows select identical fingerprints in every doc, so with a cap
+    # >= 10 ALL C(10,2) pairs surface
+    rows = [(i, f"unique{i} prefix{i} " + boiler) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=4, w=5)
+    assert winnow_overlap(fps, max_df=20, min_shared=1).count() == 45
+
+
+def test_winnow_validation(spark):
+    import pytest as _pt
+
+    from cuml_spark.text.winnow import winnow_fingerprints, winnow_overlap
+
+    with _pt.raises(ValueError, match="k must"):
+        winnow_fingerprints(None, k=0)
+    with _pt.raises(ValueError, match="w must"):
+        winnow_fingerprints(None, w=0)
+    with _pt.raises(ValueError, match="max_df"):
+        winnow_overlap(None, max_df=1)
+    with _pt.raises(ValueError, match="min_shared"):
+        winnow_overlap(None, min_shared=0)
