@@ -2112,10 +2112,81 @@ HAVING count(*) >= 2
 """
 
 
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog cardinality (ops/hll.py): per-language
+    distinct-token estimates next to the exact counts.  Registers are
+    ONE (lang, bucket)-keyed max aggregation bounded at groups × 2^b
+    rows — the values never cross the shuffle; the estimate folds ≤ 2^b
+    register rows per group.  md5 hash + exact-dyadic harmonic sum, so
+    the DuckDB oracle replays the sketch register-for-register."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.ops.hll import hll_distinct
+    from cuml_spark.text.lm import _token_array
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "lang", F.explode(_token_array("text", " ")).alias("tok"))
+    est = hll_distinct(toks, ["lang"], "tok", b=10)
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct("tok").alias("exact_distinct"))
+    return est.join(exact, "lang").select(
+        "lang",
+        F.round("approx_distinct", 4).alias("approx_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
+# register-for-register HLL replay (b=10: bucket = top 10 of 32 md5
+# bits, rem_bits=22); alpha is written as the same literal expression
+# both engines evaluate with identical IEEE ops, and the harmonic sum is
+# exact in double (dyadic terms, < 2^53 total) so aggregation order
+# cannot flake the hash — only the linear-counting ln needs rounding
+_SQL_HLL_DISTINCT_TOKENS = """
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT lang, tok,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+  FROM toks
+), r AS (
+  SELECT lang, hv // 4194304 AS bucket,
+         CASE WHEN hv % 4194304 > 0
+              THEN 22 - length(bin(hv % 4194304)) + 1
+              ELSE 23 END AS rho
+  FROM h
+), regs AS (
+  SELECT lang, bucket, max(rho) AS max_rho FROM r GROUP BY 1, 2
+), agg AS (
+  SELECT lang, sum(power(2.0, -max_rho)) AS s_hit, count(*) AS hit
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT lang,
+         ((0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024)
+           / (s_hit + (1024 - hit)) AS raw,
+         1024 - hit AS zeros
+  FROM agg
+), fin AS (
+  SELECT lang,
+         CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+              THEN 1024.0 * ln(1024.0 / zeros)
+              ELSE raw END AS approx_distinct
+  FROM est
+)
+SELECT f.lang, round(f.approx_distinct, 4) AS approx_distinct,
+       x.exact_distinct
+FROM fin f JOIN (
+  SELECT lang, count(DISTINCT tok)::BIGINT AS exact_distinct
+  FROM toks GROUP BY 1
+) x USING (lang)
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "bloom_dedup_gate": q_bloom_dedup_gate,
     "winnow_overlap": q_winnow_overlap,
+    "hll_distinct_tokens": q_hll_distinct_tokens,
     "domain_mixture_sample": q_domain_mixture_sample,
     "doc_perplexity": q_doc_perplexity,
     "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
@@ -2188,6 +2259,7 @@ ORACLES_TEXT = {
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
     "bloom_dedup_gate": _SQL_BLOOM_DEDUP_GATE,
     "winnow_overlap": _SQL_WINNOW_OVERLAP,
+    "hll_distinct_tokens": _SQL_HLL_DISTINCT_TOKENS,
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
     "doc_perplexity": _SQL_DOC_PERPLEXITY,
     "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,

@@ -633,3 +633,20 @@ def test_winnow_fingerprints_map_only_overlap_bounded(spark):
     # text is not among the shuffled columns: every exchange key/row is ids+fp
     schemas = _read_schemas(out)
     assert schemas and all("lang" not in s and "source" not in s for s in schemas)
+
+
+def test_hll_registers_single_bounded_shuffle(spark):
+    """HLL registers are ONE map-side-combined (group, bucket) max
+    aggregation — a single shuffle carrying <= groups x 2^b rows; the
+    raw values never cross the wire, and the scan prunes to the
+    grouped + hashed columns."""
+    from cuml_spark.ops.hll import hll_registers
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    regs = hll_registers(documents, ["lang"], "text", b=10)
+    plan = _plan(regs)
+    assert _n_shuffles(regs) == 1
+    assert "partial_max" in plan or "partial_finalmerge" in plan
+    assert "EvalPython" not in plan
+    schemas = _read_schemas(regs)
+    assert schemas and all("source" not in s for s in schemas)
