@@ -2182,11 +2182,58 @@ FROM fin f JOIN (
 """
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join (text/sparse_sim.py):
+    all-pairs lexical similarity over the inverted index — the pair
+    space is the term-keyed postings self-join over a df-capped
+    vocabulary (never doc × doc), and the integer-scaled idf makes
+    every dot product / norm an exact integer sum, so the cut is
+    engine-portable."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.sparse_sim import tfidf_cosine_pairs
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return tfidf_cosine_pairs(docs, 0.3, max_df=100)
+
+
+_SQL_TFIDF_COSINE_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS term
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tf
+), dfq AS (
+  SELECT term,
+         CAST(round(1000 * (ln((1.0 + nd.n) / (1 + count(*))) + 1.0))
+              AS BIGINT) AS idfm
+  FROM tf, nd GROUP BY term, nd.n HAVING count(*) <= 100
+), posts AS (
+  SELECT tf.doc_id, tf.term, tf.tf * dfq.idfm AS w
+  FROM tf JOIN dfq USING (term)
+), norms AS (
+  SELECT doc_id, sum(w * w)::DOUBLE AS n2 FROM posts GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w)::DOUBLE AS dot
+  FROM posts a JOIN posts b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+FROM dots JOIN norms na ON na.doc_id = dots.doc_a
+          JOIN norms nb ON nb.doc_id = dots.doc_b
+WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.3
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "bloom_dedup_gate": q_bloom_dedup_gate,
     "winnow_overlap": q_winnow_overlap,
     "hll_distinct_tokens": q_hll_distinct_tokens,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "domain_mixture_sample": q_domain_mixture_sample,
     "doc_perplexity": q_doc_perplexity,
     "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
@@ -2260,6 +2307,7 @@ ORACLES_TEXT = {
     "bloom_dedup_gate": _SQL_BLOOM_DEDUP_GATE,
     "winnow_overlap": _SQL_WINNOW_OVERLAP,
     "hll_distinct_tokens": _SQL_HLL_DISTINCT_TOKENS,
+    "tfidf_cosine_pairs": _SQL_TFIDF_COSINE_PAIRS,
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
     "doc_perplexity": _SQL_DOC_PERPLEXITY,
     "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,

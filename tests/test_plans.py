@@ -650,3 +650,17 @@ def test_hll_registers_single_bounded_shuffle(spark):
     assert "EvalPython" not in plan
     schemas = _read_schemas(regs)
     assert schemas and all("source" not in s for s in schemas)
+
+
+def test_tfidf_pairs_no_cartesian_df_capped(spark):
+    """The tf-idf similarity join pairs via the term-keyed postings
+    self-join over a df-capped vocabulary — no cartesian product, no
+    Python eval, and postings materialize ONCE (localCheckpoint) so the
+    self-join + norm reads don't recompute the corpus scan."""
+    from cuml_spark.text.sparse_sim import tfidf_cosine_pairs
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = tfidf_cosine_pairs(documents, 0.3, max_df=100)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -832,3 +832,85 @@ def test_winnow_validation(spark):
         winnow_overlap(None, max_df=1)
     with _pt.raises(ValueError, match="min_shared"):
         winnow_overlap(None, min_shared=0)
+
+
+# --------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity join (text/sparse_sim.py)
+# --------------------------------------------------------------------------
+
+
+def _ref_tfidf_pairs(docs, max_df, threshold):
+    """Pure-python replay of the integer-scaled tf-idf cosine join."""
+    import math
+    from collections import Counter
+
+    tf = {d: Counter(t.split()) for d, t in docs if t}
+    tf = {d: c for d, c in tf.items() if c}
+    n = len(tf)
+    dfc = Counter(term for c in tf.values() for term in c)
+    idfm = {
+        t: round(1000 * (math.log((1.0 + n) / (1 + df)) + 1.0))
+        for t, df in dfc.items() if df <= max_df
+    }
+    w = {d: {t: c * idfm[t] for t, c in cnt.items() if t in idfm}
+         for d, cnt in tf.items()}
+    norms = {d: math.sqrt(sum(x * x for x in ws.values())) for d, ws in w.items()}
+    out = {}
+    ids = sorted(w)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            dot = sum(w[a][t] * w[b].get(t, 0) for t in w[a])
+            if dot and norms[a] and norms[b]:
+                c = round(dot / (norms[a] * norms[b]), 6)
+                if c >= threshold:
+                    out[(a, b)] = c
+    return out
+
+
+def test_tfidf_pairs_match_python_reference(spark):
+    import random
+
+    from cuml_spark.text.sparse_sim import tfidf_cosine_pairs
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(40)]
+    docs = [(d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+            for d in range(30)] + [(98, None), (99, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(df, 0.2, max_df=25).collect()}
+    assert got == _ref_tfidf_pairs(docs, 25, 0.2)
+
+
+def test_tfidf_pairs_identical_docs_cosine_one(spark):
+    from cuml_spark.text.sparse_sim import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "unrelated words entirely different")],
+        "doc_id long, text string")
+    rows = tfidf_cosine_pairs(df, 0.1, max_df=10).collect()
+    assert len(rows) == 1
+    assert (rows[0]["doc_a"], rows[0]["doc_b"], rows[0]["cosine"]) == (1, 2, 1.0)
+
+
+def test_tfidf_pairs_max_df_kills_stopword_bucket(spark):
+    from cuml_spark.text.sparse_sim import tfidf_cosine_pairs
+
+    # docs share ONLY the ubiquitous term; capping df drops it entirely
+    rows = [(i, f"unique{i} the") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert tfidf_cosine_pairs(df, 0.01, max_df=10).count() == 0
+    assert tfidf_cosine_pairs(df, 0.01, max_df=20).count() == 190
+
+
+def test_tfidf_pairs_validation(spark):
+    import pytest as _pt
+
+    from cuml_spark.text.sparse_sim import (tfidf_cosine_pairs,
+                                            tfidf_weighted_postings)
+
+    with _pt.raises(ValueError, match="threshold"):
+        tfidf_cosine_pairs(None, 0.0)
+    with _pt.raises(ValueError, match="max_df"):
+        tfidf_weighted_postings(None, max_df=0)
