@@ -2228,12 +2228,65 @@ WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.3
 """
 
 
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (ops/cms.py): fixed-memory approximate token
+    frequencies — the fit is ONE (row, bucket)-keyed aggregation bounded
+    at d × w rows; estimates for the exact top-30 tokens ride plan-
+    literal counter rows (min over d lookups, map-only).  CMS never
+    undercounts; the integer-exact DuckDB replay matches cell-for-cell."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.ops.cms import cms_estimate_col, fit_cms
+    from cuml_spark.text.lm import _token_array
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(_token_array("text", " ")).alias("tok"))
+    exact = (
+        toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(30)
+    )
+    model = fit_cms(toks, "tok", depth=4, width=1024)
+    return exact.select(
+        "tok",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        cms_estimate_col(model, F.col("tok")).cast("long").alias("cms_est"),
+    )
+
+
+_SQL_CMS_TOKEN_COUNTS = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), cnt AS (
+  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY 1
+), top AS (
+  SELECT tok, exact_cnt FROM cnt ORDER BY exact_cnt DESC, tok LIMIT 30
+), pos AS (
+  SELECT c.tok, c.exact_cnt AS w, i,
+         CAST(('0x' || substr(md5(c.tok || ':' || i), 1, 8)) AS BIGINT)
+           % 1024 AS b
+  FROM cnt c, unnest([0, 1, 2, 3]) t(i)
+), tbl AS (
+  SELECT i, b, sum(w) AS cell FROM pos GROUP BY 1, 2
+), est AS (
+  SELECT p.tok, min(tbl.cell) AS cms_est
+  FROM pos p JOIN tbl ON tbl.i = p.i AND tbl.b = p.b
+  WHERE p.tok IN (SELECT tok FROM top)
+  GROUP BY 1
+)
+SELECT top.tok, top.exact_cnt::BIGINT AS exact_cnt,
+       est.cms_est::BIGINT AS cms_est
+FROM top JOIN est USING (tok)
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "bloom_dedup_gate": q_bloom_dedup_gate,
     "winnow_overlap": q_winnow_overlap,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "cms_token_counts": q_cms_token_counts,
     "domain_mixture_sample": q_domain_mixture_sample,
     "doc_perplexity": q_doc_perplexity,
     "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
@@ -2308,6 +2361,7 @@ ORACLES_TEXT = {
     "winnow_overlap": _SQL_WINNOW_OVERLAP,
     "hll_distinct_tokens": _SQL_HLL_DISTINCT_TOKENS,
     "tfidf_cosine_pairs": _SQL_TFIDF_COSINE_PAIRS,
+    "cms_token_counts": _SQL_CMS_TOKEN_COUNTS,
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
     "doc_perplexity": _SQL_DOC_PERPLEXITY,
     "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,

@@ -1,0 +1,123 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005): fixed-memory
+approximate frequencies for EVERY key — the heavy-hitter / frequency
+lookup companion to the HLL cardinality sketch (ops/hll.py) and the
+exact top-k pass (text/ngrams.py).  At 100 TB a full token-frequency
+table is itself huge; a d × w CMS is d·w integers no matter how many
+distinct keys exist, never undercounts, and overcounts by at most
+ε·total with probability 1−δ (w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+
+Spark shape (100 TB): the fit is ONE map-side-combined aggregation
+keyed by (row, bucket) — bounded at d × w rows by construction (the
+bounded-fit contract of text/dsir.py and ops/hll.py); a trillion
+occurrences of one token collapse inside each scan partition.  The
+driver holds only the d × w counter table.  Point queries are pure
+python over the fitted model; ``cms_lookup`` joins estimates onto a
+DataFrame of keys via a broadcast of the d-row position minima —
+map-only on the corpus side.
+
+Engine portability: row ``i``'s bucket for ``key`` is the first 8 md5
+hex digits of ``key || ':' || i`` mod ``w`` (the text/bloom.py idiom),
+so a DuckDB oracle replays the counter table and the min-over-rows
+estimate exactly — integer end to end, no fp anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["CountMinSketch", "cms_estimate_col", "fit_cms"]
+
+
+def _bucket(key: Column, row: int, width: int) -> Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(f":{row}"))), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+@dataclass(frozen=True)
+class CountMinSketch:
+    """d × w counter table: ``counts[i][j]`` = total weight of keys
+    hashing to bucket ``j`` in row ``i``."""
+
+    depth: int
+    width: int
+    total: int
+    counts: tuple[tuple[int, ...], ...]
+
+    def estimate(self, key: str) -> int:
+        """Point query: min over rows — never an undercount."""
+        import hashlib
+
+        est = None
+        for i in range(self.depth):
+            j = int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:8], 16) % self.width
+            c = self.counts[i][j]
+            est = c if est is None else min(est, c)
+        return int(est or 0)
+
+    def error_bound(self) -> float:
+        """ε·N additive overcount bound (ε = e / w)."""
+        import math
+
+        return math.e / self.width * self.total
+
+
+def fit_cms(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> CountMinSketch:
+    """Build a :class:`CountMinSketch` over ``df[key_col]`` (nulls
+    ignored; ``weight_col`` defaults to count-1-per-row).  ONE
+    aggregation keyed by (row, bucket), ≤ depth × width rows."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    key = F.col(key_col).cast("string")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    pos = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("row"), _bucket(key, i, width).alias("bucket"))
+            for i in range(depth)
+        ])
+    ).alias("__p")
+    rows = (
+        df.where(key.isNotNull())
+        .select(pos, w.alias("__w"))
+        .select("__p.row", "__p.bucket", "__w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("__w").alias("c"))
+        .collect()
+    )
+    counts = [[0] * width for _ in range(depth)]
+    for r in rows:
+        counts[int(r["row"])][int(r["bucket"])] = int(r["c"])
+    total = sum(counts[0])
+    return CountMinSketch(
+        depth=depth, width=width, total=total,
+        counts=tuple(tuple(c) for c in counts),
+    )
+
+
+def cms_estimate_col(model: CountMinSketch, key: Column) -> Column:
+    """Column expression estimating ``key``'s frequency from a fitted
+    sketch — min over the d plan-literal counter rows, map-only (the
+    text/bloom.py literal-bitmap pattern; for sketches past
+    literal-array comfort use ``model.estimate`` driver-side or a
+    broadcast + pandas_udf with identical semantics)."""
+    key = key.cast("string")
+    ests = []
+    for i in range(model.depth):
+        row_lit = F.array(*[F.lit(int(c)).cast("long") for c in model.counts[i]])
+        ests.append(F.element_at(row_lit, _bucket(key, i, model.width).cast("int") + 1))
+    return F.least(*ests) if len(ests) > 1 else ests[0]

@@ -664,3 +664,29 @@ def test_tfidf_pairs_no_cartesian_df_capped(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_cms_fit_single_bounded_shuffle(spark):
+    """The CMS fit is ONE map-side-combined (row, bucket) sum — a single
+    shuffle bounded at depth x width rows; raw keys never cross the
+    wire beyond their hashed positions."""
+    from pyspark.sql import DataFrame
+
+    from cuml_spark.ops import cms as _cms
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # reconstruct the pre-collect aggregation to inspect its plan
+    key = F.col("lang").cast("string")
+    pos = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 _cms._bucket(key, i, 64).alias("bucket"))
+        for i in range(4)
+    ])).alias("__p")
+    agg = (documents.where(key.isNotNull())
+           .select(pos, F.lit(1).cast("long").alias("__w"))
+           .select("__p.row", "__p.bucket", "__w")
+           .groupBy("row", "bucket").agg(F.sum("__w").alias("c")))
+    plan = _plan(agg)
+    assert _n_shuffles(agg) == 1
+    assert "partial_sum" in plan or "partial_finalmerge" in plan
+    assert "EvalPython" not in plan
