@@ -2280,6 +2280,48 @@ FROM top JOIN est USING (tok)
 """
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (text/cdc.py): window-hash boundaries
+    (16-char window, 1/64 mask → ~64-char expected chunks) computed
+    entirely IN-ROW — position-parallel because each boundary test
+    depends only on its trailing window; zero shuffle, text never
+    leaves the scan.  Chunk identity = md5, the dedup-stable unit that
+    survives edits upstream of the chunk."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.cdc import cdc_chunks
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return cdc_chunks(docs, window=16, mask_bits=6).select(
+        "doc_id", "chunk_id", "start", "chunk_len", "chunk_md5")
+
+
+_SQL_CDC_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 1
+), pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i
+  FROM d, unnest(range(16, L + 1)) t(i)
+  WHERE CAST(('0x' || substr(md5(substr(text, CAST(i AS INT) - 15, 16)), 1, 8))
+             AS BIGINT) % 64 = 0
+), bl AS (
+  SELECT doc_id, list_sort(list(i)) AS bs FROM pos GROUP BY 1
+), db AS (
+  SELECT d.doc_id, d.text, d.L, coalesce(bl.bs, []) AS bs
+  FROM d LEFT JOIN bl USING (doc_id)
+), ch AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+         CASE WHEN j = 1 THEN 1 ELSE bs[CAST(j AS INT) - 1] + 1 END AS s,
+         CASE WHEN j <= len(bs) THEN bs[CAST(j AS INT)] ELSE L END AS e,
+         text
+  FROM db, unnest(range(1, len(bs) + 2)) t(j)
+)
+SELECT doc_id, chunk_id, s::BIGINT AS start, (e - s + 1)::BIGINT AS chunk_len,
+       md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_md5
+FROM ch WHERE s <= e
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "bloom_dedup_gate": q_bloom_dedup_gate,
@@ -2287,6 +2329,7 @@ QUERIES_TEXT = {
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "cms_token_counts": q_cms_token_counts,
+    "cdc_chunks": q_cdc_chunks,
     "domain_mixture_sample": q_domain_mixture_sample,
     "doc_perplexity": q_doc_perplexity,
     "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
@@ -2362,6 +2405,7 @@ ORACLES_TEXT = {
     "hll_distinct_tokens": _SQL_HLL_DISTINCT_TOKENS,
     "tfidf_cosine_pairs": _SQL_TFIDF_COSINE_PAIRS,
     "cms_token_counts": _SQL_CMS_TOKEN_COUNTS,
+    "cdc_chunks": _SQL_CDC_CHUNKS,
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
     "doc_perplexity": _SQL_DOC_PERPLEXITY,
     "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,

@@ -690,3 +690,17 @@ def test_cms_fit_single_bounded_shuffle(spark):
     assert _n_shuffles(agg) == 1
     assert "partial_sum" in plan or "partial_finalmerge" in plan
     assert "EvalPython" not in plan
+
+
+def test_cdc_chunks_map_only_pruned(spark):
+    """CDC boundary detection is position-parallel in-row work: ZERO
+    shuffle, no Python eval, scan pruned to id + text."""
+    from cuml_spark.text.cdc import cdc_chunks
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = cdc_chunks(documents)
+    plan = _plan(out)
+    assert _n_shuffles(out) == 0
+    assert "EvalPython" not in plan
+    schemas = _read_schemas(out)
+    assert schemas and all("lang" not in s for s in schemas)

@@ -914,3 +914,95 @@ def test_tfidf_pairs_validation(spark):
         tfidf_cosine_pairs(None, 0.0)
     with _pt.raises(ValueError, match="max_df"):
         tfidf_weighted_postings(None, max_df=0)
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (text/cdc.py)
+# --------------------------------------------------------------------------
+
+
+def _ref_cdc(text, window, mask_bits):
+    import hashlib as _hl
+
+    L = len(text)
+    bs = []
+    for i in range(window, L + 1):
+        win = text[i - window:i]
+        h = int(_hl.md5(win.encode()).hexdigest()[:8], 16)
+        if h % (1 << mask_bits) == 0:
+            bs.append(i)
+    starts = [1] + [b + 1 for b in bs]
+    ends = bs + [L]
+    out = []
+    cid = 0
+    for s, e in zip(starts, ends):
+        if s <= e:
+            cid += 1
+            out.append((cid, s, e - s + 1, text[s - 1:e]))
+    return out
+
+
+def test_cdc_matches_python_reference(spark):
+    import random
+
+    from cuml_spark.text.cdc import cdc_chunks
+
+    rng = random.Random(3)
+    rows = []
+    for d in range(30):
+        n = rng.randint(0, 300)
+        rows.append((d, "".join(rng.choice("abcdefgh ") for _ in range(n))))
+    rows.append((98, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(df, window=8, mask_bits=4).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start"], r["chunk_len"], r["chunk_text"]))
+    for d, text in rows:
+        expect = _ref_cdc(text, 8, 4) if text else []
+        assert sorted(got.get(d, [])) == expect, f"doc {d}"
+
+
+def test_cdc_reconstruction_and_insertion_stability(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cuml_spark.text.cdc import cdc_chunks
+
+    rng = random.Random(9)
+    body = "".join(rng.choice("abcdefghijklmnop qrstuv") for _ in range(2000))
+    df = spark.createDataFrame(
+        [(1, body), (2, "INSERTED-PREFIX-" + body)], "doc_id long, text string")
+    ch = cdc_chunks(df, window=8, mask_bits=5)
+    # exact reconstruction: concatenating chunks in chunk_id order = text
+    rows = sorted(ch.where("doc_id = 1").collect(), key=lambda r: r["chunk_id"])
+    assert "".join(r["chunk_text"] for r in rows) == body
+    # CDC's point: after a prefix insertion, boundaries resynchronize and
+    # the two docs share most chunks (fixed-size chunking would share none)
+    h1 = {r["chunk_md5"] for r in ch.where("doc_id = 1").collect()}
+    h2 = {r["chunk_md5"] for r in ch.where("doc_id = 2").collect()}
+    assert len(h1 & h2) >= max(1, len(h1) - 2)
+
+
+def test_cdc_short_and_empty_docs(spark):
+    from cuml_spark.text.cdc import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, ""), (3, None)], "doc_id long, text string")
+    rows = cdc_chunks(df, window=16, mask_bits=6).collect()
+    assert len(rows) == 1  # short doc = one whole-doc chunk; empty/null drop
+    r = rows[0]
+    assert (r["doc_id"], r["chunk_id"], r["start"], r["chunk_len"],
+            r["chunk_text"]) == (1, 1, 1, 4, "tiny")
+
+
+def test_cdc_validation(spark):
+    import pytest as _pt
+
+    from cuml_spark.text.cdc import cdc_chunks
+
+    with _pt.raises(ValueError, match="window"):
+        cdc_chunks(None, window=0)
+    with _pt.raises(ValueError, match="mask_bits"):
+        cdc_chunks(None, mask_bits=0)
