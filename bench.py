@@ -85,6 +85,14 @@ _BENCH_ORDER = [
     "image_phash_invariance", "doc_perplexity", "doc_chunks",
     "c4_line_stats", "arima_ml_aic", "streaming_chunk_docs",
     "streaming_gopher_gate", "bpe_merges", "text_neardup_groups",
+    # r9 late additions + r9-continuation sketch/chunking tier, pinned in
+    # the registry order their first closing bench ran
+    "dsir_weights", "neardup_keep_best", "streaming_dsir_gate",
+    "kcenter_coreset", "pipeline_curation_dsir", "cosine_topk_int8",
+    "hamming_topk_signs", "pipeline_ann_ladder", "media_decode_lossless",
+    "bloom_dedup_gate", "streaming_bloom_gate", "winnow_overlap",
+    "hll_distinct_tokens", "tfidf_cosine_pairs", "cms_token_counts",
+    "cdc_chunks", "corpus_spectrum",
 ]
 # The driver archives only the LAST 2000 characters of this process's
 # output into the immutable BENCH_r{N}.json snapshot; a JSON line longer

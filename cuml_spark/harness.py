@@ -460,16 +460,22 @@ ORACLES.update(ORACLES_STREAMING)
 # stable queries green at
 # every check since r1/r4 (or r7 for the newest),
 # implementation files untouched for 3+ rounds) reach exactly two rounds
-# of age at the end of r9.  ONE r9 query is never-driver-checked by
-# necessity: media_decode_lossless (the SOF3 codec) landed after the 50
-# slots were committed; so did cosine_topk_int8 (scalar-quantized
-# search), hamming_topk_signs (1-bit sign codes), and
-# pipeline_ann_ladder (hamming shortlist -> exact cosine rerank).  All
-# four are verify_local-green (sf0.01) and MUST open
-# r10's (a) section alongside the 29 deferred.  The rest of the ledger:
-# they reach exactly two rounds
-# of age at the end of r9 and MUST lead the r10 window, together with
-# any r8-green queries r10's changes touch.
+# of age at the end of r9.  REBALANCE (continuation session): eleven
+# never-driver-checked queries existed mid-round - four that landed
+# after the first window commit (media_decode_lossless, cosine_topk_int8,
+# hamming_topk_signs, pipeline_ann_ladder) plus seven new continuation
+# operators (bloom_dedup_gate, streaming_bloom_gate, winnow_overlap,
+# hll_distinct_tokens, tfidf_cosine_pairs, cms_token_counts,
+# cdc_chunks, corpus_spectrum).  Rule (a) outranks (d), so these took 12 of the 20
+# (d)-fill slots; the evicted r7-green eleven (mbsgd_fit,
+# arima_grid_aic, neardup_safe_split, pipeline_neardup_groups,
+# pq_search_exact, ivfpq_search_exact, media_decode, media_decode_jpeg,
+# media_decode_progressive, media_decode_wav, media_decode_g711) reach
+# EXACTLY two rounds of age at r9 close - the invariant's boundary, not
+# past it - and MUST lead r10's (c) section (rf_regression joined them
+# when corpus_spectrum took the twelfth slot) together with the 29
+# long-deferred (40 total), leaving r10 ten slots for its own
+# new/changed work.  Zero never-checked queries remain at r9 close.
 _DRIVER_WINDOW = [
     # (a) NEW in r9 - never driver-checked
     "bm25_topk_analyzed",        # analyzer hooks (case fold + stopwords)
@@ -504,7 +510,21 @@ _DRIVER_WINDOW = [
     "pca_variance_2d",
     "tsne_trust",
     "umap_trust",
-    # (d) the r7-green fill (evidence reaches two rounds at r9 close)
+    # (a') late-r9 + continuation-session operators - never driver-checked
+    "media_decode_lossless",     # SOF3 lossless JPEG codec
+    "cosine_topk_int8",          # scalar int8 quantized search
+    "hamming_topk_signs",        # 1-bit sign codes + Hamming search
+    "pipeline_ann_ladder",       # hamming shortlist -> exact rerank
+    "bloom_dedup_gate",          # packed-bitmap membership gate
+    "streaming_bloom_gate",      # the same gate inside a stream
+    "winnow_overlap",            # MOSS winnowing fingerprint overlap
+    "hll_distinct_tokens",       # portable HyperLogLog cardinality
+    "tfidf_cosine_pairs",        # sparse tf-idf cosine similarity join
+    "cms_token_counts",          # count-min sketch frequencies
+    "cdc_chunks",                # content-defined chunking
+    "corpus_spectrum",           # Zipf/hapax corpus health report
+    # (d) the r7-green fill (evidence reaches two rounds at r9 close;
+    # 11 slots ceded to (a') - the evicted queries lead r10, see ledger)
     "stats_covariance",
     "domain_mixture_sample",
     "minhash_signatures",
@@ -513,18 +533,6 @@ _DRIVER_WINDOW = [
     "pii_scrub",
     "doc_repetition",
     "rf_accuracy",
-    "rf_regression",
-    "mbsgd_fit",
-    "arima_grid_aic",
-    "neardup_safe_split",
-    "pipeline_neardup_groups",
-    "pq_search_exact",
-    "ivfpq_search_exact",
-    "media_decode",
-    "media_decode_jpeg",
-    "media_decode_progressive",
-    "media_decode_wav",
-    "media_decode_g711",
     # everything else (r8-green and unchanged, or the 29 deferred named
     # above) stays in queries()/bench - only the verification window moves
 ]

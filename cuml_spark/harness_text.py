@@ -2322,6 +2322,42 @@ FROM ch WHERE s <= e
 """
 
 
+def q_corpus_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-spectrum health report (text/ngrams.py
+    frequency_spectrum): token total, vocabulary size, hapax/dis
+    legomena, type-token ratio, Zipf head mass — ONE count shuffle +
+    vocabulary-sized fold, TakeOrdered head.  Exact integers; the two
+    ratios divide identical integers on both engines."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.ngrams import frequency_spectrum
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return frequency_spectrum(docs, top_ranks=10)
+
+
+_SQL_CORPUS_SPECTRUM = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), cnt AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), head AS (
+  SELECT sum(c) AS h FROM (
+    SELECT c FROM cnt ORDER BY c DESC, tok LIMIT 10)
+), spec AS (
+  SELECT sum(c) AS n_tokens, count(*) AS vocab_size,
+         count(*) FILTER (c = 1) AS hapax,
+         count(*) FILTER (c = 2) AS dis
+  FROM cnt
+)
+SELECT n_tokens::BIGINT AS n_tokens, vocab_size::BIGINT AS vocab_size,
+       hapax::BIGINT AS hapax, dis::BIGINT AS dis,
+       round(vocab_size / n_tokens::DOUBLE, 6) AS type_token_ratio,
+       round(head.h / n_tokens::DOUBLE, 6) AS head_mass
+FROM spec, head
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "bloom_dedup_gate": q_bloom_dedup_gate,
@@ -2330,6 +2366,7 @@ QUERIES_TEXT = {
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "cms_token_counts": q_cms_token_counts,
     "cdc_chunks": q_cdc_chunks,
+    "corpus_spectrum": q_corpus_spectrum,
     "domain_mixture_sample": q_domain_mixture_sample,
     "doc_perplexity": q_doc_perplexity,
     "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
@@ -2406,6 +2443,7 @@ ORACLES_TEXT = {
     "tfidf_cosine_pairs": _SQL_TFIDF_COSINE_PAIRS,
     "cms_token_counts": _SQL_CMS_TOKEN_COUNTS,
     "cdc_chunks": _SQL_CDC_CHUNKS,
+    "corpus_spectrum": _SQL_CORPUS_SPECTRUM,
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
     "doc_perplexity": _SQL_DOC_PERPLEXITY,
     "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,

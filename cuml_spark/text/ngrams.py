@@ -71,3 +71,53 @@ def top_ngrams(
     )
     w = Window.orderBy(F.col("count").desc(), F.col("ngram").asc())
     return counted.withColumn("rank", F.row_number().over(w))
+
+
+def frequency_spectrum(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    token_sep: str = " ",
+    top_ranks: int = 10,
+) -> DataFrame:
+    """→ one row of corpus vocabulary-health statistics: total token
+    count, vocabulary size, hapax/dis legomena counts (frequency-1/-2
+    types), type-token ratio, and the probability mass held by the
+    ``top_ranks`` most frequent types — the Zipf head/tail report every
+    corpus audit starts with (a crawl whose hapax share collapses has
+    boilerplate flooding; one whose head mass explodes has template
+    spam).
+
+    Spark shape (100 TB): ONE map-side-combined count shuffle on the
+    token (the vocabulary aggregation), then a vocabulary-sized
+    single-row fold; the top-``top_ranks`` mass rides a TakeOrdered
+    (never a global sort).  Exact integers everywhere except the two
+    final ratios, which both engines compute from identical integers.
+    """
+    if top_ranks < 1:
+        raise ValueError(f"top_ranks must be >= 1, got {top_ranks}")
+    counts = (
+        df.select(F.explode(_token_array(text_col, token_sep)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    counts = counts.localCheckpoint(eager=False)
+    head = (
+        counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(top_ranks)
+        .agg(F.sum("c").alias("__head"))
+    )
+    spectrum = counts.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.count_if(F.col("c") == 1).alias("hapax"),
+        F.count_if(F.col("c") == 2).alias("dis"),
+    )
+    return spectrum.crossJoin(head).select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("hapax").cast("long").alias("hapax"),
+        F.col("dis").cast("long").alias("dis"),
+        F.round(F.col("vocab_size") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        F.round(F.col("__head") / F.col("n_tokens"), 6).alias("head_mass"),
+    )

@@ -1006,3 +1006,20 @@ def test_cdc_validation(spark):
         cdc_chunks(None, window=0)
     with _pt.raises(ValueError, match="mask_bits"):
         cdc_chunks(None, mask_bits=0)
+
+
+def test_frequency_spectrum_exact_small_corpus(spark):
+    from cuml_spark.text.ngrams import frequency_spectrum
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "c d"), (3, None), (4, "")],
+        "doc_id long, text string")
+    r = frequency_spectrum(df, top_ranks=2).collect()[0]
+    # counts: a=3, b=2, c=2, d=1 -> 8 tokens, 4 types, 1 hapax, 2 dis
+    assert (r["n_tokens"], r["vocab_size"], r["hapax"], r["dis"]) == (8, 4, 1, 2)
+    assert r["type_token_ratio"] == round(4 / 8, 6)
+    assert r["head_mass"] == round((3 + 2) / 8, 6)  # top-2 = a(3) + b(2)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="top_ranks"):
+        frequency_spectrum(df, top_ranks=0)
