@@ -92,7 +92,7 @@ _BENCH_ORDER = [
     "hamming_topk_signs", "pipeline_ann_ladder", "media_decode_lossless",
     "bloom_dedup_gate", "streaming_bloom_gate", "winnow_overlap",
     "hll_distinct_tokens", "tfidf_cosine_pairs", "cms_token_counts",
-    "cdc_chunks", "corpus_spectrum",
+    "cdc_chunks", "corpus_spectrum", "streaming_cdc_chunks",
 ]
 # The driver archives only the LAST 2000 characters of this process's
 # output into the immutable BENCH_r{N}.json snapshot; a JSON line longer

@@ -341,6 +341,27 @@ def _sql_streaming_bloom_gate() -> str:
     return _SQL_BLOOM_DEDUP_GATE
 
 
+def q_streaming_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking on a STREAM: cdc_chunks is stateless
+    position-parallel in-row work, so it runs unchanged inside a
+    streaming query — file source → CDC chunker → memory sink,
+    availableNow.  Row-for-row parity with the batch `cdc_chunks`
+    answer (same oracle): reprocessing a day of files yields the same
+    dedup-stable chunk table the live ingest produced."""
+    from cuml_spark.text.cdc import cdc_chunks
+
+    stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
+    chunks = cdc_chunks(stream, window=16, mask_bits=6).select(
+        "doc_id", "chunk_id", "start", "chunk_len", "chunk_md5")
+    return _run_to_memory(chunks, "append")
+
+
+def _sql_streaming_cdc_chunks() -> str:
+    from cuml_spark.harness_text import _SQL_CDC_CHUNKS
+
+    return _SQL_CDC_CHUNKS
+
+
 QUERIES_STREAMING = {
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "streaming_window_stats": q_streaming_window_stats,
@@ -350,6 +371,7 @@ QUERIES_STREAMING = {
     "streaming_gopher_gate": q_streaming_gopher_gate,
     "streaming_dsir_gate": q_streaming_dsir_gate,
     "streaming_bloom_gate": q_streaming_bloom_gate,
+    "streaming_cdc_chunks": q_streaming_cdc_chunks,
 }
 
 ORACLES_STREAMING = {
@@ -361,4 +383,5 @@ ORACLES_STREAMING = {
     "streaming_gopher_gate": _sql_streaming_gopher_gate(),
     "streaming_dsir_gate": _sql_streaming_dsir_gate(),
     "streaming_bloom_gate": _sql_streaming_bloom_gate(),
+    "streaming_cdc_chunks": _sql_streaming_cdc_chunks(),
 }
