@@ -118,6 +118,10 @@ def cms_estimate_col(model: CountMinSketch, key: Column) -> Column:
     key = key.cast("string")
     ests = []
     for i in range(model.depth):
-        row_lit = F.array(*[F.lit(int(c)).cast("long") for c in model.counts[i]])
+        # ONE array Literal, not CreateArray(width literals): a w-child
+        # CreateArray generates w codegen assignments per evaluation —
+        # measured 7.5 s vs 0.5 s at width=1024 — while a Literal is a
+        # single constant reference
+        row_lit = F.lit([int(c) for c in model.counts[i]])
         ests.append(F.element_at(row_lit, _bucket(key, i, model.width).cast("int") + 1))
     return F.least(*ests) if len(ests) > 1 else ests[0]

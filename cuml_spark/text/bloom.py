@@ -132,7 +132,11 @@ def bloom_probe(
     Map-only, zero-shuffle, no UDF: the bitmap is a literal long array
     in the plan; works unchanged inside a Structured Streaming query.
     """
-    words_lit = F.array(*[F.lit(int(w)).cast("long") for w in model.words])
+    # ONE array Literal, not CreateArray(n literals) — a wide CreateArray
+    # costs one codegen assignment per word per evaluation (the ops/cms.py
+    # lesson); a Literal is a single constant reference, so big filters
+    # stay cheap
+    words_lit = F.lit([int(w) for w in model.words])
     key = F.col(key_col)
     checks = []
     for pos in bloom_positions(key, model.num_bits, model.num_hashes):
