@@ -466,16 +466,18 @@ ORACLES.update(ORACLES_STREAMING)
 # hamming_topk_signs, pipeline_ann_ladder) plus seven new continuation
 # operators (bloom_dedup_gate, streaming_bloom_gate, winnow_overlap,
 # hll_distinct_tokens, tfidf_cosine_pairs, cms_token_counts,
-# cdc_chunks, corpus_spectrum, streaming_cdc_chunks).  Rule (a)
-# outranks (d), so these took 13 of the 20
+# cdc_chunks, corpus_spectrum, streaming_cdc_chunks,
+# mink_prob_members).  Rule (a)
+# outranks (d), so these took 14 of the 20
 # (d)-fill slots; the evicted r7-green eleven (mbsgd_fit,
 # arima_grid_aic, neardup_safe_split, pipeline_neardup_groups,
 # pq_search_exact, ivfpq_search_exact, media_decode, media_decode_jpeg,
 # media_decode_progressive, media_decode_wav, media_decode_g711) reach
 # EXACTLY two rounds of age at r9 close - the invariant's boundary, not
-# past it - and MUST lead r10's (c) section (rf_regression and
-# rf_accuracy joined them when corpus_spectrum and streaming_cdc_chunks
-# took the twelfth and thirteenth slots) together with the 29
+# past it - and MUST lead r10's (c) section (rf_regression,
+# rf_accuracy and doc_repetition joined them as corpus_spectrum,
+# streaming_cdc_chunks and mink_prob_members took slots 12-14) together
+# with the 29
 # long-deferred (40 total), leaving r10 ten slots for its own
 # new/changed work.  Zero never-checked queries remain at r9 close.
 _DRIVER_WINDOW = [
@@ -526,6 +528,7 @@ _DRIVER_WINDOW = [
     "cdc_chunks",                # content-defined chunking
     "corpus_spectrum",           # Zipf/hapax corpus health report
     "streaming_cdc_chunks",      # CDC chunker inside a stream
+    "mink_prob_members",         # Min-K% Prob membership audit
     # (d) the r7-green fill (evidence reaches two rounds at r9 close;
     # 11 slots ceded to (a') - the evicted queries lead r10, see ledger)
     "stats_covariance",
@@ -534,7 +537,6 @@ _DRIVER_WINDOW = [
     "lsh_pairs",
     "eval_contamination",
     "pii_scrub",
-    "doc_repetition",
     # everything else (r8-green and unchanged, or the 29 deferred named
     # above) stays in queries()/bench - only the verification window moves
 ]

@@ -2358,9 +2358,67 @@ FROM spec, head
 """
 
 
+def q_mink_prob_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% Prob membership scoring (text/lm.py mink_prob_scores, Shi
+    et al. 2023): fit the add-k bigram LM on the "pretraining half"
+    (doc_id % 2 == 0), score every document by the mean log-prob of its
+    20% least-likely bigrams — the membership-inference audit shape.
+    Same join plan as bigram_lm_scores plus one per-doc rank window;
+    rank ties share values, so the score is partitioning-independent."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.lm import mink_prob_scores
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    members = docs.where(F.col("doc_id") % 2 == 0)
+    out = mink_prob_scores(docs, k_pct=0.2, lm_corpus=members)
+    return out.select(
+        "doc_id", "n_bigrams", "n_scored",
+        F.round("mink_avg_logp", 6).alias("mink_avg_logp"))
+
+
+_SQL_MINK_PROB_MEMBERS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents WHERE text IS NOT NULL
+), bg AS (
+  SELECT doc_id, l[CAST(i AS INT)] AS w1, l[CAST(i AS INT) + 1] AS w2
+  FROM toks, unnest(range(1, len(l))) t(i)
+  WHERE coalesce(len(l), 0) >= 2
+), mbg AS (
+  SELECT w1, w2, count(*) AS cbg FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(cbg) AS cw1 FROM mbg GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT tok) AS nv FROM (
+    SELECT unnest(l) AS tok FROM toks WHERE doc_id % 2 = 0)
+), lp AS (
+  SELECT b.doc_id,
+         ln((coalesce(m.cbg, 0) + 1.0)
+            / (coalesce(c.cw1, 0) + 1.0 * v.nv)) AS lp
+  FROM bg b LEFT JOIN mbg m USING (w1, w2)
+            LEFT JOIN ctx c USING (w1), v
+), rk AS (
+  SELECT doc_id, lp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY lp) AS rk,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM lp
+), sc AS (
+  SELECT doc_id, max(n) AS n_bigrams, count(*) AS n_scored,
+         avg(lp) AS s
+  FROM rk WHERE rk <= ceil(0.2 * n) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(sc.n_scored, 0)::BIGINT AS n_scored,
+       round(sc.s, 6) AS mink_avg_logp
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "bloom_dedup_gate": q_bloom_dedup_gate,
+    "mink_prob_members": q_mink_prob_members,
     "winnow_overlap": q_winnow_overlap,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
@@ -2438,6 +2496,7 @@ LEFT JOIN mt m ON m.doc_id = d.doc_id
 ORACLES_TEXT = {
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
     "bloom_dedup_gate": _SQL_BLOOM_DEDUP_GATE,
+    "mink_prob_members": _SQL_MINK_PROB_MEMBERS,
     "winnow_overlap": _SQL_WINNOW_OVERLAP,
     "hll_distinct_tokens": _SQL_HLL_DISTINCT_TOKENS,
     "tfidf_cosine_pairs": _SQL_TFIDF_COSINE_PAIRS,

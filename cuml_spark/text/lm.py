@@ -45,7 +45,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
@@ -347,5 +347,90 @@ def bigram_lm_scores(
             id_col,
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
             F.col("avg_logp"),
+        )
+    )
+
+
+def mink_prob_scores(
+    df: DataFrame,
+    *,
+    k_pct: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+    token_sep: str = " ",
+    lm_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Min-K% Prob membership scoring (Shi et al. 2023, "Detecting
+    Pretraining Data from Large Language Models"): score each document by
+    the MEAN log-probability of its ``k_pct`` LEAST-likely bigrams under
+    an LM fit on ``lm_corpus`` — members of the fit corpus have no
+    surprisingly-unlikely spans, so their min-k tail sits high, while
+    unseen documents are betrayed by their worst tokens even when their
+    overall perplexity looks average.  The standard contamination /
+    membership-inference audit, run here with the same add-k count LM the
+    CCNet tier uses (a shipped neural LM drops into the same shape).
+
+    → (id_col, n_bigrams, n_scored, mink_avg_logp): ``n_scored`` =
+    ⌈k_pct · n_bigrams⌉ (0 and a null score for docs with < 2 tokens).
+
+    Spark shape (100 TB): identical to the ``bigram_lm_scores`` join path
+    — one bigram-keyed count shuffle for the fit tables, broadcast V,
+    probe bigrams left-joined — plus ONE rank window per document
+    (bottom-k selection; rank ties among equal-probability bigrams
+    cannot change the selected VALUES, so the score is deterministic on
+    any partitioning).
+    """
+    if not 0.0 < k_pct <= 1.0:
+        raise ValueError(f"k_pct must be in (0, 1], got {k_pct}")
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    src = lm_corpus if lm_corpus is not None else df
+    model_pairs = _bigram_rows(src, text_col, id_col, token_sep)
+    bgc = model_pairs.groupBy("__w1", "__w2").agg(F.count("*").alias("__cbg"))
+    ctx = bgc.groupBy("__w1").agg(F.sum("__cbg").alias("__cw1"))
+    vocab_n = (
+        src.select(F.explode(_token_array(text_col, token_sep)).alias("__w"))
+        .agg(F.countDistinct("__w").alias("__v"))
+    )
+    k = float(add_k)
+    lp = (
+        _bigram_rows(df, text_col, id_col, token_sep)
+        .join(bgc, ["__w1", "__w2"], "left")
+        .join(ctx, ["__w1"], "left")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("__cbg"), F.lit(0)) + k)
+                / (F.coalesce(F.col("__cw1"), F.lit(0)) + k * F.col("__v"))
+            ).alias("__lp"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__lp").asc())
+    cnt = Window.partitionBy(id_col)
+    ranked = lp.select(
+        id_col,
+        "__lp",
+        F.row_number().over(w).alias("__rk"),
+        F.count("*").over(cnt).alias("__n"),
+    )
+    scored = (
+        ranked.where(F.col("__rk") <= F.ceil(F.lit(float(k_pct)) * F.col("__n")))
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("n_bigrams"),
+            F.count("*").alias("n_scored"),
+            F.avg("__lp").alias("mink_avg_logp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+            F.col("mink_avg_logp"),
         )
     )

@@ -954,3 +954,108 @@ def test_keep_best_matches_python_reference_property(
         if cur is None or key(cand) < key(cur):
             want[gid] = cand
     assert got == want
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=120),
+        min_size=1, max_size=8),
+    window=st.integers(min_value=2, max_value=10),
+    mask_bits=st.integers(min_value=1, max_value=4),
+)
+def test_cdc_chunks_reconstruction_and_boundary_law(spark, docs, window, mask_bits):
+    """For ANY text/params: chunks reconstruct the document exactly, every
+    interior boundary satisfies the window-hash predicate, and no
+    non-boundary interior position does (python replay)."""
+    import hashlib as _hl
+
+    from cuml_spark.text.cdc import cdc_chunks
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(df, window=window, mask_bits=mask_bits).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["start"], r["chunk_text"]))
+    for d, text in enumerate(docs):
+        chunks = sorted(got.get(d, []))
+        if not text:
+            assert chunks == []
+            continue
+        assert "".join(c[2] for c in chunks) == text
+        # boundary law: chunk ends (except the last) are window-hash hits
+        ends = []
+        pos = 0
+        for _cid, start, ct in chunks:
+            assert start == pos + 1
+            pos += len(ct)
+            ends.append(pos)
+        hits = set()
+        for i in range(window, len(text) + 1):
+            h = int(_hl.md5(text[i - window:i].encode()).hexdigest()[:8], 16)
+            if h % (1 << mask_bits) == 0:
+                hits.add(i)
+        assert set(ends[:-1]) <= hits
+        assert hits - {len(text)} == set(ends[:-1])
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]),
+                 min_size=0, max_size=30).map(" ".join),
+        min_size=1, max_size=6),
+    k=st.integers(min_value=1, max_value=4),
+    w=st.integers(min_value=1, max_value=5),
+)
+def test_winnow_fingerprints_match_python_property(spark, docs, k, w):
+    """Winnowing selection equals the pure-python leftmost-min replay for
+    ANY corpus and (k, w)."""
+    import hashlib as _hl
+
+    from cuml_spark.text.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for d, text in enumerate(docs):
+        toks = [t for t in text.split(" ") if t]
+        grams = [
+            int(_hl.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:8], 16)
+            for i in range(len(toks) - k + 1)
+        ]
+        expect = set()
+        m = len(grams)
+        for j in range(max(1, m - w + 1) if m >= 1 else 0):
+            win = grams[j:j + w]
+            if win:
+                mn = min(win)
+                expect.add((j + win.index(mn) + 1, mn))
+        assert got.get(d, set()) == expect
+
+
+@SET
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=500),
+                  min_size=1, max_size=80),
+    b=st.integers(min_value=4, max_value=8),
+)
+def test_hll_registers_match_python_property(spark, vals, b):
+    """HLL register tables equal the python replay for ANY values/b, and
+    the estimate only depends on the register table (duplicate-blind)."""
+    import hashlib as _hl
+
+    from cuml_spark.ops.hll import hll_registers
+
+    df = spark.createDataFrame([("g", str(v)) for v in vals], "g string, v string")
+    got = {r["bucket"]: r["max_rho"]
+           for r in hll_registers(df, ["g"], "v", b=b).collect()}
+    rem_bits = 32 - b
+    expect = {}
+    for v in set(vals):
+        h = int(_hl.md5(str(v).encode()).hexdigest()[:8], 16)
+        bucket, rem = h >> rem_bits, h % (1 << rem_bits)
+        rho = rem_bits - rem.bit_length() + 1 if rem else rem_bits + 1
+        expect[bucket] = max(expect.get(bucket, 0), rho)
+    assert got == expect

@@ -1023,3 +1023,77 @@ def test_frequency_spectrum_exact_small_corpus(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="top_ranks"):
         frequency_spectrum(df, top_ranks=0)
+
+
+# --------------------------------------------------------------------------
+# Min-K% Prob membership scoring (text/lm.py mink_prob_scores)
+# --------------------------------------------------------------------------
+
+
+def test_mink_prob_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from cuml_spark.text.lm import mink_prob_scores
+
+    member_docs = [(0, "a b c a b"), (2, "b c d")]
+    probe_docs = member_docs + [(1, "a b z q"), (3, "x"), (4, None)]
+    df = spark.createDataFrame(probe_docs, "doc_id long, text string")
+    from pyspark.sql import functions as F
+    members = df.where(F.col("doc_id") % 2 == 0)
+    got = {r["doc_id"]: r for r in mink_prob_scores(
+        df, k_pct=0.5, lm_corpus=members).collect()}
+
+    # python replay
+    def bigrams(t):
+        toks = [x for x in (t or "").split(" ") if x]
+        return list(zip(toks[:-1], toks[1:]))
+
+    mem = [t for d, t in member_docs]
+    bgc = Counter(b for t in mem for b in bigrams(t))
+    ctx = Counter()
+    for (w1, _), c in bgc.items():
+        ctx[w1] += c
+    vocab = {tok for t in mem for tok in t.split() if tok}
+    V = len(vocab)
+    for d, t in probe_docs:
+        bgs = bigrams(t)
+        if not bgs:
+            assert got[d]["n_bigrams"] == 0 and got[d]["mink_avg_logp"] is None
+            continue
+        lps = sorted(
+            math.log((bgc.get(b, 0) + 1.0) / (ctx.get(b[0], 0) + V))
+            for b in bgs
+        )
+        m = math.ceil(0.5 * len(bgs))
+        expect = sum(lps[:m]) / m
+        assert got[d]["n_bigrams"] == len(bgs)
+        assert got[d]["n_scored"] == m
+        assert abs(got[d]["mink_avg_logp"] - expect) < 1e-9, d
+
+
+def test_mink_prob_members_score_higher(spark):
+    """Members' worst-k bigrams were all seen in training; a probe doc of
+    never-seen bigrams must score strictly lower."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.text.lm import mink_prob_scores
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(0, 10, 2)]
+    rows += [(1, "zxq wvu tsr qpo nml kji hgf edc ba")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    members = df.where(F.col("doc_id") % 2 == 0)
+    got = {r["doc_id"]: r["mink_avg_logp"] for r in mink_prob_scores(
+        df, k_pct=0.3, lm_corpus=members).collect()}
+    assert got[0] > got[1]
+
+
+def test_mink_prob_validation(spark):
+    import pytest as _pt
+
+    from cuml_spark.text.lm import mink_prob_scores
+
+    with _pt.raises(ValueError, match="k_pct"):
+        mink_prob_scores(None, k_pct=0.0)
+    with _pt.raises(ValueError, match="add_k"):
+        mink_prob_scores(None, add_k=0.0)
