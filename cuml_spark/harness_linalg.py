@@ -287,6 +287,46 @@ FROM p
 """
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Z-order layout keys (ops/zorder.py): Morton-interleave 8-bit
+    min/max-normalized (l_extendedprice, l_quantity) buckets per row —
+    the lakehouse OPTIMIZE ZORDER key, computed map-only in-row; the
+    layout pass itself is one repartitionByRange on this key.  Exact
+    integer interleave, bit-identical in any engine."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.ops.zorder import zorder_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = zorder_key(li, ["l_extendedprice", "l_quantity"], bits=8)
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("zkey").cast("long").alias("zkey"),
+    )
+
+
+# the // and % arithmetic is the bit extraction ((x >> b) & 1) written in
+# engine-neutral integer ops; disjoint bit positions make + equal to OR
+_SQL_ZORDER_KEYS = """
+WITH st AS (
+  SELECT min(l_extendedprice) AS nx, max(l_extendedprice) AS xx,
+         min(l_quantity) AS ny, max(l_quantity) AS xy
+  FROM lineitem
+), b AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(least(255, greatest(0,
+           floor((l_extendedprice - nx) / (xx - nx) * 255))) AS BIGINT) AS bx,
+         CAST(least(255, greatest(0,
+           floor((l_quantity - ny) / (xy - ny) * 255))) AS BIGINT) AS by
+  FROM lineitem, st
+)
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+       (((bx // 1) % 2) * 1 + ((by // 1) % 2) * 2 + ((bx // 2) % 2) * 4 + ((by // 2) % 2) * 8 + ((bx // 4) % 2) * 16 + ((by // 4) % 2) * 32 + ((bx // 8) % 2) * 64 + ((by // 8) % 2) * 128 + ((bx // 16) % 2) * 256 + ((by // 16) % 2) * 512 + ((bx // 32) % 2) * 1024 + ((by // 32) % 2) * 2048 + ((bx // 64) % 2) * 4096 + ((by // 64) % 2) * 8192 + ((bx // 128) % 2) * 16384 + ((by // 128) % 2) * 32768)::BIGINT AS zkey
+FROM b
+"""
+
+
 QUERIES_LINALG = {
     "prims_matrix_rng": q_prims_matrix_rng,
     "qr_factor": q_qr_factor,
@@ -294,6 +334,7 @@ QUERIES_LINALG = {
     "coo_symmetrize_check": q_coo_symmetrize_check,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ngram_jaccard": q_ngram_jaccard,
+    "zorder_keys": q_zorder_keys,
 }
 
 ORACLES_LINALG = {
@@ -303,4 +344,5 @@ ORACLES_LINALG = {
     "coo_symmetrize_check": _SQL_COO_SYMMETRIZE,
     "ann_lsh_recall": _SQL_ANN_LSH_RECALL,
     "ngram_jaccard": _sql_ngram_jaccard(),
+    "zorder_keys": _SQL_ZORDER_KEYS,
 }
