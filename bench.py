@@ -93,7 +93,7 @@ _BENCH_ORDER = [
     "bloom_dedup_gate", "streaming_bloom_gate", "winnow_overlap",
     "hll_distinct_tokens", "tfidf_cosine_pairs", "cms_token_counts",
     "cdc_chunks", "corpus_spectrum", "streaming_cdc_chunks",
-    "mink_prob_members", "zorder_keys",
+    "mink_prob_members", "zorder_keys", "event_sessions",
 ]
 # The driver archives only the LAST 2000 characters of this process's
 # output into the immutable BENCH_r{N}.json snapshot; a JSON line longer

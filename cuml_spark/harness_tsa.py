@@ -263,6 +263,47 @@ _SQL_ARIMA_ML_AIC = "\nUNION ALL\n".join(
 )
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (tsa/sessions.py): 30-minute-inactivity
+    sessions per user over the event stream — ONE user-keyed shuffle
+    shared by the lag window, the cumulative session counter and the
+    per-session aggregate.  Exact-integer micros end to end; the
+    (ts, event_id) tie-break makes boundaries engine-identical."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.tsa.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_stats(ev, gap_s=1800.0)
+    return out.select(
+        "user_id", "session_idx",
+        F.col("n_events").cast("long").alias("n_events"),
+        "start_us", "duration_us")
+
+
+_SQL_EVENT_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+), l AS (
+  SELECT user_id, event_id, tus,
+         lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+  FROM e
+), s AS (
+  SELECT user_id, tus,
+         sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM l
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       min(tus)::BIGINT AS start_us,
+       (max(tus) - min(tus))::BIGINT AS duration_us
+FROM s GROUP BY 1, 2
+"""
+
+
 QUERIES_TSA = {
     "pipeline_event_profile": q_pipeline_event_profile,
     "kalman_local_level": q_kalman_local_level,
@@ -270,6 +311,7 @@ QUERIES_TSA = {
     "arima_grid_aic": q_arima_grid_aic,
     "arima_ml_aic": q_arima_ml_aic,
     "arima_forecast": q_arima_forecast,
+    "event_sessions": q_event_sessions,
 }
 
 ORACLES_TSA = {
@@ -279,4 +321,5 @@ ORACLES_TSA = {
     "arima_grid_aic": _SQL_ARIMA_GRID_AIC,
     "arima_ml_aic": _SQL_ARIMA_ML_AIC,
     "arima_forecast": _sql_envelope(5),
+    "event_sessions": _SQL_EVENT_SESSIONS,
 }

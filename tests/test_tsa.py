@@ -358,3 +358,73 @@ def test_arima_ml_grid_search_distributed(spark):
     assert len(best) == 3
     for r in best:
         assert (r["p"], r["q"]) in ((1, 0), (1, 1))  # AR term always kept
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (tsa/sessions.py)
+# --------------------------------------------------------------------------
+
+
+def test_sessionize_matches_python_reference(spark):
+    import random
+
+    from cuml_spark.tsa.sessions import sessionize
+
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = 1_700_000_000_000_000  # epoch micros
+        for _ in range(rng.randint(1, 20)):
+            t += rng.choice([1, 60, 1799, 1800, 1801, 7200]) * 1_000_000
+            rows.append((eid, u, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    # ts given as micros; the module treats raw longs as NANOS, so feed ns
+    df = df.withColumn("ts", df.ts * 1000)
+    got = {r["event_id"]: (r["session_idx"], r["is_new_session"])
+           for r in sessionize(df, gap_s=1800.0).collect()}
+
+    by_user = {}
+    for eid2, u, t in rows:
+        by_user.setdefault(u, []).append((t, eid2))
+    for u, evs in by_user.items():
+        evs.sort()
+        prev, idx = None, 0
+        for t, eid2 in evs:
+            new = prev is None or t - prev > 1800 * 1_000_000
+            if new:
+                idx += 1
+            assert got[eid2] == (idx, new), (u, eid2)
+            prev = t
+
+
+def test_sessionize_tie_break_and_validation(spark):
+    import pytest as _pt
+
+    from cuml_spark.tsa.sessions import session_stats, sessionize
+
+    # two events at the SAME instant: id tie-break keeps them one session
+    df = spark.createDataFrame(
+        [(1, 7, 1_000_000_000_000), (2, 7, 1_000_000_000_000),
+         (3, 7, 5_000_000_000_000_000)],
+        "event_id long, user_id long, ts long")
+    stats = {r["session_idx"]: r["n_events"]
+             for r in session_stats(df, gap_s=60.0).collect()}
+    assert stats == {1: 2, 2: 1}
+    with _pt.raises(ValueError, match="gap_s"):
+        sessionize(df, gap_s=0)
+
+
+def test_sessionize_single_shuffle_plan(spark):
+    """The lag window, cumulative counter and per-session aggregate all
+    share the user-keyed clustering: ONE exchange in the whole plan."""
+    import re
+
+    from cuml_spark.tsa.sessions import session_stats
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    out = session_stats(ev)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, plan[:2000]
