@@ -94,6 +94,7 @@ _BENCH_ORDER = [
     "hll_distinct_tokens", "tfidf_cosine_pairs", "cms_token_counts",
     "cdc_chunks", "corpus_spectrum", "streaming_cdc_chunks",
     "mink_prob_members", "zorder_keys", "event_sessions",
+    "asof_join_events", "range_join_sessions",
 ]
 # The driver archives only the LAST 2000 characters of this process's
 # output into the immutable BENCH_r{N}.json snapshot; a JSON line longer

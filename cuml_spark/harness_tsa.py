@@ -304,6 +304,97 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Backward as-of join (ops/joins.py): attach to every event its
+    user's most recent purchase value at-or-before the event time — the
+    point-in-time-correct feature-store join, via the union-sort plan
+    (ONE user-keyed shuffle, no range condition).  Same-instant
+    purchases are visible; ties to the largest purchase event_id."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.ops.joins import asof_join
+    from cuml_spark.tsa.sessions import _ts_micros
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_us", _ts_micros(ev, "ts"))
+    left = ev.select("event_id", "user_id", "ts_us")
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id",
+        F.col("value").alias("ref_value"))
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        value_cols=["ref_value"], right_id="event_id")
+    return out.select(
+        "event_id", "user_id", "asof_ts",
+        F.round("ref_value", 6).alias("ref_value"))
+
+
+_SQL_ASOF_JOIN_EVENTS = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value
+  FROM events
+), r AS (
+  SELECT user_id, tus, event_id, value FROM e WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id,
+       (SELECT r.tus FROM r
+        WHERE r.user_id = l.user_id AND r.tus <= l.tus
+        ORDER BY r.tus DESC, r.event_id DESC LIMIT 1)::BIGINT AS asof_ts,
+       round((SELECT r.value FROM r
+              WHERE r.user_id = l.user_id AND r.tus <= l.tus
+              ORDER BY r.tus DESC, r.event_id DESC LIMIT 1), 6) AS ref_value
+FROM e l
+"""
+
+
+def q_range_join_sessions(spark, sf_dir):
+    """Bucketed range join (ops/joins.py): events matched back into
+    their user's 2-hour-gap session intervals — intervals replicate to
+    6-hour bucket cells, points equi-join their cell, exact containment
+    filters after.  Never point x interval; every event lands in
+    exactly its own session, which the oracle re-derives."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.ops.joins import range_join_points
+    from cuml_spark.tsa.sessions import _ts_micros, session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ivals = session_stats(ev, gap_s=7200.0).select(
+        "user_id", "session_idx", "start_us",
+        (F.col("start_us") + F.col("duration_us")).alias("end_us"))
+    pts = ev.withColumn("ts_us", _ts_micros(ev, "ts")).select(
+        "event_id", "user_id", "ts_us")
+    out = range_join_points(
+        pts, ivals, on="user_id", point_ts="ts_us",
+        start_col="start_us", end_col="end_us",
+        bucket_width_us=21_600_000_000)
+    return out.select("event_id", "user_id", "session_idx")
+
+
+_SQL_RANGE_JOIN_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+), l AS (
+  SELECT user_id, event_id, tus,
+         lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+  FROM e
+), s AS (
+  SELECT user_id, event_id, tus,
+         sum(CASE WHEN prev IS NULL OR tus - prev > 7200000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM l
+), iv AS (
+  SELECT user_id, session_idx, min(tus) AS start_us, max(tus) AS end_us
+  FROM s GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, iv.session_idx::BIGINT AS session_idx
+FROM e p JOIN iv ON iv.user_id = p.user_id
+              AND p.tus BETWEEN iv.start_us AND iv.end_us
+"""
+
+
 QUERIES_TSA = {
     "pipeline_event_profile": q_pipeline_event_profile,
     "kalman_local_level": q_kalman_local_level,
@@ -312,6 +403,8 @@ QUERIES_TSA = {
     "arima_ml_aic": q_arima_ml_aic,
     "arima_forecast": q_arima_forecast,
     "event_sessions": q_event_sessions,
+    "asof_join_events": q_asof_join_events,
+    "range_join_sessions": q_range_join_sessions,
 }
 
 ORACLES_TSA = {
@@ -322,4 +415,6 @@ ORACLES_TSA = {
     "arima_ml_aic": _SQL_ARIMA_ML_AIC,
     "arima_forecast": _sql_envelope(5),
     "event_sessions": _SQL_EVENT_SESSIONS,
+    "asof_join_events": _SQL_ASOF_JOIN_EVENTS,
+    "range_join_sessions": _SQL_RANGE_JOIN_SESSIONS,
 }

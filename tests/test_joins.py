@@ -1,0 +1,100 @@
+"""As-of and range join tests (ops/joins.py)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _left(spark):
+    rows = [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 20, 150), (5, 30, 99)]
+    return spark.createDataFrame(rows, "event_id long, user long, ts long")
+
+
+def _right(spark):
+    # user 10: quotes at 100 (two same-instant), 250; user 20: at 160 (after)
+    rows = [(71, 10, 100, 1.5), (72, 10, 100, 2.5), (73, 10, 250, 9.0),
+            (74, 20, 160, 4.0)]
+    return spark.createDataFrame(rows, "qid long, user long, qts long, px double")
+
+
+def test_asof_join_semantics(spark):
+    from cuml_spark.ops.joins import asof_join
+
+    out = {r["event_id"]: (r["asof_ts"], r["px"]) for r in asof_join(
+        _left(spark), _right(spark), on="user", left_ts="ts",
+        right_ts="qts", value_cols=["px"], right_id="qid").collect()}
+    assert out[1] == (100, 2.5)   # same-instant visible, tie -> larger qid
+    assert out[2] == (100, 2.5)   # 205 < 250: still the 100 quote
+    assert out[3] == (250, 9.0)   # picks the newer quote
+    assert out[4] == (None, None) # user 20's only quote is in the future
+    assert out[5] == (None, None) # user 30 has no quotes
+
+
+def test_asof_join_tolerance_and_validation(spark):
+    from cuml_spark.ops.joins import asof_join
+
+    out = {r["event_id"]: r["px"] for r in asof_join(
+        _left(spark), _right(spark), on="user", left_ts="ts",
+        right_ts="qts", value_cols=["px"], right_id="qid",
+        tolerance_us=50).collect()}
+    assert out[1] == 2.5    # gap 0 <= 50
+    assert out[2] is None   # gap 105 > 50 -> stale
+    assert out[3] == 9.0    # gap 50 <= 50 (inclusive)
+    with pytest.raises(ValueError, match="tolerance_us"):
+        asof_join(_left(spark), _right(spark), on="user", left_ts="ts",
+                  right_ts="qts", value_cols=["px"], right_id="qid",
+                  tolerance_us=0)
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(_left(spark), _right(spark).withColumnRenamed("px", "ts"),
+                  on="user", left_ts="ts", right_ts="qts",
+                  value_cols=["ts"], right_id="qid")
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    from cuml_spark.ops.joins import asof_join
+
+    out = asof_join(_left(spark), _right(spark), on="user", left_ts="ts",
+                    right_ts="qts", value_cols=["px"], right_id="qid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan  # the union-sort formulation joins nothing
+
+
+def test_range_join_matches_python_reference(spark):
+    import random
+
+    from cuml_spark.ops.joins import range_join_points
+
+    rng = random.Random(21)
+    ivals = []
+    for i in range(30):
+        k = rng.randint(0, 3)
+        s = rng.randint(0, 1000)
+        ivals.append((i, k, s, s + rng.randint(0, 400)))
+    pts = [(j, rng.randint(0, 3), rng.randint(0, 1400)) for j in range(80)]
+    idf = spark.createDataFrame(ivals, "iid long, k long, s long, e long")
+    pdf = spark.createDataFrame(pts, "pid long, k long, t long")
+    got = {(r["pid"], r["iid"]) for r in range_join_points(
+        pdf, idf, on="k", point_ts="t", start_col="s", end_col="e",
+        bucket_width_us=128).collect()}
+    expect = {(pid, iid) for pid, pk, t in pts
+              for iid, ik, s, e in ivals if pk == ik and s <= t <= e}
+    assert got == expect
+    with pytest.raises(ValueError, match="bucket_width_us"):
+        range_join_points(pdf, idf, on="k", point_ts="t", start_col="s",
+                          end_col="e", bucket_width_us=0)
+
+
+def test_range_join_no_cartesian_plan(spark):
+    from cuml_spark.ops.joins import range_join_points
+
+    idf = spark.createDataFrame([(1, 1, 0, 100)], "iid long, k long, s long, e long")
+    pdf = spark.createDataFrame([(1, 1, 50)], "pid long, k long, t long")
+    out = range_join_points(pdf, idf, on="k", point_ts="t", start_col="s",
+                            end_col="e", bucket_width_us=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
