@@ -94,7 +94,8 @@ _BENCH_ORDER = [
     "hll_distinct_tokens", "tfidf_cosine_pairs", "cms_token_counts",
     "cdc_chunks", "corpus_spectrum", "streaming_cdc_chunks",
     "mink_prob_members", "zorder_keys", "event_sessions",
-    "asof_join_events", "range_join_sessions",
+    "asof_join_events", "range_join_sessions", "streaming_hll_users",
+    "corpus_cube_stats",
 ]
 # The driver archives only the LAST 2000 characters of this process's
 # output into the immutable BENCH_r{N}.json snapshot; a JSON line longer

@@ -468,8 +468,8 @@ ORACLES.update(ORACLES_STREAMING)
 # hll_distinct_tokens, tfidf_cosine_pairs, cms_token_counts,
 # cdc_chunks, corpus_spectrum, streaming_cdc_chunks,
 # mink_prob_members, zorder_keys, event_sessions, asof_join_events,
-# range_join_sessions).  Rule (a)
-# outranks (d), so these took 18 of the 20
+# range_join_sessions, streaming_hll_users, corpus_cube_stats).
+# Rule (a) outranks (d), so these took ALL 20 of the original
 # (d)-fill slots; the evicted r7-green eleven (mbsgd_fit,
 # arima_grid_aic, neardup_safe_split, pipeline_neardup_groups,
 # pq_search_exact, ivfpq_search_exact, media_decode, media_decode_jpeg,
@@ -477,10 +477,9 @@ ORACLES.update(ORACLES_STREAMING)
 # EXACTLY two rounds of age at r9 close - the invariant's boundary, not
 # past it - and MUST lead r10's (c) section (rf_regression,
 # rf_accuracy, doc_repetition, pii_scrub, eval_contamination,
-# minhash_signatures and lsh_pairs joined them as corpus_spectrum,
-# streaming_cdc_chunks, mink_prob_members, zorder_keys, event_sessions,
-# asof_join_events and range_join_sessions took slots 12-18) together
-# with the 29
+# minhash_signatures, lsh_pairs, stats_covariance and
+# domain_mixture_sample joined them as the twenty continuation
+# queries took every fill slot) together with the 29
 # long-deferred (40 total), leaving r10 ten slots for its own
 # new/changed work.  Zero never-checked queries remain at r9 close.
 _DRIVER_WINDOW = [
@@ -536,10 +535,11 @@ _DRIVER_WINDOW = [
     "event_sessions",            # gap-based sessionization
     "asof_join_events",          # backward as-of join (union-sort)
     "range_join_sessions",       # bucketed range join
-    # (d) the r7-green fill (evidence reaches two rounds at r9 close;
-    # 11 slots ceded to (a') - the evicted queries lead r10, see ledger)
-    "stats_covariance",
-    "domain_mixture_sample",
+    "streaming_hll_users",       # per-day HLL distinct on a stream
+    "corpus_cube_stats",         # CUBE rollup audit report
+    # (d) NOTE: the r7-green fill is fully ceded to (a') - all 20
+    # original fill queries reach exactly two rounds at r9 close and
+    # lead r10's (c) section (see ledger)
     # everything else (r8-green and unchanged, or the 29 deferred named
     # above) stays in queries()/bench - only the verification window moves
 ]

@@ -362,6 +362,81 @@ def _sql_streaming_cdc_chunks() -> str:
     return _SQL_CDC_CHUNKS
 
 
+def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day on a STREAM via HyperLogLog registers
+    (streaming/pipeline.py streaming_hll_registers): per-window state is
+    CONSTANT-SIZE (<= 2^b register rows) no matter the event volume —
+    the shape streaming exact count-distinct cannot sustain.  The
+    estimate fold (ops/hll.py) runs batch-side over the tiny sink;
+    exact per-day distincts ride alongside for audit.  Register max is
+    associative + monotone, so the backfill equals the batch sketch
+    register-for-register."""
+    from cuml_spark.ops.hll import hll_estimate_from_registers
+    from cuml_spark.streaming.pipeline import streaming_hll_registers
+
+    stream = _events_stream(spark, sf_dir)
+    regs = streaming_hll_registers(stream, value_col="user_id", b=10)
+    sink = _run_to_memory(regs, "complete")
+    day = F.datediff(F.col("window_start").cast("date"),
+                     F.to_date(F.lit("1970-01-01"))).cast("long")
+    est = hll_estimate_from_registers(
+        sink.select(day.alias("day_idx"), "bucket", "max_rho"),
+        ["day_idx"], b=10)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = dict(ev.dtypes)["ts"]
+    tus = (F.expr("ts div 1000") if ts_type in ("bigint", "long")
+           else F.unix_micros(F.col("ts").cast("timestamp")))
+    exact = (ev.select(tus.alias("__tus"), "user_id")
+             .groupBy(F.expr("__tus div 86400000000").cast("long").alias("day_idx"))
+             .agg(F.count_distinct("user_id").alias("exact_distinct")))
+    return est.join(exact, "day_idx").select(
+        "day_idx", F.round("approx_distinct", 4).alias("approx_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"))
+
+
+_SQL_STREAMING_HLL_USERS = """
+WITH e AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day_idx, user_id FROM events
+), h AS (
+  SELECT day_idx, user_id,
+         CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 8)) AS BIGINT) AS hv
+  FROM e
+), r AS (
+  SELECT day_idx, hv // 4194304 AS bucket,
+         CASE WHEN hv % 4194304 > 0
+              THEN 22 - length(bin(hv % 4194304)) + 1
+              ELSE 23 END AS rho
+  FROM h
+), regs AS (
+  SELECT day_idx, bucket, max(rho) AS max_rho FROM r GROUP BY 1, 2
+), agg AS (
+  SELECT day_idx, sum(power(2.0, -max_rho)) AS s_hit, count(*) AS hit
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT day_idx,
+         ((0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024)
+           / (s_hit + (1024 - hit)) AS raw,
+         1024 - hit AS zeros
+  FROM agg
+), fin AS (
+  SELECT day_idx,
+         CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+              THEN 1024.0 * ln(1024.0 / zeros)
+              ELSE raw END AS approx_distinct
+  FROM est
+)
+SELECT f.day_idx::BIGINT AS day_idx,
+       round(f.approx_distinct, 4) AS approx_distinct,
+       x.exact_distinct
+FROM fin f JOIN (
+  SELECT epoch_ns(ts) // 86400000000000 AS day_idx,
+         count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY 1
+) x USING (day_idx)
+"""
+
+
 QUERIES_STREAMING = {
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "streaming_window_stats": q_streaming_window_stats,
@@ -372,6 +447,7 @@ QUERIES_STREAMING = {
     "streaming_dsir_gate": q_streaming_dsir_gate,
     "streaming_bloom_gate": q_streaming_bloom_gate,
     "streaming_cdc_chunks": q_streaming_cdc_chunks,
+    "streaming_hll_users": q_streaming_hll_users,
 }
 
 ORACLES_STREAMING = {
@@ -384,4 +460,5 @@ ORACLES_STREAMING = {
     "streaming_dsir_gate": _sql_streaming_dsir_gate(),
     "streaming_bloom_gate": _sql_streaming_bloom_gate(),
     "streaming_cdc_chunks": _sql_streaming_cdc_chunks(),
+    "streaming_hll_users": _SQL_STREAMING_HLL_USERS,
 }

@@ -2415,8 +2415,45 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_corpus_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional corpus rollup via CUBE (the audit-dashboard
+    query): doc counts and char totals for every (lang, source) cell
+    PLUS all margins and the grand total in ONE pass — Spark expands
+    grouping sets inside a single shuffle instead of unioning four
+    aggregations; grouping_id disambiguates real nulls from rollup
+    rows."""
+    from cuml_spark.core.session import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            # grouping_id is only resolvable inside the cube's aggregate list
+            F.grouping_id().cast("long").alias("grp"),
+        )
+        .select(
+            "lang", "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            "grp",
+        )
+    )
+
+
+_SQL_CORPUS_CUBE_STATS = """
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       GROUPING(lang, source)::BIGINT AS grp
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "corpus_cube_stats": q_corpus_cube_stats,
     "bloom_dedup_gate": q_bloom_dedup_gate,
     "mink_prob_members": q_mink_prob_members,
     "winnow_overlap": q_winnow_overlap,
@@ -2495,6 +2532,7 @@ LEFT JOIN mt m ON m.doc_id = d.doc_id
 
 ORACLES_TEXT = {
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
+    "corpus_cube_stats": _SQL_CORPUS_CUBE_STATS,
     "bloom_dedup_gate": _SQL_BLOOM_DEDUP_GATE,
     "mink_prob_members": _SQL_MINK_PROB_MEMBERS,
     "winnow_overlap": _SQL_WINNOW_OVERLAP,

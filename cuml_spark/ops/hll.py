@@ -37,7 +37,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_alpha", "hll_distinct", "hll_registers"]
+__all__ = ["hll_alpha", "hll_distinct", "hll_estimate_from_registers", "hll_registers"]
 
 _HASH_BITS = 32
 
@@ -100,15 +100,37 @@ def hll_distinct(
     with the standard small-range (linear counting) correction.  Two
     bounded shuffles: the register aggregation, then a ≤ 2^b-row-per-
     group fold into the estimate."""
-    m = 1 << b
-    alpha = hll_alpha(m)
     regs = hll_registers(df, group_cols, value_col, b=b)
-    agg = regs.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__s_hit"),
-        F.count("*").alias("__hit"),
-    )
     # absent buckets are zero registers: each adds 2^0 = 1 to the
     # harmonic sum and counts toward the linear-counting zero set
+    # (handled inside the shared fold)
+    return hll_estimate_from_registers(regs, group_cols, b=b, out_col=out_col)
+
+
+def hll_error_bound(b: int) -> float:
+    """The standard-error coefficient 1.04 / sqrt(2^b)."""
+    return 1.04 / math.sqrt(1 << b)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    *,
+    b: int = 10,
+    rho_col: str = "max_rho",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Fold a register table — (group_cols..., bucket, rho_col), absent
+    buckets = zero registers — into per-group estimates.  The batch-side
+    finalizer for :func:`hll_registers` and the streaming register
+    aggregation (streaming/pipeline.py): registers are mergeable state,
+    the estimate is a ≤ 2^b-row fold."""
+    m = 1 << b
+    alpha = hll_alpha(m)
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col(rho_col))).alias("__s_hit"),
+        F.count("*").alias("__hit"),
+    )
     zeros = F.lit(m) - F.col("__hit")
     s = F.col("__s_hit") + zeros.cast("double")
     raw = F.lit(alpha * m * m) / s
@@ -117,8 +139,3 @@ def hll_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias(out_col))
-
-
-def hll_error_bound(b: int) -> float:
-    """The standard-error coefficient 1.04 / sqrt(2^b)."""
-    return 1.04 / math.sqrt(1 << b)

@@ -128,3 +128,40 @@ def streaming_windowed_stats(
             "key", "n", "avg_value", "min_value", "max_value",
         )
     )
+
+
+def streaming_hll_registers(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "1 day",
+    b: int = 10,
+) -> DataFrame:
+    """Per-window HyperLogLog registers on a STREAM →
+    (window_start, bucket, max_rho): distinct-cardinality state that is
+    CONSTANT-SIZE per window (≤ 2^b rows) no matter how many events the
+    window sees — the streaming "distinct users per day" shape that an
+    exact count-distinct cannot sustain (its state grows with the
+    distinct set; Spark refuses streaming count_distinct outright).
+    The register max is an associative, monotone aggregate, so
+    incremental micro-batch updates converge to the batch answer;
+    finalizing the estimate (ops/hll.py fold) runs batch-side over the
+    tiny register table."""
+    rem_bits = 32 - b
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    bucket = (h / (1 << rem_bits)).cast("int")
+    rem = h % (1 << rem_bits)
+    rho = F.when(
+        rem > 0, F.lit(rem_bits) - F.length(F.bin(rem)) + 1
+    ).otherwise(F.lit(rem_bits + 1)).cast("int")
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .select(F.col(ts_col), bucket.alias("bucket"), rho.alias("__rho"))
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("bucket"))
+        .agg(F.max("__rho").alias("max_rho"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "max_rho")
+    )
