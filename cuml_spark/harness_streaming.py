@@ -347,7 +347,14 @@ def q_streaming_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming query — file source → CDC chunker → memory sink,
     availableNow.  Row-for-row parity with the batch `cdc_chunks`
     answer (same oracle): reprocessing a day of files yields the same
-    dedup-stable chunk table the live ingest produced."""
+    dedup-stable chunk table the live ingest produced.
+
+    Bench note: the file-stream source assigns WHOLE FILES to tasks, so
+    this one-file-per-table fixture runs the (md5-per-position) CDC
+    compute on a single task — ~5s vs the 0.5s the 32-way batch scan
+    pays for identical work.  A real ingest directory has many files
+    and parallelizes naturally; forcing a repartition inside the stream
+    would add a shuffle to dodge a fixture artifact."""
     from cuml_spark.text.cdc import cdc_chunks
 
     stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
