@@ -2193,7 +2193,9 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuml_spark.text.sparse_sim import tfidf_cosine_pairs
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    return tfidf_cosine_pairs(docs, 0.3, max_df=100)
+    # fractional df cap (0.2 of docs): scale-correct — the absolute
+    # cap this started with kept ZERO terms at 10x the fixture size
+    return tfidf_cosine_pairs(docs, 0.3, max_df=0.2)
 
 
 _SQL_TFIDF_COSINE_PAIRS = """
@@ -2209,7 +2211,8 @@ WITH toks AS (
   SELECT term,
          CAST(round(1000 * (ln((1.0 + nd.n) / (1 + count(*))) + 1.0))
               AS BIGINT) AS idfm
-  FROM tf, nd GROUP BY term, nd.n HAVING count(*) <= 100
+  FROM tf, nd GROUP BY term, nd.n
+  HAVING count(*) <= greatest(1, CAST(floor(0.2 * nd.n) AS BIGINT))
 ), posts AS (
   SELECT tf.doc_id, tf.term, tf.tf * dfq.idfm AS w
   FROM tf JOIN dfq USING (term)

@@ -46,20 +46,32 @@ def tfidf_weighted_postings(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_sep: str = " ",
-    max_df: int = 100,
+    max_df: int | float = 0.2,
 ) -> DataFrame:
     """→ (id_col, term, w): integer TF-IDF postings over the kept
     vocabulary (terms with df ≤ ``max_df``), ``w = tf * idf_milli``.
     N counts documents contributing ≥ 1 token.  Weights and norms are
     defined over the KEPT vocabulary only.
+
+    ``max_df`` follows the sklearn convention: a float in (0, 1] is a
+    FRACTION of N (cap = ⌊max_df · N⌋), an int ≥ 1 is absolute.  The
+    fractional form is the scale-correct default — an absolute cap
+    tuned on a small corpus silently empties (or stops pruning) the
+    posting list when the corpus grows 100×, which is exactly what a
+    cross-scale oracle run caught here (max_df=100 kept ZERO terms at
+    10× the fixture size).
     """
-    if max_df < 1:
-        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    if isinstance(max_df, float) and not 0.0 < max_df <= 1.0:
+        raise ValueError(f"fractional max_df must be in (0, 1], got {max_df}")
+    if isinstance(max_df, int) and max_df < 1:
+        raise ValueError(f"absolute max_df must be >= 1, got {max_df}")
     toks = (
         df.select(F.col(id_col), F.explode(_token_array(text_col, token_sep)).alias("term"))
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     n_docs = tf.select(id_col).distinct().count()
+    if isinstance(max_df, float):
+        max_df = max(1, int(max_df * n_docs))
     dfreq = (
         tf.groupBy("term")
         .agg(F.count("*").alias("__df"))
@@ -85,7 +97,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_sep: str = " ",
-    max_df: int = 100,
+    max_df: int | float = 0.2,
 ) -> DataFrame:
     """→ (doc_a, doc_b, cosine): document pairs with TF-IDF cosine ≥
     ``threshold`` (rounded to 6dp before thresholding, so the cut is

@@ -1097,3 +1097,22 @@ def test_mink_prob_validation(spark):
         mink_prob_scores(None, k_pct=0.0)
     with _pt.raises(ValueError, match="add_k"):
         mink_prob_scores(None, add_k=0.0)
+
+
+def test_tfidf_fractional_max_df_scales_with_corpus(spark):
+    """The sklearn-style fractional df cap keeps pruning meaningful at
+    any corpus size — the absolute-cap failure mode (every term over the
+    cap at 10x the data) cannot occur."""
+    from cuml_spark.text.sparse_sim import (tfidf_cosine_pairs,
+                                            tfidf_weighted_postings)
+
+    # every doc shares 'common'; pairs only exist via it
+    rows = [(i, f"unique{i} common") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # fraction 0.5 -> cap 20 < df('common')=40 -> pruned -> no pairs
+    assert tfidf_cosine_pairs(df, 0.01, max_df=0.5).count() == 0
+    # fraction 1.0 -> cap 40 -> kept -> all pairs
+    assert tfidf_cosine_pairs(df, 0.01, max_df=1.0).count() == 780
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fractional max_df"):
+        tfidf_weighted_postings(df, max_df=1.5)
