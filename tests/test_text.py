@@ -1116,3 +1116,63 @@ def test_tfidf_fractional_max_df_scales_with_corpus(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="fractional max_df"):
         tfidf_weighted_postings(df, max_df=1.5)
+
+
+@_pytest.mark.parametrize("n_docs", [unit_param(2000), quality_param(20000)])
+def test_winnow_planted_overlap_recall_at_scale(spark, n_docs):
+    """Planted shared-span recall beyond the 500-doc fixture: every
+    planted pair shares a run of 16 tokens >= w+k-1, so winnowing MUST
+    surface it (the guarantee is deterministic, not probabilistic)."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.text.winnow import winnow_fingerprints, winnow_overlap
+
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.conv(F.xxhash64("id", F.lit(s)).cast("string"), 10, 16)
+              for s in range(12)],
+        ).alias("text"),
+    )
+    shared = " ".join(f"sharedtok{i}" for i in range(16))
+    planted = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + shared)).alias("text"),
+    )
+    planted2 = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2 * n_docs).alias("doc_id"),
+        F.concat(F.lit(shared + " "), F.col("text")).alias("text"),
+    )
+    docs = base.unionAll(planted).unionAll(planted2)
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             winnow_overlap(fps, max_df=max(50, n_docs // 10),
+                            min_shared=1).collect()}
+    expected = {(i + n_docs, i + 2 * n_docs) for i in range(0, n_docs, 50)}
+    missed = [p for p in expected if p not in pairs]
+    assert not missed, f"missed {len(missed)} of {len(expected)}"
+
+
+@_pytest.mark.parametrize("n_keys", [unit_param(50_000), quality_param(500_000)])
+def test_bloom_fpr_at_scale(spark, n_keys):
+    """FPR stays within 3x the analytic (1-e^-kn/m)^k bound at real key
+    volumes; zero false negatives always."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.text.bloom import bloom_probe, fit_bloom
+
+    m_bits = 1 << 20
+    df = spark.range(2 * n_keys).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("key-"), F.col("id")).alias("text"))
+    fitted = df.where(F.col("doc_id") < n_keys)
+    bf = fit_bloom(fitted, "text", num_bits=m_bits, num_hashes=5)
+    flags = bloom_probe(df, bf, "text").groupBy(
+        (F.col("doc_id") < n_keys).alias("member")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("maybe_seen").cast("long")).alias("hits")).collect()
+    by = {r["member"]: r for r in flags}
+    assert by[True]["hits"] == by[True]["n"]  # no false negatives
+    fpr = by[False]["hits"] / by[False]["n"]
+    assert fpr <= 3 * bf.false_positive_rate(n_keys) + 1e-4, fpr

@@ -428,3 +428,51 @@ def test_sessionize_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex == 1, plan[:2000]
+
+
+def test_sessionize_invariants_at_scale(spark):
+    """100k synthetic events, 200 users: session boundaries respect the
+    gap law globally — within a session every inter-event gap <= gap;
+    across consecutive sessions the boundary gap > gap — verified via
+    aggregate invariants, partitioning-independent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from cuml_spark.tsa.sessions import sessionize
+
+    n = 100_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 200).alias("user_id"),
+        # deterministic pseudo-random inter-arrival: hash-derived gaps in
+        # [1s, 2h), cumulated per user via a window below
+        (F.abs(F.xxhash64("id")) % 7200 + 1).alias("gap_s"),
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    ev = ev.withColumn(
+        "ts", (F.sum("gap_s").over(w) * 1_000_000_000).cast("long"))
+    s = sessionize(ev, gap_s=1800.0)
+    # invariant 1: session_idx is non-decreasing in event order per user
+    # and increments exactly at is_new_session rows
+    chk = s.select(
+        "user_id", "event_id", "session_idx", "is_new_session",
+        F.lag("session_idx").over(
+            W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        ).alias("prev_idx"),
+        (F.col("ts_us") - F.lag("ts_us").over(
+            W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        )).alias("gap_us"),
+    )
+    bad_increment = chk.where(
+        (F.col("prev_idx").isNotNull()) & (
+            (F.col("is_new_session") & (F.col("session_idx") != F.col("prev_idx") + 1))
+            | (~F.col("is_new_session") & (F.col("session_idx") != F.col("prev_idx")))
+        )).count()
+    assert bad_increment == 0
+    # invariant 2: gap law — new session iff gap > 1800s (or first event)
+    bad_gap = chk.where(
+        F.col("gap_us").isNotNull() & (
+            (F.col("gap_us") > 1_800_000_000) != F.col("is_new_session")
+        )).count()
+    assert bad_gap == 0
+    assert s.count() == n
