@@ -460,10 +460,10 @@ ORACLES.update(ORACLES_STREAMING)
 # stable queries green at
 # every check since r1/r4 (or r7 for the newest),
 # implementation files untouched for 3+ rounds) reach exactly two rounds
-# of age at the end of r9.  REBALANCE (continuation session): eleven
-# never-driver-checked queries existed mid-round - four that landed
+# of age at the end of r9.  REBALANCE (continuation session): TWENTY
+# never-driver-checked queries accumulated mid-round - four that landed
 # after the first window commit (media_decode_lossless, cosine_topk_int8,
-# hamming_topk_signs, pipeline_ann_ladder) plus seven new continuation
+# hamming_topk_signs, pipeline_ann_ladder) plus sixteen new continuation
 # operators (bloom_dedup_gate, streaming_bloom_gate, winnow_overlap,
 # hll_distinct_tokens, tfidf_cosine_pairs, cms_token_counts,
 # cdc_chunks, corpus_spectrum, streaming_cdc_chunks,

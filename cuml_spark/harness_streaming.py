@@ -389,12 +389,10 @@ def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate_from_registers(
         sink.select(day.alias("day_idx"), "bucket", "max_rho"),
         ["day_idx"], b=10)
+    from cuml_spark.tsa.sessions import _ts_micros
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts_type = dict(ev.dtypes)["ts"]
-    tus = (F.expr("ts div 1000") if ts_type in ("bigint", "long")
-           else F.unix_micros(F.col("ts").cast("timestamp")))
-    exact = (ev.select(tus.alias("__tus"), "user_id")
+    exact = (ev.select(_ts_micros(ev, "ts").alias("__tus"), "user_id")
              .groupBy(F.expr("__tus div 86400000000").cast("long").alias("day_idx"))
              .agg(F.count_distinct("user_id").alias("exact_distinct")))
     return est.join(exact, "day_idx").select(

@@ -37,7 +37,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_alpha", "hll_distinct", "hll_estimate_from_registers", "hll_registers"]
+__all__ = ["hll_alpha", "hll_bucket_rho", "hll_distinct", "hll_estimate_from_registers", "hll_registers"]
 
 _HASH_BITS = 32
 
@@ -61,6 +61,23 @@ def _rho(rem: Column, rem_bits: int) -> Column:
     ).otherwise(F.lit(rem_bits + 1)).cast("int")
 
 
+def hll_bucket_rho(value_col: str, *, b: int = 10) -> tuple[Column, Column]:
+    """The (bucket, rho) column pair for one value — THE single
+    definition of the register hash layout, shared by the batch
+    aggregation below and the streaming register aggregation
+    (streaming/pipeline.py), so the two can never desynchronize and
+    sketches from either side merge register-for-register."""
+    if not 4 <= b <= 14:
+        raise ValueError(f"b must be in [4, 14], got {b}")
+    rem_bits = _HASH_BITS - b
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    bucket = (h / (1 << rem_bits)).cast("int")
+    rem = h % (1 << rem_bits)
+    return bucket, _rho(rem, rem_bits)
+
+
 def hll_registers(
     df: DataFrame,
     group_cols: list[str],
@@ -72,17 +89,10 @@ def hll_registers(
     table — ≤ ``2^b`` rows per group, absent buckets meaning register 0.
     ONE map-side-combined aggregation; null values are ignored (SQL
     ``count(distinct)`` convention)."""
-    if not 4 <= b <= 14:
-        raise ValueError(f"b must be in [4, 14], got {b}")
-    rem_bits = _HASH_BITS - b
-    h = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    bucket = (h / (1 << rem_bits)).cast("int")
-    rem = h % (1 << rem_bits)
+    bucket, rho = hll_bucket_rho(value_col, b=b)
     return (
         df.where(F.col(value_col).isNotNull())
-        .select(*group_cols, bucket.alias("bucket"), _rho(rem, rem_bits).alias("__rho"))
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("__rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("__rho").alias("max_rho"))
     )

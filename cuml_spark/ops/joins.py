@@ -70,32 +70,53 @@ def asof_join(
         F.lit(None).cast("long").alias("__rts"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
     )
-    r_tagged = right.select(
-        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != on],
-        F.col(on),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__is_l"),
-        F.col(right_id).cast("long").alias("__rid"),
-        F.col(right_ts).cast("long").alias("__rts"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
-    ).select(*l_tagged.columns)
+    r_tagged = (
+        # null right timestamps have no position on the time axis: drop
+        # them here, or NULLS-FIRST ordering would leak their values
+        # into every left row while asof_ts stayed null
+        right.where(F.col(right_ts).isNotNull())
+        .select(
+            *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != on],
+            F.col(on),
+            F.col(right_ts).alias("__ts"),
+            F.lit(0).alias("__is_l"),
+            F.col(right_id).cast("long").alias("__rid"),
+            F.col(right_ts).cast("long").alias("__rts"),
+            *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        )
+        .select(*l_tagged.columns)
+    )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(on)
         .orderBy(F.col("__ts").asc(), F.col("__is_l").asc(), F.col("__rid").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the most recent right row ATOMICALLY as one struct: a
+    # per-column last(ignorenulls) would skip a genuinely-NULL right
+    # value and resurrect an older row's value, splitting asof_ts and
+    # the values across different matches.  The struct is non-null for
+    # every right row (even when its members are null), null for left
+    # rows — exactly the carry-forward marker last(ignorenulls) needs.
+    payload = F.when(
+        F.col("__is_l") == 0,
+        F.struct(
+            F.col("__rts").alias("rts"),
+            *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        ),
+    )
     filled = unioned.select(
         *lcols,
         "__is_l",
-        F.last("__rts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last(payload, ignorenulls=True).over(w).alias("__m"),
         F.col("__ts").alias("__lts"),
     )
-    out = filled.where(F.col("__is_l") == 1)
+    out = filled.where(F.col("__is_l") == 1).select(
+        *lcols,
+        F.col("__m.rts").alias("asof_ts"),
+        *[F.col(f"__m.{c}").alias(c) for c in value_cols],
+        "__lts",
+    )
     if tolerance_us is not None:
         stale = F.col("asof_ts").isNull() | (
             F.col("__lts") - F.col("asof_ts") > int(tolerance_us)

@@ -148,15 +148,9 @@ def streaming_hll_registers(
     incremental micro-batch updates converge to the batch answer;
     finalizing the estimate (ops/hll.py fold) runs batch-side over the
     tiny register table."""
-    rem_bits = 32 - b
-    h = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    bucket = (h / (1 << rem_bits)).cast("int")
-    rem = h % (1 << rem_bits)
-    rho = F.when(
-        rem > 0, F.lit(rem_bits) - F.length(F.bin(rem)) + 1
-    ).otherwise(F.lit(rem_bits + 1)).cast("int")
+    from cuml_spark.ops.hll import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(value_col, b=b)
     return (
         stream_df.withWatermark(ts_col, watermark)
         .where(F.col(value_col).isNotNull())

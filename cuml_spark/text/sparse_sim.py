@@ -68,7 +68,11 @@ def tfidf_weighted_postings(
     toks = (
         df.select(F.col(id_col), F.explode(_token_array(text_col, token_sep)).alias("term"))
     )
+    # materialize tf ONCE: the n_docs action below and the postings
+    # projection both read it — without the checkpoint the corpus would
+    # be re-tokenized and re-aggregated for each (review finding)
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=False)
     n_docs = tf.select(id_col).distinct().count()
     if isinstance(max_df, float):
         max_df = max(1, int(max_df * n_docs))

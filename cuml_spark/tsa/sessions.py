@@ -52,6 +52,11 @@ def sessionize(
     seconds (strictly), and at each user's first event."""
     if gap_s <= 0:
         raise ValueError(f"gap_s must be > 0, got {gap_s}")
+    for c in ("ts_us", "is_new_session", "session_idx"):
+        if c in events.columns and c != ts_col:
+            raise ValueError(
+                f"input already has a {c!r} column — rename it; sessionize "
+                "appends ts_us/is_new_session/session_idx")
     gap_us = int(round(gap_s * 1_000_000))
     tus = _ts_micros(events, ts_col).alias("ts_us")
     base = events.select("*", tus)

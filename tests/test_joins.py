@@ -98,3 +98,31 @@ def test_range_join_no_cartesian_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_null_right_value_is_not_resurrected(spark):
+    """A genuinely-NULL value on the most recent right row must surface
+    as NULL (matching the oracle), not fall back to an older row."""
+    from cuml_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, 300)], "event_id long, user long, ts long")
+    right = spark.createDataFrame(
+        [(71, 10, 100, 1.5), (72, 10, 200, None)],
+        "qid long, user long, qts long, px double")
+    r = asof_join(left, right, on="user", left_ts="ts", right_ts="qts",
+                  value_cols=["px"], right_id="qid").collect()[0]
+    assert r["asof_ts"] == 200
+    assert r["px"] is None
+
+
+def test_asof_join_null_right_ts_dropped(spark):
+    """Right rows with NULL timestamps have no time-axis position: they
+    must not leak values into left rows."""
+    from cuml_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, 50)], "event_id long, user long, ts long")
+    right = spark.createDataFrame(
+        [(71, 10, None, 7.0)], "qid long, user long, qts long, px double")
+    r = asof_join(left, right, on="user", left_ts="ts", right_ts="qts",
+                  value_cols=["px"], right_id="qid").collect()[0]
+    assert r["asof_ts"] is None and r["px"] is None
