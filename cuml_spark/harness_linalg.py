@@ -307,7 +307,12 @@ def q_zorder_keys(spark, sf_dir):
 
 
 # the // and % arithmetic is the bit extraction ((x >> b) & 1) written in
-# engine-neutral integer ops; disjoint bit positions make + equal to OR
+# engine-neutral integer ops; disjoint bit positions make + equal to OR.
+# Cross-engine floor safety: l_extendedprice/l_quantity are parquet
+# DOUBLEs, so both engines normalize with identical IEEE doubles and the
+# identical (p - nx) / (xx - nx) * 255 op order - there is no
+# decimal-vs-double rounding asymmetry to flip a bucket floor
+# (empirically hash-matched over 660k rows across sf0.01 + sf0.1)
 _SQL_ZORDER_KEYS = """
 WITH st AS (
   SELECT min(l_extendedprice) AS nx, max(l_extendedprice) AS xx,
