@@ -315,3 +315,29 @@ def test_pickle_text_models(spark):
     a = {r["doc_id"]: r["score"] for r in clf.score(docs).collect()}
     b = {r["doc_id"]: r["score"] for r in clf2.score(docs).collect()}
     assert a == b
+
+
+def test_sketch_models_pickle_round_trip(spark):
+    """Fitted sketch artifacts (bloom filter, count-min) are the models a
+    pipeline persists between runs — pickle must round-trip them with
+    identical probe/estimate behavior."""
+    from cuml_spark.ops.cms import cms_estimate_col, fit_cms
+    from cuml_spark.text.bloom import bloom_probe, fit_bloom
+
+    df = spark.createDataFrame(
+        [(i, f"key-{i % 37}") for i in range(200)], "doc_id long, text string")
+    bf = fit_bloom(df, "text", num_bits=1024, num_hashes=4)
+    bf2 = pickle.loads(pickle.dumps(bf))
+    assert bf2 == bf
+    a = {r["doc_id"]: r["maybe_seen"] for r in bloom_probe(df, bf, "text").collect()}
+    b = {r["doc_id"]: r["maybe_seen"] for r in bloom_probe(df, bf2, "text").collect()}
+    assert a == b
+
+    cm = fit_cms(df, "text", depth=3, width=64)
+    cm2 = pickle.loads(pickle.dumps(cm))
+    assert cm2 == cm
+    keys = [f"key-{i}" for i in range(40)]
+    assert [cm.estimate(k) for k in keys] == [cm2.estimate(k) for k in keys]
+    got = {r["text"]: r["e"] for r in df.select(
+        "text", cms_estimate_col(cm2, F.col("text")).alias("e")).distinct().collect()}
+    assert all(got[k] == cm.estimate(k) for k in got)

@@ -704,3 +704,17 @@ def test_cdc_chunks_map_only_pruned(spark):
     assert "EvalPython" not in plan
     schemas = _read_schemas(out)
     assert schemas and all("lang" not in s for s in schemas)
+
+
+def test_mink_prob_single_rank_window_no_cartesian(spark):
+    """Min-K% rides the bigram_lm_scores join plan plus exactly ONE
+    per-document rank window — no cartesian product, no Python eval."""
+    from cuml_spark.text.lm import mink_prob_scores
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    members = documents.where(F.col("doc_id") % 2 == 0)
+    out = mink_prob_scores(documents, k_pct=0.2, lm_corpus=members)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Window") <= 2  # the rank + count windows share one spec
