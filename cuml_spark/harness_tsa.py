@@ -395,6 +395,51 @@ FROM e p JOIN iv ON iv.user_id = p.user_id
 """
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable continuous-aggregate rollup (tsa/rollup.py): hourly
+    (bucket, event_type) partials — ONE map-side-combined aggregation
+    collapsing the raw events — re-aggregated to daily stats WITHOUT
+    re-reading raw data (counts/sums re-add, min/max fold, avg derives
+    at read time).  The oracle aggregates raw events directly at daily
+    granularity, so the correctness law under test is
+    rollup-from-partials == direct."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.tsa.rollup import rollup_partials, rollup_reaggregate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = rollup_partials(ev, bucket_s=3600, keys=["event_type"])
+    daily = rollup_reaggregate(
+        hourly, fine_bucket_s=3600, coarse_bucket_s=86400,
+        keys=["event_type"])
+    return daily.select(
+        "bucket_us", "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        # avg derives from the ROUNDED sum: the two-stage partial sum can
+        # differ from the oracle's direct sum by 1 ulp, and an avg landing
+        # exactly on the 6dp rounding boundary (seen: 56.4009375) would
+        # flake — dividing the 4dp-rounded sum makes both engines' inputs
+        # bit-identical before the division
+        F.round(F.round("sum_value", 4) / F.col("n"), 6).alias("avg_value"),
+    )
+
+
+_SQL_HYPERTABLE_ROLLUP = """
+SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(round(sum(value), 4) / count(*), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES_TSA = {
     "pipeline_event_profile": q_pipeline_event_profile,
     "kalman_local_level": q_kalman_local_level,
@@ -405,6 +450,7 @@ QUERIES_TSA = {
     "event_sessions": q_event_sessions,
     "asof_join_events": q_asof_join_events,
     "range_join_sessions": q_range_join_sessions,
+    "hypertable_rollup": q_hypertable_rollup,
 }
 
 ORACLES_TSA = {
@@ -417,4 +463,5 @@ ORACLES_TSA = {
     "event_sessions": _SQL_EVENT_SESSIONS,
     "asof_join_events": _SQL_ASOF_JOIN_EVENTS,
     "range_join_sessions": _SQL_RANGE_JOIN_SESSIONS,
+    "hypertable_rollup": _SQL_HYPERTABLE_ROLLUP,
 }

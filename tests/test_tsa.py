@@ -476,3 +476,57 @@ def test_sessionize_invariants_at_scale(spark):
         )).count()
     assert bad_gap == 0
     assert s.count() == n
+
+
+def test_rollup_from_partials_equals_direct(spark):
+    """The continuous-aggregate law: re-aggregating hourly partials to
+    any coarser multiple equals aggregating raw events directly —
+    counts/mins/maxes exactly, sums within fp-association tolerance."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.tsa.rollup import rollup_partials, rollup_reaggregate
+
+    ev = spark.range(50_000).select(
+        F.col("id").alias("event_id"),
+        (((F.col("id") * 61) % 90) * 86_400_000_000_000
+         + (F.col("id") % 97) * 1_000_000_000).alias("ts"),  # nanos
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.abs(F.xxhash64("id")) % 1000 / 10.0).alias("value"),
+    )
+    hourly = rollup_partials(ev, bucket_s=3600, keys=["k"])
+    daily = rollup_reaggregate(hourly, fine_bucket_s=3600,
+                               coarse_bucket_s=86400, keys=["k"])
+    direct = rollup_partials(ev, bucket_s=86400, keys=["k"])
+    a = {(r["bucket_us"], r["k"]): r for r in daily.collect()}
+    b = {(r["bucket_us"], r["k"]): r for r in direct.collect()}
+    assert a.keys() == b.keys()
+    for key in a:
+        ra, rb = a[key], b[key]
+        assert ra["n"] == rb["n"]
+        assert ra["min_value"] == rb["min_value"]
+        assert ra["max_value"] == rb["max_value"]
+        assert abs(ra["sum_value"] - rb["sum_value"]) < 1e-6
+
+
+def test_rollup_validation(spark):
+    import pytest as _pt
+
+    from cuml_spark.tsa.rollup import rollup_partials, rollup_reaggregate
+
+    with _pt.raises(ValueError, match="bucket_s"):
+        rollup_partials(None, bucket_s=0, keys=[])
+    with _pt.raises(ValueError, match="integer multiple"):
+        rollup_reaggregate(None, fine_bucket_s=3600, coarse_bucket_s=5000,
+                           keys=[])
+
+
+def test_rollup_partials_single_shuffle(spark):
+    import re
+
+    from cuml_spark.tsa.rollup import rollup_partials
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    out = rollup_partials(ev, bucket_s=3600, keys=["event_type"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "partial_count" in plan or "partial_finalmerge" in plan
