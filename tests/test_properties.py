@@ -1059,3 +1059,50 @@ def test_hll_registers_match_python_property(spark, vals, b):
         rho = rem_bits - rem.bit_length() + 1 if rem else rem_bits + 1
         expect[bucket] = max(expect.get(bucket, 0), rho)
     assert got == expect
+
+
+@SET
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),  # (key, ts)
+        min_size=1, max_size=15),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2),
+                  st.one_of(st.none(), st.integers(0, 50)),
+                  st.one_of(st.none(), st.integers(0, 9))),  # (key, ts, val)
+        min_size=0, max_size=15),
+    tol=st.one_of(st.none(), st.integers(1, 30)),
+)
+def test_asof_join_matches_python_reference(spark, lefts, rights, tol):
+    """Backward as-of semantics vs a brute-force python replay for ANY
+    inputs: latest right row with ts <= left ts, same-instant visible,
+    ties to the largest right id, NULL right ts dropped, NULL right
+    values preserved (not resurrected), staleness tolerance applied."""
+    from cuml_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        "event_id long, user long, ts long")
+    right = spark.createDataFrame(
+        [(100 + j, k, t, float(v) if v is not None else None)
+         for j, (k, t, v) in enumerate(rights)],
+        "qid long, user long, qts long, px double")
+    got = {r["event_id"]: (r["asof_ts"], r["px"]) for r in asof_join(
+        left, right, on="user", left_ts="ts", right_ts="qts",
+        value_cols=["px"], right_id="qid",
+        tolerance_us=tol).collect()}
+    for i, (k, t) in enumerate(lefts):
+        cands = [
+            (qts, 100 + j, v)
+            for j, (rk, qts, v) in enumerate(rights)
+            if rk == k and qts is not None and qts <= t
+        ]
+        if not cands:
+            expect = (None, None)
+        else:
+            qts, _qid, v = max(cands)  # (ts, id) lexicographic = tie rule
+            if tol is not None and t - qts > tol:
+                expect = (None, None)
+            else:
+                expect = (qts, float(v) if v is not None else None)
+        assert got[i] == expect, (i, k, t, got[i], expect)
