@@ -1106,3 +1106,76 @@ def test_asof_join_matches_python_reference(spark, lefts, rights, tol):
             else:
                 expect = (qts, float(v) if v is not None else None)
         assert got[i] == expect, (i, k, t, got[i], expect)
+
+
+@SET
+@given(
+    pts=st.lists(st.tuples(st.floats(-100, 100, allow_nan=False),
+                           st.floats(-100, 100, allow_nan=False)),
+                 min_size=2, max_size=40),
+    bits=st.integers(3, 10),
+)
+def test_zorder_interleave_property(spark, pts, bits):
+    """For ANY points/bits: the Spark key equals the python Morton
+    interleave of the min/max-normalized bucket ranks."""
+    import math
+
+    from cuml_spark.ops.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "rid long, x double, y double")
+    got = {r["rid"]: r["zkey"]
+           for r in zorder_key(df, ["x", "y"], bits=bits).collect()}
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    nx, xx, ny, xy = min(xs), max(xs), min(ys), max(ys)
+    span = (1 << bits) - 1
+
+    def bucket(v, lo, hi):
+        if hi == lo:
+            return 0
+        return min(span, max(0, math.floor((v - lo) / (hi - lo) * span)))
+
+    for i, (x, y) in enumerate(pts):
+        bx, by = bucket(x, nx, xx), bucket(y, ny, xy)
+        z = 0
+        for b in range(bits):
+            z |= ((bx >> b) & 1) << (2 * b)
+            z |= ((by >> b) & 1) << (2 * b + 1)
+        assert got[i] == z, (i, x, y)
+
+
+@SET
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2),                  # key
+                  st.integers(0, 10_000),             # seconds offset
+                  st.floats(-50, 50, allow_nan=False)),  # value
+        min_size=1, max_size=60),
+    fine=st.sampled_from([60, 300, 3600]),
+    mult=st.integers(2, 24),
+)
+def test_rollup_nesting_property(spark, events, fine, mult):
+    """For ANY events and nested widths: re-aggregated partials equal the
+    direct coarse aggregation (counts/min/max exactly, sums to fp
+    tolerance)."""
+    from cuml_spark.tsa.rollup import rollup_partials, rollup_reaggregate
+
+    rows = [(i, k, s * 1_000_000_000_000, float(v))
+            for i, (k, s, v) in enumerate(events)]  # ns timestamps
+    df = spark.createDataFrame(
+        rows, "event_id long, k long, ts long, value double")
+    hourly = rollup_partials(df, bucket_s=fine, keys=["k"])
+    coarse_w = fine * mult
+    rolled = {(r["bucket_us"], r["k"]): r for r in rollup_reaggregate(
+        hourly, fine_bucket_s=fine, coarse_bucket_s=coarse_w,
+        keys=["k"]).collect()}
+    direct = {(r["bucket_us"], r["k"]): r for r in rollup_partials(
+        df, bucket_s=coarse_w, keys=["k"]).collect()}
+    assert rolled.keys() == direct.keys()
+    for key in rolled:
+        a, b = rolled[key], direct[key]
+        assert (a["n"], a["min_value"], a["max_value"]) == (
+            b["n"], b["min_value"], b["max_value"])
+        assert abs(a["sum_value"] - b["sum_value"]) < 1e-9 * max(
+            1.0, abs(b["sum_value"]))
