@@ -35,8 +35,6 @@ from cuml_spark.tsa.sessions import _ts_micros
 
 __all__ = ["rollup_partials", "rollup_reaggregate"]
 
-_PARTIAL_COLS = ("n", "sum_value", "min_value", "max_value")
-
 
 def rollup_partials(
     events: DataFrame,
