@@ -73,3 +73,25 @@ def test_cms_validation(spark):
         fit_cms(None, "k", depth=0)
     with pytest.raises(ValueError, match="width"):
         fit_cms(None, "k", width=1)
+
+
+def test_cms_counters_merge_by_addition(spark):
+    """Mergeability: cell-wise ADDITION of two disjoint-shard sketches
+    equals the whole-corpus sketch — per-shard CMS tables sum before
+    querying."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.ops.cms import CountMinSketch, fit_cms
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("t"), F.col("id") % 53).alias("k"),
+        F.col("id").alias("i"))
+    whole = fit_cms(df, "k", depth=3, width=128)
+    a = fit_cms(df.where(F.col("i") % 2 == 0), "k", depth=3, width=128)
+    b = fit_cms(df.where(F.col("i") % 2 == 1), "k", depth=3, width=128)
+    merged = [
+        [a.counts[i][j] + b.counts[i][j] for j in range(128)]
+        for i in range(3)
+    ]
+    assert [list(r) for r in whole.counts] == merged
+    assert whole.total == a.total + b.total

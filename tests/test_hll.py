@@ -79,3 +79,27 @@ def test_hll_null_and_validation(spark):
     assert est == pytest.approx(2, abs=0.5)  # nulls ignored
     with pytest.raises(ValueError, match="b must"):
         hll_distinct(df, ["g"], "v", b=20)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Mergeability — the property that makes sketches shard-safe: the
+    register-wise MAX of two half-corpus sketches equals the whole-corpus
+    sketch, so per-shard sketches union before folding."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.ops.hll import hll_registers
+
+    df = spark.range(3000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("u"), F.col("id") % 1100).alias("v"))
+    whole = {r["bucket"]: r["max_rho"]
+             for r in hll_registers(df, ["g"], "v", b=9).collect()}
+    h1 = {r["bucket"]: r["max_rho"] for r in hll_registers(
+        df.where(F.col("v").substr(2, 10).cast("long") % 2 == 0),
+        ["g"], "v", b=9).collect()}
+    h2 = {r["bucket"]: r["max_rho"] for r in hll_registers(
+        df.where(F.col("v").substr(2, 10).cast("long") % 2 == 1),
+        ["g"], "v", b=9).collect()}
+    merged = dict(h1)
+    for k, v in h2.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == whole
