@@ -95,7 +95,7 @@ _BENCH_ORDER = [
     "cdc_chunks", "corpus_spectrum", "streaming_cdc_chunks",
     "mink_prob_members", "zorder_keys", "event_sessions",
     "asof_join_events", "range_join_sessions", "streaming_hll_users",
-    "corpus_cube_stats", "hypertable_rollup",
+    "corpus_cube_stats", "hypertable_rollup", "stratified_sample_docs",
 ]
 # The driver archives only the LAST 2000 characters of this process's
 # output into the immutable BENCH_r{N}.json snapshot; a JSON line longer

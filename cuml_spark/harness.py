@@ -480,11 +480,12 @@ ORACLES.update(ORACLES_STREAMING)
 # minhash_signatures, lsh_pairs, stats_covariance and
 # domain_mixture_sample joined them as the twenty continuation
 # queries took every fill slot) together with the 29
-# long-deferred (40 total).  ONE query is never-driver-checked by
-# necessity: hypertable_rollup (the continuous-aggregate tier) landed
-# after every fill slot was spent; it is verify_local-green at sf0.01
-# AND sf0.1 and MUST open r10's (a) section — so r10 = 1 (a) + 40 (c)
-# + up to 9 of its own new/changed work.
+# long-deferred (40 total).  TWO queries are never-driver-checked by
+# necessity: hypertable_rollup (the continuous-aggregate tier) and
+# stratified_sample_docs (exact per-stratum quota sampling) landed
+# after every fill slot was spent; both are verify_local-green at
+# sf0.01 AND sf0.1 and MUST open r10's (a) section — so r10 = 2 (a) +
+# 40 (c) + up to 8 of its own new/changed work.
 _DRIVER_WINDOW = [
     # (a) NEW in r9 - never driver-checked
     "bm25_topk_analyzed",        # analyzer hooks (case fold + stopwords)

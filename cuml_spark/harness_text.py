@@ -2454,9 +2454,40 @@ GROUP BY CUBE (lang, source)
 """
 
 
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count per-stratum sampling (ops/sampling.py
+    stratified_sample_exact): keep exactly min(30, |lang|) documents per
+    language by deterministic md5-rank quota — the fixed-budget
+    per-language cap (UniMax-style) the fractional sampler can't
+    promise.  The rank window shares the one lang-keyed shuffle; the
+    DuckDB oracle replays the selection row-for-row."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.ops.sampling import stratified_sample_exact
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    out = stratified_sample_exact(docs, "lang", 30, key_cols="doc_id", seed=7)
+    return out.select("doc_id", "lang")
+
+
+_SQL_STRATIFIED_SAMPLE_DOCS = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))
+                         AS BIGINT),
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rk <= 30
+"""
+
+
 QUERIES_TEXT = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "corpus_cube_stats": q_corpus_cube_stats,
+    "stratified_sample_docs": q_stratified_sample_docs,
     "bloom_dedup_gate": q_bloom_dedup_gate,
     "mink_prob_members": q_mink_prob_members,
     "winnow_overlap": q_winnow_overlap,
@@ -2536,6 +2567,7 @@ LEFT JOIN mt m ON m.doc_id = d.doc_id
 ORACLES_TEXT = {
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
     "corpus_cube_stats": _SQL_CORPUS_CUBE_STATS,
+    "stratified_sample_docs": _SQL_STRATIFIED_SAMPLE_DOCS,
     "bloom_dedup_gate": _SQL_BLOOM_DEDUP_GATE,
     "mink_prob_members": _SQL_MINK_PROB_MEMBERS,
     "winnow_overlap": _SQL_WINNOW_OVERLAP,

@@ -143,3 +143,51 @@ def test_group_aware_split_atomic_groups(spark):
         map(tuple, again.collect())
     )
     out.unpersist()
+
+
+# --------------------------------------------------------------------------
+# Exact-count stratified sampling (ops/sampling.py)
+# --------------------------------------------------------------------------
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from cuml_spark.ops.sampling import stratified_sample_exact
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("g"))
+    out = stratified_sample_exact(df, "g", 37, key_cols="doc_id", seed=3)
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 37, "1": 37, "2": 37, "3": 37}
+    # groups smaller than the quota are kept whole
+    small = df.where(F.col("doc_id") < 10)
+    assert stratified_sample_exact(small, "g", 37).count() == 10
+    # deterministic on any partitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in stratified_sample_exact(
+        df.repartition(17), "g", 37, key_cols="doc_id", seed=3).collect()}
+    assert a == b
+
+
+def test_stratified_sample_dict_caps_and_validation(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from cuml_spark.ops.sampling import stratified_sample_exact
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("g"))
+    out = stratified_sample_exact(df, "g", {"0": 5, "1": 20}, key_cols="doc_id")
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 5, "1": 20, "2": 100}  # unlisted kept whole
+    with _pt.raises(ValueError, match="n_per_group"):
+        stratified_sample_exact(df, "g", 0)
+    with _pt.raises(ValueError, match="must not be empty"):
+        stratified_sample_exact(df, "g", {})
+    with _pt.raises(ValueError, match=">= 1"):
+        stratified_sample_exact(df, "g", {"0": 0})
