@@ -1179,3 +1179,34 @@ def test_rollup_nesting_property(spark, events, fine, mult):
             b["n"], b["min_value"], b["max_value"])
         assert abs(a["sum_value"] - b["sum_value"]) < 1e-9 * max(
             1.0, abs(b["sum_value"]))
+
+
+@SET
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+                  min_size=1, max_size=60).map(
+        lambda xs: list({(g, i) for g, i in xs})),
+    quota=st.integers(1, 12),
+    seed=st.integers(0, 5),
+)
+def test_stratified_sample_quota_law(spark, rows, quota, seed):
+    """For ANY groups/quota/seed: exactly min(quota, |g|) rows survive
+    per group, and the selected ids equal the python md5-rank replay."""
+    import hashlib as _hl
+
+    from cuml_spark.ops.sampling import stratified_sample_exact
+
+    df = spark.createDataFrame(
+        [(i, str(g)) for g, i in rows], "doc_id long, g string")
+    got = {}
+    for r in stratified_sample_exact(
+            df, "g", quota, key_cols="doc_id", seed=seed).collect():
+        got.setdefault(r["g"], set()).add(r["doc_id"])
+    by_g = {}
+    for g, i in rows:
+        by_g.setdefault(str(g), []).append(i)
+    for g, ids in by_g.items():
+        ranked = sorted(
+            ids,
+            key=lambda i: (int(_hl.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16), i))
+        assert got.get(g, set()) == set(ranked[:quota]), g
