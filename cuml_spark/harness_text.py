@@ -2353,10 +2353,13 @@ WITH toks AS (
          count(*) FILTER (c = 2) AS dis
   FROM cnt
 )
-SELECT n_tokens::BIGINT AS n_tokens, vocab_size::BIGINT AS vocab_size,
+SELECT coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       vocab_size::BIGINT AS vocab_size,
        hapax::BIGINT AS hapax, dis::BIGINT AS dis,
-       round(vocab_size / n_tokens::DOUBLE, 6) AS type_token_ratio,
-       round(head.h / n_tokens::DOUBLE, 6) AS head_mass
+       CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+            ELSE round(vocab_size / n_tokens::DOUBLE, 6) END AS type_token_ratio,
+       CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+            ELSE round(coalesce(head.h, 0) / n_tokens::DOUBLE, 6) END AS head_mass
 FROM spec, head
 """
 

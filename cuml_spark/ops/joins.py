@@ -54,7 +54,9 @@ def asof_join(
     timestamp), or nulls when none exists (or the match is older than
     ``tolerance_us``).  Timestamps must be integer microseconds.
     Same-instant right rows are visible; ties break to the largest
-    ``right_id``.
+    ``right_id``.  A NULL ``on`` key never matches (SQL equality
+    semantics, matching the DuckDB correlated-subquery oracle):
+    NULL-keyed left rows come back with null asof_ts/values.
     """
     if tolerance_us is not None and tolerance_us <= 0:
         raise ValueError(f"tolerance_us must be > 0, got {tolerance_us}")
@@ -62,6 +64,18 @@ def asof_join(
         if c in left.columns:
             raise ValueError(f"value column {c!r} collides with a left column")
     lcols = left.columns
+    rtypes = dict(right.dtypes)
+    # SQL join semantics: a NULL key never matches (not even another
+    # NULL).  Window.partitionBy would group all NULL keys into one
+    # partition and happily match them, so NULL-keyed left rows take
+    # the no-match path up front and NULL-keyed right rows are dropped.
+    null_left = left.where(F.col(on).isNull()).select(
+        *lcols,
+        F.lit(None).cast("long").alias("asof_ts"),
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in value_cols],
+    )
+    left = left.where(F.col(on).isNotNull())
+    right = right.where(F.col(on).isNotNull())
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
@@ -131,7 +145,7 @@ def asof_join(
         )
     else:
         out = out.select(*lcols, "asof_ts", *value_cols)
-    return out
+    return out.unionByName(null_left)
 
 
 def range_join_points(
@@ -153,12 +167,19 @@ def range_join_points(
     if bucket_width_us <= 0:
         raise ValueError(f"bucket_width_us must be > 0, got {bucket_width_us}")
     bw = int(bucket_width_us)
+    # an inverted interval (end < start, a data bug) would make
+    # F.sequence count DOWN, replicating the bad row into buckets
+    # outside its span; it can never satisfy the exact predicate, so
+    # give it an empty bucket list and let explode drop it here
     ivals = intervals.withColumn(
         "__b",
         F.explode(
-            F.sequence(
-                F.expr(f"{start_col} div {bw}"), F.expr(f"{end_col} div {bw}")
-            )
+            F.when(
+                F.col(end_col) >= F.col(start_col),
+                F.sequence(
+                    F.expr(f"{start_col} div {bw}"), F.expr(f"{end_col} div {bw}")
+                ),
+            ).otherwise(F.array().cast("array<long>"))
         ),
     )
     pts = points.withColumn("__b", F.expr(f"{point_ts} div {bw}"))

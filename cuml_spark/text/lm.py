@@ -41,6 +41,7 @@ appear inside tokens cannot corrupt the conditional denominators.
 from __future__ import annotations
 
 import math
+import weakref
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -180,6 +181,25 @@ def fit_bigram_lm(
     )
 
 
+# one Spark broadcast per (model, application): repeated scoring passes
+# with the same model reuse the blocks instead of leaking one broadcast
+# per call; id-keyed (the dataclass is eq=True, hence unhashable) with a
+# weakref finalizer evicting the entry when the model is collected, at
+# which point ContextCleaner reclaims the now-unreferenced broadcast
+_MODEL_BC_CACHE: dict[int, tuple[str, object]] = {}
+
+
+def _model_broadcast(sc, model: BigramLM):
+    key = id(model)
+    ent = _MODEL_BC_CACHE.get(key)
+    if ent is not None and ent[0] == sc.applicationId:
+        return ent[1]
+    bc = sc.broadcast(model)
+    _MODEL_BC_CACHE[key] = (sc.applicationId, bc)
+    weakref.finalize(model, _MODEL_BC_CACHE.pop, key, None)
+    return bc
+
+
 def _score_with_model(
     df: DataFrame, text_col: str, id_col: str, model: BigramLM
 ) -> DataFrame:
@@ -187,13 +207,12 @@ def _score_with_model(
     via an Arrow-vectorized UDF over its token array.  Zero shuffle, one
     corpus scan — the plan a 100 TB scoring pass needs.
 
-    Each call creates one Spark broadcast of the model that lives (on
-    the driver and every executor that scored a partition) until the
-    returned DataFrame — which captures it — is garbage-collected and
-    Spark's ContextCleaner reclaims the blocks.  Long-lived sessions
-    scoring many times should build ONE scored frame per model and
-    reuse it, not re-call this per pass."""
-    bc = df.sparkSession.sparkContext.broadcast(model)
+    The model broadcast is cached per (model, application) in a weak-key
+    map, so scoring many frames with one model ships and stores the
+    model ONCE; the blocks live until the model object (or the returned
+    DataFrames capturing the broadcast) are garbage-collected and
+    Spark's ContextCleaner reclaims them."""
+    bc = _model_broadcast(df.sparkSession.sparkContext, model)
 
     @F.pandas_udf(DoubleType())
     def _avg_logp(tok_arrays: pd.Series) -> pd.Series:

@@ -113,11 +113,19 @@ def frequency_spectrum(
         F.count_if(F.col("c") == 1).alias("hapax"),
         F.count_if(F.col("c") == 2).alias("dis"),
     )
+    # empty/all-null corpus: sums over zero rows are NULL — report a
+    # ZEROED audit row (n_tokens 0, ratios 0.0), not a row of nulls
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0))
+    head_c = F.coalesce(F.col("__head"), F.lit(0))
     return spectrum.crossJoin(head).select(
-        F.col("n_tokens").cast("long").alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         F.col("vocab_size").cast("long").alias("vocab_size"),
         F.col("hapax").cast("long").alias("hapax"),
         F.col("dis").cast("long").alias("dis"),
-        F.round(F.col("vocab_size") / F.col("n_tokens"), 6).alias("type_token_ratio"),
-        F.round(F.col("__head") / F.col("n_tokens"), 6).alias("head_mass"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("vocab_size") / n_tok, 6))
+        .alias("type_token_ratio"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(F.round(head_c / n_tok, 6))
+        .alias("head_mass"),
     )

@@ -52,12 +52,15 @@ def rollup_partials(
     if bucket_s <= 0:
         raise ValueError(f"bucket_s must be > 0, got {bucket_s}")
     width = int(bucket_s) * 1_000_000
-    # integer `div` end to end (the sessions.py micros convention): no
-    # double quotient, no floor-at-boundary analysis to defend
+    # exact-integer FLOOR bucketing: `a - pmod(a, w)` == floor(a/w)*w
+    # for any sign of `a` (plain `div` truncates toward zero, which
+    # would put pre-epoch events in a bucket STARTING AFTER them and
+    # break rollup_reaggregate's nesting law); identical to div for
+    # the nonnegative-micros common case
     base = events.select(
         _ts_micros(events, ts_col).alias("__tus"), *keys,
         F.col(value_col).alias("__v"))
-    bucket = (F.expr(f"__tus div {width}") * width).cast("long")
+    bucket = F.expr(f"__tus - pmod(__tus, {width})").cast("long")
     return (
         base.select(bucket.alias("bucket_us"), *keys, "__v")
         .groupBy("bucket_us", *keys)
@@ -90,7 +93,8 @@ def rollup_reaggregate(
             f"of the fine bucket ({fine_bucket_s}s) — otherwise fine buckets "
             "straddle coarse boundaries and the rollup is not exact")
     width = int(coarse_bucket_s) * 1_000_000
-    bucket = (F.expr(f"bucket_us div {width}") * width).cast("long")
+    # same floor-bucketing as rollup_partials (sign-safe pmod form)
+    bucket = F.expr(f"bucket_us - pmod(bucket_us, {width})").cast("long")
     return (
         partials.groupBy(bucket.alias("bucket_us"), *keys)
         .agg(

@@ -52,14 +52,16 @@ def sessionize(
     seconds (strictly), and at each user's first event."""
     if gap_s <= 0:
         raise ValueError(f"gap_s must be > 0, got {gap_s}")
+    # ts_col == 'ts_us' is allowed because withColumn below replaces it
+    # in place; any other collision (including ts_col named after one of
+    # the two appended flags) would shadow or duplicate a column
     for c in ("ts_us", "is_new_session", "session_idx"):
-        if c in events.columns and c != ts_col:
+        if c in events.columns and not (c == ts_col == "ts_us"):
             raise ValueError(
                 f"input already has a {c!r} column — rename it; sessionize "
                 "appends ts_us/is_new_session/session_idx")
     gap_us = int(round(gap_s * 1_000_000))
-    tus = _ts_micros(events, ts_col).alias("ts_us")
-    base = events.select("*", tus)
+    base = events.withColumn("ts_us", _ts_micros(events, ts_col))
     w = Window.partitionBy(user_col).orderBy("ts_us", id_col)
     prev = F.lag("ts_us").over(w)
     new = (prev.isNull() | (F.col("ts_us") - prev > gap_us)).cast("int")

@@ -126,3 +126,39 @@ def test_asof_join_null_right_ts_dropped(spark):
     r = asof_join(left, right, on="user", left_ts="ts", right_ts="qts",
                   value_cols=["px"], right_id="qid").collect()[0]
     assert r["asof_ts"] is None and r["px"] is None
+
+
+def test_asof_join_null_key_never_matches(spark):
+    """SQL equality semantics: a NULL join key matches nothing — not
+    even a NULL-keyed right row (Window.partitionBy would have grouped
+    them together)."""
+    from cuml_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, 300), (2, 10, 300)], "event_id long, user long, ts long")
+    right = spark.createDataFrame(
+        [(71, None, 100, 1.5), (72, 10, 100, 2.5)],
+        "qid long, user long, qts long, px double")
+    out = {r["event_id"]: (r["asof_ts"], r["px"]) for r in asof_join(
+        left, right, on="user", left_ts="ts", right_ts="qts",
+        value_cols=["px"], right_id="qid").collect()}
+    assert out[1] == (None, None)   # NULL key: no match, row preserved
+    assert out[2] == (100, 2.5)     # real keys unaffected
+
+
+def test_range_join_inverted_interval_dropped(spark):
+    """An inverted interval (end < start, a data bug) must not replicate
+    into buckets outside its span — it matches nothing and is dropped by
+    the empty bucket sequence, not exploded DESCENDING."""
+    from cuml_spark.ops.joins import range_join_points
+
+    points = spark.createDataFrame(
+        [(1, 10, 500)], "pid long, user long, ts long")
+    intervals = spark.createDataFrame(
+        [(81, 10, 400, 600), (82, 10, 900, 100)],  # 82 is inverted
+        "iid long, user long, start long, end long")
+    got = range_join_points(
+        points, intervals, on="user", point_ts="ts",
+        start_col="start", end_col="end", bucket_width_us=100,
+    ).select("pid", "iid").collect()
+    assert [(r["pid"], r["iid"]) for r in got] == [(1, 81)]

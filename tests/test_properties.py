@@ -1064,10 +1064,11 @@ def test_hll_registers_match_python_property(spark, vals, b):
 @SET
 @given(
     lefts=st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 50)),  # (key, ts)
+        st.tuples(st.one_of(st.none(), st.integers(0, 2)),
+                  st.integers(0, 50)),  # (key, ts) — key may be NULL
         min_size=1, max_size=15),
     rights=st.lists(
-        st.tuples(st.integers(0, 2),
+        st.tuples(st.one_of(st.none(), st.integers(0, 2)),
                   st.one_of(st.none(), st.integers(0, 50)),
                   st.one_of(st.none(), st.integers(0, 9))),  # (key, ts, val)
         min_size=0, max_size=15),
@@ -1077,7 +1078,9 @@ def test_asof_join_matches_python_reference(spark, lefts, rights, tol):
     """Backward as-of semantics vs a brute-force python replay for ANY
     inputs: latest right row with ts <= left ts, same-instant visible,
     ties to the largest right id, NULL right ts dropped, NULL right
-    values preserved (not resurrected), staleness tolerance applied."""
+    values preserved (not resurrected), staleness tolerance applied,
+    and NULL join keys NEVER matching (SQL equality — not even another
+    NULL key)."""
     from cuml_spark.ops.joins import asof_join
 
     left = spark.createDataFrame(
@@ -1091,8 +1094,9 @@ def test_asof_join_matches_python_reference(spark, lefts, rights, tol):
         left, right, on="user", left_ts="ts", right_ts="qts",
         value_cols=["px"], right_id="qid",
         tolerance_us=tol).collect()}
+    assert len(got) == len(lefts)  # NULL-keyed left rows still come back
     for i, (k, t) in enumerate(lefts):
-        cands = [
+        cands = [] if k is None else [
             (qts, 100 + j, v)
             for j, (rk, qts, v) in enumerate(rights)
             if rk == k and qts is not None and qts <= t
@@ -1149,16 +1153,20 @@ def test_zorder_interleave_property(spark, pts, bits):
 @given(
     events=st.lists(
         st.tuples(st.integers(0, 2),                  # key
-                  st.integers(0, 10_000),             # seconds offset
+                  st.integers(-10_000, 10_000),       # seconds, PRE-EPOCH too
                   st.floats(-50, 50, allow_nan=False)),  # value
         min_size=1, max_size=60),
     fine=st.sampled_from([60, 300, 3600]),
     mult=st.integers(2, 24),
 )
 def test_rollup_nesting_property(spark, events, fine, mult):
-    """For ANY events and nested widths: re-aggregated partials equal the
-    direct coarse aggregation (counts/min/max exactly, sums to fp
-    tolerance)."""
+    """For ANY events (including pre-epoch timestamps) and nested widths:
+    re-aggregated partials equal the direct coarse aggregation
+    (counts/min/max exactly, sums to fp tolerance), every derived avg
+    (sum/n, the read-time decomposition) equals the python mean of the
+    bucket's raw events, and every bucket CONTAINS its events
+    (bucket_us <= event_us < bucket_us + width — floor, not
+    truncate-toward-zero, semantics)."""
     from cuml_spark.tsa.rollup import rollup_partials, rollup_reaggregate
 
     rows = [(i, k, s * 1_000_000_000_000, float(v))
@@ -1173,12 +1181,24 @@ def test_rollup_nesting_property(spark, events, fine, mult):
     direct = {(r["bucket_us"], r["k"]): r for r in rollup_partials(
         df, bucket_s=coarse_w, keys=["k"]).collect()}
     assert rolled.keys() == direct.keys()
+    width_us = coarse_w * 1_000_000
+    expect = {}
+    for i, (k, s, v) in enumerate(events):
+        us = s * 1_000_000_000  # rows carry s * 1e12 ns = s * 1e9 micros
+        b = (us // width_us) * width_us  # python // IS floor division
+        expect.setdefault((b, k), []).append(float(v))
+    assert rolled.keys() == expect.keys()
     for key in rolled:
         a, b = rolled[key], direct[key]
         assert (a["n"], a["min_value"], a["max_value"]) == (
             b["n"], b["min_value"], b["max_value"])
         assert abs(a["sum_value"] - b["sum_value"]) < 1e-9 * max(
             1.0, abs(b["sum_value"]))
+        vals = expect[key]
+        assert a["n"] == len(vals)
+        derived_avg = a["sum_value"] / a["n"]
+        py_mean = sum(vals) / len(vals)
+        assert abs(derived_avg - py_mean) < 1e-9 * max(1.0, abs(py_mean))
 
 
 @SET

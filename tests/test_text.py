@@ -1176,3 +1176,28 @@ def test_bloom_fpr_at_scale(spark, n_keys):
     assert by[True]["hits"] == by[True]["n"]  # no false negatives
     fpr = by[False]["hits"] / by[False]["n"]
     assert fpr <= 3 * bf.false_positive_rate(n_keys) + 1e-4, fpr
+
+
+def test_frequency_spectrum_empty_corpus_zeroed(spark):
+    """An empty/all-null corpus yields a ZEROED audit row (0 tokens,
+    0.0 ratios), never a row of NULLs."""
+    from cuml_spark.text.ngrams import frequency_spectrum
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    r = frequency_spectrum(df).collect()[0]
+    assert (r["n_tokens"], r["vocab_size"], r["hapax"], r["dis"]) == (0, 0, 0, 0)
+    assert r["type_token_ratio"] == 0.0 and r["head_mass"] == 0.0
+
+
+def test_score_with_model_broadcast_reused(spark):
+    """Scoring twice with the same BigramLM reuses ONE Spark broadcast
+    (the per-model cache), instead of leaking one per call."""
+    from cuml_spark.text.lm import _model_broadcast, fit_bigram_lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string")
+    model = fit_bigram_lm(df)
+    sc = spark.sparkContext
+    b1 = _model_broadcast(sc, model)
+    b2 = _model_broadcast(sc, model)
+    assert b1 is b2

@@ -530,3 +530,33 @@ def test_rollup_partials_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "partial_count" in plan or "partial_finalmerge" in plan
+
+
+def test_sessionize_ts_us_input_column_replaced_in_place(spark):
+    """A timestamp column literally named 'ts_us' (already long) must be
+    replaced in place (nanos -> micros), not duplicated into an
+    ambiguous pair of 'ts_us' columns."""
+    from cuml_spark.tsa.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 7, 1_000_000_000_000), (2, 7, 2_000_000_000_000_000_000)],
+        "event_id long, user_id long, ts_us long")
+    out = sessionize(df, ts_col="ts_us", gap_s=1800.0)
+    assert out.columns.count("ts_us") == 1
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["ts_us"] == 1_000_000_000  # nanos -> micros
+    assert rows[1]["session_idx"] == 1 and rows[2]["session_idx"] == 2
+
+
+def test_rollup_pre_epoch_floor_bucketing(spark):
+    """Pre-epoch events bucket by FLOOR (bucket start at-or-before the
+    event), not truncate-toward-zero (which would start the bucket
+    AFTER the event and break the nesting law)."""
+    from cuml_spark.tsa.rollup import rollup_partials
+
+    df = spark.createDataFrame(
+        [(1, 0, -1_000_000_000, 2.0)],  # -1s in nanos
+        "event_id long, k long, ts long, value double")
+    r = rollup_partials(df, bucket_s=60, keys=["k"]).collect()[0]
+    assert r["bucket_us"] == -60_000_000  # floor(-1/60)*60 = -60s
+    assert r["bucket_us"] <= -1_000_000 < r["bucket_us"] + 60_000_000
