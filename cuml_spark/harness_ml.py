@@ -115,27 +115,6 @@ SELECT 1, round(sqrt(greatest(l2, 0)), 4) FROM e
 """
 
 
-def q_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    scaler = StandardScaler().fit(li, ["l_quantity"])
-    out = scaler.transform(li.where(F.col("l_orderkey") < 100), ["l_quantity"])
-    return out.select(
-        "l_orderkey",
-        F.col("l_linenumber").cast("int").alias("l_linenumber"),
-        F.round("l_quantity", 6).alias("scaled_quantity"),
-    )
-
-
-_SQL_STANDARD_SCALER = """
-WITH stats AS (
-  SELECT avg(l_quantity) AS m, stddev_pop(l_quantity) AS s FROM lineitem
-)
-SELECT l_orderkey, l_linenumber,
-       round((l_quantity - m) / s, 6) AS scaled_quantity
-FROM lineitem, stats WHERE l_orderkey < 100
-"""
-
-
 def q_split_exact_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     train, test = train_test_split(li, train_size=0.8, seed=7, exact=True)
@@ -276,7 +255,6 @@ _SQL_RF_ACCURACY = "SELECT count(*) AS n_scored, true AS acc_ge_065 FROM lineite
 QUERIES_ML = {
     "pca_variance_2d": q_pca_variance_2d,
     "tsvd_singular_2d": q_tsvd_singular_2d,
-    "standard_scaler": q_standard_scaler,
     "split_exact_sizes": q_split_exact_sizes,
     "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
     "rf_accuracy": q_rf_accuracy,
@@ -285,7 +263,6 @@ QUERIES_ML = {
 ORACLES_ML = {
     "pca_variance_2d": _SQL_PCA_VARIANCE_2D,
     "tsvd_singular_2d": _SQL_TSVD_SINGULAR_2D,
-    "standard_scaler": _SQL_STANDARD_SCALER,
     "split_exact_sizes": _SQL_SPLIT_EXACT_SIZES,
     "kmeans_cluster_sizes": _sql_kmeans_cluster_sizes(),
     "rf_accuracy": _SQL_RF_ACCURACY,

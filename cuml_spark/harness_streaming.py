@@ -341,23 +341,48 @@ def _sql_streaming_bloom_gate() -> str:
     return _SQL_BLOOM_DEDUP_GATE
 
 
+# per-(application, sf_dir) cache of an 8-file split of the documents
+# table: the file-stream source assigns WHOLE FILES to tasks, so the
+# driver's one-file-per-table fixture would serialize per-row-heavy
+# streaming compute onto a single task (measured 5.8s vs the 0.55s
+# 32-way batch twin for identical CDC work).  A real ingest directory
+# has many files; this split makes the bench measure the OPERATOR, not
+# the fixture.  Testdata is read-only, so the split lives in a temp dir
+# written once per session.
+_DOCS_SPLIT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _split_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _DOCS_SPLIT_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="cuml_spark_docs_split_")
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(n_files)
+            .write.mode("overwrite").parquet(path)
+        )
+        _DOCS_SPLIT_CACHE[key] = path
+    return path
+
+
 def q_streaming_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking on a STREAM: cdc_chunks is stateless
     position-parallel in-row work, so it runs unchanged inside a
-    streaming query — file source → CDC chunker → memory sink,
-    availableNow.  Row-for-row parity with the batch `cdc_chunks`
-    answer (same oracle): reprocessing a day of files yields the same
-    dedup-stable chunk table the live ingest produced.
-
-    Bench note: the file-stream source assigns WHOLE FILES to tasks, so
-    this one-file-per-table fixture runs the (md5-per-position) CDC
-    compute on a single task — ~5s vs the 0.5s the 32-way batch scan
-    pays for identical work.  A real ingest directory has many files
-    and parallelizes naturally; forcing a repartition inside the stream
-    would add a shuffle to dodge a fixture artifact."""
+    streaming query — file source (8-file split dir, see
+    _split_docs_dir) → CDC chunker → memory sink, availableNow.
+    Row-for-row parity with the batch `cdc_chunks` answer (same
+    oracle): reprocessing a day of files yields the same dedup-stable
+    chunk table the live ingest produced, on ANY file layout."""
     from cuml_spark.text.cdc import cdc_chunks
 
-    stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
+    stream = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(_split_docs_dir(spark, sf_dir))
+    )
     chunks = cdc_chunks(stream, window=16, mask_bits=6).select(
         "doc_id", "chunk_id", "start", "chunk_len", "chunk_md5")
     return _run_to_memory(chunks, "append")

@@ -1048,6 +1048,32 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "rank long, left string, right string, merged string")
 
 
+def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED stage of BPE training (text/bpe.py
+    word_count_table): the capped word-frequency table the merge loop
+    consumes — everything Spark executes for the BPE tier, now under
+    the full DuckDB oracle (bpe_merges stays rows-only for the pure
+    driver-side loop, which tests/test_bpe.py pins against the Sennrich
+    reference).  ONE map-side-combined count shuffle + a
+    TakeOrderedAndProject cap (count desc, word asc — deterministic)."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.bpe import word_count_table
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return word_count_table(docs, max_words=200).select(
+        "word", F.col("count").cast("long").alias("count"))
+
+
+_SQL_BPE_WORD_COUNTS = """
+SELECT word, count(*)::BIGINT AS count FROM (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents WHERE text IS NOT NULL
+) GROUP BY word
+ORDER BY count DESC, word
+LIMIT 200
+"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail split (text/lm.py perplexity_buckets):
     exact interpolated terciles of the ROUNDED self-scored LM scores,
@@ -2517,6 +2543,7 @@ QUERIES_TEXT = {
     "ccnet_buckets": q_ccnet_buckets,
     "dsir_weights": q_dsir_weights,
     "pipeline_curation_dsir": q_pipeline_curation_dsir,
+    "bpe_word_counts": q_bpe_word_counts,  # the distributed stage, full oracle
     "bpe_merges": q_bpe_merges,  # rows-only: iterative training, no SQL twin
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2568,6 +2595,7 @@ LEFT JOIN mt m ON m.doc_id = d.doc_id
 
 
 ORACLES_TEXT = {
+    "bpe_word_counts": _SQL_BPE_WORD_COUNTS,
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
     "corpus_cube_stats": _SQL_CORPUS_CUBE_STATS,
     "stratified_sample_docs": _SQL_STRATIFIED_SAMPLE_DOCS,

@@ -71,6 +71,31 @@ class BPEModel:
         return syms
 
 
+def word_count_table(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    token_sep: str = " ",
+    max_words: int | None = 100_000,
+) -> DataFrame:
+    """→ (word, count): the (capped) word frequency table — the ONLY
+    corpus pass BPE training needs, as a DataFrame so the distributed
+    stage is independently checkable (the driver's DuckDB oracle runs
+    it via the ``bpe_word_counts`` harness query).  One map-side-combined
+    count shuffle; above the cap only the ``max_words`` most frequent
+    words survive (count desc, ties broken by the word ascending —
+    deterministic; Spark plans the cut as TakeOrderedAndProject)."""
+    wc = (
+        corpus.select(
+            F.explode(_token_array(text_col, token_sep)).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("count"))
+    )
+    if max_words is not None:
+        wc = wc.orderBy(F.col("count").desc(), F.col("word").asc()).limit(
+            int(max_words))
+    return wc
+
+
 def corpus_word_counts(
     corpus: DataFrame,
     *,
@@ -78,20 +103,12 @@ def corpus_word_counts(
     token_sep: str = " ",
     max_words: int | None = 100_000,
 ) -> dict[str, int]:
-    """Collect the (capped) word frequency table — the ONLY corpus pass
-    BPE training needs.  One map-side-combined count shuffle; above the
-    cap only the ``max_words`` most frequent words survive (ties broken
-    by the word, deterministic), bounding driver memory the same way
-    ``fit_bigram_lm``'s default bigram cap does."""
-    wc = (
-        corpus.select(
-            F.explode(_token_array(text_col, token_sep)).alias("__w"))
-        .groupBy("__w").agg(F.count("*").alias("__c"))
-    )
-    if max_words is not None:
-        wc = wc.orderBy(F.col("__c").desc(), F.col("__w").asc()).limit(
-            int(max_words))
-    return {r["__w"]: r["__c"] for r in wc.collect()}
+    """Collect :func:`word_count_table` to the driver dict the merge
+    loop consumes — bounded to ``max_words`` rows by construction,
+    the same driver-memory contract as ``fit_bigram_lm``'s bigram cap."""
+    wc = word_count_table(
+        corpus, text_col=text_col, token_sep=token_sep, max_words=max_words)
+    return {r["word"]: r["count"] for r in wc.collect()}
 
 
 def train_bpe_from_counts(
