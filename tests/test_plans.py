@@ -718,3 +718,35 @@ def test_mink_prob_single_rank_window_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Window") <= 2  # the rank + count windows share one spec
+
+
+def test_bpe_word_counts_single_shuffle_takeordered(spark):
+    """BPE's distributed stage: ONE map-side-combined count shuffle on
+    the word key; the max_words cap plans as TakeOrderedAndProject
+    (per-partition top-k merged on the driver), never a global Sort."""
+    from cuml_spark.text.bpe import word_count_table
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = word_count_table(documents, max_words=200)
+    plan = _plan(out)
+    assert _n_shuffles(out) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_prims_stats_report_bounded_exchanges_no_python(spark):
+    """The consolidated prim report: four independent map-side-combined
+    aggregations (each one bounded exchange; the histogram's group key
+    adds one hash exchange) unioned as tiny frames — no Python eval, no
+    join, no sort of data rows."""
+    from cuml_spark.harness import q_prims_stats_report
+
+    out = q_prims_stats_report(spark, "/root/testdata/sf0.01")
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # aggregations: describe + histogram + wmean + scaled stats, each
+    # partial->final; exchanges stay tiny (single-partition merges or
+    # the 25-bucket histogram key)
+    assert _n_shuffles(out) <= 6
