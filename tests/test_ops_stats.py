@@ -104,3 +104,30 @@ def test_mean_center_roundtrip_with_mu(spark):
     restored = mean_center(centered, ["v"], add=True, means=mu)
     got = {r["id"]: r["v"] for r in restored.collect()}
     assert got == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_session_cached_reregisters_after_clearcache(spark):
+    """bench.py clears the catalog cache between queries: a memoized
+    frame must come back CACHED from session_cached afterwards, so the
+    next action re-materializes once instead of recomputing lineage per
+    action (the r10 text_neardup_groups 19-27s pathology)."""
+    from cuml_spark.core.session import session_cached
+
+    cache: dict = {}
+    built = []
+
+    def build():
+        built.append(1)
+        df = spark.range(10).cache()
+        df.count()
+        return df
+
+    out1 = session_cached(cache, spark, "/tmp/x", build)
+    assert out1.storageLevel.useMemory
+    spark.catalog.clearCache()
+    assert not out1.storageLevel.useMemory  # externally unpersisted
+    out2 = session_cached(cache, spark, "/tmp/x", build)
+    assert out2 is out1          # memo hit, not a rebuild
+    assert built == [1]
+    assert out2.storageLevel.useMemory  # re-registered
+    out2.unpersist()
