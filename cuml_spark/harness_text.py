@@ -1055,11 +1055,13 @@ def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full DuckDB oracle (bpe_merges stays rows-only for the pure
     driver-side loop, which tests/test_bpe.py pins against the Sennrich
     reference).  ONE map-side-combined count shuffle + a
-    TakeOrderedAndProject cap (count desc, word asc — deterministic)."""
-    from cuml_spark.core.session import ensure_parallelism
+    TakeOrderedAndProject cap (count desc, word asc — deterministic).
+    No ensure_parallelism: the explode→groupBy already redistributes
+    after one cheap map stage, so a repartition would only ADD an
+    exchange (the r10 scan-parallelism audit's simhash finding)."""
     from cuml_spark.text.bpe import word_count_table
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     return word_count_table(docs, max_words=200).select(
         "word", F.col("count").cast("long").alias("count"))
 

@@ -77,64 +77,92 @@ def exact_quantiles(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     c = F.col(col)
     base = df.select(c.alias("__v")).where(F.col("__v").isNotNull())
+    vd = F.col("__v").cast("double")
     stats = base.agg(
         F.count("*").alias("n"),
         F.min("__v").alias("mn"),
         F.max("__v").alias("mx"),
-        F.max(F.isnan(F.col("__v").cast("double")).cast("int")).alias("has_nan"),
+        F.max((F.isnan(vd) | (F.abs(vd) == float("inf"))).cast("int")).alias(
+            "has_nonfinite"
+        ),
     ).first()
     n = stats["n"]
     if n == 0:
         return [(p, None) for p in probs]
-    if stats["has_nan"]:
-        raise ValueError(f"column {col!r} contains NaN — filter it first")
-    # state per rank: (k, lo, hi, below) — k-th smallest overall lies in
-    # [lo, hi] with exactly `below` values strictly below lo
+    if stats["has_nonfinite"]:
+        # NaN poisons comparisons; +/-inf makes every bucket width
+        # degenerate (the interval [lo, inf] never shrinks) — both are
+        # data bugs at the quantile layer, so refuse loudly
+        raise ValueError(f"column {col!r} contains NaN/inf — filter it first")
+    if float(stats["mx"]) - float(stats["mn"]) == float("inf"):
+        # finite sentinels like +/-1e308 make every bucket width overflow
+        # to inf (edges would be NaN) — refuse with a real error instead
+        # of a downstream crash
+        raise ValueError(
+            f"column {col!r} spans a range wider than a double "
+            f"({stats['mn']} .. {stats['mx']}) — rescale or filter first"
+        )
+    # state per rank: (k, lo, hi, below, cnt, frozen) — the k-th smallest
+    # overall lies in [lo, hi] with exactly `below` values strictly below
+    # lo and `cnt` values inside; `frozen` marks double-resolution
+    # exhaustion (the interval is a few ulps wide but may still hold a
+    # huge duplicate mass — resolved exactly by the final selection,
+    # NEVER by returning a computed edge that need not be a data value)
     state = {}
     for p in probs:
         k = max(1, math.ceil(p * n))
-        state[p] = (k, float(stats["mn"]), float(stats["mx"]), 0, n)
+        state[p] = (k, float(stats["mn"]), float(stats["mx"]), 0, n, False)
     for _ in range(max_passes):
         live = {
-            p: (k, lo, hi, below, cnt)
-            for p, (k, lo, hi, below, cnt) in state.items()
-            if lo < hi and cnt > collect_threshold
+            p: s
+            for p, s in state.items()
+            if s[1] < s[2] and s[4] > collect_threshold and not s[5]
         }
         if not live:
             break
         # ONE aggregation carrying every live rank's bucket histogram:
-        # bucket edges are driver literals, so the pass is a pure
-        # conditional-count scan (map-side combined, no shuffle of
-        # rows).  The bucket index is STAGED in its own projection so
-        # the floor/CASE evaluates once per (row, rank), not once per
-        # count expression (the Catalyst re-inline trap — CollapseProject
-        # would otherwise duplicate it into all n_buckets sums).
+        # bucket edges are driver literals, and membership is decided by
+        # EDGE COMPARISONS (count of edges <= v), never by a floor
+        # division — floor((v - lo)/w) disagrees with the driver-side
+        # edges lo + i*w within ~1 ulp of a boundary, which double-counts
+        # or loses edge-straddling values from the rank bookkeeping (a
+        # replayed failure, not a theory).  Comparisons make bucket i
+        # EXACTLY the half-open [edges[i], edges[i+1]) (last bucket
+        # closed at hi), identical on executors and driver.  The index
+        # is STAGED in its own projection so it evaluates once per
+        # (row, rank) (Aggregate-over-Project keeps it one local in the
+        # codegen'd scan; CollapseProject only fuses Project pairs).
         bucket_cols = []
         edges = {}
-        for j, (p, (k, lo, hi, below, cnt)) in enumerate(live.items()):
+        for j, (p, (k, lo, hi, below, cnt, _f)) in enumerate(live.items()):
             w = (hi - lo) / n_buckets
             if w <= 0 or lo + w == lo:  # double resolution exhausted
                 edges[p] = None
+                state[p] = (k, lo, hi, below, cnt, True)  # freeze, stay exact
                 continue
-            edges[p] = [lo + i * w for i in range(n_buckets)] + [hi]
+            e = [lo + i * w for i in range(1, n_buckets)]
+            # edges must be strictly inside (lo, hi) and increasing;
+            # fp rounding at extreme magnitudes can violate either — fall
+            # back to freezing (the final selection is always exact)
+            if e != sorted(set(e)) or e[0] <= lo or e[-1] >= hi:
+                edges[p] = None
+                state[p] = (k, lo, hi, below, cnt, True)
+                continue
+            edges[p] = [lo] + e + [hi]
+            inner = F.lit(e)
             bucket_cols.append(
                 F.when(
                     (F.col("__v") >= lo) & (F.col("__v") <= hi),
-                    F.least(
-                        F.lit(n_buckets - 1),
-                        F.floor((F.col("__v") - F.lit(lo)) / F.lit(w)).cast("int"),
-                    ),
+                    F.size(F.filter(inner, lambda x: F.col("__v") >= x)),
                 ).alias(f"b_{j}")
             )
         if not bucket_cols:
             break
-        # Aggregate-over-Project: the projection stays the agg's child
-        # (CollapseProject only fuses Project-over-Project), so each
-        # b_j is one local in the codegen'd scan stage.  The counts go
-        # LONG-FORM — stack to (rank_j, bucket) then ONE map-side-
-        # combined groupBy over <= live x n_buckets keys — instead of
-        # live x n_buckets sum() columns, whose codegen COMPILE time
-        # (~seconds for hundreds of aggregates) would dwarf the scan.
+        # counts go LONG-FORM — stack to (rank_j, bucket) then ONE
+        # map-side-combined groupBy over <= live x n_buckets keys —
+        # instead of live x n_buckets sum() columns, whose codegen
+        # COMPILE time (~seconds for hundreds of aggregates) would dwarf
+        # the scan.
         staged = base.select(*bucket_cols)
         live_js = [j for j, p in enumerate(live) if edges[p] is not None]
         stack_expr = "stack({}, {}) AS (j, b)".format(
@@ -148,30 +176,49 @@ def exact_quantiles(
             .agg(F.count("*").alias("c"))
             .collect()
         }
-        for j, (p, (k, lo, hi, below, cnt)) in enumerate(live.items()):
+        for j, (p, (k, lo, hi, below, cnt, frz)) in enumerate(live.items()):
             if edges[p] is None:
-                state[p] = (k, lo, lo, below, cnt)  # collapse: lo == hi
-                continue
+                continue  # frozen above
             cum = below
             for i in range(n_buckets):
                 ci = counts.get((j, i), 0)
                 if cum + ci >= k:
-                    state[p] = (k, edges[p][i], edges[p][i + 1], cum, ci)
+                    state[p] = (k, edges[p][i], edges[p][i + 1], cum, ci, False)
                     break
                 cum += ci
             else:  # pragma: no cover — counts must reach k by construction
                 raise AssertionError("rank fell outside its interval")
     out = []
     for p in probs:
-        k, lo, hi, below, cnt = state[p]
-        if lo == hi:
-            out.append((p, lo))
-            continue
+        k, lo, hi, below, cnt, frozen = state[p]
         needed = k - below
+        rng = (F.col("__v") >= lo) & (F.col("__v") <= hi)
+        if needed > collect_threshold:
+            # only reachable frozen (or at max_passes on pathological
+            # data): the interval is a few ulps wide, so its DISTINCT
+            # value set is tiny (<= n_buckets + 1 representable doubles
+            # when frozen) — resolve by a bounded value histogram
+            # instead of a needed-sized TakeOrdered
+            rows = sorted(
+                (r["__v"], r["c"])
+                for r in base.where(rng)
+                .groupBy("__v")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            cum = below
+            v = None
+            for val, c2 in rows:
+                if cum + c2 >= k:
+                    v = val
+                    break
+                cum += c2
+            out.append((p, float(v)))
+            continue
         # needed-th smallest inside [lo, hi] = max of the first `needed`
         # ascending values — TakeOrderedAndProject over a bounded prefix
         v = (
-            base.where((F.col("__v") >= lo) & (F.col("__v") <= hi))
+            base.where(rng)
             .orderBy(F.col("__v").asc())
             .limit(int(needed))
             .agg(F.max("__v").alias("q"))

@@ -721,13 +721,14 @@ def test_mink_prob_single_rank_window_no_cartesian(spark):
 
 
 def test_bpe_word_counts_single_shuffle_takeordered(spark):
-    """BPE's distributed stage: ONE map-side-combined count shuffle on
-    the word key; the max_words cap plans as TakeOrderedAndProject
-    (per-partition top-k merged on the driver), never a global Sort."""
-    from cuml_spark.text.bpe import word_count_table
+    """BPE's distributed stage — gated on the HARNESS query (the exact
+    frame the driver runs), not just the operator: ONE map-side-combined
+    count shuffle on the word key; the max_words cap plans as
+    TakeOrderedAndProject (per-partition top-k merged on the driver),
+    never a global Sort."""
+    from cuml_spark.harness_text import q_bpe_word_counts
 
-    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    out = word_count_table(documents, max_words=200)
+    out = q_bpe_word_counts(spark, "/root/testdata/sf0.01")
     plan = _plan(out)
     assert _n_shuffles(out) == 1
     assert "TakeOrderedAndProject" in plan

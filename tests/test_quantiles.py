@@ -59,6 +59,9 @@ def test_exact_quantiles_validation(spark):
     nan = spark.createDataFrame([(1.0,), (float("nan"),)], "x double")
     with pytest.raises(ValueError, match="NaN"):
         exact_quantiles(nan, "x", [0.5])
+    inf = spark.createDataFrame([(1.0,), (float("inf"),)], "x double")
+    with pytest.raises(ValueError, match="NaN/inf"):
+        exact_quantiles(inf, "x", [0.5])
 
 
 @SET
@@ -101,3 +104,36 @@ def test_exact_quantiles_no_global_sort_plan(spark):
     plan = hist._jdf.queryExecution().executedPlan().toString()
     assert "Sort" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_exact_quantiles_edge_straddling_value(spark):
+    """Regression (r10 review): a data value within ~1 ulp of a computed
+    bucket edge must not be double-counted or lost — classification is
+    by edge COMPARISON, not floor division, so executor membership and
+    driver interval bounds agree exactly."""
+    lo, hi = -538266.9169180314, -319485.87957956153
+    w = (hi - lo) / 64
+    edge61 = lo + 61 * w  # a value floor-classification misplaces
+    vals = [edge61] * 5 + [lo + i * (hi - lo) / 49 for i in range(50)] + [hi] * 5
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    s = sorted(vals)
+    got = dict(exact_quantiles(df, "x", [0.84, 0.88, 0.91],
+                               n_buckets=64, collect_threshold=2,
+                               max_passes=12))
+    for p in (0.84, 0.88, 0.91):
+        assert got[p] == _disc(s, p), (p, got[p], _disc(s, p))
+
+
+def test_exact_quantiles_duplicate_mass_beyond_threshold(spark):
+    """Regression (r10 review): a duplicate mass larger than
+    collect_threshold freezes at double resolution and must return the
+    DATA value via the bounded distinct-value histogram — never a
+    computed interval edge a few ulps off."""
+    v0 = -319485.87957956153
+    vals = [v0] * 400 + [v0 + 1000.0] * 50
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = dict(exact_quantiles(df, "x", [0.5, 0.95],
+                               n_buckets=8, collect_threshold=100,
+                               max_passes=20))
+    assert got[0.5] == v0           # exactly the data value
+    assert got[0.95] == v0 + 1000.0
