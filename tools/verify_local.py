@@ -58,9 +58,19 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    # VERIFY_SKIP: comma-separated names to skip — for oracles that are
+    # computationally infeasible at a given SF (dbscan_cluster_sizes'
+    # recursive-CC DuckDB replay runs >50 min at sf0.1; see SCALE.md
+    # "Cross-scale oracle evidence"), NOT for failing queries
+    skip = {
+        s for s in os.environ.get("VERIFY_SKIP", "").split(",") if s
+    }
     n_pass = n_fail = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"SKIP {name}: VERIFY_SKIP")
             continue
         t0 = time.time()
         try:
