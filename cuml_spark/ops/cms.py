@@ -15,23 +15,37 @@ python over the fitted model; ``cms_lookup`` joins estimates onto a
 DataFrame of keys via a broadcast of the d-row position minima —
 map-only on the corpus side.
 
-Engine portability: row ``i``'s bucket for ``key`` is the first 8 md5
-hex digits of ``key || ':' || i`` mod ``w`` (the text/bloom.py idiom),
-so a DuckDB oracle replays the counter table and the min-over-rows
-estimate exactly — integer end to end, no fp anywhere.
+Engine portability: two hash schemes, both md5-replayable in DuckDB —
+integer end to end, no fp anywhere:
+
+- ``per_row`` (default): row ``i``'s bucket for ``key`` is the first 8
+  md5 hex digits of ``key || ':' || i`` mod ``w`` (the text/bloom.py
+  idiom) — d md5 evaluations per key occurrence.
+- ``sliced``: ONE md5 of ``key``; row ``i`` takes hex digits
+  ``[8i, 8i+8)`` of the same digest (md5's 128 bits = four independent
+  32-bit slices, so depth ≤ 4) — cuts the fit's hash work d× with
+  identical portability (``substr(md5(key), 8*i+1, 8)`` in DuckDB).
+  The r11-planned default once the harness oracle flips with it.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["CountMinSketch", "cms_estimate_col", "fit_cms"]
 
+_SCHEMES = ("per_row", "sliced")
 
-def _bucket(key: Column, row: int, width: int) -> Column:
+
+def _bucket(key: Column, row: int, width: int, scheme: str = "per_row") -> Column:
+    if scheme == "sliced":
+        return (
+            F.conv(F.substring(F.md5(key), 8 * row + 1, 8), 16, 10).cast("long")
+            % width
+        )
     return (
         F.conv(
             F.substring(F.md5(F.concat(key, F.lit(f":{row}"))), 1, 8), 16, 10
@@ -49,14 +63,22 @@ class CountMinSketch:
     width: int
     total: int
     counts: tuple[tuple[int, ...], ...]
+    scheme: str = field(default="per_row")
 
     def estimate(self, key: str) -> int:
         """Point query: min over rows — never an undercount."""
         import hashlib
 
+        digest = hashlib.md5(key.encode()).hexdigest()
         est = None
         for i in range(self.depth):
-            j = int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:8], 16) % self.width
+            if self.scheme == "sliced":
+                j = int(digest[8 * i:8 * i + 8], 16) % self.width
+            else:
+                j = (
+                    int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:8], 16)
+                    % self.width
+                )
             c = self.counts[i][j]
             est = c if est is None else min(est, c)
         return int(est or 0)
@@ -75,25 +97,54 @@ def fit_cms(
     depth: int = 4,
     width: int = 2048,
     weight_col: str | None = None,
+    hash_scheme: str = "per_row",
 ) -> CountMinSketch:
     """Build a :class:`CountMinSketch` over ``df[key_col]`` (nulls
     ignored; ``weight_col`` defaults to count-1-per-row).  ONE
-    aggregation keyed by (row, bucket), ≤ depth × width rows."""
+    aggregation keyed by (row, bucket), ≤ depth × width rows.
+    ``hash_scheme='sliced'`` computes ONE md5 per key occurrence and
+    slices the digest per row (depth ≤ 4) — d× less hash work in the
+    fit's hot loop, same DuckDB replayability (see module docstring)."""
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
     if width < 2:
         raise ValueError(f"width must be >= 2, got {width}")
+    if hash_scheme not in _SCHEMES:
+        raise ValueError(f"hash_scheme must be one of {_SCHEMES}, got {hash_scheme!r}")
+    if hash_scheme == "sliced" and depth > 4:
+        raise ValueError(
+            "hash_scheme='sliced' derives rows from md5's four 32-bit "
+            f"slices — depth must be <= 4, got {depth}")
     key = F.col(key_col).cast("string")
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    if hash_scheme == "sliced":
+        # stage the ONE digest per key in its own projection so codegen
+        # computes md5 once and the d bucket slices read a local (the
+        # expensive-producer staging lesson — don't lean on
+        # subexpression elimination)
+        src = df.where(key.isNotNull()).select(
+            F.md5(key).alias("__dg"), w.alias("__w"))
+
+        def bucket_of(i: int) -> Column:
+            return (
+                F.conv(F.substring("__dg", 8 * i + 1, 8), 16, 10).cast("long")
+                % width
+            )
+    else:
+        src = df.where(key.isNotNull()).select(
+            key.alias("__dg"), w.alias("__w"))
+
+        def bucket_of(i: int) -> Column:
+            return _bucket(F.col("__dg"), i, width)
+
     pos = F.explode(
         F.array(*[
-            F.struct(F.lit(i).alias("row"), _bucket(key, i, width).alias("bucket"))
+            F.struct(F.lit(i).alias("row"), bucket_of(i).alias("bucket"))
             for i in range(depth)
         ])
     ).alias("__p")
     rows = (
-        df.where(key.isNotNull())
-        .select(pos, w.alias("__w"))
+        src.select(pos, "__w")
         .select("__p.row", "__p.bucket", "__w")
         .groupBy("row", "bucket")
         .agg(F.sum("__w").alias("c"))
@@ -105,7 +156,7 @@ def fit_cms(
     total = sum(counts[0])
     return CountMinSketch(
         depth=depth, width=width, total=total,
-        counts=tuple(tuple(c) for c in counts),
+        counts=tuple(tuple(c) for c in counts), scheme=hash_scheme,
     )
 
 
@@ -116,6 +167,8 @@ def cms_estimate_col(model: CountMinSketch, key: Column) -> Column:
     literal-array comfort use ``model.estimate`` driver-side or a
     broadcast + pandas_udf with identical semantics)."""
     key = key.cast("string")
+    scheme = getattr(model, "scheme", "per_row")
+    digest = F.md5(key)  # sliced: codegen subexpr-eliminates the repeat
     ests = []
     for i in range(model.depth):
         # ONE array Literal, not CreateArray(width literals): a w-child
@@ -123,5 +176,12 @@ def cms_estimate_col(model: CountMinSketch, key: Column) -> Column:
         # measured 7.5 s vs 0.5 s at width=1024 — while a Literal is a
         # single constant reference
         row_lit = F.lit([int(c) for c in model.counts[i]])
-        ests.append(F.element_at(row_lit, _bucket(key, i, model.width).cast("int") + 1))
+        if scheme == "sliced":
+            b = (
+                F.conv(F.substring(digest, 8 * i + 1, 8), 16, 10).cast("long")
+                % model.width
+            )
+        else:
+            b = _bucket(key, i, model.width)
+        ests.append(F.element_at(row_lit, b.cast("int") + 1))
     return F.least(*ests) if len(ests) > 1 else ests[0]

@@ -95,3 +95,53 @@ def test_cms_counters_merge_by_addition(spark):
     ]
     assert [list(r) for r in whole.counts] == merged
     assert whole.total == a.total + b.total
+
+
+def test_cms_sliced_scheme_matches_python_and_never_undercounts(spark):
+    """The r11-planned 'sliced' scheme (ONE md5 per key, rows take
+    digest slices): counters equal the python replay, point estimates
+    never undercount, the column path agrees with the driver path, and
+    the default scheme's counters are unchanged by its existence."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from cuml_spark.ops.cms import cms_estimate_col, fit_cms
+
+    df = spark.range(1500).select(
+        F.concat(F.lit("w"), F.col("id") % 37).alias("k"))
+    m = fit_cms(df, "k", depth=4, width=64, hash_scheme="sliced")
+    truth = Counter(f"w{i % 37}" for i in range(1500))
+    expect = [[0] * 64 for _ in range(4)]
+    for key, c in truth.items():
+        d = hashlib.md5(key.encode()).hexdigest()
+        for i in range(4):
+            expect[i][int(d[8 * i:8 * i + 8], 16) % 64] += c
+    assert [list(r) for r in m.counts] == expect
+    for key, c in truth.items():
+        assert m.estimate(key) >= c
+    col_est = {
+        r["k"]: r["e"]
+        for r in df.distinct().select(
+            "k", cms_estimate_col(m, F.col("k")).alias("e")).collect()
+    }
+    assert col_est == {k: m.estimate(k) for k in truth}
+    # default scheme untouched (harness/oracle parity until r11 flips)
+    m0 = fit_cms(df, "k", depth=4, width=64)
+    d0 = hashlib.md5(b"w0:0").hexdigest()
+    assert m0.scheme == "per_row"
+    assert m0.counts[0][int(d0[:8], 16) % 64] >= truth["w0"]
+
+
+def test_cms_sliced_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cuml_spark.ops.cms import fit_cms
+
+    df = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="depth must be <= 4"):
+        fit_cms(df, "k", depth=5, hash_scheme="sliced")
+    with pytest.raises(ValueError, match="hash_scheme"):
+        fit_cms(df, "k", hash_scheme="xxhash")
