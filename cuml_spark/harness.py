@@ -568,6 +568,13 @@ ORACLES.update(ORACLES_STREAMING)
 #       consumers defer to r11 under the amended (b) rule.
 #   (c) 40 of the 45 aging r7-evidence queries (all but the five
 #       deferred below).
+# Late-r10 RESULT-IDENTICAL plan/caching changes (each verify_local-
+# green after the change; deferring to their natural re-record round
+# under the amended (b) rule): session_cached re-registration after an
+# external clearCache (engine-wide; its in-window consumers lsh_pairs/
+# minhash_signatures re-record now), the cms_token_counts session-
+# cached model + the sliced hash scheme (scheme default UNCHANGED —
+# the r11 flip re-records query + oracle together).
 # DEFERRED to r11 (age 3 at r10 close — the amended invariant's
 # boundary, allowed; they MUST be in r11's window): accuracy_rule,
 # entropy_returnflag, contingency_flags, label_encode_mktsegment,

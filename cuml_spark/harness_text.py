@@ -2282,8 +2282,17 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
         .limit(30)
     )
+    # key the model by the SOURCE FILE state, not just the path: the
+    # exact_cnt column recomputes from the live table each call, and a
+    # stale sketch paired with fresh truth could violate the
+    # never-undercounts contract if testdata were regenerated in-place
+    # mid-session (whole-frame caches go stale uniformly; a mixed
+    # cached-model/fresh-truth result must not)
+    import os as _os
+
+    st = _os.stat(f"{sf_dir}/documents.parquet")
     model = session_cached(
-        _CMS_MODEL_CACHE, spark, sf_dir,
+        _CMS_MODEL_CACHE, spark, f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}",
         lambda: fit_cms(toks, "tok", depth=4, width=1024),
     )
     return exact.select(

@@ -40,17 +40,22 @@ __all__ = ["CountMinSketch", "cms_estimate_col", "fit_cms"]
 _SCHEMES = ("per_row", "sliced")
 
 
-def _bucket(key: Column, row: int, width: int, scheme: str = "per_row") -> Column:
-    if scheme == "sliced":
-        return (
-            F.conv(F.substring(F.md5(key), 8 * row + 1, 8), 16, 10).cast("long")
-            % width
-        )
+def _bucket(key: Column, row: int, width: int) -> Column:
+    """per_row bucket: first 8 hex digits of md5(key || ':' || row)."""
     return (
         F.conv(
             F.substring(F.md5(F.concat(key, F.lit(f":{row}"))), 1, 8), 16, 10
         ).cast("long")
         % width
+    )
+
+
+def _sliced_bucket(digest: Column, row: int, width: int) -> Column:
+    """sliced bucket: hex digits [8·row, 8·row+8) of ONE md5(key) digest
+    — the single definition both the fit and the lookup path use, kept
+    in sync with the DuckDB replay ``substr(md5(key), 8*row+1, 8)``."""
+    return (
+        F.conv(F.substring(digest, 8 * row + 1, 8), 16, 10).cast("long") % width
     )
 
 
@@ -65,14 +70,30 @@ class CountMinSketch:
     counts: tuple[tuple[int, ...], ...]
     scheme: str = field(default="per_row")
 
+    def __post_init__(self):
+        if self.scheme not in _SCHEMES:
+            raise ValueError(
+                f"scheme must be one of {_SCHEMES}, got {self.scheme!r}")
+        if self.scheme == "sliced" and self.depth > 4:
+            raise ValueError(
+                "scheme='sliced' derives rows from md5's four 32-bit "
+                f"slices — depth must be <= 4, got {self.depth}")
+
+    def _scheme(self) -> str:
+        # pre-scheme pickles restore __dict__ without __init__: default
+        # them to the historical per_row hashing (both query paths use
+        # this accessor, so they cannot disagree)
+        return getattr(self, "scheme", "per_row")
+
     def estimate(self, key: str) -> int:
         """Point query: min over rows — never an undercount."""
         import hashlib
 
-        digest = hashlib.md5(key.encode()).hexdigest()
+        sliced = self._scheme() == "sliced"
+        digest = hashlib.md5(key.encode()).hexdigest() if sliced else None
         est = None
         for i in range(self.depth):
-            if self.scheme == "sliced":
+            if sliced:
                 j = int(digest[8 * i:8 * i + 8], 16) % self.width
             else:
                 j = (
@@ -126,10 +147,7 @@ def fit_cms(
             F.md5(key).alias("__dg"), w.alias("__w"))
 
         def bucket_of(i: int) -> Column:
-            return (
-                F.conv(F.substring("__dg", 8 * i + 1, 8), 16, 10).cast("long")
-                % width
-            )
+            return _sliced_bucket(F.col("__dg"), i, width)
     else:
         src = df.where(key.isNotNull()).select(
             key.alias("__dg"), w.alias("__w"))
@@ -167,8 +185,17 @@ def cms_estimate_col(model: CountMinSketch, key: Column) -> Column:
     literal-array comfort use ``model.estimate`` driver-side or a
     broadcast + pandas_udf with identical semantics)."""
     key = key.cast("string")
-    scheme = getattr(model, "scheme", "per_row")
-    digest = F.md5(key)  # sliced: codegen subexpr-eliminates the repeat
+    sliced = (
+        model._scheme() if hasattr(model, "_scheme")
+        else getattr(model, "scheme", "per_row")
+    ) == "sliced"
+    # sliced note: the d slice expressions share one F.md5(key) subtree;
+    # as a Column function this path CANNOT stage its own projection, so
+    # it relies on codegen subexpression elimination for the dedupe —
+    # acceptable because lookups run over bounded frames (top-k keys),
+    # while the corpus-scale pass is the FIT, which does stage the
+    # digest (see fit_cms).  md5 is built only for sliced models.
+    digest = F.md5(key) if sliced else None
     ests = []
     for i in range(model.depth):
         # ONE array Literal, not CreateArray(width literals): a w-child
@@ -176,11 +203,8 @@ def cms_estimate_col(model: CountMinSketch, key: Column) -> Column:
         # measured 7.5 s vs 0.5 s at width=1024 — while a Literal is a
         # single constant reference
         row_lit = F.lit([int(c) for c in model.counts[i]])
-        if scheme == "sliced":
-            b = (
-                F.conv(F.substring(digest, 8 * i + 1, 8), 16, 10).cast("long")
-                % model.width
-            )
+        if sliced:
+            b = _sliced_bucket(digest, i, model.width)
         else:
             b = _bucket(key, i, model.width)
         ests.append(F.element_at(row_lit, b.cast("int") + 1))

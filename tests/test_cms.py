@@ -145,3 +145,37 @@ def test_cms_sliced_validation(spark):
         fit_cms(df, "k", depth=5, hash_scheme="sliced")
     with pytest.raises(ValueError, match="hash_scheme"):
         fit_cms(df, "k", hash_scheme="xxhash")
+
+
+def test_cms_direct_construction_validation():
+    import pytest
+
+    from cuml_spark.ops.cms import CountMinSketch
+
+    with pytest.raises(ValueError, match="depth must be <= 4"):
+        CountMinSketch(depth=5, width=8, total=0,
+                       counts=tuple(tuple([0] * 8) for _ in range(5)),
+                       scheme="sliced")
+    with pytest.raises(ValueError, match="scheme"):
+        CountMinSketch(depth=1, width=8, total=0,
+                       counts=((0,) * 8,), scheme="xxhash")
+
+
+def test_cms_pre_scheme_pickle_defaults_to_per_row(spark):
+    """A model pickled before the scheme field existed restores without
+    it — both query paths must default it to per_row, not crash."""
+    from pyspark.sql import functions as F
+
+    from cuml_spark.ops.cms import CountMinSketch, cms_estimate_col, fit_cms
+
+    df = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "k string")
+    m = fit_cms(df, "k", depth=2, width=16)
+    legacy = object.__new__(CountMinSketch)  # __dict__ restore, no init
+    object.__setattr__(legacy, "depth", m.depth)
+    object.__setattr__(legacy, "width", m.width)
+    object.__setattr__(legacy, "total", m.total)
+    object.__setattr__(legacy, "counts", m.counts)
+    assert legacy.estimate("a") == m.estimate("a") >= 7
+    got = {r["k"]: r["e"] for r in df.distinct().select(
+        "k", cms_estimate_col(legacy, F.col("k")).alias("e")).collect()}
+    assert got == {"a": m.estimate("a"), "b": m.estimate("b")}

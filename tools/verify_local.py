@@ -63,8 +63,11 @@ def main() -> int:
     # recursive-CC DuckDB replay runs >50 min at sf0.1; see SCALE.md
     # "Cross-scale oracle evidence"), NOT for failing queries
     skip = {
-        s for s in os.environ.get("VERIFY_SKIP", "").split(",") if s
+        s.strip() for s in os.environ.get("VERIFY_SKIP", "").split(",")
+        if s.strip()
     }
+    for unknown in sorted(skip - set(QUERIES)):
+        print(f"WARN VERIFY_SKIP names no query: {unknown!r}")
     n_pass = n_fail = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
