@@ -44,18 +44,26 @@ def get_spark(app_name: str = "cuml_spark", shuffle_partitions: int | None = Non
     return builder.getOrCreate()
 
 
-def session_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
-    """Memoize ``build()`` per (LIVE session, sf_dir) in ``cache``.
+def session_cached(cache: dict, spark: SparkSession, sf_dir: str, build,
+                   *, state: str | None = None):
+    """Memoize ``build()`` per (LIVE session, sf_dir[, state]) in
+    ``cache``.
 
     Keying on ``id(spark)`` keeps a restart (or regenerated testdata at
     the same path) from serving a plan/model bound to a dead session;
-    entries for the same sf_dir under a superseded session are evicted
-    eagerly so their cached blocks can be GC'd.  Shared by every harness
-    cross-query cache (minhash signatures, LSH candidates, verified
-    Jaccard pairs, the DBSCAN fit, the lineitem feature frame, the DSIR
-    gate model) — one implementation, one place to fix the keying.
+    entries for the same sf_dir under a superseded session OR a
+    superseded ``state`` are evicted eagerly so their cached blocks can
+    be GC'd.  ``state`` is for callers whose cached value depends on
+    more than the path (e.g. the CMS harness model keys on the source
+    file's size+mtime): pass it SEPARATELY rather than folding it into
+    ``sf_dir``, so eviction still matches per-sf_dir — a folded key
+    would never match the eviction scan and leak one entry per
+    regeneration.  Shared by every harness cross-query cache (minhash
+    signatures, LSH candidates, verified Jaccard pairs, the DBSCAN fit,
+    the lineitem feature frame, the DSIR gate model) — one
+    implementation, one place to fix the keying.
     """
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, state)
     out = cache.get(key)
     if out is None:
         for k in [k for k in cache if k[1] == sf_dir]:

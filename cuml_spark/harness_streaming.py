@@ -347,12 +347,33 @@ def _sql_streaming_bloom_gate() -> str:
 # compute onto a single task (measured 5.8s vs the 0.55s 32-way batch
 # twin for identical CDC work).  A real ingest directory has many
 # files; this split makes the bench measure the OPERATOR, not the
-# fixture.  Testdata is read-only, so the split lives under /tmp at ONE
-# stable path keyed by the source file's (path, size, mtime) — reused
-# across sessions, rebuilt only when the source changes, with stale
-# sibling dirs removed so repeated rounds never accumulate copies.
+# fixture.  Testdata is read-only, so the split lives in a USER-OWNED
+# 0700 cache dir (never a predictable world-shared /tmp path another
+# user could pre-create to substitute data) at ONE stable path keyed by
+# the source file's (path, size, mtime) — reused across sessions,
+# rebuilt only when the source changes, with stale sibling dirs removed
+# so repeated rounds never accumulate copies.
 _DOCS_SPLIT_CACHE: dict[str, str] = {}
-_DOCS_SPLIT_PREFIX = "/tmp/cuml_spark_docs_split_"
+
+
+def _split_cache_base() -> str:
+    """Per-user 0700 cache root for stream-fixture splits; refuses a
+    pre-existing path owned by someone else (symlinked or squatted)."""
+    import getpass
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"cuml_spark_cache_{getpass.getuser()}"
+    )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.lstat(base)
+    if os.path.islink(base) or st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"stream split cache {base!r} exists but is not a directory "
+            f"owned by uid {os.getuid()} — remove it or set TMPDIR"
+        )
+    return base
 
 
 def _split_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
@@ -367,14 +388,15 @@ def _split_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     state_tok = hashlib.md5(
         f"{st.st_size}|{st.st_mtime_ns}|{n_files}".encode()
     ).hexdigest()[:8]
-    path = f"{_DOCS_SPLIT_PREFIX}{src_tok}_{state_tok}"
+    prefix = os.path.join(_split_cache_base(), "docs_split_")
+    path = f"{prefix}{src_tok}_{state_tok}"
     if _DOCS_SPLIT_CACHE.get(src) == path and os.path.exists(
         f"{path}/_SUCCESS"
     ):
         return path
     # evict only THIS source's outdated splits (regenerated testdata);
     # other sf dirs' splits coexist — one live dir per source, ever
-    for stale in glob.glob(f"{_DOCS_SPLIT_PREFIX}{src_tok}_*"):
+    for stale in glob.glob(f"{prefix}{src_tok}_*"):
         if stale != path:
             shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(f"{path}/_SUCCESS"):

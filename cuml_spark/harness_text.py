@@ -1034,9 +1034,14 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop runs driver-side over that bounded table — the production BPE
     training shape.  Output = the learned merge table in rank order,
     fully deterministic (frequency ties break on the lexicographically
-    smaller pair).  ROWS-ONLY driver check: the training loop is
-    iterative and not SQL-expressible; exactness vs the published
-    Sennrich reference algorithm is pinned by tests/test_bpe.py
+    smaller pair).  Fully oracled since r11: _SQL_BPE_MERGES replays
+    the Sennrich loop as a DuckDB RECURSIVE CTE — each step window-sums
+    pair counts over the exploded symbol bigrams, min-selects the
+    (count desc, pair asc) winner, and rewrites every word's symbol
+    list with a left-to-right list_reduce fold (faithful to the
+    single-pass i+=2 rewrite because a freshly merged symbol A||B can
+    never equal A, so the fold never re-merges inside one pass).  The
+    python-reference parity is additionally pinned by tests/test_bpe.py
     (25-case hypothesis parity sweep + the classic worked example)."""
     from cuml_spark.core.session import ensure_parallelism
     from cuml_spark.text import train_bpe
@@ -1046,6 +1051,73 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, a, b, a + b) for i, (a, b) in enumerate(model.merges)]
     return spark.createDataFrame(
         rows, "rank long, left string, right string, merged string")
+
+
+# Sennrich merge-loop replay as a DuckDB RECURSIVE CTE (closes the
+# registry's last no_oracle gap, VERDICT r10 #3).  Iteration state =
+# one row per surviving word carrying its symbol list; each step:
+#   1. explode adjacent symbol pairs (single-symbol words keep a NULL
+#      dummy row so they survive the unnest),
+#   2. window-sum pair frequencies weighted by word count (overlapping
+#      occurrences each count, matching the python Counter loop),
+#   3. min() over a (-count, pair) struct picks the (count desc, pair
+#      asc) winner — exactly train_bpe_from_counts' tie-break,
+#   4. a left-to-right list_reduce fold rewrites each word's symbols
+#      (faithful to the single-pass i+=2 rewrite: the freshly merged
+#      A||B can never equal the left symbol A, so no intra-pass
+#      re-merge), and the recursion stops when the best pair's count
+#      falls below min_frequency=2 or 40 merges have been emitted.
+_SQL_BPE_MERGES = """
+WITH RECURSIVE wc AS (
+  SELECT word, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY word
+  ORDER BY cnt DESC, word LIMIT 100000
+), steps AS (
+  SELECT 0::BIGINT AS it, word, cnt,
+         list_concat(
+           list_transform(range(1, length(word) + 1), i -> word[i]),
+           ['</w>']) AS syms,
+         NULL::VARCHAR AS bl, NULL::VARCHAR AS br
+  FROM wc
+  UNION ALL
+  SELECT it + 1, word, cnt,
+         list_reduce(
+           list_transform(syms, s -> [s]),
+           (acc, x) -> CASE
+             WHEN len(acc) >= 1 AND acc[-1] = bl2 AND x[1] = br2
+               THEN list_append(acc[1:len(acc)-1], bl2 || br2)
+             ELSE list_append(acc, x[1]) END
+         ) AS syms,
+         bl2, br2
+  FROM (
+    SELECT it, word, cnt, syms, rn,
+           best.pr[1] AS bl2, best.pr[2] AS br2, -best.nc AS bc
+    FROM (
+      SELECT it, word, cnt, syms,
+             row_number() OVER (PARTITION BY word) AS rn,
+             min(CASE WHEN pr IS NULL THEN NULL
+                      ELSE struct_pack(nc := -pc, pr := pr) END)
+               OVER () AS best
+      FROM (
+        SELECT s.it, s.word, s.cnt, s.syms, t.pr,
+               sum(s.cnt) OVER (PARTITION BY t.pr) AS pc
+        FROM steps s, unnest(
+          CASE WHEN len(s.syms) >= 2
+               THEN list_transform(range(1, len(s.syms)),
+                                   i -> [s.syms[i], s.syms[i + 1]])
+               ELSE [NULL::VARCHAR[]] END) AS t(pr)
+      ) px
+    ) wx
+    WHERE rn = 1
+  ) stepped
+  WHERE it < 40 AND bc >= 2
+)
+SELECT (it - 1)::BIGINT AS rank, any_value(bl) AS left,
+       any_value(br) AS right, any_value(bl || br) AS merged
+FROM steps WHERE it >= 1 GROUP BY it ORDER BY rank
+"""
 
 
 def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2268,9 +2340,13 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     at d × w rows; estimates for the exact top-30 tokens ride plan-
     literal counter rows (min over d lookups, map-only).  CMS never
     undercounts; the integer-exact DuckDB replay matches cell-for-cell.
-    The fitted model is session-cached (the DSIR-gate pattern — a
-    sketch is fit once and queried many times; refitting per call was
-    ~2 s of every bench rep for an identical d × w table)."""
+    Since r11 the fit uses the default 'sliced' scheme — ONE md5 per
+    token occurrence, rows take 32-bit digest slices (d× less hash work
+    in the corpus-scale stage; the oracle's pos CTE slices the same
+    digest with substr(md5(tok), 8*i+1, 8)).  The fitted model is
+    session-cached (the DSIR-gate pattern — a sketch is fit once and
+    queried many times; refitting per call was ~2 s of every bench rep
+    for an identical d × w table)."""
     from cuml_spark.core.session import ensure_parallelism, session_cached
     from cuml_spark.ops.cms import cms_estimate_col, fit_cms
     from cuml_spark.text.lm import _token_array
@@ -2287,13 +2363,17 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stale sketch paired with fresh truth could violate the
     # never-undercounts contract if testdata were regenerated in-place
     # mid-session (whole-frame caches go stale uniformly; a mixed
-    # cached-model/fresh-truth result must not)
+    # cached-model/fresh-truth result must not).  The state rides the
+    # dedicated `state` key so session_cached's per-sf_dir eviction
+    # still matches — folding it into sf_dir leaked one stale model per
+    # regeneration (ADVICE r10).
     import os as _os
 
     st = _os.stat(f"{sf_dir}/documents.parquet")
     model = session_cached(
-        _CMS_MODEL_CACHE, spark, f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}",
+        _CMS_MODEL_CACHE, spark, sf_dir,
         lambda: fit_cms(toks, "tok", depth=4, width=1024),
+        state=f"{st.st_size}|{st.st_mtime_ns}",
     )
     return exact.select(
         "tok",
@@ -2312,7 +2392,7 @@ WITH toks AS (
   SELECT tok, exact_cnt FROM cnt ORDER BY exact_cnt DESC, tok LIMIT 30
 ), pos AS (
   SELECT c.tok, c.exact_cnt AS w, i,
-         CAST(('0x' || substr(md5(c.tok || ':' || i), 1, 8)) AS BIGINT)
+         CAST(('0x' || substr(md5(c.tok), 8 * i + 1, 8)) AS BIGINT)
            % 1024 AS b
   FROM cnt c, unnest([0, 1, 2, 3]) t(i)
 ), tbl AS (
@@ -2564,7 +2644,7 @@ QUERIES_TEXT = {
     "dsir_weights": q_dsir_weights,
     "pipeline_curation_dsir": q_pipeline_curation_dsir,
     "bpe_word_counts": q_bpe_word_counts,  # the distributed stage, full oracle
-    "bpe_merges": q_bpe_merges,  # rows-only: iterative training, no SQL twin
+    "bpe_merges": q_bpe_merges,  # recursive-CTE replay oracle since r11
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signatures": q_minhash_signatures,
@@ -2616,6 +2696,7 @@ LEFT JOIN mt m ON m.doc_id = d.doc_id
 
 ORACLES_TEXT = {
     "bpe_word_counts": _SQL_BPE_WORD_COUNTS,
+    "bpe_merges": _SQL_BPE_MERGES,
     "pipeline_clean_corpus": _sql_pipeline_clean_corpus(),
     "corpus_cube_stats": _SQL_CORPUS_CUBE_STATS,
     "stratified_sample_docs": _SQL_STRATIFIED_SAMPLE_DOCS,

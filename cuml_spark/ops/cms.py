@@ -18,14 +18,17 @@ map-only on the corpus side.
 Engine portability: two hash schemes, both md5-replayable in DuckDB —
 integer end to end, no fp anywhere:
 
-- ``per_row`` (default): row ``i``'s bucket for ``key`` is the first 8
-  md5 hex digits of ``key || ':' || i`` mod ``w`` (the text/bloom.py
-  idiom) — d md5 evaluations per key occurrence.
-- ``sliced``: ONE md5 of ``key``; row ``i`` takes hex digits
-  ``[8i, 8i+8)`` of the same digest (md5's 128 bits = four independent
-  32-bit slices, so depth ≤ 4) — cuts the fit's hash work d× with
-  identical portability (``substr(md5(key), 8*i+1, 8)`` in DuckDB).
-  The r11-planned default once the harness oracle flips with it.
+- ``sliced`` (default since r11): ONE md5 of ``key``; row ``i`` takes
+  hex digits ``[8i, 8i+8)`` of the same digest (md5's 128 bits = four
+  independent 32-bit slices, so depth ≤ 4) — cuts the fit's hash work
+  d× with identical portability (``substr(md5(key), 8*i+1, 8)`` in
+  DuckDB).  Landed default-off in r10; flipped here together with the
+  harness query's oracle.
+- ``per_row``: row ``i``'s bucket for ``key`` is the first 8 md5 hex
+  digits of ``key || ':' || i`` mod ``w`` (the text/bloom.py idiom) —
+  d md5 evaluations per key occurrence.  The historical scheme, still
+  what a pre-scheme pickle restores to, and the only option for
+  depth > 4.
 """
 
 from __future__ import annotations
@@ -118,14 +121,16 @@ def fit_cms(
     depth: int = 4,
     width: int = 2048,
     weight_col: str | None = None,
-    hash_scheme: str = "per_row",
+    hash_scheme: str = "sliced",
 ) -> CountMinSketch:
     """Build a :class:`CountMinSketch` over ``df[key_col]`` (nulls
     ignored; ``weight_col`` defaults to count-1-per-row).  ONE
     aggregation keyed by (row, bucket), ≤ depth × width rows.
-    ``hash_scheme='sliced'`` computes ONE md5 per key occurrence and
-    slices the digest per row (depth ≤ 4) — d× less hash work in the
-    fit's hot loop, same DuckDB replayability (see module docstring)."""
+    The default ``'sliced'`` scheme computes ONE md5 per key occurrence
+    and slices the digest per row (depth ≤ 4) — d× less hash work in
+    the fit's hot loop, same DuckDB replayability; pass
+    ``hash_scheme='per_row'`` for depth > 4 or parity with pre-r11
+    sketches (see module docstring)."""
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
     if width < 2:
@@ -134,8 +139,9 @@ def fit_cms(
         raise ValueError(f"hash_scheme must be one of {_SCHEMES}, got {hash_scheme!r}")
     if hash_scheme == "sliced" and depth > 4:
         raise ValueError(
-            "hash_scheme='sliced' derives rows from md5's four 32-bit "
-            f"slices — depth must be <= 4, got {depth}")
+            "hash_scheme='sliced' (the default) derives rows from md5's "
+            f"four 32-bit slices — depth must be <= 4, got {depth}; pass "
+            "hash_scheme='per_row' for deeper sketches")
     key = F.col(key_col).cast("string")
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     if hash_scheme == "sliced":
@@ -185,10 +191,10 @@ def cms_estimate_col(model: CountMinSketch, key: Column) -> Column:
     literal-array comfort use ``model.estimate`` driver-side or a
     broadcast + pandas_udf with identical semantics)."""
     key = key.cast("string")
-    sliced = (
-        model._scheme() if hasattr(model, "_scheme")
-        else getattr(model, "scheme", "per_row")
-    ) == "sliced"
+    # _scheme() itself defaults pre-scheme pickles to per_row, so it is
+    # the single accessor here too (a hasattr guard would be dead code —
+    # _scheme is defined on the class, so it is always present)
+    sliced = model._scheme() == "sliced"
     # sliced note: the d slice expressions share one F.md5(key) subtree;
     # as a Column function this path CANNOT stage its own projection, so
     # it relies on codegen subexpression elimination for the dedupe —

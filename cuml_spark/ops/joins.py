@@ -52,7 +52,8 @@ def asof_join(
     ``value_cols`` of the most recent ``right`` row with ``right_ts <=
     left_ts`` and the same ``on`` key (plus ``asof_ts`` = that row's
     timestamp), or nulls when none exists (or the match is older than
-    ``tolerance_us``).  Timestamps must be integer microseconds.
+    ``tolerance_us``).  Timestamps must be integer microseconds;
+    ``asof_ts`` carries ``right_ts``'s native type on every path.
     Same-instant right rows are visible; ties break to the largest
     ``right_id``.  A NULL ``on`` key never matches (SQL equality
     semantics, matching the DuckDB correlated-subquery oracle):
@@ -71,7 +72,10 @@ def asof_join(
     # the no-match path up front and NULL-keyed right rows are dropped.
     null_left = left.where(F.col(on).isNull()).select(
         *lcols,
-        F.lit(None).cast("long").alias("asof_ts"),
+        # asof_ts keeps right_ts's NATIVE type in every branch (matched,
+        # NULL-key, tolerance-staled) — a hardcoded long here would
+        # widen/fail the closing unionByName for int right_ts columns
+        F.lit(None).cast(rtypes[right_ts]).alias("asof_ts"),
         *[F.lit(None).cast(rtypes[c]).alias(c) for c in value_cols],
     )
     left = left.where(F.col(on).isNotNull())
@@ -81,7 +85,7 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_l"),
         F.lit(None).cast("long").alias("__rid"),
-        F.lit(None).cast("long").alias("__rts"),
+        F.lit(None).cast(rtypes[right_ts]).alias("__rts"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
     )
     r_tagged = (
@@ -95,7 +99,7 @@ def asof_join(
             F.col(right_ts).alias("__ts"),
             F.lit(0).alias("__is_l"),
             F.col(right_id).cast("long").alias("__rid"),
-            F.col(right_ts).cast("long").alias("__rts"),
+            F.col(right_ts).alias("__rts"),
             *[F.col(c).alias(f"__v_{c}") for c in value_cols],
         )
         .select(*l_tagged.columns)

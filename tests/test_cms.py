@@ -22,7 +22,7 @@ def test_cms_counters_match_python(spark):
 
     rows = [(f"k{i % 17}",) for i in range(300)]
     df = spark.createDataFrame(rows, "k string")
-    m = fit_cms(df, "k", depth=3, width=64)
+    m = fit_cms(df, "k", depth=3, width=64, hash_scheme="per_row")
     ref = _ref_cms([(k, 1) for (k,) in rows], 3, 64)
     assert [list(r) for r in m.counts] == ref
     assert m.total == 300
@@ -98,10 +98,10 @@ def test_cms_counters_merge_by_addition(spark):
 
 
 def test_cms_sliced_scheme_matches_python_and_never_undercounts(spark):
-    """The r11-planned 'sliced' scheme (ONE md5 per key, rows take
+    """The 'sliced' scheme — the r11 DEFAULT (ONE md5 per key, rows take
     digest slices): counters equal the python replay, point estimates
     never undercount, the column path agrees with the driver path, and
-    the default scheme's counters are unchanged by its existence."""
+    an unadorned fit_cms now produces exactly these counters."""
     import hashlib
     from collections import Counter
 
@@ -127,11 +127,15 @@ def test_cms_sliced_scheme_matches_python_and_never_undercounts(spark):
             "k", cms_estimate_col(m, F.col("k")).alias("e")).collect()
     }
     assert col_est == {k: m.estimate(k) for k in truth}
-    # default scheme untouched (harness/oracle parity until r11 flips)
+    # the default IS sliced since r11 (flipped with the harness oracle)
     m0 = fit_cms(df, "k", depth=4, width=64)
+    assert m0.scheme == "sliced"
+    assert [list(r) for r in m0.counts] == expect
+    # per_row stays available explicitly (pre-r11 parity, depth > 4)
+    mp = fit_cms(df, "k", depth=4, width=64, hash_scheme="per_row")
     d0 = hashlib.md5(b"w0:0").hexdigest()
-    assert m0.scheme == "per_row"
-    assert m0.counts[0][int(d0[:8], 16) % 64] >= truth["w0"]
+    assert mp.scheme == "per_row"
+    assert mp.counts[0][int(d0[:8], 16) % 64] >= truth["w0"]
 
 
 def test_cms_sliced_validation(spark):
@@ -169,7 +173,8 @@ def test_cms_pre_scheme_pickle_defaults_to_per_row(spark):
     from cuml_spark.ops.cms import CountMinSketch, cms_estimate_col, fit_cms
 
     df = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "k string")
-    m = fit_cms(df, "k", depth=2, width=16)
+    # pre-scheme sketches were per_row by construction — replay that
+    m = fit_cms(df, "k", depth=2, width=16, hash_scheme="per_row")
     legacy = object.__new__(CountMinSketch)  # __dict__ restore, no init
     object.__setattr__(legacy, "depth", m.depth)
     object.__setattr__(legacy, "width", m.width)

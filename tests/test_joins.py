@@ -162,3 +162,21 @@ def test_range_join_inverted_interval_dropped(spark):
         start_col="start", end_col="end", bucket_width_us=100,
     ).select("pid", "iid").collect()
     assert [(r["pid"], r["iid"]) for r in got] == [(1, 81)]
+
+
+def test_asof_join_int_right_ts_native_type(spark):
+    """Regression (ADVICE r10): asof_ts must carry right_ts's NATIVE
+    type on every branch — with an int right_ts, the NULL-key no-match
+    branch used to cast long and widen the union."""
+    from cuml_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, None, 100)], "event_id int, user int, ts int")
+    right = spark.createDataFrame(
+        [(71, 10, 90, 1.5)], "qid int, user int, qts int, px double")
+    out = asof_join(left, right, on="user", left_ts="ts", right_ts="qts",
+                    value_cols=["px"], right_id="qid")
+    assert dict(out.dtypes)["asof_ts"] == "int"
+    got = {r["event_id"]: (r["asof_ts"], r["px"]) for r in out.collect()}
+    assert got[1] == (90, 1.5)
+    assert got[2] == (None, None)  # NULL key: no-match branch, same type

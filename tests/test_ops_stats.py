@@ -131,3 +131,27 @@ def test_session_cached_reregisters_after_clearcache(spark):
     assert built == [1]
     assert out2.storageLevel.useMemory  # re-registered
     out2.unpersist()
+
+
+def test_session_cached_state_evicts_superseded(spark):
+    """Regression (ADVICE r10): a state-keyed entry (e.g. the CMS model
+    keyed on source size+mtime) must EVICT its predecessor for the same
+    sf_dir on regeneration, not accumulate one stale entry per mtime."""
+    from cuml_spark.core.session import session_cached
+
+    cache: dict = {}
+    a = session_cached(cache, spark, "/tmp/x", lambda: "model_v1",
+                       state="size1|mtime1")
+    assert a == "model_v1" and len(cache) == 1
+    # same sf_dir, new state (testdata regenerated): old entry evicted
+    b = session_cached(cache, spark, "/tmp/x", lambda: "model_v2",
+                       state="size2|mtime2")
+    assert b == "model_v2" and len(cache) == 1
+    # unchanged state is a memo hit
+    c = session_cached(cache, spark, "/tmp/x", lambda: "model_v3",
+                       state="size2|mtime2")
+    assert c == "model_v2" and len(cache) == 1
+    # a DIFFERENT sf_dir coexists
+    d = session_cached(cache, spark, "/tmp/y", lambda: "other",
+                       state="s")
+    assert d == "other" and len(cache) == 2
