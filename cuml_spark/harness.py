@@ -161,32 +161,58 @@ SELECT metric, value FROM (
     )
 
 
+_QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
 def q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalable EXACT quantiles (ops/quantiles.py exact_quantiles):
-    iterative histogram refinement — each pass ONE map-side-combined
-    conditional-count scan with all ranks riding together, final
-    selection a TakeOrderedAndProject over a bounded interval; never a
-    global sort, never a sketch.  percentile_disc semantics (rank =
-    ceil(p*n)), so DuckDB's quantile_disc twins it exactly — the values
-    are order statistics (elements of the data), no rounding ambiguity
-    beyond the 6dp report convention."""
-    from cuml_spark.ops.quantiles import exact_quantiles
+    """Scalable EXACT quantiles (ops/quantiles.py), global + grouped in
+    one report: iterative histogram refinement — each pass ONE
+    map-side-combined conditional-count scan with all ranks riding
+    together; never a global sort, never a sketch.  The grouped tier
+    (new in r11, per-l_returnflag — the per-domain/per-language
+    percentile-cut shape the curation tier needs at 100 TB) runs every
+    group's live ranks on the same scans via a broadcast edges table
+    and finishes with a row_number window hash-partitioned per
+    (group, rank) over only interval-resident rows.  percentile_disc
+    semantics (rank = ceil(p*n)), so DuckDB's quantile_disc twins both
+    tiers exactly — values are order statistics (elements of the
+    data), no rounding ambiguity beyond the 6dp report convention."""
+    from cuml_spark.ops.quantiles import (exact_quantiles,
+                                          grouped_exact_quantiles)
 
     li = _t(spark, sf_dir, "lineitem")
     qs = exact_quantiles(
-        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99],
+        li, "l_extendedprice", list(_QUANTILE_PROBS),
         n_buckets=64, collect_threshold=10_000,
     )
-    return spark.createDataFrame(
-        [(p, round(v, 6)) for p, v in qs], "p double, value double"
+    glob = spark.createDataFrame(
+        [("global", p, round(v, 6)) for p, v in qs],
+        "scope string, p double, value double",
     )
+    grp = grouped_exact_quantiles(
+        li, "l_extendedprice", list(_QUANTILE_PROBS), ["l_returnflag"],
+        n_buckets=64, collect_threshold=10_000,
+    ).select(
+        F.col("l_returnflag").alias("scope"),
+        "p",
+        F.round("value", 6).alias("value"),
+    )
+    return glob.unionByName(grp)
 
 
 _SQL_QUANTILE_REPORT = " UNION ALL ".join(
-    f"""SELECT {p}::DOUBLE AS p,
+    [
+        f"""SELECT 'global' AS scope, {p}::DOUBLE AS p,
            round(quantile_disc(l_extendedprice, {p}), 6) AS value
         FROM lineitem"""
-    for p in (0.25, 0.5, 0.75, 0.9, 0.99)
+        for p in _QUANTILE_PROBS
+    ]
+    + [
+        f"""SELECT l_returnflag AS scope, {p}::DOUBLE AS p,
+           round(quantile_disc(l_extendedprice, {p}), 6) AS value
+        FROM lineitem GROUP BY l_returnflag"""
+        for p in _QUANTILE_PROBS
+    ]
 )
 
 
@@ -539,107 +565,108 @@ ORACLES.update(ORACLES_STREAMING)
 # (c) queries whose evidence would otherwise age past THREE rounds
 # (they MUST be in this window), (d) oldest-evidence-first fill.
 #
-# r10 ledger (registry = 144 = 145 - 4 consolidated + 3 new: the four
-# r1-era queries stats_describe / histogram_quantity /
-# weighted_mean_price / standard_scaler — each green at EVERY check
-# r1-r7, operators unchanged and still unit/plan-gate tested — fold
-# into the single fully-oracled prims_stats_report, shrinking the
-# registry toward the 3x50 window capacity; VERDICT r9 #1's capacity
-# decision is therefore BOTH offered options: consolidate AND amend the
-# invariant to three rounds).  The r9 ledger's "(40 total)" was an
-# arithmetic slip for 49 r7-evidence queries; with the 4 consolidated
-# away, 45 r7-evidence queries age to the three-round boundary at r10
-# close.  50 slots =
-#   (a) 2 never-driver-checked (hypertable_rollup,
-#       stratified_sample_docs — both verify_local-green at sf0.01 AND
-#       sf0.1 since r9) + 3 NEW in r10 (prims_stats_report,
-#       bpe_word_counts — the BPE tier's distributed stage, closing the
-#       registry's only no_oracle gap per VERDICT r9 #1/"missing" —
-#       and quantile_report, the scalable exact-quantile operator)
-#   (b) 5 changed-in-r10: streaming_cdc_chunks (fixture split to 8
-#       files so the bench measures the operator, VERDICT r9 #3),
-#       asof_join_events + range_join_sessions (NULL-key / inverted-
-#       interval hardening in ops/joins.py), event_sessions
-#       (sessionize ts_us in-place replacement), corpus_spectrum
-#       (empty-corpus zeroing in both engines).  The lm.py broadcast
-#       cache (ADVICE r9) is a pure caching layer — plan- and result-
-#       identical, doc_perplexity_pretrained / mink_prob_members
-#       verify_local-green after the change — so its r9-green
-#       consumers defer to r11 under the amended (b) rule.
-#   (c) 40 of the 45 aging r7-evidence queries (all but the five
-#       deferred below).
-# Late-r10 RESULT-IDENTICAL plan/caching changes (each verify_local-
-# green after the change; deferring to their natural re-record round
-# under the amended (b) rule): session_cached re-registration after an
-# external clearCache (engine-wide; its in-window consumers lsh_pairs/
-# minhash_signatures re-record now), the cms_token_counts session-
-# cached model + the sliced hash scheme (scheme default UNCHANGED —
-# the r11 flip re-records query + oracle together).
-# DEFERRED to r11 (age 3 at r10 close — the amended invariant's
-# boundary, allowed; they MUST be in r11's window): accuracy_rule,
-# entropy_returnflag, contingency_flags, label_encode_mktsegment,
-# train_test_split_counts — the five stablest r1-era scalar queries
-# (green at every check since r1, implementation files untouched for
-# 4+ rounds).  r11 therefore opens owing exactly these 5 + any r11
-# new/changed work; the 44 r8-evidence queries reach age 3 at r11
-# close and may split across r11/r12 under the three-round cadence.
+# r11 ledger (registry unchanged at 144; evidence recency at r10 close:
+# 50 r10, 45 r9, 44 r8, 5 r7).  Obligations this round, re-derivable:
+# the 5 r7-evidence queries are at age 3 (the invariant boundary) and
+# MUST lead; 4 queries changed in r11; the 44 r8-evidence queries reach
+# age 3 at r11 close.  5 + 4 + 44 = 53 > 50, so the three-round cadence
+# forces the split VERDICT r10 #1 asked to be NAMED: 41 of the 44
+# enter this window and THREE defer to r12 — generator_checks,
+# scalar_functions, prims_matrix_rng (the three stablest pure-
+# deterministic r8 rows: seeded generators / scalar-function /
+# matrix-RNG checks, green at every check since they landed,
+# implementation files untouched since r8; age 3 at r11 close is the
+# boundary the invariant allows, and they MUST lead r12).  r12
+# arithmetic: 3 deferred + 45 r9-evidence queries aging to the
+# boundary = 48 obligations <= 50, leaving 2 slots for r12 new/changed
+# work.  50 slots =
+#   (a) never-driver-checked / new: none — r11's one new operator
+#       (grouped exact quantiles) EXTENDS quantile_report rather than
+#       adding a registry row, precisely to keep this window's
+#       arithmetic schedulable.
+#   (b) 4 changed-in-r11, each re-recording query + oracle together:
+#       cms_token_counts (the staged sliced-hash-scheme flip — fit now
+#       computes ONE md5 per token and slices the digest per row;
+#       oracle pos CTE flipped to substr(md5(tok), 8*i+1, 8) in the
+#       same commit), bpe_merges (gains the recursive-CTE Sennrich
+#       replay oracle — the registry's last rows-only check becomes a
+#       full value-hash check, closing VERDICT r10 "what's wrong" #1),
+#       quantile_report (schema extended to (scope, p, value): global
+#       tier unchanged, grouped per-l_returnflag tier added per
+#       VERDICT r10 #5), asof_join_events (asof_ts now carries
+#       right_ts's native type on every branch, ADVICE r10 — result-
+#       identical at the harness's long timestamps, re-recorded anyway
+#       under the r10 joins-hardening precedent).
+#   (c) 5 r7-evidence queries at the age-3 boundary — the named r10
+#       deferrals, leading as owed.
+#   (d) 41 of the 44 aging r8-evidence queries (all but the three
+#       r12 deferrals named above).
+# Result-identical r11 changes riding existing window entries or
+# legitimately deferring under the amended (b) rule: the
+# session_cached state-keyed eviction (pure caching; its only
+# state-keyed consumer is cms_token_counts, in-window), the
+# _split_docs_dir user-owned 0700 cache root (fixture plumbing;
+# streaming_cdc_chunks holds r10 evidence), exact_quantiles' native-
+# value return (quantile_report in-window), and the cms_estimate_col
+# dead-guard cleanup (cms_token_counts in-window).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked / new in r10
-    "hypertable_rollup",         # continuous-aggregate tier (r9 late arrival)
-    "stratified_sample_docs",    # exact per-stratum quotas (r9 late arrival)
-    "prims_stats_report",        # consolidated describe/hist/wmean/scaler
-    "bpe_word_counts",           # BPE's distributed stage, full oracle
-    "quantile_report",           # scalable exact quantiles (new in r10)
-    # (b) implementation or fixture changed in r10 — must re-record
-    "streaming_cdc_chunks",      # 8-file stream fixture (operator unchanged)
-    "asof_join_events",          # NULL-key no-match hardening
-    "range_join_sessions",       # inverted-interval guard
-    "event_sessions",            # ts_us in-place replacement
-    "corpus_spectrum",           # empty-corpus zeroed report
-    # (c) r7-evidence queries at the three-round boundary, oldest first
-    "topk_revenue_by_flag",
-    "ols_price_vs_quantity",
-    "ols_multi_revenue",
-    "split_exact_sizes",
-    "doc_quality",
-    "doc_tokens",
-    "lang_id",
-    "doc_fingerprint",
-    "kpss_events",
-    "random_projection",
-    "arima_forecast",
-    "umap_supervised_trust",
-    "neardup_pairs",
-    "simhash_docs",
-    "span_dedup",
-    "logreg_rule_accuracy",
-    "graph_connected_components",
-    "image_phash_invariance",
-    "media_decode_adpcm",
-    "media_probe_mp4",
-    "mbsgd_fit",
-    "arima_grid_aic",
-    "neardup_safe_split",
-    "pipeline_neardup_groups",
-    "pq_search_exact",
-    "ivfpq_search_exact",
-    "media_decode",
-    "media_decode_jpeg",
-    "media_decode_progressive",
-    "media_decode_wav",
-    "media_decode_g711",
-    "rf_regression",
-    "rf_accuracy",
-    "doc_repetition",
-    "pii_scrub",
-    "eval_contamination",
-    "minhash_signatures",
-    "lsh_pairs",
-    "stats_covariance",
-    "domain_mixture_sample",
-    # everything else (r8/r9-green and unchanged, plus the five deferred
-    # r7 queries named above) stays in queries()/bench — only the
-    # verification window moves
+    # (c) the five age-3 r1-era queries — MUST lead (r10 deferrals)
+    "accuracy_rule",
+    "entropy_returnflag",
+    "contingency_flags",
+    "label_encode_mktsegment",
+    "train_test_split_counts",
+    # (b) changed in r11 — re-record query + oracle together
+    "cms_token_counts",          # sliced hash scheme flipped (fit + oracle)
+    "bpe_merges",                # recursive-CTE oracle (was rows-only)
+    "quantile_report",           # grouped per-key tier added (scope column)
+    "asof_join_events",          # asof_ts native-type hardening
+    # (d) r8-evidence queries at the age-3 boundary, all but the three
+    # named r12 deferrals
+    "ann_lsh_recall",
+    "arima_ml_aic",
+    "c4_line_stats",
+    "cluster_agreement",
+    "cluster_dispersion",
+    "coo_symmetrize_check",
+    "cosine_topk",
+    "dbscan_cluster_sizes",
+    "dedup_exact",
+    "doc_chunks",
+    "doc_perplexity",
+    "elasticnet_closed_form",
+    "fil_score",
+    "frame_counts",
+    "gram_matrix",
+    "holtwinters_forecast",
+    "image_dedup_groups",
+    "ivf_search_exact",
+    "kalman_local_level",
+    "lasso_closed_form",
+    "media_decode_png",
+    "pipeline_clean_corpus",
+    "pipeline_event_profile",
+    "prob_metrics",
+    "qr_factor",
+    "regression_metrics",
+    "rf_mae_regression",
+    "ridge_closed_form",
+    "rsvd_agreement",
+    "sgd_hinge_accuracy",
+    "silhouette_customers",
+    "sparse_row_normalize",
+    "spectral_blobs",
+    "streaming_chunk_docs",
+    "streaming_clean_corpus",
+    "streaming_dedup_docs",
+    "streaming_window_stats",
+    "svc_rule_accuracy",
+    "trustworthiness_slice",
+    "tsvd_singular_2d",
+    "umap_transform_oos",
+    # everything else (r9/r10-green and unchanged, plus the three named
+    # r12 deferrals) stays in queries()/bench — only the verification
+    # window moves
 ]
 
 _window = [k for k in _DRIVER_WINDOW if k in QUERIES]

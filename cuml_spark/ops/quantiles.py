@@ -31,6 +31,16 @@ data, identical on any partitioning.  NULLs are excluded (SQL
 aggregate convention); NaNs are rejected up front (they poison value
 comparisons in any engine).
 
+Integral columns beyond 2^53: classification stays EXACT even though
+the interval edges live in double space, because the long→double cast
+is monotone non-decreasing — v1 <= v2 implies double(v1) <=
+double(v2), so every "values strictly below edge" set counted on the
+executors is prefix-closed in NATIVE order, and the final selection
+orders native values inside the surviving interval.  The returned
+value is therefore the native element itself (int for integral
+columns, float otherwise) — an earlier ``float(v)`` conversion was the
+one place a >2^53 long lost exactness (ADVICE r10).
+
 Worst case: values concentrated so a cell never shrinks below the
 threshold (massive duplicate mass) — then the interval collapses to a
 single point in ≤ 1 extra pass (duplicates ARE the answer) since equal
@@ -49,7 +59,22 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "grouped_exact_quantiles"]
+
+
+def _edges_for(lo: float, hi: float, n_buckets: int) -> list[float] | None:
+    """Equal-width refinement edges for [lo, hi], or None when double
+    resolution is exhausted (the freeze signal): edges must be strictly
+    increasing and strictly inside (lo, hi) — fp rounding at extreme
+    magnitudes can violate either, and the caller then resolves the
+    interval exactly via the final selection instead of splitting."""
+    w = (hi - lo) / n_buckets
+    if w <= 0 or lo + w == lo:
+        return None
+    e = [lo + i * w for i in range(1, n_buckets)]
+    if e != sorted(set(e)) or e[0] <= lo or e[-1] >= hi:
+        return None
+    return [lo] + e + [hi]
 
 
 def exact_quantiles(
@@ -60,14 +85,15 @@ def exact_quantiles(
     n_buckets: int = 64,
     collect_threshold: int = 100_000,
     max_passes: int = 16,
-) -> list[tuple[float, float | None]]:
+) -> list[tuple[float, float | int | None]]:
     """→ ``[(p, value), ...]`` where ``value`` is the EXACT
     ``percentile_disc(p)`` order statistic of ``df[col]`` (the element
-    at 1-based rank ``ceil(p * n)`` over non-null values), or None for
-    an all-null/empty column.  See the module docstring for the scan
-    shape; total cost ≈ ``2 + passes`` full scans regardless of data
-    size, with only O(n_buckets × len(probs)) counts ever leaving the
-    executors."""
+    at 1-based rank ``ceil(p * n)`` over non-null values) in the
+    column's NATIVE python type (int for integral columns — exact past
+    2^53 — float otherwise), or None for an all-null/empty column.  See
+    the module docstring for the scan shape; total cost ≈ ``2 +
+    passes`` full scans regardless of data size, with only
+    O(n_buckets × len(probs)) counts ever leaving the executors."""
     if not probs:
         raise ValueError("probs must be non-empty")
     for p in probs:
@@ -135,21 +161,13 @@ def exact_quantiles(
         bucket_cols = []
         edges = {}
         for j, (p, (k, lo, hi, below, cnt, _f)) in enumerate(live.items()):
-            w = (hi - lo) / n_buckets
-            if w <= 0 or lo + w == lo:  # double resolution exhausted
-                edges[p] = None
-                state[p] = (k, lo, hi, below, cnt, True)  # freeze, stay exact
-                continue
-            e = [lo + i * w for i in range(1, n_buckets)]
-            # edges must be strictly inside (lo, hi) and increasing;
-            # fp rounding at extreme magnitudes can violate either — fall
-            # back to freezing (the final selection is always exact)
-            if e != sorted(set(e)) or e[0] <= lo or e[-1] >= hi:
-                edges[p] = None
+            full = _edges_for(lo, hi, n_buckets)
+            if full is None:  # double resolution exhausted — freeze,
+                edges[p] = None  # stay exact via the final selection
                 state[p] = (k, lo, hi, below, cnt, True)
                 continue
-            edges[p] = [lo] + e + [hi]
-            inner = F.lit(e)
+            edges[p] = full
+            inner = F.lit(full[1:-1])
             bucket_cols.append(
                 F.when(
                     (F.col("__v") >= lo) & (F.col("__v") <= hi),
@@ -196,8 +214,10 @@ def exact_quantiles(
         if needed > collect_threshold:
             # only reachable frozen (or at max_passes on pathological
             # data): the interval is a few ulps wide, so its DISTINCT
-            # value set is tiny (<= n_buckets + 1 representable doubles
-            # when frozen) — resolve by a bounded value histogram
+            # value set is tiny — <= n_buckets + 1 representable doubles
+            # when frozen (for integral columns a few double-ulps still
+            # bound it: <= ~n_buckets × ulp(lo) longs, e.g. ~64k at
+            # magnitude 2^62) — resolve by a bounded value histogram
             # instead of a needed-sized TakeOrdered
             rows = sorted(
                 (r["__v"], r["c"])
@@ -213,7 +233,7 @@ def exact_quantiles(
                     v = val
                     break
                 cum += c2
-            out.append((p, float(v)))
+            out.append((p, v))
             continue
         # needed-th smallest inside [lo, hi] = max of the first `needed`
         # ascending values — TakeOrderedAndProject over a bounded prefix
@@ -224,5 +244,243 @@ def exact_quantiles(
             .agg(F.max("__v").alias("q"))
             .first()["q"]
         )
-        out.append((p, float(v)))
+        out.append((p, v))
     return out
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    group_cols: list[str],
+    *,
+    n_buckets: int = 64,
+    collect_threshold: int = 100_000,
+    max_passes: int = 16,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Per-group EXACT ``percentile_disc`` quantiles — the grouped twin
+    of :func:`exact_quantiles` for per-domain / per-language percentile
+    cuts (CCNet perplexity buckets, per-stratum length caps): →
+    DataFrame(group_cols…, p, value) with one row per (group, prob),
+    ``value`` in the column's native type (NULL for all-null groups,
+    matching SQL ``GROUP BY`` aggregate semantics).
+
+    Same refinement loop as the global version, with every group's
+    live ranks riding ONE scan per pass: a broadcast edges table
+    (group → interval edges, driver-built, ≤ groups × ranks rows)
+    equi-joins the data null-safely, bucket membership is decided by
+    edge COMPARISONS against the joined edges array, and the pass
+    aggregates long-form (group, rank, bucket) counts — map-side
+    combined, bounded at groups × ranks × n_buckets rows.  The final
+    selection broadcast-joins the surviving intervals and takes each
+    (group, rank)'s needed-th smallest via ``row_number`` over a
+    window partitioned by (group, rank) — only interval-resident rows
+    (≤ groups × ranks × collect_threshold) ever shuffle, hash-
+    partitioned, never range-partitioned (no global sort).  Frozen
+    duplicate masses larger than ``collect_threshold`` resolve through
+    the bounded distinct-value histogram exactly like the global path.
+
+    Driver-bounded contract: per-group states live on the driver —
+    ``max_groups`` guards the collect (the text/dsir.py bounded-fit
+    convention).  Designed for stratum-grade cardinality (languages,
+    domains, quality buckets), not data-grade keys.
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"each prob must be in (0, 1], got {p}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty (use exact_quantiles)")
+    if col in gcols:
+        raise ValueError(f"col {col!r} cannot also be a group column")
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StructField, StructType)
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    probs = sorted(set(probs))
+    c = F.col(col)
+    base = df.select(*gcols, c.alias("__v")).where(F.col("__v").isNotNull())
+    vd = F.col("__v").cast("double")
+    stats_rows = (
+        df.select(*gcols, c.alias("__v"))
+        .groupBy(*gcols)
+        .agg(
+            F.count("__v").alias("n"),  # count(col): nulls excluded
+            F.min("__v").alias("mn"),
+            F.max("__v").alias("mx"),
+            # NULL __v rows propagate null into the flag and max skips
+            # them, so an all-null group reports has_nonfinite = null
+            F.max(
+                (F.isnan(vd) | (F.abs(vd) == float("inf"))).cast("int")
+            ).alias("has_nonfinite"),
+        )
+        .collect()
+    )
+    if len(stats_rows) > max_groups:
+        raise ValueError(
+            f"{len(stats_rows)} groups exceeds max_groups={max_groups} — "
+            "grouped quantiles keep per-group state on the driver; raise "
+            "max_groups only if that state genuinely fits"
+        )
+    group_fields = [
+        StructField(f.name, f.dataType, True)
+        for f in df.select(*gcols).schema.fields
+    ]
+    value_type = df.select(c.alias("__v")).schema.fields[0].dataType
+    out_schema = StructType(
+        group_fields
+        + [StructField("p", DoubleType(), False),
+           StructField("value", value_type, True)]
+    )
+    # state per (group, prob): (k, lo, hi, below, cnt, frozen) — the
+    # global version's invariant, one instance per group
+    state: dict = {}
+    static_out: list[tuple] = []
+    for r in stats_rows:
+        gk = tuple(r[g] for g in gcols)
+        if r["n"] == 0:
+            static_out.extend((*gk, p, None) for p in probs)
+            continue
+        if r["has_nonfinite"]:
+            raise ValueError(
+                f"column {col!r} contains NaN/inf in group {gk!r} — "
+                "filter it first"
+            )
+        if float(r["mx"]) - float(r["mn"]) == float("inf"):
+            raise ValueError(
+                f"column {col!r} spans a range wider than a double in "
+                f"group {gk!r} ({r['mn']} .. {r['mx']}) — rescale first"
+            )
+        for p in probs:
+            k = max(1, math.ceil(p * r["n"]))
+            state[(gk, p)] = (k, float(r["mn"]), float(r["mx"]), 0,
+                              r["n"], False)
+    edge_schema = StructType(
+        group_fields
+        + [StructField("__j", IntegerType(), False),
+           StructField("__lo", DoubleType(), False),
+           StructField("__hi", DoubleType(), False),
+           StructField("__e", ArrayType(DoubleType(), False), False)]
+    )
+    for _ in range(max_passes):
+        live = {
+            key: s for key, s in state.items()
+            if s[1] < s[2] and s[4] > collect_threshold and not s[5]
+        }
+        if not live:
+            break
+        edge_rows = []
+        jmap = {}
+        for j, (key, (k, lo, hi, below, cnt, _f)) in enumerate(live.items()):
+            full = _edges_for(lo, hi, n_buckets)
+            if full is None:  # double resolution exhausted — freeze
+                state[key] = (k, lo, hi, below, cnt, True)
+                continue
+            jmap[key] = (j, full)
+            edge_rows.append((*key[0], j, lo, hi, full[1:-1]))
+        if not edge_rows:
+            break
+        ed = F.broadcast(spark.createDataFrame(edge_rows, edge_schema))
+        cond = [base[g].eqNullSafe(ed[g]) for g in gcols]
+        joined = base.join(ed, cond)
+        # membership by edge COMPARISON against the joined edges array —
+        # the same 1-ulp-boundary discipline as the global version; the
+        # bucket index is already long-form (one row per data row ×
+        # live rank of its group), so the aggregate has few keys and no
+        # wide-codegen hazard
+        staged = joined.select(
+            F.col("__j"),
+            F.when(
+                (F.col("__v") >= F.col("__lo"))
+                & (F.col("__v") <= F.col("__hi")),
+                F.size(F.filter(F.col("__e"),
+                                lambda x: F.col("__v") >= x)),
+            ).alias("__b"),
+        )
+        counts = {
+            (r["__j"], r["__b"]): r["c"]
+            for r in staged.where(F.col("__b").isNotNull())
+            .groupBy("__j", "__b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        for key, (j, full) in jmap.items():
+            k, lo, hi, below, cnt, _f = state[key]
+            cum = below
+            for i in range(n_buckets):
+                ci = counts.get((j, i), 0)
+                if cum + ci >= k:
+                    state[key] = (k, full[i], full[i + 1], cum, ci, False)
+                    break
+                cum += ci
+            else:  # pragma: no cover — counts must reach k
+                raise AssertionError("rank fell outside its interval")
+    # final selection: distributed needed-th-smallest for every
+    # (group, rank) in ONE job; frozen over-threshold masses resolve
+    # via the bounded distinct-value histogram (a second small job)
+    iv_schema = StructType(
+        group_fields
+        + [StructField("__j", IntegerType(), False),
+           StructField("__lo", DoubleType(), False),
+           StructField("__hi", DoubleType(), False),
+           StructField("__needed", LongType(), False),
+           StructField("__p", DoubleType(), False)]
+    )
+    sel_rows, frozen_rows = [], []
+    fmeta = {}
+    for j, (key, (k, lo, hi, below, cnt, frozen)) in enumerate(state.items()):
+        needed = k - below
+        if needed > collect_threshold:
+            frozen_rows.append((*key[0], j, lo, hi, needed, key[1]))
+            fmeta[j] = key
+        else:
+            sel_rows.append((*key[0], j, lo, hi, needed, key[1]))
+    if frozen_rows:
+        fv = F.broadcast(spark.createDataFrame(frozen_rows, iv_schema))
+        cond = [base[g].eqNullSafe(fv[g]) for g in gcols]
+        hist = (
+            base.join(fv, cond)
+            .where((F.col("__v") >= F.col("__lo"))
+                   & (F.col("__v") <= F.col("__hi")))
+            .groupBy("__j", "__v")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        per_j: dict = {}
+        for r in hist:
+            per_j.setdefault(r["__j"], []).append((r["__v"], r["c"]))
+        for j, key in fmeta.items():
+            k, lo, hi, below, cnt, frozen = state[key]
+            cum = below
+            v = None
+            for val, c2 in sorted(per_j.get(j, [])):
+                if cum + c2 >= k:
+                    v = val
+                    break
+                cum += c2
+            static_out.append((*key[0], key[1], v))
+    if sel_rows:
+        iv = F.broadcast(spark.createDataFrame(sel_rows, iv_schema))
+        cond = [base[g].eqNullSafe(iv[g]) for g in gcols]
+        w = Window.partitionBy("__j").orderBy(F.col("__v").asc())
+        hits = (
+            base.join(iv, cond)
+            .where((F.col("__v") >= F.col("__lo"))
+                   & (F.col("__v") <= F.col("__hi")))
+            .select(*[iv[g].alias(g) for g in gcols], "__j", "__p", "__v",
+                    "__needed")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == F.col("__needed"))
+            .select(*gcols, F.col("__p").alias("p"),
+                    F.col("__v").alias("value"))
+        )
+    else:
+        hits = spark.createDataFrame([], out_schema)
+    static = spark.createDataFrame(static_out, out_schema)
+    return hits.unionByName(static)
