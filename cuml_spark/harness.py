@@ -171,9 +171,10 @@ def q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     together; never a global sort, never a sketch.  The grouped tier
     (new in r11, per-l_returnflag — the per-domain/per-language
     percentile-cut shape the curation tier needs at 100 TB) runs every
-    group's live ranks on the same scans via a broadcast edges table
-    and finishes with a row_number window hash-partitioned per
-    (group, rank) over only interval-resident rows.  percentile_disc
+    group's live ranks on the same scans via a broadcast scalar
+    intervals table (floor-cell classification, actual-min/max interval
+    stepping) and finishes with a row_number window hash-partitioned
+    per (group, rank) over only interval-resident rows.  percentile_disc
     semantics (rank = ceil(p*n)), so DuckDB's quantile_disc twins both
     tiers exactly — values are order statistics (elements of the
     data), no rounding ambiguity beyond the 6dp report convention."""

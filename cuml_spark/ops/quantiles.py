@@ -14,10 +14,15 @@ oracle can twin it):
 
 1. one stats pass: n (non-null), min, max;
 2. refinement passes: split each rank's live interval ``[lo, hi]``
-   into ``n_buckets`` equal-width cells, count every cell for every
-   rank in ONE aggregation (conditional sums — the counts for all
-   ranks ride the same scan), then step the interval to the cell
-   containing the rank and add the cells below to ``count_below``;
+   into ``n_buckets`` equal-width floor cells, aggregate every cell's
+   (count, min, max) for every rank in ONE aggregation (the cells for
+   all ranks ride the same scan), then step the interval to the
+   ACTUAL (min, max) of the cell containing the rank and add the
+   cells below to ``count_below`` — the executor's floor expression
+   is the single source of cell identity, so there is no driver edge
+   arithmetic for it to disagree with (the r10 1-ulp boundary trap is
+   structurally absent), and intervals shrink at least as fast as the
+   cell width;
 3. once a rank's live interval holds ≤ ``collect_threshold`` rows (or
    collapses to a point / stops splitting at double resolution), the
    remaining selection is ``orderBy(col).limit(needed)`` over the
@@ -25,11 +30,12 @@ oracle can twin it):
    top-k, never a global sort), and the needed-th smallest is the max
    of that bounded prefix.
 
-Determinism: counts are exact integers; bucket edges are pure driver
-arithmetic on (lo, hi); the final order statistic is an element OF the
-data, identical on any partitioning.  NULLs are excluded (SQL
-aggregate convention); NaNs are rejected up front (they poison value
-comparisons in any engine).
+Determinism: counts are exact integers; cell identity is one pure
+double expression of (value, lo, width) evaluated only on executors;
+intervals are actual data extremes; the final order statistic is an
+element OF the data, identical on any partitioning.  NULLs are
+excluded (SQL aggregate convention); NaNs are rejected up front (they
+poison value comparisons in any engine).
 
 Integral columns beyond 2^53: classification stays EXACT even though
 the interval edges live in double space, because the long→double cast
@@ -60,21 +66,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["exact_quantiles", "grouped_exact_quantiles"]
-
-
-def _edges_for(lo: float, hi: float, n_buckets: int) -> list[float] | None:
-    """Equal-width refinement edges for [lo, hi], or None when double
-    resolution is exhausted (the freeze signal): edges must be strictly
-    increasing and strictly inside (lo, hi) — fp rounding at extreme
-    magnitudes can violate either, and the caller then resolves the
-    interval exactly via the final selection instead of splitting."""
-    w = (hi - lo) / n_buckets
-    if w <= 0 or lo + w == lo:
-        return None
-    e = [lo + i * w for i in range(1, n_buckets)]
-    if e != sorted(set(e)) or e[0] <= lo or e[-1] >= hi:
-        return None
-    return [lo] + e + [hi]
 
 
 def exact_quantiles(
@@ -146,62 +137,69 @@ def exact_quantiles(
         }
         if not live:
             break
-        # ONE aggregation carrying every live rank's bucket histogram:
-        # bucket edges are driver literals, and membership is decided by
-        # EDGE COMPARISONS (count of edges <= v), never by a floor
-        # division — floor((v - lo)/w) disagrees with the driver-side
-        # edges lo + i*w within ~1 ulp of a boundary, which double-counts
-        # or loses edge-straddling values from the rank bookkeeping (a
-        # replayed failure, not a theory).  Comparisons make bucket i
-        # EXACTLY the half-open [edges[i], edges[i+1]) (last bucket
-        # closed at hi), identical on executors and driver.  The index
-        # is STAGED in its own projection so it evaluates once per
-        # (row, rank) (Aggregate-over-Project keeps it one local in the
-        # codegen'd scan; CollapseProject only fuses Project pairs).
+        # ONE aggregation carrying every live rank's cell histogram:
+        # bucket = clamped floor on the DOUBLE cast — plain codegen
+        # arithmetic — and the NEXT interval is the chosen cell's
+        # ACTUAL double-space (min, max), aggregated alongside the
+        # count.  The r10 1-ulp trap (floor classification vs
+        # driver-computed edges lo + i*w disagreeing within a ulp of a
+        # boundary — a replayed failure) is structurally absent in this
+        # shape: no driver edge arithmetic exists for the executor to
+        # disagree with; the floor expression is the single source of
+        # cell identity, a floor cell is an interval in double space
+        # (floor of a non-decreasing function), and its count/min/max
+        # come from the same grouping, so next-pass membership
+        # [mn, mx] selects exactly the cell's rows.  (An earlier
+        # edges-array + higher-order-filter variant evaluated the
+        # lambda INTERPRETED — HOFs are codegen-incompatible; the
+        # grouped twin measured 10.3 s/pass vs ~1 s after this
+        # rewrite.)  The bucket index is STAGED in its own projection
+        # so it evaluates once per (row, rank), and counts go
+        # LONG-FORM — stack to (rank_j, bucket) then ONE map-side-
+        # combined groupBy over <= live x n_buckets keys — instead of
+        # live x n_buckets sum() columns, whose codegen COMPILE time
+        # (~seconds for hundreds of aggregates) would dwarf the scan.
         bucket_cols = []
-        edges = {}
+        live_js = {}
         for j, (p, (k, lo, hi, below, cnt, _f)) in enumerate(live.items()):
-            full = _edges_for(lo, hi, n_buckets)
-            if full is None:  # double resolution exhausted — freeze,
-                edges[p] = None  # stay exact via the final selection
+            w = (hi - lo) / n_buckets
+            if w <= 0 or lo + w == lo:  # double resolution exhausted —
+                # freeze, stay exact via the final selection
                 state[p] = (k, lo, hi, below, cnt, True)
                 continue
-            edges[p] = full
-            inner = F.lit(full[1:-1])
+            live_js[p] = j
             bucket_cols.append(
                 F.when(
-                    (F.col("__v") >= lo) & (F.col("__v") <= hi),
-                    F.size(F.filter(inner, lambda x: F.col("__v") >= x)),
+                    (vd >= lo) & (vd <= hi),
+                    F.least(
+                        F.floor((vd - F.lit(lo)) / F.lit(w)),
+                        F.lit(n_buckets - 1),
+                    ).cast("int"),
                 ).alias(f"b_{j}")
             )
         if not bucket_cols:
             break
-        # counts go LONG-FORM — stack to (rank_j, bucket) then ONE
-        # map-side-combined groupBy over <= live x n_buckets keys —
-        # instead of live x n_buckets sum() columns, whose codegen
-        # COMPILE time (~seconds for hundreds of aggregates) would dwarf
-        # the scan.
-        staged = base.select(*bucket_cols)
-        live_js = [j for j, p in enumerate(live) if edges[p] is not None]
+        staged = base.select(*bucket_cols, vd.alias("__vd"))
         stack_expr = "stack({}, {}) AS (j, b)".format(
-            len(live_js), ", ".join(f"{j}, b_{j}" for j in live_js)
+            len(live_js), ", ".join(f"{j}, b_{j}" for j in live_js.values())
         )
-        counts = {
-            (r["j"], r["b"]): r["c"]
-            for r in staged.select(F.expr(stack_expr))
+        cells = {
+            (r["j"], r["b"]): (r["c"], r["mn"], r["mx"])
+            for r in staged.select(F.expr(stack_expr), "__vd")
             .where(F.col("b").isNotNull())
             .groupBy("j", "b")
-            .agg(F.count("*").alias("c"))
+            .agg(F.count("*").alias("c"),
+                 F.min("__vd").alias("mn"),
+                 F.max("__vd").alias("mx"))
             .collect()
         }
-        for j, (p, (k, lo, hi, below, cnt, frz)) in enumerate(live.items()):
-            if edges[p] is None:
-                continue  # frozen above
+        for p, j in live_js.items():
+            k, lo, hi, below, cnt, _f = state[p]
             cum = below
             for i in range(n_buckets):
-                ci = counts.get((j, i), 0)
+                ci, mn_i, mx_i = cells.get((j, i), (0, None, None))
                 if cum + ci >= k:
-                    state[p] = (k, edges[p][i], edges[p][i + 1], cum, ci, False)
+                    state[p] = (k, mn_i, mx_i, cum, ci, False)
                     break
                 cum += ci
             else:  # pragma: no cover — counts must reach k by construction
@@ -267,12 +265,21 @@ def grouped_exact_quantiles(
     matching SQL ``GROUP BY`` aggregate semantics).
 
     Same refinement loop as the global version, with every group's
-    live ranks riding ONE scan per pass: a broadcast edges table
-    (group → interval edges, driver-built, ≤ groups × ranks rows)
-    equi-joins the data null-safely, bucket membership is decided by
-    edge COMPARISONS against the joined edges array, and the pass
-    aggregates long-form (group, rank, bucket) counts — map-side
-    combined, bounded at groups × ranks × n_buckets rows.  The final
+    live ranks riding ONE scan per pass: a broadcast intervals table
+    (group → (lo, hi, width), driver-built, ≤ groups × ranks tiny
+    rows — scalars only, never an array payload) equi-joins the data
+    null-safely; bucket membership is plain codegen floor arithmetic
+    on the DOUBLE cast, and the pass aggregates long-form
+    (rank, bucket) → (count, min, max) cells — map-side combined,
+    bounded at groups × ranks × n_buckets rows.  The next interval is
+    the chosen cell's ACTUAL double-space min/max, so no driver edge
+    arithmetic exists for the executor to disagree with (the global
+    version's 1-ulp floor-vs-edges trap is structurally absent: a
+    floor cell is an interval in double space, and its count/min/max
+    come from the same grouping).  Integral columns stay exact past
+    2^53 by the same monotone-cast prefix-closure argument as the
+    global version — all bookkeeping lives in double space and the
+    final selection orders native values.  The final
     selection broadcast-joins the surviving intervals and takes each
     (group, rank)'s needed-th smallest via ``row_number`` over a
     window partitioned by (group, rank) — only interval-resident rows
@@ -298,8 +305,8 @@ def grouped_exact_quantiles(
         raise ValueError("group_cols must be non-empty (use exact_quantiles)")
     if col in gcols:
         raise ValueError(f"col {col!r} cannot also be a group column")
-    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
-                                   LongType, StructField, StructType)
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
@@ -366,7 +373,7 @@ def grouped_exact_quantiles(
         + [StructField("__j", IntegerType(), False),
            StructField("__lo", DoubleType(), False),
            StructField("__hi", DoubleType(), False),
-           StructField("__e", ArrayType(DoubleType(), False), False)]
+           StructField("__w", DoubleType(), False)]
     )
     for _ in range(max_passes):
         live = {
@@ -378,45 +385,57 @@ def grouped_exact_quantiles(
         edge_rows = []
         jmap = {}
         for j, (key, (k, lo, hi, below, cnt, _f)) in enumerate(live.items()):
-            full = _edges_for(lo, hi, n_buckets)
-            if full is None:  # double resolution exhausted — freeze
-                state[key] = (k, lo, hi, below, cnt, True)
+            w = (hi - lo) / n_buckets
+            if w <= 0 or lo + w == lo:  # double resolution exhausted
+                state[key] = (k, lo, hi, below, cnt, True)  # freeze
                 continue
-            jmap[key] = (j, full)
-            edge_rows.append((*key[0], j, lo, hi, full[1:-1]))
+            jmap[key] = j
+            edge_rows.append((*key[0], j, lo, hi, w))
         if not edge_rows:
             break
         ed = F.broadcast(spark.createDataFrame(edge_rows, edge_schema))
         cond = [base[g].eqNullSafe(ed[g]) for g in gcols]
         joined = base.join(ed, cond)
-        # membership by edge COMPARISON against the joined edges array —
-        # the same 1-ulp-boundary discipline as the global version; the
-        # bucket index is already long-form (one row per data row ×
-        # live rank of its group), so the aggregate has few keys and no
-        # wide-codegen hazard
+        # bucket = clamped floor on the DOUBLE cast — plain codegen
+        # arithmetic (an earlier edges-array + higher-order-filter
+        # variant shipped a 63-double payload through the join and
+        # evaluated the lambda INTERPRETED — measured 10.3 s/pass vs
+        # ~1 s for this shape at sf0.1).  The global version's
+        # floor-vs-driver-edges 1-ulp trap does not apply: the next
+        # interval is the chosen cell's ACTUAL min/max below, so the
+        # floor expression is the single source of cell identity.
+        vdj = F.col("__v").cast("double")
         staged = joined.select(
             F.col("__j"),
             F.when(
-                (F.col("__v") >= F.col("__lo"))
-                & (F.col("__v") <= F.col("__hi")),
-                F.size(F.filter(F.col("__e"),
-                                lambda x: F.col("__v") >= x)),
+                (vdj >= F.col("__lo")) & (vdj <= F.col("__hi")),
+                F.least(
+                    F.floor((vdj - F.col("__lo")) / F.col("__w")),
+                    F.lit(n_buckets - 1),
+                ).cast("int"),
             ).alias("__b"),
+            vdj.alias("__vd"),
         )
-        counts = {
-            (r["__j"], r["__b"]): r["c"]
+        cells = {
+            (r["__j"], r["__b"]): (r["c"], r["mn"], r["mx"])
             for r in staged.where(F.col("__b").isNotNull())
             .groupBy("__j", "__b")
-            .agg(F.count("*").alias("c"))
+            .agg(F.count("*").alias("c"),
+                 F.min("__vd").alias("mn"),
+                 F.max("__vd").alias("mx"))
             .collect()
         }
-        for key, (j, full) in jmap.items():
+        for key, j in jmap.items():
             k, lo, hi, below, cnt, _f = state[key]
             cum = below
             for i in range(n_buckets):
-                ci = counts.get((j, i), 0)
+                ci, mn_i, mx_i = cells.get((j, i), (0, None, None))
                 if cum + ci >= k:
-                    state[key] = (k, full[i], full[i + 1], cum, ci, False)
+                    # the cell's ACTUAL double-space extremes become the
+                    # next interval: a floor cell is an interval in
+                    # double space, so [mn_i, mx_i] membership in the
+                    # next pass selects exactly this cell's rows
+                    state[key] = (k, mn_i, mx_i, cum, ci, False)
                     break
                 cum += ci
             else:  # pragma: no cover — counts must reach k
