@@ -327,3 +327,27 @@ def test_grouped_exact_quantiles_property(spark, data, probs, thresh):
                df, "x", probs, ["g"], n_buckets=4,
                collect_threshold=thresh, max_passes=12).collect()}
     assert got == _grouped_disc(data, probs)
+
+
+def test_grouped_exact_quantiles_many_groups(spark):
+    """60 groups of varying sizes in one call: every (group, prob) cell
+    exact — exercises the batched intervals table (one broadcast row
+    per live (group, rank)) and the single shared selection job."""
+    import random
+
+    from cuml_spark.ops.quantiles import grouped_exact_quantiles
+
+    rng = random.Random(11)
+    rows = []
+    for gi in range(60):
+        n = 1 + (gi * 7) % 40
+        rows.extend((f"g{gi:02d}", float(rng.randint(-500, 500)))
+                    for _ in range(n))
+    df = spark.createDataFrame(rows, "g string, x double").repartition(8)
+    probs = [0.25, 0.5, 1.0]
+    got = {(r["g"], r["p"]): r["value"]
+           for r in grouped_exact_quantiles(
+               df, "x", probs, ["g"], n_buckets=4,
+               collect_threshold=6, max_passes=12).collect()}
+    want = _grouped_disc(rows, probs)
+    assert got == want and len(got) == 60 * 3
