@@ -177,7 +177,13 @@ def q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (group, rank) over only interval-resident rows.  percentile_disc
     semantics (rank = ceil(p*n)), so DuckDB's quantile_disc twins both
     tiers exactly — values are order statistics (elements of the
-    data), no rounding ambiguity beyond the 6dp report convention."""
+    data), no rounding ambiguity beyond the 6dp report convention.
+    The two tiers run as two operator calls ON PURPOSE: the query is
+    the driver's only evidence for BOTH exact_quantiles (the
+    TakeOrdered final-selection path) and grouped_exact_quantiles (the
+    windowed per-group path); a user wanting both results in one job
+    would union a lit('global') scope into the grouped call instead
+    (same scan count at 2x rows)."""
     from cuml_spark.ops.quantiles import (exact_quantiles,
                                           grouped_exact_quantiles)
 
@@ -186,10 +192,12 @@ def q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_extendedprice", list(_QUANTILE_PROBS),
         n_buckets=64, collect_threshold=10_000,
     )
+    # both tiers round through F.round (HALF_UP, DuckDB's mode) — a
+    # python round() here would diverge half-even on exact decimal ties
     glob = spark.createDataFrame(
-        [("global", p, round(v, 6)) for p, v in qs],
+        [("global", p, float(v)) for p, v in qs],
         "scope string, p double, value double",
-    )
+    ).select("scope", "p", F.round("value", 6).alias("value"))
     grp = grouped_exact_quantiles(
         li, "l_extendedprice", list(_QUANTILE_PROBS), ["l_returnflag"],
         n_buckets=64, collect_threshold=10_000,

@@ -381,6 +381,7 @@ def _split_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     import hashlib
     import os
     import shutil
+    import tempfile
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
@@ -390,6 +391,13 @@ def _split_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     ).hexdigest()[:8]
     prefix = os.path.join(_split_cache_base(), "docs_split_")
     path = f"{prefix}{src_tok}_{state_tok}"
+    # one-time retirement of pre-r11 splits at the old world-shared
+    # /tmp prefix — the new-base eviction below never scans it, and
+    # the stated invariant is that rounds never accumulate copies
+    for legacy in glob.glob(
+        os.path.join(tempfile.gettempdir(), "cuml_spark_docs_split_*")
+    ):
+        shutil.rmtree(legacy, ignore_errors=True)
     if _DOCS_SPLIT_CACHE.get(src) == path and os.path.exists(
         f"{path}/_SUCCESS"
     ):

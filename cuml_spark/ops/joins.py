@@ -136,8 +136,12 @@ def asof_join(
         "__lts",
     )
     if tolerance_us is not None:
+        # the gap is computed in LONG regardless of the ts columns'
+        # native type: int - int would wrap silently for gaps past
+        # 2^31 µs (~36 min) now that asof_ts keeps its native width
         stale = F.col("asof_ts").isNull() | (
-            F.col("__lts") - F.col("asof_ts") > int(tolerance_us)
+            F.col("__lts").cast("long") - F.col("asof_ts").cast("long")
+            > int(tolerance_us)
         )
         out = out.select(
             *lcols,

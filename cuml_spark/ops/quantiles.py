@@ -327,12 +327,17 @@ def grouped_exact_quantiles(
                 (F.isnan(vd) | (F.abs(vd) == float("inf"))).cast("int")
             ).alias("has_nonfinite"),
         )
+        # the guard must bound the TRANSFER, not inspect it after the
+        # fact: limit(max_groups + 1) makes Spark plan a CollectLimit,
+        # so a data-grade key (10^8 doc_ids) ships max_groups + 1 rows
+        # to the driver instead of OOMing it before the check fires
+        .limit(int(max_groups) + 1)
         .collect()
     )
     if len(stats_rows) > max_groups:
         raise ValueError(
-            f"{len(stats_rows)} groups exceeds max_groups={max_groups} — "
-            "grouped quantiles keep per-group state on the driver; raise "
+            f"more than max_groups={max_groups} groups — grouped "
+            "quantiles keep per-group state on the driver; raise "
             "max_groups only if that state genuinely fits"
         )
     group_fields = [

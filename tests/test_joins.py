@@ -180,3 +180,21 @@ def test_asof_join_int_right_ts_native_type(spark):
     got = {r["event_id"]: (r["asof_ts"], r["px"]) for r in out.collect()}
     assert got[1] == (90, 1.5)
     assert got[2] == (None, None)  # NULL key: no-match branch, same type
+
+
+def test_asof_join_int_ts_tolerance_no_overflow(spark):
+    """Regression (r11 review): with int ts columns the tolerance gap
+    must compute in LONG — an int subtraction wraps for gaps past
+    2^31 µs and would resurrect a stale match."""
+    from cuml_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 2_000_000_000)], "event_id int, user int, ts int")
+    right = spark.createDataFrame(
+        [(71, 10, -1_000_000_000, 1.5)], "qid int, user int, qts int, px double")
+    out = asof_join(left, right, on="user", left_ts="ts", right_ts="qts",
+                    value_cols=["px"], right_id="qid",
+                    tolerance_us=1_000_000)
+    r = out.collect()[0]
+    # true gap 3e9 µs > 1e6: stale — int wraparound would return 1.5
+    assert r["asof_ts"] is None and r["px"] is None
