@@ -618,6 +618,12 @@ ORACLES.update(ORACLES_STREAMING)
 # streaming_cdc_chunks holds r10 evidence), exact_quantiles' native-
 # value return (quantile_report in-window), and the cms_estimate_col
 # dead-guard cleanup (cms_token_counts in-window).
+# STAGED for r12 (landed r11, unregistered — a new query MUST debut in
+# its landing round's window and r11's 50 slots are spoken for): the
+# per-language CCNet split (text/lm.py perplexity_buckets group_cols=,
+# unit-tested; the existing ccnet_buckets query is byte-identical on
+# the default path).  An r12 `ccnet_buckets_lang` query + quantile_cont
+# GROUP BY oracle fits one of r12's two spare slots.
 _DRIVER_WINDOW = [
     # (c) the five age-3 r1-era queries — MUST lead (r10 deferrals)
     "accuracy_rule",

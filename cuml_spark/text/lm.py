@@ -246,6 +246,7 @@ def perplexity_buckets(
     score_col: str = "avg_logp",
     id_col: str = "doc_id",
     quantiles: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. §4.3): bucket
     documents by their LM score's position in the corpus distribution —
@@ -253,9 +254,20 @@ def perplexity_buckets(
     worst, ``middle`` between.  CCNet trains on head+middle and drops
     (or down-weights) tail.
 
-    → (id_col, score_col, ppl_bucket) with ``ppl_bucket`` ∈ {'head',
-    'middle', 'tail', null} (null for unscored docs — too short to have
-    bigrams — which a pipeline routes separately).
+    → (id_col[, group_cols…], score_col, ppl_bucket) with
+    ``ppl_bucket`` ∈ {'head', 'middle', 'tail', null} (null for
+    unscored docs — too short to have bigrams — which a pipeline routes
+    separately).
+
+    With ``group_cols`` (e.g. ``["lang"]``) the thresholds are computed
+    PER GROUP — CCNet's actual shape: one LM and one head/middle/tail
+    split per language, so a hard language's scores aren't judged
+    against an easy language's distribution.  The cuts aggregation
+    groups instead of reducing globally (still ONE pass, ≤ #groups
+    rows) and joins back null-safely broadcast (a NULL group — unknown
+    language — is its own stratum, SQL GROUP BY semantics).  Docs keep
+    their group columns in the output so downstream mixing can quota
+    per (group, bucket).
 
     Thresholds are the EXACT interpolated percentiles of the non-null
     scores (Spark ``percentile``; the oracle's ``quantile_cont`` is the
@@ -263,30 +275,57 @@ def perplexity_buckets(
     at 100 TB this is one extra reduction over an already-scored frame,
     never a sort.  Buckets use ``>=`` against the upper threshold so a
     document exactly on a cut lands in the better bucket in both
-    engines.  Pass the SCORED frame (``bigram_lm_scores`` output) —
-    scores rounded by the caller round identically in both engines, so
-    thresholds and comparisons agree bit-for-bit.
+    engines.  Pass the SCORED frame (``bigram_lm_scores`` output,
+    joined with its group columns when grouping) — scores rounded by
+    the caller round identically in both engines, so thresholds and
+    comparisons agree bit-for-bit.
     """
     lo, hi = quantiles
     if not 0.0 < lo < hi < 1.0:
         raise ValueError(
             f"quantiles must satisfy 0 < lo < hi < 1, got {quantiles}")
+    gcols = list(group_cols or [])
+    for g in gcols:
+        if g not in scored.columns:
+            raise ValueError(f"group column {g!r} not in scored frame")
     # two consumers read the scored frame (the cuts aggregation and the
     # bucketed output); materialize once so an expensive upstream scoring
     # pipeline (the usual caller feeds bigram_lm_scores directly) is not
     # evaluated twice — the bm25 AQE-reuse finding.  GC-released with the
     # result.
     scored = scored.localCheckpoint(eager=False)
-    cuts = scored.agg(
-        F.percentile(F.col(score_col), F.lit(lo)).alias("__t_lo"),
-        F.percentile(F.col(score_col), F.lit(hi)).alias("__t_hi"),
-    )
     s = F.col(score_col)
     bucket = (
         F.when(s.isNull(), F.lit(None).cast("string"))
         .when(s >= F.col("__t_hi"), F.lit("head"))
         .when(s >= F.col("__t_lo"), F.lit("middle"))
         .otherwise(F.lit("tail"))
+    )
+    if gcols:
+        # cuts derives FROM scored, so the join is a self-join — rename
+        # the cuts-side keys to break attribute-lineage ambiguity
+        cuts = scored.groupBy(*gcols).agg(
+            F.percentile(s, F.lit(lo)).alias("__t_lo"),
+            F.percentile(s, F.lit(hi)).alias("__t_hi"),
+        ).select(
+            *[F.col(g).alias(f"__g{i}") for i, g in enumerate(gcols)],
+            "__t_lo", "__t_hi",
+        )
+        cond = F.lit(True)
+        for i, g in enumerate(gcols):
+            cond = cond & F.col(g).eqNullSafe(F.col(f"__g{i}"))
+        return (
+            scored.join(F.broadcast(cuts), cond)
+            .select(
+                F.col(id_col),
+                *gcols,
+                F.col(score_col),
+                bucket.alias("ppl_bucket"),
+            )
+        )
+    cuts = scored.agg(
+        F.percentile(s, F.lit(lo)).alias("__t_lo"),
+        F.percentile(s, F.lit(hi)).alias("__t_hi"),
     )
     return (
         scored.crossJoin(F.broadcast(cuts))

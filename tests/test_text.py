@@ -657,6 +657,39 @@ def test_perplexity_buckets_terciles(spark):
         perplexity_buckets(df, quantiles=(0.7, 0.3))
 
 
+def test_perplexity_buckets_grouped_per_language(spark):
+    """group_cols= computes the CCNet split PER GROUP (one distribution
+    per language — CCNet's actual shape): each group's terciles come
+    from its own scores, a NULL group is its own stratum, null scores
+    bucket null, and every group's buckets match its standalone
+    ungrouped split."""
+    from cuml_spark.text import perplexity_buckets
+
+    rows = (
+        # lang 'en': scores 0..-8 (same fixture as the global test)
+        [(i, "en", float(-i)) for i in range(9)]
+        # lang 'fr': a much harder distribution, -100..-108
+        + [(100 + i, "fr", float(-100 - i)) for i in range(9)]
+        # NULL lang: its own stratum
+        + [(200 + i, None, float(-50 - i)) for i in range(9)]
+        # unscored doc keeps its group, buckets null
+        + [(999, "en", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, avg_logp double")
+    out = {r["doc_id"]: (r["lang"], r["ppl_bucket"])
+           for r in perplexity_buckets(df, group_cols=["lang"]).collect()}
+    assert len(out) == 28
+    for base, lang in ((0, "en"), (100, "fr"), (200, None)):
+        got = [out[base + i][1] for i in range(9)]
+        # per-group terciles: best third head, worst third tail — the
+        # fr docs are NOT all 'tail' despite being globally worst
+        assert got == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3, (lang, got)
+        assert all(out[base + i][0] == lang for i in range(9))
+    assert out[999] == ("en", None)
+    with pytest.raises(ValueError, match="group column"):
+        perplexity_buckets(df, group_cols=["nope"])
+
+
 # --------------------------------------------------------------------------
 # Bloom filter membership gate (text/bloom.py)
 # --------------------------------------------------------------------------
