@@ -354,6 +354,7 @@ def _sql_streaming_bloom_gate() -> str:
 # rebuilt only when the source changes, with stale sibling dirs removed
 # so repeated rounds never accumulate copies.
 _DOCS_SPLIT_CACHE: dict[str, str] = {}
+_LEGACY_SPLITS_RETIRED = False
 
 
 def _split_cache_base() -> str:
@@ -381,7 +382,6 @@ def _split_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     import hashlib
     import os
     import shutil
-    import tempfile
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
@@ -391,13 +391,16 @@ def _split_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     ).hexdigest()[:8]
     prefix = os.path.join(_split_cache_base(), "docs_split_")
     path = f"{prefix}{src_tok}_{state_tok}"
-    # one-time retirement of pre-r11 splits at the old world-shared
-    # /tmp prefix — the new-base eviction below never scans it, and
-    # the stated invariant is that rounds never accumulate copies
-    for legacy in glob.glob(
-        os.path.join(tempfile.gettempdir(), "cuml_spark_docs_split_*")
-    ):
-        shutil.rmtree(legacy, ignore_errors=True)
+    # one-time (per process) retirement of pre-r11 splits at the old
+    # prefix — the LITERAL /tmp constant the old code wrote regardless
+    # of TMPDIR, so the glob must not follow gettempdir(); the new-base
+    # eviction below never scans it, and the stated invariant is that
+    # rounds never accumulate copies
+    global _LEGACY_SPLITS_RETIRED
+    if not _LEGACY_SPLITS_RETIRED:
+        _LEGACY_SPLITS_RETIRED = True
+        for legacy in glob.glob("/tmp/cuml_spark_docs_split_*"):
+            shutil.rmtree(legacy, ignore_errors=True)
     if _DOCS_SPLIT_CACHE.get(src) == path and os.path.exists(
         f"{path}/_SUCCESS"
     ):

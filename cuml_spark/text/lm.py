@@ -247,6 +247,7 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     quantiles: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
     group_cols: list[str] | None = None,
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. §4.3): bucket
     documents by their LM score's position in the corpus distribution —
@@ -311,6 +312,16 @@ def perplexity_buckets(
             *[F.col(g).alias(f"__g{i}") for i, g in enumerate(gcols)],
             "__t_lo", "__t_hi",
         )
+        # cuts broadcasts: refuse a data-grade key before shipping it to
+        # every executor (the grouped_exact_quantiles max_groups
+        # convention; the limit bounds the probe job itself)
+        if cuts.limit(int(max_groups) + 1).count() > max_groups:
+            raise ValueError(
+                f"group_cols={gcols} has more than max_groups="
+                f"{max_groups} distinct groups — per-group cuts "
+                "broadcast to every executor; use stratum-grade keys "
+                "(language, domain) or raise max_groups deliberately"
+            )
         cond = F.lit(True)
         for i, g in enumerate(gcols):
             cond = cond & F.col(g).eqNullSafe(F.col(f"__g{i}"))

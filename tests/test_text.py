@@ -1234,3 +1234,17 @@ def test_score_with_model_broadcast_reused(spark):
     b1 = _model_broadcast(sc, model)
     b2 = _model_broadcast(sc, model)
     assert b1 is b2
+
+
+def test_perplexity_buckets_grouped_max_groups_guard(spark):
+    """A data-grade group key must raise before the per-group cuts
+    broadcast, not OOM the job (the grouped-quantiles convention)."""
+    from cuml_spark.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, f"g{i}", float(-i)) for i in range(8)],
+        "doc_id long, lang string, avg_logp double")
+    with pytest.raises(ValueError, match="max_groups"):
+        perplexity_buckets(df, group_cols=["lang"], max_groups=4)
+    # under the cap: fine
+    assert perplexity_buckets(df, group_cols=["lang"], max_groups=8).count() == 8
