@@ -100,6 +100,8 @@ _BENCH_ORDER = [
     # r1-era entries stats_describe/histogram_quantity/
     # weighted_mean_price/standard_scaler — see the harness.py ledger)
     "prims_stats_report", "bpe_word_counts", "quantile_report",
+    # r12 additions
+    "ccnet_buckets_lang", "fil_lightgbm_score", "domain_length_caps",
 ]
 # The driver archives only the LAST 2000 characters of this process's
 # output into the immutable BENCH_r{N}.json snapshot; a JSON line longer

@@ -104,6 +104,65 @@ def _flatten_sklearn_tree(tree, classifier: bool) -> _FlatTree:
     return t
 
 
+def _flatten_lightgbm_tree(kv: dict[str, str]) -> _FlatTree:
+    """One ``Tree=N`` block of a LightGBM text model → _FlatTree.
+
+    LightGBM stores L-1 internal nodes and L leaves in separate arrays;
+    a child value c >= 0 is an internal-node index, c < 0 is leaf ~c.
+    Numerical splits route x <= threshold LEFT (le_split).
+    decision_type bit 0 = categorical, bit 1 = default-left, bits 2-3 =
+    missing type (0 none, 1 zero, 2 nan) — categorical and
+    zero-as-missing models are refused rather than mis-scored; with
+    missing type 'none' LightGBM scores NaN as 0.0, which maps to a
+    per-node default direction of (0.0 <= threshold)."""
+    n_leaves = int(kv["num_leaves"])
+    if int(kv.get("num_cat", "0").split()[0] or 0) > 0:
+        raise NotImplementedError(
+            "categorical splits in LightGBM models are not supported — "
+            "re-train with categoricals one-hot/target encoded"
+        )
+    leaf_value = [float(x) for x in kv["leaf_value"].split()]
+    if n_leaves == 1:
+        t = _FlatTree(1)
+        t.value[0] = leaf_value[0]
+        t.le_split = True
+        return t
+    n_int = n_leaves - 1
+    feats = [int(x) for x in kv["split_feature"].split()]
+    thr = [float(x) for x in kv["threshold"].split()]
+    dec = [int(float(x)) for x in kv["decision_type"].split()]
+    lc = [int(x) for x in kv["left_child"].split()]
+    rc = [int(x) for x in kv["right_child"].split()]
+    t = _FlatTree(n_int + n_leaves)
+
+    def node(c: int) -> int:
+        return c if c >= 0 else n_int + ~c
+
+    for i in range(n_int):
+        if dec[i] & 1:
+            raise NotImplementedError(
+                "categorical splits in LightGBM models are not supported"
+            )
+        missing_type = (dec[i] >> 2) & 3
+        if missing_type == 1:
+            raise NotImplementedError(
+                "zero_as_missing LightGBM models are not supported — "
+                "zero routes by a default direction the dense traversal "
+                "here cannot express; re-train with zero_as_missing=false"
+            )
+        t.feature[i] = feats[i]
+        t.threshold[i] = thr[i]
+        t.left[i] = node(lc[i])
+        t.right[i] = node(rc[i])
+        t.default_left[i] = (
+            bool(dec[i] & 2) if missing_type == 2 else 0.0 <= thr[i]
+        )
+    for j in range(n_leaves):
+        t.value[n_int + j] = leaf_value[j]
+    t.le_split = True
+    return t
+
+
 def _predict_trees(trees: list[_FlatTree], X: np.ndarray) -> np.ndarray:
     """Vectorized traversal: every tree walked for the whole batch at once."""
     n = X.shape[0]
@@ -158,22 +217,38 @@ class ForestInference(Base):
              storage_type: str = "DENSE", model_type: str = "xgboost",
              handle=None) -> "ForestInference":
         """File loader matching the reference's primary entry point
-        (fil.pyx:459 ``ForestInference.load``): xgboost JSON tree-dump files
-        parse natively; binary treelite formats ('lightgbm', 'protobuf',
-        xgboost binary) need the treelite package, which is not bundled —
-        those raise naming the missing dependency rather than mis-parsing.
+        (fil.pyx:459 ``ForestInference.load``): xgboost JSON tree-dump
+        files and LightGBM TEXT models (``Booster.save_model`` output,
+        ``model_type='lightgbm'``) parse natively; the remaining binary
+        treelite formats ('protobuf', xgboost binary) need the treelite
+        package, which is not bundled — those raise naming the missing
+        dependency rather than mis-parsing.
 
         ``algo`` / ``storage_type`` are accepted for signature parity: they
         select GPU kernel layouts in the reference (fil.h storage_type_t) and
         have no Spark analog — scoring here is an Arrow-batched broadcast UDF
         whatever their value.
         """
+        if model_type == "lightgbm":
+            with open(filename, errors="replace") as f:
+                text = f.read()
+            if not text.lstrip().startswith("tree"):
+                raise NotImplementedError(
+                    f"{filename} is not a LightGBM TEXT model (the format "
+                    "Booster.save_model writes); other serializations need "
+                    "the treelite runtime, which is not bundled"
+                )
+            out = cls.load_from_lightgbm_text(
+                text, output_class=output_class, threshold=threshold)
+            if handle is not None:
+                out.handle = handle
+            return out
         if model_type != "xgboost":
             raise NotImplementedError(
                 f"model_type={model_type!r} needs the treelite runtime, which "
                 "is not bundled; export the model as an xgboost JSON dump "
-                "(Booster.get_dump(dump_format='json')) and use load() / "
-                "load_from_xgboost_json() on that."
+                "(Booster.get_dump(dump_format='json')) or a LightGBM text "
+                "model (Booster.save_model) and use load() on that."
             )
         with open(filename) as f:
             text = f.read()
@@ -203,6 +278,66 @@ class ForestInference(Base):
         payload = json.loads(dump) if isinstance(dump, str) else dump
         trees = [json.loads(t) if isinstance(t, str) else t for t in payload]
         model._trees = [_flatten_xgb_tree(t) for t in trees]
+        return model
+
+    @classmethod
+    def load_from_lightgbm_text(cls, model_str: str,
+                                output_class: bool = False,
+                                threshold: float = 0.5) -> "ForestInference":
+        """Import a LightGBM TEXT model (``Booster.save_model`` /
+        ``model_to_string`` output — the public, dependency-free format;
+        reference surface fil.pyx:445-459 via treelite).  Header
+        key=values up to the first ``Tree=`` block, then one block per
+        tree; parsing stops at ``end of trees`` (feature importances /
+        parameters sections follow it).  Boosted leaf values are saved
+        post-shrinkage, so the raw score is the plain leaf SUM (plus
+        boost_from_average's init folded into tree 0 by LightGBM
+        itself).  ``objective=binary`` scores through sigmoid (the
+        model's own sigmoid:k slope is applied); regression objectives
+        score raw.  Multiclass (num_tree_per_iteration > 1) is refused
+        — the reference FIL surface is binary/regression too."""
+        header: dict[str, str] = {}
+        tree_blocks: list[dict[str, str]] = []
+        cur: dict[str, str] | None = None
+        for ln in model_str.splitlines():
+            s = ln.strip()
+            if s == "end of trees":
+                break
+            if s.startswith("Tree="):
+                cur = {}
+                tree_blocks.append(cur)
+                continue
+            if "=" in s:
+                k, v = s.split("=", 1)
+                (header if cur is None else cur)[k.strip()] = v.strip()
+        if not tree_blocks:
+            raise ValueError(
+                "no Tree= blocks found — not a LightGBM text model")
+        if int(header.get("num_tree_per_iteration", "1")) > 1 or \
+                int(header.get("num_class", "1")) > 1:
+            raise NotImplementedError(
+                "multiclass LightGBM models are not supported — the FIL "
+                "surface here (like the reference's, fil.pyx:375) is "
+                "binary/regression"
+            )
+        objective = header.get("objective", "regression")
+        binary = objective.split()[0] == "binary"
+        # binary objective may carry its sigmoid slope: 'binary sigmoid:1'
+        slope = 1.0
+        for part in objective.split()[1:]:
+            if part.startswith("sigmoid:"):
+                slope = float(part.split(":", 1)[1])
+        model = cls(
+            output=("class" if output_class and binary
+                    else "sigmoid" if binary else "raw"),
+            threshold=threshold,
+        )
+        model._trees = [_flatten_lightgbm_tree(kv) for kv in tree_blocks]
+        if binary and slope != 1.0:
+            # fold the slope into the leaf values once at load: sigmoid
+            # applies to slope·Σleaves and the scorer's sigmoid is unit-slope
+            for t in model._trees:
+                t.value = t.value * slope
         return model
 
     @classmethod

@@ -194,8 +194,12 @@ def q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both tiers round through F.round (HALF_UP, DuckDB's mode) — a
     # python round() here would diverge half-even on exact decimal ties
+    # exact_quantiles returns None for an empty/all-null column — emit a
+    # null value row (matching grouped_exact_quantiles' NULL semantics)
+    # rather than raising on float(None)  (ADVICE r11)
     glob = spark.createDataFrame(
-        [("global", p, float(v)) for p, v in qs],
+        [("global", p, float(v) if v is not None else None)
+         for p, v in qs],
         "scope string, p double, value double",
     ).select("scope", "p", F.round("value", 6).alias("value"))
     grp = grouped_exact_quantiles(
@@ -574,114 +578,100 @@ ORACLES.update(ORACLES_STREAMING)
 # (c) queries whose evidence would otherwise age past THREE rounds
 # (they MUST be in this window), (d) oldest-evidence-first fill.
 #
-# r11 ledger (registry unchanged at 144; evidence recency at r10 close:
-# 50 r10, 45 r9, 44 r8, 5 r7).  Obligations this round, re-derivable:
-# the 5 r7-evidence queries are at age 3 (the invariant boundary) and
-# MUST lead; 4 queries changed in r11; the 44 r8-evidence queries reach
-# age 3 at r11 close.  5 + 4 + 44 = 53 > 50, so the three-round cadence
-# forces the split VERDICT r10 #1 asked to be NAMED: 41 of the 44
-# enter this window and THREE defer to r12 — generator_checks,
-# scalar_functions, prims_matrix_rng (the three stablest pure-
-# deterministic r8 rows: seeded generators / scalar-function /
-# matrix-RNG checks, green at every check since they landed,
-# implementation files untouched since r8; age 3 at r11 close is the
-# boundary the invariant allows, and they MUST lead r12).  r12
-# arithmetic: 3 deferred + 45 r9-evidence queries aging to the
-# boundary = 48 obligations <= 50, leaving 2 slots for r12 new/changed
-# work.  50 slots =
-#   (a) never-driver-checked / new: none — r11's one new operator
-#       (grouped exact quantiles) EXTENDS quantile_report rather than
-#       adding a registry row, precisely to keep this window's
-#       arithmetic schedulable.
-#   (b) 4 changed-in-r11, each re-recording query + oracle together:
-#       cms_token_counts (the staged sliced-hash-scheme flip — fit now
-#       computes ONE md5 per token and slices the digest per row;
-#       oracle pos CTE flipped to substr(md5(tok), 8*i+1, 8) in the
-#       same commit), bpe_merges (gains the recursive-CTE Sennrich
-#       replay oracle — the registry's last rows-only check becomes a
-#       full value-hash check, closing VERDICT r10 "what's wrong" #1),
-#       quantile_report (schema extended to (scope, p, value): global
-#       tier unchanged, grouped per-l_returnflag tier added per
-#       VERDICT r10 #5), asof_join_events (asof_ts now carries
-#       right_ts's native type on every branch, ADVICE r10 — result-
-#       identical at the harness's long timestamps, re-recorded anyway
-#       under the r10 joins-hardening precedent).
-#   (c) 5 r7-evidence queries at the age-3 boundary — the named r10
-#       deferrals, leading as owed.
-#   (d) 41 of the 44 aging r8-evidence queries (all but the three
-#       r12 deferrals named above).
-# Result-identical r11 changes riding existing window entries or
-# legitimately deferring under the amended (b) rule: the
-# session_cached state-keyed eviction (pure caching; its only
-# state-keyed consumer is cms_token_counts, in-window), the
-# _split_docs_dir user-owned 0700 cache root (fixture plumbing;
-# streaming_cdc_chunks holds r10 evidence), exact_quantiles' native-
-# value return (quantile_report in-window), and the cms_estimate_col
-# dead-guard cleanup (cms_token_counts in-window).
-# STAGED for r12 (landed r11, unregistered — a new query MUST debut in
-# its landing round's window and r11's 50 slots are spoken for): the
-# per-language CCNet split (text/lm.py perplexity_buckets group_cols=,
-# unit-tested; the existing ccnet_buckets query is byte-identical on
-# the default path).  An r12 `ccnet_buckets_lang` query + quantile_cont
-# GROUP BY oracle fits one of r12's two spare slots.
+# r12 ledger (registry 144 → 147: three new queries debut this round;
+# evidence recency at r11 close: 50 r11, 48 r10, 43 r9, 3 r8 — the
+# three r8 rows are the deferrals r11 NAMED).  Obligations, re-
+# derivable: the 3 named r8 deferrals (generator_checks,
+# scalar_functions, prims_matrix_rng) are at age 3+ and MUST lead; the
+# 43 r9-evidence queries reach the age-3 boundary at r12 close and
+# MUST be in-window; every new query MUST debut in its landing round's
+# window.  3 + 43 = 46 standing obligations + 3 debuts = 49 ≤ 50,
+# leaving ONE slot for oldest-first fill (the 48 r10-evidence queries
+# tie on age; ties break alphabetically → arima_forecast).  50 slots =
+#   (a) new-in-r12 debuts, each landing query + oracle together:
+#       ccnet_buckets_lang (the r11-staged per-language CCNet split,
+#       text/lm.py perplexity_buckets group_cols=["lang"], debuting as
+#       the r11 ledger promised; quantile_cont GROUP BY lang oracle),
+#       fil_lightgbm_score (LightGBM TEXT model import for FIL —
+#       VERDICT r11 #4, the last closable reference-surface refusal;
+#       CASE-expression oracle over <=-routed trees with rows exactly
+#       ON the thresholds), domain_length_caps (per-domain exact-p90
+#       length cut — the grouped_exact_quantiles consumer VERDICT r11
+#       #6 asked to wire into the mixing tier; quantile_disc GROUP BY
+#       oracle).
+#   (b) changed-in-r12 but result-identical, legitimately deferring
+#       one round under the amended rule (each re-verified green by
+#       verify_local this round): quantile_report (harness-side
+#       float(None) guard for empty columns — ADVICE r11; no shape or
+#       value change on real data), asof_join_events (tolerance gap
+#       now takes unix_micros for TimestampType columns; the harness's
+#       long timestamps hit the byte-identical cast("long") branch),
+#       doc_perplexity / doc_perplexity_pretrained / mink_prob_members
+#       / ccnet_buckets (bigram_lm_scores gained a keep_cols pass-
+#       through, default None byte-identical; perplexity_buckets'
+#       grouped guard now collects its bounded probe once — grouped
+#       path only, and its ONLY registry consumer is the debuting
+#       ccnet_buckets_lang).  fil_score's module gained the LightGBM
+#       loader but its xgboost path is untouched (r11 evidence).
+#   (c) the 3 named r8 deferrals, leading as owed.
+#   (d) all 43 r9-evidence queries + arima_forecast as the fill.
 _DRIVER_WINDOW = [
-    # (c) the five age-3 r1-era queries — MUST lead (r10 deferrals)
-    "accuracy_rule",
-    "entropy_returnflag",
-    "contingency_flags",
-    "label_encode_mktsegment",
-    "train_test_split_counts",
-    # (b) changed in r11 — re-record query + oracle together
-    "cms_token_counts",          # sliced hash scheme flipped (fit + oracle)
-    "bpe_merges",                # recursive-CTE oracle (was rows-only)
-    "quantile_report",           # grouped per-key tier added (scope column)
-    "asof_join_events",          # asof_ts native-type hardening
-    # (d) r8-evidence queries at the age-3 boundary, all but the three
-    # named r12 deferrals
-    "ann_lsh_recall",
-    "arima_ml_aic",
-    "c4_line_stats",
-    "cluster_agreement",
-    "cluster_dispersion",
-    "coo_symmetrize_check",
-    "cosine_topk",
-    "dbscan_cluster_sizes",
-    "dedup_exact",
-    "doc_chunks",
-    "doc_perplexity",
-    "elasticnet_closed_form",
-    "fil_score",
-    "frame_counts",
-    "gram_matrix",
-    "holtwinters_forecast",
-    "image_dedup_groups",
-    "ivf_search_exact",
-    "kalman_local_level",
-    "lasso_closed_form",
-    "media_decode_png",
-    "pipeline_clean_corpus",
-    "pipeline_event_profile",
-    "prob_metrics",
-    "qr_factor",
-    "regression_metrics",
-    "rf_mae_regression",
-    "ridge_closed_form",
-    "rsvd_agreement",
-    "sgd_hinge_accuracy",
-    "silhouette_customers",
-    "sparse_row_normalize",
-    "spectral_blobs",
-    "streaming_chunk_docs",
-    "streaming_clean_corpus",
-    "streaming_dedup_docs",
-    "streaming_window_stats",
-    "svc_rule_accuracy",
-    "trustworthiness_slice",
-    "tsvd_singular_2d",
-    "umap_transform_oos",
-    # everything else (r9/r10-green and unchanged, plus the three named
-    # r12 deferrals) stays in queries()/bench — only the verification
-    # window moves
+    # (c) the three named r12 deferrals — MUST lead (r11 ledger debt)
+    "generator_checks",
+    "scalar_functions",
+    "prims_matrix_rng",
+    # (a) new-in-r12 debuts
+    "ccnet_buckets_lang",        # per-language CCNet split (staged r11)
+    "fil_lightgbm_score",        # LightGBM text-model FIL import
+    "domain_length_caps",        # grouped-quantiles mixing consumer
+    # (d) the 43 r9-evidence queries at the age-3 boundary
+    "bloom_dedup_gate",
+    "bm25_topk",
+    "bm25_topk_analyzed",
+    "ccnet_buckets",
+    "cdc_chunks",
+    "corpus_cube_stats",
+    "cosine_topk_int8",
+    "dbscan_roles",
+    "doc_keywords",
+    "doc_perplexity_pretrained",
+    "dsir_weights",
+    "fuzzy_contamination",
+    "gopher_quality",
+    "hamming_topk_signs",
+    "hll_distinct_tokens",
+    "hybrid_rrf",
+    "kcenter_coreset",
+    "kmeans_cluster_sizes",
+    "knn_embeddings",
+    "media_decode_lossless",
+    "mink_prob_members",
+    "neardup_keep_best",
+    "ngram_jaccard",
+    "pack_docs",
+    "pca_variance_2d",
+    "pipeline_ann_ladder",
+    "pipeline_curation_dsir",
+    "pipeline_retrieval_hybrid",
+    "quality_filter_scores",
+    "semdedup_prune",
+    "streaming_bloom_gate",
+    "streaming_dsir_gate",
+    "streaming_gopher_gate",
+    "streaming_hll_users",
+    "streaming_quality_scores",
+    "substr_dedup",
+    "text_neardup_groups",
+    "tfidf_cosine_pairs",
+    "top_ngrams_corpus",
+    "tsne_trust",
+    "umap_trust",
+    "winnow_overlap",
+    "zorder_keys",
+    # (d) oldest-first fill (r10 evidence; alphabetical tie-break)
+    "arima_forecast",
+    # everything else (r10/r11-green and unchanged) stays in
+    # queries()/bench — only the verification window moves
 ]
 
 _window = [k for k in _DRIVER_WINDOW if k in QUERIES]

@@ -374,6 +374,13 @@ def _split_cache_base() -> str:
             f"stream split cache {base!r} exists but is not a directory "
             f"owned by uid {os.getuid()} — remove it or set TMPDIR"
         )
+    # makedirs' mode is umask-masked and a pre-existing user-owned dir
+    # (e.g. 0755 from an earlier umask-affected run) passes the lstat
+    # check — enforce the documented 0700 every call  (ADVICE r11)
+    import stat as stat_mod
+
+    if stat_mod.S_IMODE(st.st_mode) != 0o700:
+        os.chmod(base, 0o700)
     return base
 
 

@@ -66,6 +66,92 @@ FROM raw
 """
 
 
+# LightGBM text model (the public Booster.save_model format, parsed
+# dependency-free — fil.py load_from_lightgbm_text, reference surface
+# fil.pyx:445-459):
+# tree0: f0 <= 2.5 ? (f1 <= 0.5 ? +0.4 : -0.2) : -0.3
+# tree1: f1 <= 0.45 ? +0.1 : -0.5
+# LightGBM routes <= LEFT where xgboost routes < — and both thresholds
+# land EXACTLY on attainable feature values (l_quantity=25 -> f0=2.5,
+# l_discount=0.05 -> f1=0.5), so mis-imported routing flips real rows.
+_LGB_MODEL_TEXT = """tree
+version=v3
+num_class=1
+num_tree_per_iteration=1
+label_index=0
+max_feature_idx=1
+objective=binary sigmoid:1
+feature_names=f0 f1
+feature_infos=none none
+
+Tree=0
+num_leaves=3
+num_cat=0
+split_feature=0 1
+threshold=2.5 0.5
+decision_type=2 2
+left_child=1 -1
+right_child=-3 -2
+leaf_value=0.4 -0.2 -0.3
+shrinkage=1
+
+Tree=1
+num_leaves=2
+num_cat=0
+split_feature=1
+threshold=0.45
+decision_type=2
+left_child=-1
+right_child=-2
+leaf_value=0.1 -0.5
+shrinkage=1
+
+end of trees
+"""
+
+
+def q_fil_lightgbm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ForestInference over an imported LightGBM TEXT model (r12 —
+    closes the last closable reference-surface refusal, VERDICT r11
+    #4): same broadcast + Arrow-batched traversal as fil_score, but the
+    trees come from the LightGBM save_model format with its <=-left
+    routing and the binary objective's sigmoid, both of which the
+    oracle replays as CASE expressions on rows that sit exactly ON the
+    thresholds."""
+    from cuml_spark.core.session import ensure_parallelism
+
+    li = ensure_parallelism(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    feats = li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_quantity") / 10.0).alias("f0"),
+        (F.col("l_discount") * 10.0).alias("f1"),
+    )
+    fil = ForestInference.load_from_lightgbm_text(_LGB_MODEL_TEXT)
+    out = fil.predict(feats, ["f0", "f1"], out_col="score")
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+_SQL_FIL_LIGHTGBM_SCORE = """
+WITH f AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity/10.0 AS f0, l_discount*10.0 AS f1
+  FROM lineitem
+), raw AS (
+  SELECT l_orderkey, l_linenumber,
+         (CASE WHEN f0 <= 2.5 THEN (CASE WHEN f1 <= 0.5 THEN 0.4 ELSE -0.2 END)
+               ELSE -0.3 END)
+         + (CASE WHEN f1 <= 0.45 THEN 0.1 ELSE -0.5 END) AS s
+  FROM f
+)
+SELECT l_orderkey, l_linenumber, round(1.0/(1.0 + exp(-s)), 6) AS score
+FROM raw
+"""
+
+
 def q_svc_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SVC (exact SMO on a bounded sample, distributed scoring) learning a
     linear rule on customer features.  A-class fit; D-class projection:
@@ -91,10 +177,12 @@ _SQL_SVC_RULE_ACCURACY = "SELECT count(*) AS n_scored, true AS acc_ge_090 FROM c
 
 QUERIES_SVM_FIL = {
     "fil_score": q_fil_score,
+    "fil_lightgbm_score": q_fil_lightgbm_score,
     "svc_rule_accuracy": q_svc_rule_accuracy,
 }
 
 ORACLES_SVM_FIL = {
     "fil_score": _SQL_FIL_SCORE,
+    "fil_lightgbm_score": _SQL_FIL_LIGHTGBM_SCORE,
     "svc_rule_accuracy": _SQL_SVC_RULE_ACCURACY,
 }

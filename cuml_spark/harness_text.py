@@ -967,6 +967,35 @@ ORDER BY source
 """
 
 
+def q_domain_length_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain exact-percentile length cut (text/mixing.py
+    stratified_length_cap — the grouped_exact_quantiles consumer,
+    VERDICT r11 #6): each source keeps only documents at or under ITS
+    OWN p90 n_chars, so one domain's long tail can't blow the packing
+    budget.  Returns every kept row WITH its domain's cap (cap_col= —
+    the refinement runs once) — pinning both the per-group exact
+    quantile values and each row's keep decision against DuckDB's
+    quantile_disc."""
+    from cuml_spark.text.mixing import stratified_length_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_length_cap(
+        docs, "source", "n_chars", p=0.9, cap_col="cap")
+    return kept.select(
+        "doc_id", "source", "n_chars", F.col("cap").cast("long").alias("cap"))
+
+
+_SQL_DOMAIN_LENGTH_CAPS = """
+WITH caps AS (
+  SELECT source, quantile_disc(n_chars, 0.9) AS cap
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars, c.cap::BIGINT AS cap
+FROM documents d JOIN caps c ON d.source IS NOT DISTINCT FROM c.source
+WHERE d.n_chars <= c.cap
+"""
+
+
 def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style count-LM quality scoring (text/lm.py): self-trained
     add-1 bigram LM, per-doc average log-probability.  All probabilities
@@ -1181,6 +1210,49 @@ SELECT doc_id, avg_logp,
             WHEN avg_logp >= t_lo THEN 'middle'
             ELSE 'tail' END AS ppl_bucket
 FROM scored, cuts
+"""
+
+
+def q_ccnet_buckets_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's split as Wenzek et al. actually run it — PER LANGUAGE
+    (text/lm.py perplexity_buckets group_cols=, staged r11, debuting
+    here per the r12 ledger): head/middle/tail terciles of the rounded
+    self-scored LM scores computed within each language, so a hard
+    language's scores aren't judged against an easy language's
+    distribution.  lang rides the scoring pass as a keep_col (the
+    existing final projection — zero extra shuffle); cuts are ONE
+    grouped percentile aggregation collected bounded (≤ max_groups)
+    and broadcast back as a local relation, joined null-safely (an
+    unknown language is its own stratum).  At 100 TB: one scoring
+    pass + one ≤#langs-row reduction + a map-only broadcast probe."""
+    from cuml_spark.core.session import ensure_parallelism
+    from cuml_spark.text.lm import bigram_lm_scores, perplexity_buckets
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    scored = bigram_lm_scores(
+        docs, "text", "doc_id", add_k=1.0, keep_cols=["lang"],
+    ).select("doc_id", "lang", F.round("avg_logp", 6).alias("avg_logp"))
+    return perplexity_buckets(scored, group_cols=["lang"])
+
+
+def _sql_ccnet_buckets_lang() -> str:
+    # same scoring CTE chain as ccnet_buckets; cuts GROUP BY lang and
+    # join back null-safely (IS NOT DISTINCT FROM = Spark eqNullSafe)
+    ctes = _SQL_DOC_PERPLEXITY.rsplit("SELECT d.doc_id", 1)[0]
+    return ctes + """, scored AS (
+  SELECT d.doc_id, d.lang, round(sc.lp, 6) AS avg_logp
+  FROM documents d LEFT JOIN sc USING (doc_id)
+), cuts AS (
+  SELECT lang, quantile_cont(avg_logp, 1.0/3.0) AS t_lo,
+         quantile_cont(avg_logp, 2.0/3.0) AS t_hi
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.avg_logp,
+       CASE WHEN s.avg_logp IS NULL THEN NULL
+            WHEN s.avg_logp >= c.t_hi THEN 'head'
+            WHEN s.avg_logp >= c.t_lo THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored s LEFT JOIN cuts c ON s.lang IS NOT DISTINCT FROM c.lang
 """
 
 
@@ -2626,6 +2698,7 @@ QUERIES_TEXT = {
     "cdc_chunks": q_cdc_chunks,
     "corpus_spectrum": q_corpus_spectrum,
     "domain_mixture_sample": q_domain_mixture_sample,
+    "domain_length_caps": q_domain_length_caps,
     "doc_perplexity": q_doc_perplexity,
     "doc_perplexity_pretrained": q_doc_perplexity_pretrained,
     "substr_dedup": q_substr_dedup,
@@ -2641,6 +2714,7 @@ QUERIES_TEXT = {
     "fuzzy_contamination": q_fuzzy_contamination,
     "doc_keywords": q_doc_keywords,
     "ccnet_buckets": q_ccnet_buckets,
+    "ccnet_buckets_lang": q_ccnet_buckets_lang,
     "dsir_weights": q_dsir_weights,
     "pipeline_curation_dsir": q_pipeline_curation_dsir,
     "bpe_word_counts": q_bpe_word_counts,  # the distributed stage, full oracle
@@ -2709,6 +2783,7 @@ ORACLES_TEXT = {
     "cdc_chunks": _SQL_CDC_CHUNKS,
     "corpus_spectrum": _SQL_CORPUS_SPECTRUM,
     "domain_mixture_sample": _SQL_DOMAIN_MIXTURE_SAMPLE,
+    "domain_length_caps": _SQL_DOMAIN_LENGTH_CAPS,
     "doc_perplexity": _SQL_DOC_PERPLEXITY,
     "doc_perplexity_pretrained": _SQL_DOC_PERPLEXITY,
     "substr_dedup": _SQL_SUBSTR_DEDUP,
@@ -2724,6 +2799,7 @@ ORACLES_TEXT = {
     "fuzzy_contamination": _sql_fuzzy_contamination(),
     "doc_keywords": _SQL_DOC_KEYWORDS,
     "ccnet_buckets": _sql_ccnet_buckets(),
+    "ccnet_buckets_lang": _sql_ccnet_buckets_lang(),
     "dsir_weights": _sql_dsir(4096, 50),
     "pipeline_curation_dsir": _sql_pipeline_curation(),
     "dedup_exact": _SQL_DEDUP_EXACT,

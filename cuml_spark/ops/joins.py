@@ -31,7 +31,7 @@ native interval predicate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join", "range_join_points"]
@@ -52,8 +52,10 @@ def asof_join(
     ``value_cols`` of the most recent ``right`` row with ``right_ts <=
     left_ts`` and the same ``on`` key (plus ``asof_ts`` = that row's
     timestamp), or nulls when none exists (or the match is older than
-    ``tolerance_us``).  Timestamps must be integer microseconds;
-    ``asof_ts`` carries ``right_ts``'s native type on every path.
+    ``tolerance_us``).  Timestamps are integer microseconds (long or
+    int) or native TimestampType — the staleness gap is computed in
+    microseconds either way; ``asof_ts`` carries ``right_ts``'s native
+    type on every path.
     Same-instant right rows are visible; ties break to the largest
     ``right_id``.  A NULL ``on`` key never matches (SQL equality
     semantics, matching the DuckDB correlated-subquery oracle):
@@ -66,6 +68,7 @@ def asof_join(
             raise ValueError(f"value column {c!r} collides with a left column")
     lcols = left.columns
     rtypes = dict(right.dtypes)
+    ltstype = dict(left.dtypes)[left_ts]
     # SQL join semantics: a NULL key never matches (not even another
     # NULL).  Window.partitionBy would group all NULL keys into one
     # partition and happily match them, so NULL-keyed left rows take
@@ -138,9 +141,18 @@ def asof_join(
     if tolerance_us is not None:
         # the gap is computed in LONG regardless of the ts columns'
         # native type: int - int would wrap silently for gaps past
-        # 2^31 µs (~36 min) now that asof_ts keeps its native width
+        # 2^31 µs (~36 min) now that asof_ts keeps its native width.
+        # TimestampType casts to long as epoch SECONDS — take
+        # unix_micros instead so tolerance_us means microseconds for
+        # native timestamps too (r12, pinning the ts-type property)
+        def _us(col: Column, dtype: str) -> Column:
+            if dtype.startswith("timestamp"):
+                return F.unix_micros(col.cast("timestamp"))
+            return col.cast("long")
+
         stale = F.col("asof_ts").isNull() | (
-            F.col("__lts").cast("long") - F.col("asof_ts").cast("long")
+            _us(F.col("__lts"), ltstype)
+            - _us(F.col("asof_ts"), rtypes[right_ts])
             > int(tolerance_us)
         )
         out = out.select(

@@ -201,7 +201,8 @@ def _model_broadcast(sc, model: BigramLM):
 
 
 def _score_with_model(
-    df: DataFrame, text_col: str, id_col: str, model: BigramLM
+    df: DataFrame, text_col: str, id_col: str, model: BigramLM,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Map-only scoring: broadcast the model, score each document in-row
     via an Arrow-vectorized UDF over its token array.  Zero shuffle, one
@@ -233,6 +234,7 @@ def _score_with_model(
     toks = _token_array(text_col, model.token_sep)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         F.greatest(
             F.coalesce(F.size(toks), F.lit(1)) - 1, F.lit(0)
         ).cast("long").alias("n_bigrams"),
@@ -314,14 +316,20 @@ def perplexity_buckets(
         )
         # cuts broadcasts: refuse a data-grade key before shipping it to
         # every executor (the grouped_exact_quantiles max_groups
-        # convention; the limit bounds the probe job itself)
-        if cuts.limit(int(max_groups) + 1).count() > max_groups:
+        # convention; the limit bounds the TRANSFER).  Collect the
+        # bounded probe ONCE and rebuild the broadcast side as a local
+        # relation, so the per-group percentile aggregation runs a
+        # single time instead of once for the guard and again under the
+        # join  (ADVICE r11)
+        cut_rows = cuts.limit(int(max_groups) + 1).collect()
+        if len(cut_rows) > max_groups:
             raise ValueError(
                 f"group_cols={gcols} has more than max_groups="
                 f"{max_groups} distinct groups — per-group cuts "
                 "broadcast to every executor; use stratum-grade keys "
                 "(language, domain) or raise max_groups deliberately"
             )
+        cuts = scored.sparkSession.createDataFrame(cut_rows, cuts.schema)
         cond = F.lit(True)
         for i, g in enumerate(gcols):
             cond = cond & F.col(g).eqNullSafe(F.col(f"__g{i}"))
@@ -353,6 +361,7 @@ def bigram_lm_scores(
     token_sep: str | None = None,
     lm_corpus: DataFrame | None = None,
     model: BigramLM | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document average bigram log-probability under an add-k count LM.
 
@@ -363,10 +372,12 @@ def bigram_lm_scores(
     ``P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)`` where ``c(w1·)`` counts
     w1 in context position and ``V`` is the corpus vocabulary size.
 
-    Returns one row per input row: ``id_col``, ``n_bigrams`` (0 for docs
-    with <2 tokens, including null text) and ``avg_logp`` (null when
-    ``n_bigrams = 0``).  Lower (more negative) scores = text the LM finds
-    surprising; CCNet keeps the middle band.
+    Returns one row per input row: ``id_col``, ``keep_cols`` (pass-through
+    columns such as the language key the grouped CCNet split buckets by —
+    carried on the existing final projection/join, zero extra shuffle),
+    ``n_bigrams`` (0 for docs with <2 tokens, including null text) and
+    ``avg_logp`` (null when ``n_bigrams = 0``).  Lower (more negative)
+    scores = text the LM finds surprising; CCNet keeps the middle band.
     """
     if model is not None:
         if lm_corpus is not None:
@@ -376,7 +387,7 @@ def bigram_lm_scores(
                 "add_k/token_sep are properties of the fitted model — "
                 "set them in fit_bigram_lm, not here (passing both would "
                 "silently score with the model's values)")
-        return _score_with_model(df, text_col, id_col, model)
+        return _score_with_model(df, text_col, id_col, model, keep_cols)
 
     add_k = 1.0 if add_k is None else add_k
     token_sep = " " if token_sep is None else token_sep
@@ -410,10 +421,11 @@ def bigram_lm_scores(
         )
     )
     return (
-        df.select(id_col)
+        df.select(id_col, *(keep_cols or []))
         .join(scored, id_col, "left")
         .select(
             id_col,
+            *(keep_cols or []),
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
             F.col("avg_logp"),
         )

@@ -91,6 +91,57 @@ def domain_rates(
     )
 
 
+def stratified_length_cap(
+    df: DataFrame,
+    domain_col: str,
+    length_col: str,
+    *,
+    p: float = 0.99,
+    n_buckets: int = 64,
+    collect_threshold: int = 100_000,
+    max_groups: int = 100_000,
+    cap_col: str | None = None,
+) -> DataFrame:
+    """Drop each domain's length outliers at its own EXACT percentile —
+    the per-stratum p99 cut a curation pipeline runs before packing, so
+    one domain's pathological long tail (minified JS, genome dumps)
+    can't blow the packer's bins while another domain's legitimately
+    longer documents survive their own distribution's cut.  With
+    ``cap_col`` the kept rows also carry their domain's cap (native
+    length type) — the refinement runs ONCE either way.
+
+    Keeps rows with ``length_col <= percentile_disc(p)`` OF THEIR OWN
+    domain (grouped_exact_quantiles — ops/quantiles.py:249; exact, not
+    approxQuantile: a 0.99 cut that drifts by even one rank on a skewed
+    domain moves the packing budget by whole documents).  NULL lengths
+    drop (no position in the distribution); a NULL domain is its own
+    stratum (null-safe join, SQL GROUP BY semantics).  100 TB shape:
+    the quantile refinement's bounded passes + ONE broadcast
+    (domain → cap) probe, map-only — rows never shuffle.
+    """
+    from cuml_spark.ops.quantiles import grouped_exact_quantiles
+
+    caps = grouped_exact_quantiles(
+        df, length_col, [p], [domain_col],
+        n_buckets=n_buckets, collect_threshold=collect_threshold,
+        max_groups=max_groups,
+    ).select(
+        F.col(domain_col).alias("__cap_dom"), F.col("value").alias("__cap")
+    )
+    # caps is ≤ max_groups rows (guarded inside grouped_exact_quantiles);
+    # collect once and re-broadcast as a LOCAL relation so the probe plan
+    # is map-only and re-consuming the output never re-runs the
+    # quantile's final-selection scan
+    caps = df.sparkSession.createDataFrame(caps.collect(), caps.schema)
+    joined = df.join(
+        F.broadcast(caps),
+        F.col(domain_col).eqNullSafe(F.col("__cap_dom")), "left")
+    kept = joined.where(F.col(length_col) <= F.col("__cap"))
+    if cap_col is None:
+        return kept.select(*df.columns)
+    return kept.select(*df.columns, F.col("__cap").alias(cap_col))
+
+
 def temperature_sample(
     df: DataFrame,
     domain_col: str,

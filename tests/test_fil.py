@@ -256,3 +256,181 @@ def test_fil_sklearn_gb_init_zero(spark):
     got = {r["pid"]: r["prediction"] for r in fi.predict(df, ["f0"]).collect()}
     assert got[0] == pytest.approx(0.1 * -1.0)
     assert got[1] == pytest.approx(0.1 * 2.0)
+
+
+# -- LightGBM text-format import (VERDICT r11 #4) ---------------------------
+
+# hand-built LightGBM text model (the public Booster.save_model format):
+# tree0: f0 <= 1.0 ? (f1 <= 0.5 ? +0.4 : -0.2) : -0.3
+# tree1: f1 <= 2.0 ? +0.1 : -0.5
+# (same shape as the xgboost fixtures but with LightGBM's <= routing —
+# a value exactly ON a threshold distinguishes the two libraries)
+_LGB_MODEL = """tree
+version=v3
+num_class=1
+num_tree_per_iteration=1
+label_index=0
+max_feature_idx=1
+objective=regression
+feature_names=f0 f1
+feature_infos=none none
+tree_sizes=100 60
+
+Tree=0
+num_leaves=3
+num_cat=0
+split_feature=0 1
+split_gain=1 1
+threshold=1.0 0.5
+decision_type=2 2
+left_child=1 -1
+right_child=-3 -2
+leaf_value=0.4 -0.2 -0.3
+leaf_weight=1 1 1
+leaf_count=1 1 1
+internal_value=0 0
+internal_weight=0 0
+internal_count=3 2
+is_linear=0
+shrinkage=1
+
+Tree=1
+num_leaves=2
+num_cat=0
+split_feature=1
+split_gain=1
+threshold=2.0
+decision_type=2
+left_child=-1
+right_child=-2
+leaf_value=0.1 -0.5
+leaf_weight=1 1
+leaf_count=1 1
+internal_value=0
+internal_weight=0
+internal_count=2
+is_linear=0
+shrinkage=1
+
+end of trees
+
+feature_importances:
+f0=1
+f1=2
+
+parameters:
+[boosting: gbdt]
+[objective: regression]
+
+end of parameters
+"""
+
+
+def _manual_lgb_score(x0: float, x1: float) -> float:
+    t0 = (0.4 if x1 <= 0.5 else -0.2) if x0 <= 1.0 else -0.3
+    t1 = 0.1 if x1 <= 2.0 else -0.5
+    return t0 + t1
+
+
+def test_fil_lightgbm_text_matches_manual(points_df):
+    fil = ForestInference.load_from_lightgbm_text(_LGB_MODEL)
+    assert fil.output == "raw"  # regression objective
+    out = fil.predict(points_df, ["f0", "f1"]).toPandas().sort_values("id")
+    expect = [_manual_lgb_score(r.f0, r.f1) for r in out.itertuples()]
+    np.testing.assert_allclose(out["prediction"].to_numpy(), expect, rtol=1e-12)
+
+
+def test_fil_lightgbm_le_routing_on_boundary(spark):
+    """A value exactly ON the threshold goes LEFT (<=) — the rule that
+    separates LightGBM from xgboost (<); misrouting flips the leaf."""
+    fil = ForestInference.load_from_lightgbm_text(_LGB_MODEL)
+    df = spark.createDataFrame(
+        [(0, 1.0, 0.5), (1, 1.0, 2.0)], "id int, f0 double, f1 double")
+    got = {r["id"]: r["prediction"]
+           for r in fil.predict(df, ["f0", "f1"]).collect()}
+    assert got[0] == pytest.approx(0.4 + 0.1)    # both on-threshold -> left
+    assert got[1] == pytest.approx(-0.2 + 0.1)   # f1=2.0 on tree1 edge
+
+
+def test_fil_lightgbm_binary_sigmoid_and_file_load(tmp_path, spark):
+    """objective=binary scores through sigmoid with the model's own
+    sigmoid slope folded in at load; the load() file entry point routes
+    model_type='lightgbm' text models to the same parser."""
+    binary = _LGB_MODEL.replace(
+        "objective=regression", "objective=binary sigmoid:2")
+    fil = ForestInference.load_from_lightgbm_text(binary)
+    assert fil.output == "sigmoid"
+    df = spark.createDataFrame([(0, 0.0, 0.0)], "id int, f0 double, f1 double")
+    got = fil.predict(df, ["f0", "f1"]).collect()[0]["prediction"]
+    raw = 2.0 * _manual_lgb_score(0.0, 0.0)  # slope folded into leaves
+    assert got == pytest.approx(1.0 / (1.0 + np.exp(-raw)))
+
+    p = tmp_path / "model.txt"
+    p.write_text(binary)
+    via_file = ForestInference.load(
+        str(p), model_type="lightgbm", output_class=True, threshold=0.5)
+    assert via_file.output == "class"
+    cls_val = via_file.predict(df, ["f0", "f1"]).collect()[0]["prediction"]
+    assert cls_val == (1.0 if 1.0 / (1.0 + np.exp(-raw)) > 0.5 else 0.0)
+
+
+def test_fil_lightgbm_nan_default_direction(spark):
+    """decision_type bit 1 sets the NaN default branch when missing
+    type is NaN (bits 2-3 = 2); with missing type none LightGBM scores
+    NaN as 0.0 — both pinned here."""
+    # missing=NaN, default RIGHT on tree0's root (bit1 clear): 10 = cat0
+    # | default0 | missing NaN(2<<2=8) -> decision_type=8; tree1 default
+    # LEFT with NaN missing: 8|2=10
+    m = _LGB_MODEL.replace(
+        "decision_type=2 2", "decision_type=8 2").replace(
+        "decision_type=2\nleft_child=-1", "decision_type=10\nleft_child=-1")
+    fil = ForestInference.load_from_lightgbm_text(m)
+    df = spark.createDataFrame(
+        [(0, float("nan"), 0.0), (1, 0.0, float("nan"))],
+        "id int, f0 double, f1 double")
+    got = {r["id"]: r["prediction"]
+           for r in fil.predict(df, ["f0", "f1"]).collect()}
+    # id0: f0 NaN -> RIGHT at root -> -0.3; tree1 f1=0.0<=2.0 -> 0.1
+    assert got[0] == pytest.approx(-0.3 + 0.1)
+    # id1: f0=0.0<=1.0 -> internal1, f1 NaN + missing none -> scored as
+    # 0.0<=0.5 -> left 0.4; tree1 f1 NaN missing NaN default LEFT -> 0.1
+    assert got[1] == pytest.approx(0.4 + 0.1)
+
+
+def test_fil_lightgbm_refusals():
+    with pytest.raises(NotImplementedError, match="multiclass"):
+        ForestInference.load_from_lightgbm_text(
+            _LGB_MODEL.replace("num_class=1", "num_class=3").replace(
+                "num_tree_per_iteration=1", "num_tree_per_iteration=3"))
+    with pytest.raises(NotImplementedError, match="categorical"):
+        ForestInference.load_from_lightgbm_text(
+            _LGB_MODEL.replace("decision_type=2 2", "decision_type=3 2"))
+    with pytest.raises(NotImplementedError, match="zero_as_missing"):
+        ForestInference.load_from_lightgbm_text(
+            _LGB_MODEL.replace("decision_type=2 2", "decision_type=6 2"))
+    with pytest.raises(ValueError, match="no Tree"):
+        ForestInference.load_from_lightgbm_text("tree\nversion=v3\n")
+
+
+def test_fil_lightgbm_single_leaf_tree(spark):
+    """num_leaves=1 trees (a boosting round that learned a constant)
+    contribute their single leaf unconditionally."""
+    stump = """tree
+version=v3
+num_class=1
+num_tree_per_iteration=1
+max_feature_idx=1
+objective=regression
+
+Tree=0
+num_leaves=1
+num_cat=0
+leaf_value=0.25
+shrinkage=1
+
+end of trees
+"""
+    fil = ForestInference.load_from_lightgbm_text(stump)
+    df = spark.createDataFrame([(0, 9.0, 9.0)], "id int, f0 double, f1 double")
+    assert fil.predict(df, ["f0", "f1"]).collect()[0]["prediction"] == \
+        pytest.approx(0.25)

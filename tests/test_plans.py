@@ -751,3 +751,40 @@ def test_prims_stats_report_bounded_exchanges_no_python(spark):
     # partial->final; exchanges stay tiny (single-partition merges or
     # the 25-bucket histogram key)
     assert _n_shuffles(out) <= 6
+
+
+def test_stratified_length_cap_broadcast_probe_no_row_shuffle(spark):
+    """The per-domain length cut's OUTPUT plan (r12): the caps ride a
+    BROADCAST exchange back onto the corpus (the quantile refinement's
+    own bounded passes run eagerly before the plan exists), the kept-row
+    scan prunes to the referenced columns, and data rows never hash- or
+    range-shuffle — the probe is map-only."""
+    from cuml_spark.text.mixing import stratified_length_cap
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = stratified_length_cap(docs, "source", "n_chars", p=0.9)
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert _n_shuffles(out) == 0  # broadcast is not a shuffle exchange
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_perplexity_buckets_grouped_broadcast_local_cuts(spark):
+    """ccnet_buckets_lang's bucketing plan (r12): the per-language cuts
+    were collected ONCE (bounded by max_groups) and return as a LOCAL
+    relation broadcast onto the scored frame — the output plan contains
+    no second percentile aggregation and no sort/merge join; bucketing
+    is a map-only null-safe probe."""
+    from cuml_spark.text.lm import perplexity_buckets
+
+    rows = [(i, "en" if i % 2 else "de", float(-i % 7)) for i in range(40)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_logp double")
+    out = perplexity_buckets(scored, group_cols=["lang"])
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "percentile" not in plan.lower()  # cuts pre-collected, not re-run
+    assert "SortMergeJoin" not in plan
+    assert _n_shuffles(out) == 0

@@ -1073,27 +1073,47 @@ def test_hll_registers_match_python_property(spark, vals, b):
                   st.one_of(st.none(), st.integers(0, 9))),  # (key, ts, val)
         min_size=0, max_size=15),
     tol=st.one_of(st.none(), st.integers(1, 30)),
+    ts_type=st.sampled_from(["long", "int", "timestamp"]),
 )
-def test_asof_join_matches_python_reference(spark, lefts, rights, tol):
+def test_asof_join_matches_python_reference(spark, lefts, rights, tol,
+                                            ts_type):
     """Backward as-of semantics vs a brute-force python replay for ANY
-    inputs: latest right row with ts <= left ts, same-instant visible,
-    ties to the largest right id, NULL right ts dropped, NULL right
-    values preserved (not resurrected), staleness tolerance applied,
-    and NULL join keys NEVER matching (SQL equality — not even another
+    inputs AND ANY timestamp column type (long/int micros or native
+    TimestampType — VERDICT r11 #7 pins the int32 carry and the
+    unix_micros tolerance branches): latest right row with ts <= left
+    ts, same-instant visible, ties to the largest right id, NULL right
+    ts dropped, NULL right values preserved (not resurrected),
+    staleness tolerance applied in MICROSECONDS for every ts type, and
+    NULL join keys NEVER matching (SQL equality — not even another
     NULL key)."""
+    import datetime
+
     from cuml_spark.ops.joins import asof_join
 
+    base = datetime.datetime(2020, 1, 1)
+
+    def mk(t):
+        # session-tz-naive datetimes round-trip createDataFrame/collect
+        # unchanged, so the python replay compares apples to apples
+        if t is None or ts_type != "timestamp":
+            return t
+        return base + datetime.timedelta(microseconds=t)
+
     left = spark.createDataFrame(
-        [(i, k, t) for i, (k, t) in enumerate(lefts)],
-        "event_id long, user long, ts long")
+        [(i, k, mk(t)) for i, (k, t) in enumerate(lefts)],
+        f"event_id long, user long, ts {ts_type}")
     right = spark.createDataFrame(
-        [(100 + j, k, t, float(v) if v is not None else None)
+        [(100 + j, k, mk(t), float(v) if v is not None else None)
          for j, (k, t, v) in enumerate(rights)],
-        "qid long, user long, qts long, px double")
-    got = {r["event_id"]: (r["asof_ts"], r["px"]) for r in asof_join(
+        f"qid long, user long, qts {ts_type}, px double")
+    out = asof_join(
         left, right, on="user", left_ts="ts", right_ts="qts",
-        value_cols=["px"], right_id="qid",
-        tolerance_us=tol).collect()}
+        value_cols=["px"], right_id="qid", tolerance_us=tol)
+    # native-type carry (dtypes spells LongType as 'bigint')
+    assert dict(out.dtypes)["asof_ts"] == {
+        "long": "bigint", "int": "int", "timestamp": "timestamp",
+    }[ts_type]
+    got = {r["event_id"]: (r["asof_ts"], r["px"]) for r in out.collect()}
     assert len(got) == len(lefts)  # NULL-keyed left rows still come back
     for i, (k, t) in enumerate(lefts):
         cands = [] if k is None else [
@@ -1108,7 +1128,7 @@ def test_asof_join_matches_python_reference(spark, lefts, rights, tol):
             if tol is not None and t - qts > tol:
                 expect = (None, None)
             else:
-                expect = (qts, float(v) if v is not None else None)
+                expect = (mk(qts), float(v) if v is not None else None)
         assert got[i] == expect, (i, k, t, got[i], expect)
 
 

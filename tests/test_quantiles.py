@@ -107,10 +107,13 @@ def test_exact_quantiles_no_global_sort_plan(spark):
 
 
 def test_exact_quantiles_edge_straddling_value(spark):
-    """Regression (r10 review): a data value within ~1 ulp of a computed
-    bucket edge must not be double-counted or lost — classification is
-    by edge COMPARISON, not floor division, so executor membership and
-    driver interval bounds agree exactly."""
+    """Regression (r10 review, scheme superseded r11): a data value
+    within ~1 ulp of a computed bucket edge must not be double-counted
+    or lost.  Classification is now by clamped FLOOR CELLS with
+    actual-(min,max) interval stepping — no driver edge arithmetic
+    exists at all, so the 1-ulp executor-vs-driver disagreement this
+    test originally trapped is structurally absent.  Kept as a
+    regression guard over the same adversarial inputs."""
     lo, hi = -538266.9169180314, -319485.87957956153
     w = (hi - lo) / 64
     edge61 = lo + 61 * w  # a value floor-classification misplaces

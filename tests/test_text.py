@@ -522,6 +522,27 @@ def test_temperature_sample_missing_domain_contract(spark):
                            on_missing_domain="bogus")
 
 
+def test_stratified_length_cap_per_domain_exact(spark):
+    """Each domain is cut at ITS OWN exact percentile_disc(p): domain a's
+    outlier drops under a's cap while domain b's longer-but-in-family
+    docs all survive b's; NULL lengths drop, a NULL domain is its own
+    stratum (r12 — the grouped_exact_quantiles consumer)."""
+    from cuml_spark.text.mixing import stratified_length_cap
+
+    rows = (
+        # a: lengths 1..9 + outlier 1000 → p90 cap = 9 (disc rank ceil(.9*10)=9th)
+        [(i, "a", i + 1) for i in range(9)] + [(9, "a", 1000)]
+        # b: lengths 100..104 → cap = 104 (ceil(.9*5)=5th) — all survive
+        + [(10 + j, "b", 100 + j) for j in range(5)]
+        # null domain: 5, 6 → cap 6; null length drops
+        + [(20, None, 5), (21, None, 6), (22, None, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    kept = {r["doc_id"] for r in
+            stratified_length_cap(df, "source", "n", p=0.9).collect()}
+    assert kept == set(range(9)) | {10, 11, 12, 13, 14} | {20, 21}
+
+
 def test_bigram_lm_broadcast_model_parity_and_cap(spark):
     """An uncapped fit_bigram_lm model scores every doc identically to the
     self-scoring join path (the exactness config behind the pretrained
