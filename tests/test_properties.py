@@ -1250,3 +1250,38 @@ def test_stratified_sample_quota_law(spark, rows, quota, seed):
             ids,
             key=lambda i: (int(_hl.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16), i))
         assert got.get(g, set()) == set(ranked[:quota]), g
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # domain
+            st.one_of(st.none(), st.integers(-50, 50)),              # length
+        ),
+        min_size=1, max_size=40),
+    p=st.sampled_from([0.5, 0.9, 0.99]),
+)
+def test_stratified_length_cap_matches_python_property(spark, rows, p):
+    """For ANY rows/p: kept ids equal the python replay — each domain
+    (NULL its own stratum) cut at its own percentile_disc(p), NULL
+    lengths dropped (r12, the grouped-quantiles consumer)."""
+    import math
+
+    from cuml_spark.text.mixing import stratified_length_cap
+
+    df = spark.createDataFrame(
+        [(i, d, n) for i, (d, n) in enumerate(rows)],
+        "doc_id long, source string, n long")
+    got = {r["doc_id"] for r in
+           stratified_length_cap(df, "source", "n", p=p,
+                                 collect_threshold=3).collect()}
+    by_dom: dict = {}
+    for i, (d, n) in enumerate(rows):
+        if n is not None:
+            by_dom.setdefault(d, []).append(n)
+    caps = {d: sorted(v)[max(1, math.ceil(p * len(v))) - 1]
+            for d, v in by_dom.items()}
+    expect = {i for i, (d, n) in enumerate(rows)
+              if n is not None and n <= caps[d]}
+    assert got == expect

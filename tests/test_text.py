@@ -543,6 +543,31 @@ def test_stratified_length_cap_per_domain_exact(spark):
     assert kept == set(range(9)) | {10, 11, 12, 13, 14} | {20, 21}
 
 
+def test_bigram_lm_keep_cols_both_paths(spark):
+    """keep_cols= carries pass-through columns on BOTH scoring paths
+    (self-scored join and broadcast-model map-only) without changing
+    any score — the plumbing ccnet_buckets_lang rides (r12)."""
+    from cuml_spark.text import bigram_lm_scores, fit_bigram_lm
+
+    rows = [(0, "a b a", "en"), (1, "a b", "de"), (2, None, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+            for r in bigram_lm_scores(df).collect()}
+    for kwargs in ({}, {"model": fit_bigram_lm(df)}):
+        out = bigram_lm_scores(df, keep_cols=["lang"], **kwargs).collect()
+        assert set(out[0].asDict()) == {"doc_id", "lang", "n_bigrams",
+                                        "avg_logp"}
+        got = {r["doc_id"]: (r["lang"], r["n_bigrams"], r["avg_logp"])
+               for r in out}
+        assert got[0][0] == "en" and got[1][0] == "de" and got[2][0] is None
+        for k, (n, lp) in base.items():
+            assert got[k][1] == n
+            if lp is None:
+                assert got[k][2] is None
+            else:
+                assert got[k][2] == pytest.approx(lp, abs=1e-12)
+
+
 def test_bigram_lm_broadcast_model_parity_and_cap(spark):
     """An uncapped fit_bigram_lm model scores every doc identically to the
     self-scoring join path (the exactness config behind the pretrained
