@@ -102,6 +102,7 @@ _BENCH_ORDER = [
     "prims_stats_report", "bpe_word_counts", "quantile_report",
     # r12 additions
     "ccnet_buckets_lang", "fil_lightgbm_score", "domain_length_caps",
+    "audio_probe_compressed",
 ]
 # The driver archives only the LAST 2000 characters of this process's
 # output into the immutable BENCH_r{N}.json snapshot; a JSON line longer

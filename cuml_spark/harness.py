@@ -585,9 +585,13 @@ ORACLES.update(ORACLES_STREAMING)
 # scalar_functions, prims_matrix_rng) are at age 3+ and MUST lead; the
 # 43 r9-evidence queries reach the age-3 boundary at r12 close and
 # MUST be in-window; every new query MUST debut in its landing round's
-# window.  3 + 43 = 46 standing obligations + 3 debuts = 49 ≤ 50,
-# leaving ONE slot for oldest-first fill (the 48 r10-evidence queries
-# tie on age; ties break alphabetically → arima_forecast).  50 slots =
+# window.  3 + 43 = 46 standing obligations + 4 debuts = 50 exactly
+# (a fourth debut, audio_probe_compressed, landed later in r12 and
+# takes the one discretionary slot the ledger had given to oldest-
+# first fill — debut priority (a) outranks fill (d), so arima_forecast
+# returns to the r13 fill pool with the other r10-evidence queries;
+# all 48 reach the age-3 boundary at r13 close, keeping r13
+# schedulable: 48 obligations ≤ 50 with 2 spare).  50 slots =
 #   (a) new-in-r12 debuts, each landing query + oracle together:
 #       ccnet_buckets_lang (the r11-staged per-language CCNet split,
 #       text/lm.py perplexity_buckets group_cols=["lang"], debuting as
@@ -598,7 +602,9 @@ ORACLES.update(ORACLES_STREAMING)
 #       ON the thresholds), domain_length_caps (per-domain exact-p90
 #       length cut — the grouped_exact_quantiles consumer VERDICT r11
 #       #6 asked to wire into the mixing tier; quantile_disc GROUP BY
-#       oracle).
+#       oracle), audio_probe_compressed (compressed-audio header
+#       probing — MP3/ADTS/FLAC/Ogg planted-metadata fixtures, the
+#       audio analog of media_probe_mp4; recomputed-parameter oracle).
 #   (b) changed-in-r12 but result-identical, legitimately deferring
 #       one round under the amended rule (each re-verified green by
 #       verify_local this round): quantile_report (harness-side
@@ -624,6 +630,7 @@ _DRIVER_WINDOW = [
     "ccnet_buckets_lang",        # per-language CCNet split (staged r11)
     "fil_lightgbm_score",        # LightGBM text-model FIL import
     "domain_length_caps",        # grouped-quantiles mixing consumer
+    "audio_probe_compressed",    # MP3/ADTS/FLAC/Ogg header probing
     # (d) the 43 r9-evidence queries at the age-3 boundary
     "bloom_dedup_gate",
     "bm25_topk",
@@ -668,8 +675,6 @@ _DRIVER_WINDOW = [
     "umap_trust",
     "winnow_overlap",
     "zorder_keys",
-    # (d) oldest-first fill (r10 evidence; alphabetical tie-break)
-    "arima_forecast",
     # everything else (r10/r11-green and unchanged) stays in
     # queries()/bench — only the verification window moves
 ]

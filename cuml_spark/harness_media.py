@@ -650,6 +650,116 @@ FROM range({_MP4_N}) t(id)
 """
 
 
+_AUDIO_N = 64
+
+
+def q_audio_probe_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio header probing with planted metadata: blob ``m``
+    cycles formats by ``m % 4`` — MP3 (version by ``m % 3``, CBR bitrate
+    from the public Layer III table, Xing tag planted on MPEG-1 streams),
+    ADTS AAC (profile/rate/channel fields), FLAC STREAMINFO (20-bit rate,
+    36-bit sample total), Ogg (OpusHead / Vorbis-I identification packet
+    + EOS granule position).  ``probe_audio`` walks the real frame/page
+    structure on the executors; the oracle recomputes every planted
+    parameter from the id — so syncword walks, bit-packed field decoding
+    and the Xing/granule conventions are all value-checked."""
+    from collections.abc import Iterator
+
+    from cuml_spark.multimodal.audio import (ADTS_RATES, MP3_BITRATES_V1,
+                                             MP3_BITRATES_V2, MP3_RATES,
+                                             build_adts, build_flac,
+                                             build_mp3, build_ogg,
+                                             probe_audio)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                kind = m % 4
+                if kind == 0:
+                    ver = ("1", "2", "2.5")[m % 3]
+                    table = MP3_BITRATES_V1 if ver == "1" else MP3_BITRATES_V2
+                    bufs.append(build_mp3(
+                        3 + m % 5, ver, table[m % 14],
+                        MP3_RATES[ver][(m // 4) % 3], mono=(m % 2 == 0),
+                        xing_frames=(2 + m % 5) if ver == "1" else None))
+                elif kind == 1:
+                    bufs.append(build_adts(
+                        2 + m % 6, profile=(m // 4) % 4,
+                        sample_rate=ADTS_RATES[m % 13],
+                        channels=1 + m % 6))
+                elif kind == 2:
+                    bufs.append(build_flac(
+                        8000 + 137 * m, 1 + m % 8, 8 + m % 25,
+                        100000 + 7919 * m))
+                elif (m // 4) % 2 == 0:
+                    bufs.append(build_ogg("opus", 16000, 1 + m % 2,
+                                          1000 + 480 * m))
+                else:
+                    bufs.append(build_ogg("vorbis", 22050 + 100 * m, 2,
+                                          5000 + 31 * m))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "content": bufs})
+
+    ids = _ids(spark, _AUDIO_N)
+    media = ids.mapInPandas(enc, "media_id long, content binary")
+    return probe_audio(media)
+
+
+_SQL_AUDIO_PROBE = f"""
+SELECT id AS media_id, 'mp3' AS codec,
+       CASE id % 3 WHEN 0 THEN 'mpeg1-layer3' WHEN 1 THEN 'mpeg2-layer3'
+            ELSE 'mpeg2.5-layer3' END AS profile,
+       (CASE id % 3 WHEN 0 THEN ([44100,48000,32000])[1 + (id // 4) % 3]
+             WHEN 1 THEN ([22050,24000,16000])[1 + (id // 4) % 3]
+             ELSE ([11025,12000,8000])[1 + (id // 4) % 3] END)::BIGINT
+           AS sample_rate,
+       (CASE WHEN id % 2 = 0 THEN 1 ELSE 2 END)::BIGINT AS channels,
+       NULL::BIGINT AS bits_per_sample,
+       (3 + id % 5)::BIGINT AS n_frames,
+       ((3 + id % 5) * CASE WHEN id % 3 = 0 THEN 1152 ELSE 576 END)::BIGINT
+           AS n_samples,
+       (CASE id % 3
+            WHEN 0 THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                        )[1 + id % 14]
+            ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160]
+                 )[1 + id % 14] END)::BIGINT AS bitrate_kbps,
+       (CASE WHEN id % 3 = 0 THEN 2 + id % 5 ELSE NULL END)::BIGINT
+           AS xing_frames
+FROM range({_AUDIO_N}) t(id) WHERE id % 4 = 0
+UNION ALL
+SELECT id, 'aac-adts',
+       (['aac-main','aac-lc','aac-ssr','aac-ltp'])[1 + (id // 4) % 4],
+       ([96000,88200,64000,48000,44100,32000,24000,22050,16000,12000,
+         11025,8000,7350])[1 + id % 13]::BIGINT,
+       (1 + id % 6)::BIGINT, NULL::BIGINT,
+       (2 + id % 6)::BIGINT, (1024 * (2 + id % 6))::BIGINT,
+       NULL::BIGINT, NULL::BIGINT
+FROM range({_AUDIO_N}) t(id) WHERE id % 4 = 1
+UNION ALL
+SELECT id, 'flac', NULL,
+       (8000 + 137 * id)::BIGINT, (1 + id % 8)::BIGINT,
+       (8 + id % 25)::BIGINT, NULL::BIGINT,
+       (100000 + 7919 * id)::BIGINT, NULL::BIGINT, NULL::BIGINT
+FROM range({_AUDIO_N}) t(id) WHERE id % 4 = 2
+UNION ALL
+SELECT id,
+       CASE WHEN (id // 4) % 2 = 0 THEN 'ogg-opus' ELSE 'ogg-vorbis' END,
+       NULL,
+       (CASE WHEN (id // 4) % 2 = 0 THEN 48000
+             ELSE 22050 + 100 * id END)::BIGINT,
+       (CASE WHEN (id // 4) % 2 = 0 THEN 1 + id % 2 ELSE 2 END)::BIGINT,
+       NULL::BIGINT, NULL::BIGINT,
+       (CASE WHEN (id // 4) % 2 = 0 THEN 1000 + 480 * id
+             ELSE 5000 + 31 * id END)::BIGINT,
+       NULL::BIGINT, NULL::BIGINT
+FROM range({_AUDIO_N}) t(id) WHERE id % 4 = 3
+"""
+
+
 QUERIES_MEDIA = {
     "media_decode": q_media_decode,
     "media_decode_png": q_media_decode_png,
@@ -659,6 +769,7 @@ QUERIES_MEDIA = {
     "media_decode_wav": q_media_decode_wav,
     "media_decode_g711": q_media_decode_g711,
     "media_probe_mp4": q_media_probe_mp4,
+    "audio_probe_compressed": q_audio_probe_compressed,
     "media_decode_adpcm": q_media_decode_adpcm,
     "image_dedup_groups": q_image_dedup_groups,
     "image_phash_invariance": q_image_phash_invariance,
@@ -674,6 +785,7 @@ ORACLES_MEDIA = {
     "media_decode_wav": _SQL_MEDIA_DECODE_WAV,
     "media_decode_g711": _SQL_MEDIA_DECODE_G711,
     "media_probe_mp4": _SQL_MEDIA_PROBE_MP4,
+    "audio_probe_compressed": _SQL_AUDIO_PROBE,
     "media_decode_adpcm": _sql_media_decode_adpcm(),
     "image_dedup_groups": _SQL_IMAGE_DEDUP_GROUPS,
     "image_phash_invariance": _SQL_IMAGE_PHASH_INVARIANCE,

@@ -1,3 +1,11 @@
+from cuml_spark.multimodal.audio import (
+    build_adts,
+    build_flac,
+    build_mp3,
+    build_ogg,
+    probe_audio,
+    probe_stream,
+)
 from cuml_spark.multimodal.media import (
     MEDIA_SCHEMA,
     decode_audio,
@@ -11,6 +19,12 @@ from cuml_spark.multimodal.media import (
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "build_adts",
+    "build_flac",
+    "build_mp3",
+    "build_ogg",
+    "probe_audio",
+    "probe_stream",
     "decode_audio",
     "decode_image",
     "extract_audio_features",

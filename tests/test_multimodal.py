@@ -1179,3 +1179,148 @@ def test_lossless_jpeg_rejects_bad_inputs():
         encode_jpeg_lossless(np.zeros((2, 2), np.float64))
     with pytest.raises(ValueError, match="image"):
         encode_jpeg_lossless(np.zeros((2, 2, 2), np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# compressed-audio header probing (r12)
+# ---------------------------------------------------------------------------
+
+def test_mp3_roundtrip_cbr_vbr_id3_and_xing():
+    """build→parse round trips for every version; ID3v2 skipped via the
+    syncsafe size; mixed bitrates report NULL (VBR); the Xing tag parses
+    from the correct side-info offset per (version, mode)."""
+    from cuml_spark.multimodal.audio import (MP3_BITRATES_V1, build_mp3,
+                                             parse_mp3)
+
+    m = parse_mp3(build_mp3(7, "1", 192, 32000, mono=True, xing_frames=6))
+    assert (m["profile"], m["sample_rate"], m["channels"], m["n_frames"],
+            m["n_samples"], m["bitrate_kbps"], m["xing_frames"]) == (
+        "mpeg1-layer3", 32000, 1, 7, 7 * 1152, 192, 6)
+    m = parse_mp3(build_mp3(4, "2", 64, 24000))
+    assert (m["profile"], m["n_samples"], m["xing_frames"]) == (
+        "mpeg2-layer3", 4 * 576, None)
+    # ID3v2 prefix with a syncsafe size (0x01 0x7F = 255 bytes)
+    id3 = b"ID3\x04\x00\x00" + bytes((0, 0, 1, 0x7F)) + b"\x00" * 255
+    m = parse_mp3(id3 + build_mp3(2, "2.5", 24, 11025))
+    assert (m["profile"], m["n_frames"]) == ("mpeg2.5-layer3", 2)
+    # VBR: concatenating two CBR runs at different bitrates → NULL kbps
+    vbr = build_mp3(2, "1", 128, 44100) + build_mp3(2, "1", 320, 44100)
+    m = parse_mp3(vbr)
+    assert m["n_frames"] == 4 and m["bitrate_kbps"] is None
+    # every V1 bitrate row walks at every V1 rate (frame-length table)
+    for kbps in MP3_BITRATES_V1:
+        for sr in (44100, 48000, 32000):
+            assert parse_mp3(build_mp3(3, "1", kbps, sr))["n_frames"] == 3
+
+
+def test_adts_flac_ogg_roundtrip_and_cross_rejection():
+    from cuml_spark.multimodal.audio import (build_adts, build_flac,
+                                             build_mp3, build_ogg,
+                                             parse_adts, parse_flac,
+                                             parse_mp3, parse_ogg,
+                                             probe_stream)
+
+    m = parse_adts(build_adts(5, profile=0, sample_rate=8000, channels=6))
+    assert (m["profile"], m["sample_rate"], m["channels"], m["n_frames"],
+            m["n_samples"]) == ("aac-main", 8000, 6, 5, 5 * 1024)
+    # FLAC bit-packed STREAMINFO extremes: 20-bit rate, 36-bit total
+    m = parse_flac(build_flac(655350, 8, 32, (1 << 36) - 1))
+    assert (m["sample_rate"], m["channels"], m["bits_per_sample"],
+            m["n_samples"]) == (655350, 8, 32, (1 << 36) - 1)
+    # Opus: granule is 48k samples incl. pre-skip; vorbis: stream rate
+    m = parse_ogg(build_ogg("opus", 16000, 2, 12345, pre_skip=100))
+    assert (m["codec"], m["sample_rate"], m["n_samples"]) == (
+        "ogg-opus", 48000, 12345)
+    m = parse_ogg(build_ogg("vorbis", 11025, 1, 777))
+    assert (m["codec"], m["sample_rate"], m["channels"],
+            m["n_samples"]) == ("ogg-vorbis", 11025, 1, 777)
+    # cross-rejection: the 0xFFF sync collision routes by layer bits
+    mp3 = build_mp3(2, "1", 128, 44100)
+    with pytest.raises(ValueError):
+        parse_adts(mp3)
+    with pytest.raises(ValueError):
+        parse_mp3(build_adts(2))
+    assert probe_stream(mp3)["codec"] == "mp3"
+    assert probe_stream(build_adts(2))["codec"] == "aac-adts"
+    with pytest.raises(ValueError):
+        probe_stream(b"\x00" * 32)
+
+
+def test_audio_parsers_property_roundtrip():
+    """Randomized build→parse agreement across the full planted-parameter
+    space of all four formats."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cuml_spark.multimodal.audio import (ADTS_RATES, MP3_BITRATES_V1,
+                                             MP3_BITRATES_V2, MP3_RATES,
+                                             build_adts, build_flac,
+                                             build_mp3, build_ogg,
+                                             probe_stream)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def inner(data):
+        kind = data.draw(st.sampled_from(["mp3", "adts", "flac", "opus",
+                                          "vorbis"]))
+        if kind == "mp3":
+            ver = data.draw(st.sampled_from(["1", "2", "2.5"]))
+            table = MP3_BITRATES_V1 if ver == "1" else MP3_BITRATES_V2
+            kbps = data.draw(st.sampled_from(table))
+            sr = data.draw(st.sampled_from(MP3_RATES[ver]))
+            n = data.draw(st.integers(1, 12))
+            got = probe_stream(build_mp3(n, ver, kbps, sr))
+            spf = 1152 if ver == "1" else 576
+            assert (got["codec"], got["n_frames"], got["n_samples"],
+                    got["bitrate_kbps"], got["sample_rate"]) == (
+                "mp3", n, n * spf, kbps, sr)
+        elif kind == "adts":
+            n = data.draw(st.integers(1, 12))
+            prof = data.draw(st.integers(0, 3))
+            sr = data.draw(st.sampled_from(ADTS_RATES))
+            ch = data.draw(st.integers(1, 6))
+            got = probe_stream(build_adts(n, prof, sr, ch))
+            assert (got["codec"], got["sample_rate"], got["channels"],
+                    got["n_samples"]) == ("aac-adts", sr, ch, n * 1024)
+        elif kind == "flac":
+            sr = data.draw(st.integers(1, (1 << 20) - 1))
+            ch = data.draw(st.integers(1, 8))
+            bps = data.draw(st.integers(4, 32))
+            tot = data.draw(st.integers(0, (1 << 36) - 1))
+            got = probe_stream(build_flac(sr, ch, bps, tot))
+            assert (got["codec"], got["sample_rate"], got["channels"],
+                    got["bits_per_sample"], got["n_samples"]) == (
+                "flac", sr, ch, bps, tot)
+        else:
+            sr = data.draw(st.integers(1000, 192000))
+            n = data.draw(st.integers(0, 1 << 40))
+            ch = data.draw(st.integers(1, 8))
+            got = probe_stream(build_ogg(kind, sr, ch, n))
+            if kind == "opus":
+                assert (got["codec"], got["sample_rate"],
+                        got["n_samples"]) == ("ogg-opus", 48000, n)
+            else:
+                assert (got["codec"], got["sample_rate"], got["channels"],
+                        got["n_samples"]) == ("ogg-vorbis", sr, ch, n)
+
+    inner()
+
+
+def test_probe_audio_distributed_mixed_and_unparseable(spark):
+    """probe_audio fans one row per parseable blob, drops garbage rows
+    (filter semantic), and keeps planted-NULL columns integer-typed."""
+    from cuml_spark.multimodal.audio import (build_flac, build_mp3,
+                                             build_ogg, probe_audio)
+
+    rows = [(0, bytearray(build_mp3(3, "1", 128, 44100))),
+            (1, bytearray(build_flac(48000, 2, 16, 1000))),
+            (2, bytearray(b"not audio at all")),
+            (3, bytearray(build_ogg("opus", 48000, 2, 4800)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r.asDict()
+           for r in probe_audio(df.repartition(3)).collect()}
+    assert set(out) == {0, 1, 3}  # id 2 filtered
+    assert out[0]["codec"] == "mp3" and out[0]["bitrate_kbps"] == 128
+    assert out[1]["codec"] == "flac" and out[1]["bits_per_sample"] == 16
+    assert out[3]["codec"] == "ogg-opus" and out[3]["n_samples"] == 4800
+    assert out[0]["bits_per_sample"] is None  # NULL, not NaN-coerced

@@ -788,3 +788,16 @@ def test_perplexity_buckets_grouped_broadcast_local_cuts(spark):
     assert "percentile" not in plan.lower()  # cuts pre-collected, not re-run
     assert "SortMergeJoin" not in plan
     assert _n_shuffles(out) == 0
+
+
+def test_audio_probe_map_only_zero_shuffle(spark):
+    """probe_audio is a pure per-partition map (mapInPandas): zero
+    exchanges — bytes never shuffle and never reach the driver (r12)."""
+    from cuml_spark.multimodal.audio import build_flac, probe_audio
+
+    df = spark.createDataFrame(
+        [(0, bytearray(build_flac(8000, 1, 8, 10)))],
+        "media_id long, content binary")
+    out = probe_audio(df)
+    assert _n_shuffles(out) == 0
+    assert "MapInPandas" in _plan(out)
