@@ -436,10 +436,74 @@ class ForestInference(Base):
         return model
 
     # -- scoring ------------------------------------------------------------
+
+    # Forests at or under this many TOTAL nodes score as native nested
+    # CASE WHEN expressions (whole-stage codegen, no Python workers) —
+    # at 100 TB that removes the Arrow transfer of every feature column
+    # for the common small-imported-model case.  Above it, deeply nested
+    # expressions risk the JVM's 64 KB generated-method limit (Catalyst
+    # then falls back to interpreted eval), and the vectorized Arrow
+    # traversal wins — so big forests keep the broadcast pandas-UDF path.
+    CODEGEN_MAX_NODES = 512
+
+    def _tree_expr(self, t: _FlatTree, feature_cols: list[str]):
+        """One tree as a nested CASE WHEN column, replicating the pandas
+        path's missing-value semantics exactly: null and NaN both take
+        the node's default direction (the Arrow path casts null → NaN and
+        routes NaN by ``default_left``).  The default branch folds into
+        the comparison — ``default_left`` nodes test
+        ``isnull | isnan | cmp`` — so no subtree is ever duplicated."""
+        cols = [F.col(c).cast("double") for c in feature_cols]
+
+        def node(nid: int):
+            if t.feature[nid] < 0:
+                return F.lit(float(t.value[nid]))
+            c = cols[int(t.feature[nid])]
+            thr = F.lit(float(t.threshold[nid]))
+            cmp = (c <= thr) if t.le_split else (c < thr)
+            if t.default_left[nid]:
+                cmp = c.isNull() | F.isnan(c) | cmp
+            # default-right needs nothing: null/NaN comparisons are
+            # null/false in Spark SQL, so the otherwise() branch fires
+            return F.when(cmp, node(int(t.left[nid]))).otherwise(
+                node(int(t.right[nid])))
+
+        return node(0)
+
+    def _predict_expr(self, df: DataFrame, feature_cols: list[str],
+                      out_col: str) -> DataFrame:
+        total = self._tree_expr(self._trees[0], feature_cols)
+        for t in self._trees[1:]:
+            total = total + self._tree_expr(t, feature_cols)
+        # identical arithmetic order to the Arrow path: Σ / navg + base
+        navg = float(len(self._trees)) if self.average else 1.0
+        raw = total / F.lit(navg) + F.lit(float(self.base_score))
+        if self.output == "sigmoid":
+            out = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+        elif self.output == "class":
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+            out = (p > F.lit(self.threshold)).cast("double")
+        elif self.output == "threshold":
+            out = (raw > F.lit(self.threshold)).cast("double")
+        else:
+            out = raw
+        return df.withColumn(out_col, out)
+
     def predict(self, df: DataFrame, feature_cols: list[str],
-                out_col: str = "prediction") -> DataFrame:
+                out_col: str = "prediction",
+                codegen: str = "auto") -> DataFrame:
+        """``codegen``: 'auto' compiles forests ≤ CODEGEN_MAX_NODES total
+        nodes to native expressions and keeps the Arrow path above;
+        'always'/'never' force one path (the two are result-identical —
+        pinned by tests that score both on the same frame)."""
         if self._trees is None:
             raise RuntimeError("load a model first")
+        if codegen not in ("auto", "always", "never"):
+            raise ValueError("codegen must be auto | always | never")
+        n_nodes = sum(len(t.feature) for t in self._trees)
+        if codegen == "always" or (
+                codegen == "auto" and n_nodes <= self.CODEGEN_MAX_NODES):
+            return self._predict_expr(df, feature_cols, out_col)
         # broadcast the flattened arrays ONCE per predict instead of pickling
         # them into every task's UDF closure — at 100 TB a scoring stage runs
         # ~1e5 tasks and a deep forest is tens of MB

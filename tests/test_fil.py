@@ -434,3 +434,69 @@ end of trees
     df = spark.createDataFrame([(0, 9.0, 9.0)], "id int, f0 double, f1 double")
     assert fil.predict(df, ["f0", "f1"]).collect()[0]["prediction"] == \
         pytest.approx(0.25)
+
+
+def test_fil_codegen_and_arrow_paths_identical(spark):
+    """The native-expression compile and the Arrow traversal are
+    result-identical — every output mode, on a frame that exercises
+    threshold-exact values, nulls and NaN (both default directions)."""
+    import math
+
+    trees = [
+        {"feature": [0, 1, -1, -1, -1], "threshold": [2.5, 0.5, 0, 0, 0],
+         "left": [1, 3, -1, -1, -1], "right": [2, 4, -1, -1, -1],
+         "value": [0.0, 0.0, -0.3, 0.4, -0.2]},
+        {"feature": [1, -1, -1], "threshold": [0.45, 0, 0],
+         "left": [1, -1, -1], "right": [2, -1, -1],
+         "value": [0.0, 0.1, -0.5]},
+    ]
+    rows = [(i, float(x0), float(x1)) for i, (x0, x1) in enumerate(
+        [(2.5, 0.45), (2.5, 0.5), (0.0, 1.0), (9.0, -1.0), (2.4999, 0.451)])]
+    rows += [(100, None, 0.2), (101, 1.0, None),
+             (102, float("nan"), float("nan"))]
+    df = spark.createDataFrame(rows, "id long, f0 double, f1 double")
+    for output in ("raw", "sigmoid", "class", "threshold"):
+        for avg in (False, True):
+            fil = ForestInference.load_from_arrays(
+                trees, output=output, average=avg)
+            # flip default_left on one node so null/NaN routing is
+            # exercised in BOTH directions
+            fil._trees[0].default_left[0] = True
+            a = {r["id"]: r["p"] for r in fil.predict(
+                df, ["f0", "f1"], "p", codegen="always").collect()}
+            b = {r["id"]: r["p"] for r in fil.predict(
+                df, ["f0", "f1"], "p", codegen="never").collect()}
+            assert set(a) == set(b)
+            for k in a:
+                if output == "sigmoid":
+                    # JVM Math.exp and numpy exp may differ by 1 ulp
+                    # (IEEE 754 does not mandate correctly-rounded exp);
+                    # raw arithmetic and the class/threshold cuts away
+                    # from the boundary stay bit-exact below
+                    assert abs(a[k] - b[k]) <= 4 * math.ulp(b[k]), (
+                        avg, k, a[k], b[k])
+                else:
+                    assert (a[k] == b[k]
+                            or (math.isnan(a[k]) and math.isnan(b[k]))), (
+                        output, avg, k, a[k], b[k])
+
+
+def test_fil_codegen_threshold_routes_paths(spark):
+    """auto mode: small forests take the expression path (no Python
+    workers in the plan), forests past CODEGEN_MAX_NODES keep Arrow."""
+    df = spark.createDataFrame([(1.0,)], "f0 double")
+    small = ForestInference.load_from_arrays(
+        [{"feature": [-1], "threshold": [0], "left": [-1], "right": [-1],
+          "value": [1.0]}])
+    plan = small.predict(df, ["f0"], "p")._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    big_tree = {"feature": [-1] * 600, "threshold": [0] * 600,
+                "left": [-1] * 600, "right": [-1] * 600,
+                "value": [0.5] * 600}
+    big = ForestInference.load_from_arrays([big_tree])
+    plan = big.predict(df, ["f0"], "p")._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    with pytest.raises(ValueError, match="codegen"):
+        small.predict(df, ["f0"], "p", codegen="sometimes")
