@@ -5,7 +5,10 @@ Reference: python/cuml/fil/fil.pyx:315 (``load:459`` via treelite,
 (init_dense / from_treelite / predict) with output transforms
 (output_t in cpp/include/cuml/fil/fil.h: RAW / SIGMOID / threshold / AVG).
 
-Spark-native: the parsed model is tiny — flatten every tree into numpy
+Spark-native, two scoring tiers: forests at or under
+``CODEGEN_MAX_NODES`` total nodes compile to native nested CASE WHEN
+expressions (whole-stage codegen, no Python workers, no Arrow transfer
+of the feature columns); bigger forests flatten every tree into numpy
 arrays (feature idx, threshold, children, leaf value), BROADCAST them, and
 score with an Arrow-batched pandas UDF that walks all trees vectorized over
 the batch (the executor-side analog of FIL's per-block tree walk).  treelite
@@ -116,7 +119,7 @@ def _flatten_lightgbm_tree(kv: dict[str, str]) -> _FlatTree:
     missing type 'none' LightGBM scores NaN as 0.0, which maps to a
     per-node default direction of (0.0 <= threshold)."""
     n_leaves = int(kv["num_leaves"])
-    if int(kv.get("num_cat", "0").split()[0] or 0) > 0:
+    if int((kv.get("num_cat", "").split() or ["0"])[0]) > 0:
         raise NotImplementedError(
             "categorical splits in LightGBM models are not supported — "
             "re-train with categoricals one-hot/target encoded"

@@ -578,7 +578,7 @@ ORACLES.update(ORACLES_STREAMING)
 # (c) queries whose evidence would otherwise age past THREE rounds
 # (they MUST be in this window), (d) oldest-evidence-first fill.
 #
-# r12 ledger (registry 144 → 147: three new queries debut this round;
+# r12 ledger (registry 144 → 148: four new queries debut this round;
 # evidence recency at r11 close: 50 r11, 48 r10, 43 r9, 3 r8 — the
 # three r8 rows are the deferrals r11 NAMED).  Obligations, re-
 # derivable: the 3 named r8 deferrals (generator_checks,
@@ -617,10 +617,18 @@ ORACLES.update(ORACLES_STREAMING)
 #       through, default None byte-identical; perplexity_buckets'
 #       grouped guard now collects its bounded probe once — grouped
 #       path only, and its ONLY registry consumer is the debuting
-#       ccnet_buckets_lang).  fil_score's module gained the LightGBM
-#       loader but its xgboost path is untouched (r11 evidence).
+#       ccnet_buckets_lang).  fil_score: its module gained the
+#       LightGBM loader (xgboost path untouched) and then the FIL
+#       codegen tier rerouted its small forest onto the native-
+#       expression path — a plan change, so the result-identity claim
+#       was PROVEN, not assumed: both paths collected and compared on
+#       the harness frames at sf0.01 AND sf0.1 (60k + 600k rows,
+#       sorted tuples equal) plus verify_local green, this session.
+#       Deferring one round under the amended rule; it re-enters with
+#       the r10 cohort in r13's window.
 #   (c) the 3 named r8 deferrals, leading as owed.
-#   (d) all 43 r9-evidence queries + arima_forecast as the fill.
+#   (d) all 43 r9-evidence queries (arima_forecast's fill slot went
+#       to the audio_probe_compressed debut — see (a) above).
 _DRIVER_WINDOW = [
     # (c) the three named r12 deferrals — MUST lead (r11 ledger debt)
     "generator_checks",

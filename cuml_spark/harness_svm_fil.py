@@ -1,8 +1,11 @@
 """Harness queries: ForestInference (D-class) + kernel SVC (A-class).
 
 A fixed imported forest is a pure decision function — the DuckDB oracle
-replays the trees as CASE expressions, checking the broadcast + pandas-UDF
-traversal end-to-end.  SVC's SMO is iterative → rows-only; its quality gates
+replays the trees as CASE expressions, checking the scoring path
+end-to-end (since r12 these small forests compile to native CASE WHEN
+expressions; forests past the codegen cap keep the broadcast +
+pandas-UDF traversal, and the two are pinned result-identical in
+tests/test_fil.py).  SVC's SMO is iterative → rows-only; its quality gates
 live in tests/test_svm.py (KKT conditions, XOR separation).
 """
 
@@ -113,7 +116,7 @@ end of trees
 def q_fil_lightgbm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ForestInference over an imported LightGBM TEXT model (r12 —
     closes the last closable reference-surface refusal, VERDICT r11
-    #4): same broadcast + Arrow-batched traversal as fil_score, but the
+    #4): same scoring path as fil_score, but the
     trees come from the LightGBM save_model format with its <=-left
     routing and the binary objective's sigmoid, both of which the
     oracle replays as CASE expressions on rows that sit exactly ON the

@@ -234,7 +234,9 @@ def parse_flac(buf: bytes) -> dict:
         (length,) = struct.unpack(">I", b"\x00" + buf[pos + 1:pos + 4])
         body = buf[pos + 4:pos + 4 + length]
         if btype == 0:
-            if length < 34:
+            # check the ACTUAL body, not the declared length — a blob
+            # truncated mid-STREAMINFO must filter, not yield garbage
+            if length < 34 or len(body) < 34:
                 raise ValueError("short STREAMINFO")
             packed = int.from_bytes(body[10:18], "big")
             sample_rate = packed >> 44
@@ -291,6 +293,8 @@ def parse_ogg(buf: bytes) -> dict:
     ident = pages[0][1]
     last_granule = pages[-1][0]
     if ident[:8] == b"OpusHead":
+        if len(ident) < 19:  # RFC 7845 fixed ID-header size
+            raise ValueError("truncated OpusHead")
         channels = ident[9]
         (pre_skip,) = struct.unpack("<H", ident[10:12])
         return {"codec": "ogg-opus", "profile": None, "sample_rate": 48000,
@@ -299,6 +303,8 @@ def parse_ogg(buf: bytes) -> dict:
                 "n_samples": max(0, last_granule - pre_skip),
                 "bitrate_kbps": None, "xing_frames": None}
     if ident[:7] == b"\x01vorbis":
+        if len(ident) < 16:
+            raise ValueError("truncated Vorbis identification header")
         channels = ident[11]
         (rate,) = struct.unpack("<I", ident[12:16])
         return {"codec": "ogg-vorbis", "profile": None, "sample_rate": rate,
@@ -374,6 +380,8 @@ def probe_audio(df: DataFrame, content_col: str = "content",
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue  # NULL payload rows filter like garbage ones
                 try:
                     meta = probe_stream(bytes(content))
                 except ValueError:

@@ -31,7 +31,7 @@ native interval predicate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join", "range_join_points"]
@@ -69,6 +69,15 @@ def asof_join(
     lcols = left.columns
     rtypes = dict(right.dtypes)
     ltstype = dict(left.dtypes)[left_ts]
+    # a timestamp axis on one side and a numeric one on the other has
+    # no coherent microsecond semantics (the union below would refuse
+    # the mix anyway, with a less helpful analysis error)
+    if ltstype.startswith("timestamp") != rtypes[right_ts].startswith(
+            "timestamp"):
+        raise ValueError(
+            f"ts columns must be both timestamp-typed or both numeric, "
+            f"got left={ltstype!r} right={rtypes[right_ts]!r}"
+        )
     # SQL join semantics: a NULL key never matches (not even another
     # NULL).  Window.partitionBy would group all NULL keys into one
     # partition and happily match them, so NULL-keyed left rows take
@@ -142,19 +151,19 @@ def asof_join(
         # the gap is computed in LONG regardless of the ts columns'
         # native type: int - int would wrap silently for gaps past
         # 2^31 µs (~36 min) now that asof_ts keeps its native width.
-        # TimestampType casts to long as epoch SECONDS — take
-        # unix_micros instead so tolerance_us means microseconds for
-        # native timestamps too (r12, pinning the ts-type property)
-        def _us(col: Column, dtype: str) -> Column:
-            if dtype.startswith("timestamp"):
-                return F.unix_micros(col.cast("timestamp"))
-            return col.cast("long")
-
-        stale = F.col("asof_ts").isNull() | (
-            _us(F.col("__lts"), ltstype)
-            - _us(F.col("asof_ts"), rtypes[right_ts])
-            > int(tolerance_us)
-        )
+        # Timestamp-family columns diff via timestampdiff(MICROSECOND),
+        # which is instant-based for TIMESTAMP and calendar-exact for
+        # TIMESTAMP_NTZ — the previous cast("timestamp") round trip
+        # interpreted ntz wall-clocks in the session zone, making the
+        # gap session-timezone-dependent (and wrong by the offset delta
+        # across a DST transition).  Mixed timestamp/numeric pairs have
+        # no coherent µs semantics and are refused.
+        if ltstype.startswith("timestamp"):
+            gap = F.expr("timestampdiff(MICROSECOND, asof_ts, __lts)")
+        else:
+            gap = (F.col("__lts").cast("long")
+                   - F.col("asof_ts").cast("long"))
+        stale = F.col("asof_ts").isNull() | (gap > int(tolerance_us))
         out = out.select(
             *lcols,
             F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")).alias("asof_ts"),

@@ -198,3 +198,55 @@ def test_asof_join_int_ts_tolerance_no_overflow(spark):
     r = out.collect()[0]
     # true gap 3e9 µs > 1e6: stale — int wraparound would return 1.5
     assert r["asof_ts"] is None and r["px"] is None
+
+
+def test_asof_tolerance_ntz_is_timezone_independent(spark):
+    """timestamp_ntz gaps are CALENDAR microseconds, not session-zone
+    instants: wall-clocks straddling a DST transition must measure the
+    same gap under any spark.sql.session.timeZone (r12 review fix — the
+    old cast('timestamp') path read 30 real minutes across the US
+    spring-forward for a 90-minute wall-clock gap)."""
+    import datetime
+
+    from cuml_spark.ops.joins import asof_join
+
+    # 2026-03-08 01:30 → 03:00 wall clock: 90 calendar minutes, but only
+    # 30 instant minutes in America/Los_Angeles (02:00-03:00 skipped)
+    t_right = datetime.datetime(2026, 3, 8, 1, 30, 0)
+    t_left = datetime.datetime(2026, 3, 8, 3, 0, 0)
+    left = spark.createDataFrame([(1, 7, t_left)],
+                                 "event_id long, user long, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [(100, 7, t_right, 5.0)],
+        "qid long, user long, qts timestamp_ntz, px double")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            # 90 min fits an exactly-90-minute tolerance...
+            r = asof_join(left, right, on="user", left_ts="ts",
+                          right_ts="qts", value_cols=["px"],
+                          right_id="qid",
+                          tolerance_us=90 * 60 * 1_000_000).collect()[0]
+            assert r["px"] == 5.0, tz
+            # ...and exceeds an 89-minute one — in EVERY session zone
+            r = asof_join(left, right, on="user", left_ts="ts",
+                          right_ts="qts", value_cols=["px"],
+                          right_id="qid",
+                          tolerance_us=89 * 60 * 1_000_000).collect()[0]
+            assert r["px"] is None, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_asof_tolerance_mixed_ts_types_refused(spark):
+    from cuml_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame([(1, 7, 100)],
+                                 "event_id long, user long, ts long")
+    right = spark.createDataFrame(
+        [(100, 7, __import__('datetime').datetime(2020, 1, 1), 5.0)],
+        "qid long, user long, qts timestamp, px double")
+    with pytest.raises(ValueError, match="both timestamp-typed or both numeric"):
+        asof_join(left, right, on="user", left_ts="ts", right_ts="qts",
+                  value_cols=["px"], right_id="qid")

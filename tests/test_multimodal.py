@@ -1324,3 +1324,44 @@ def test_probe_audio_distributed_mixed_and_unparseable(spark):
     assert out[1]["codec"] == "flac" and out[1]["bits_per_sample"] == 16
     assert out[3]["codec"] == "ogg-opus" and out[3]["n_samples"] == 4800
     assert out[0]["bits_per_sample"] is None  # NULL, not NaN-coerced
+
+
+def test_audio_parsers_truncation_and_null_robustness(spark):
+    """r12 review fixes: truncated ident packets / STREAMINFO raise
+    ValueError (not IndexError/struct.error escaping probe_stream), and
+    NULL content rows filter instead of crashing the kernel."""
+    from cuml_spark.multimodal.audio import (build_flac, build_mp3,
+                                             build_ogg, parse_flac,
+                                             parse_ogg, probe_audio,
+                                             probe_stream)
+
+    # Ogg page whose ident packet is just the magic — must be ValueError
+    def page(packet):
+        import struct
+        lacing = bytes([len(packet)])
+        return (b"OggS" + bytes((0, 2))
+                + struct.pack("<qIII", 0, 1, 0, 0)
+                + bytes((1,)) + lacing + packet)
+
+    for ident in (b"OpusHead", b"OpusHead\x01", b"\x01vorbis",
+                  b"\x01vorbis\x00\x00\x00\x00\x02"):
+        with pytest.raises(ValueError):
+            parse_ogg(page(ident))
+        with pytest.raises(ValueError):
+            probe_stream(page(ident))
+    # FLAC truncated mid-STREAMINFO: declared length 34, actual body
+    # shorter — must raise, not return garbage metadata
+    whole = build_flac(44100, 2, 16, 1000)
+    for cut in (8, 20, 30):
+        with pytest.raises(ValueError):
+            parse_flac(whole[:cut])
+        with pytest.raises(ValueError):
+            probe_stream(whole[:cut])
+    # NULL payloads and truncated blobs inside the distributed probe
+    rows = [(0, bytearray(build_mp3(2, "1", 128, 44100))),
+            (1, None),
+            (2, bytearray(whole[:20])),
+            (3, bytearray(build_ogg("opus", 48000, 1, 10)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"] for r in probe_audio(df).collect()}
+    assert got == {0, 3}

@@ -1073,7 +1073,7 @@ def test_hll_registers_match_python_property(spark, vals, b):
                   st.one_of(st.none(), st.integers(0, 9))),  # (key, ts, val)
         min_size=0, max_size=15),
     tol=st.one_of(st.none(), st.integers(1, 30)),
-    ts_type=st.sampled_from(["long", "int", "timestamp"]),
+    ts_type=st.sampled_from(["long", "int", "timestamp", "timestamp_ntz"]),
 )
 def test_asof_join_matches_python_reference(spark, lefts, rights, tol,
                                             ts_type):
@@ -1095,7 +1095,7 @@ def test_asof_join_matches_python_reference(spark, lefts, rights, tol,
     def mk(t):
         # session-tz-naive datetimes round-trip createDataFrame/collect
         # unchanged, so the python replay compares apples to apples
-        if t is None or ts_type != "timestamp":
+        if t is None or not ts_type.startswith("timestamp"):
             return t
         return base + datetime.timedelta(microseconds=t)
 
@@ -1112,6 +1112,7 @@ def test_asof_join_matches_python_reference(spark, lefts, rights, tol,
     # native-type carry (dtypes spells LongType as 'bigint')
     assert dict(out.dtypes)["asof_ts"] == {
         "long": "bigint", "int": "int", "timestamp": "timestamp",
+        "timestamp_ntz": "timestamp_ntz",
     }[ts_type]
     got = {r["event_id"]: (r["asof_ts"], r["px"]) for r in out.collect()}
     assert len(got) == len(lefts)  # NULL-keyed left rows still come back
