@@ -220,12 +220,14 @@ class ForestInference(Base):
              storage_type: str = "DENSE", model_type: str = "xgboost",
              handle=None) -> "ForestInference":
         """File loader matching the reference's primary entry point
-        (fil.pyx:459 ``ForestInference.load``): xgboost JSON tree-dump
-        files and LightGBM TEXT models (``Booster.save_model`` output,
-        ``model_type='lightgbm'``) parse natively; the remaining binary
-        treelite formats ('protobuf', xgboost binary) need the treelite
-        package, which is not bundled — those raise naming the missing
-        dependency rather than mis-parsing.
+        (fil.pyx:459 ``ForestInference.load``): xgboost JSON in BOTH
+        public layouts — native ``save_model('model.json')`` files
+        (auto-detected by the ``learner`` key) and ``get_dump`` tree
+        dumps — and LightGBM TEXT models (``Booster.save_model``
+        output, ``model_type='lightgbm'``) parse natively; the
+        remaining binary treelite formats ('protobuf', xgboost binary)
+        need the treelite package, which is not bundled — those raise
+        naming the missing dependency rather than mis-parsing.
 
         ``algo`` / ``storage_type`` are accepted for signature parity: they
         select GPU kernel layouts in the reference (fil.h storage_type_t) and
@@ -259,14 +261,19 @@ class ForestInference(Base):
             payload = json.loads(text)
         except json.JSONDecodeError as e:
             raise NotImplementedError(
-                f"{filename} is not an xgboost JSON tree dump (binary "
-                "xgboost/treelite models need the treelite runtime, not "
-                f"bundled): {e}"
+                f"{filename} is not xgboost JSON (binary xgboost/treelite "
+                "models need the treelite runtime, not bundled; export "
+                f"with save_model('model.json') or get_dump): {e}"
             ) from None
-        out = cls.load_from_xgboost_json(
-            payload, output="class" if output_class else "raw",
-            threshold=threshold,
-        )
+        if isinstance(payload, dict) and "learner" in payload:
+            # native save_model('model.json') layout
+            out = cls.load_from_xgboost_model(
+                payload, output_class=output_class, threshold=threshold)
+        else:
+            out = cls.load_from_xgboost_json(
+                payload, output="class" if output_class else "raw",
+                threshold=threshold,
+            )
         if handle is not None:
             out.handle = handle
         return out
@@ -282,6 +289,94 @@ class ForestInference(Base):
         trees = [json.loads(t) if isinstance(t, str) else t for t in payload]
         model._trees = [_flatten_xgb_tree(t) for t in trees]
         return model
+
+    @classmethod
+    def load_from_xgboost_model(cls, model: str | dict,
+                                output_class: bool = False,
+                                threshold: float = 0.5) -> "ForestInference":
+        """Import a native xgboost ``save_model`` JSON (``model.json`` —
+        the format users actually have on disk, vs ``get_dump``'s
+        per-tree dump this class also accepts; reference surface
+        fil.pyx:445-459 via treelite).  Trees come as the public flat
+        arrays under ``learner.gradient_booster.model.trees[]``
+        (left/right_children, split_indices, split_conditions — which
+        hold the LEAF VALUE at leaf nodes — and default_left);
+        routing is xgboost's ``x < threshold`` left.
+
+        ``base_score`` is stored in OUTPUT space (probability for
+        ``binary:logistic``) and enters the margin through the
+        objective's prob-to-margin link, exactly as xgboost's own
+        predictor applies it: logit for binary:logistic, identity for
+        regression.  Multiclass, ranking and non-gbtree boosters
+        (gblinear/dart) are refused by name rather than mis-scored."""
+        payload = json.loads(model) if isinstance(model, str) else model
+        try:
+            learner = payload["learner"]
+            booster = learner["gradient_booster"]
+            booster_name = booster.get("name", "gbtree")
+            trees_json = booster["model"]["trees"]
+            mparam = learner["learner_model_param"]
+        except (KeyError, TypeError) as e:
+            raise ValueError(
+                f"not an xgboost save_model JSON (missing {e}); for "
+                "get_dump(dump_format='json') output use "
+                "load_from_xgboost_json"
+            ) from None
+        if booster_name != "gbtree":
+            raise NotImplementedError(
+                f"booster {booster_name!r} is not supported — only gbtree "
+                "forests score here (gblinear has no trees; dart needs "
+                "per-tree weights)"
+            )
+        if int(mparam.get("num_class", "0") or 0) > 1:
+            raise NotImplementedError(
+                "multiclass xgboost models are not supported — the FIL "
+                "surface here (like the reference's, fil.pyx:375) is "
+                "binary/regression"
+            )
+        objective = learner.get("objective", {}).get("name", "reg:squarederror")
+        base_prob = float(mparam.get("base_score", "0.5"))
+        if objective == "binary:logistic":
+            # ProbToMargin: the stored base_score is a probability
+            eps = np.finfo(np.float64).eps
+            p = float(np.clip(base_prob, eps, 1 - eps))
+            base = float(np.log(p / (1.0 - p)))
+            out_mode = "class" if output_class else "sigmoid"
+        elif objective.startswith(("reg:squarederror", "reg:absoluteerror",
+                                   "reg:pseudohubererror", "reg:linear")):
+            base = base_prob  # identity link
+            out_mode = "raw"
+        else:
+            raise NotImplementedError(
+                f"objective {objective!r} is not supported — supported: "
+                "binary:logistic and identity-link regression objectives"
+            )
+        flat = []
+        for tj in trees_json:
+            if tj.get("categories"):
+                raise NotImplementedError(
+                    "categorical splits in xgboost models are not "
+                    "supported — re-train with one-hot/target encoding"
+                )
+            lc = np.asarray(tj["left_children"], dtype=np.int64)
+            rc = np.asarray(tj["right_children"], dtype=np.int64)
+            n = len(lc)
+            t = _FlatTree(n)
+            leaf = lc < 0
+            t.left, t.right = lc, rc
+            t.feature = np.where(
+                leaf, -1, np.asarray(tj["split_indices"], dtype=np.int64))
+            cond = np.asarray(tj["split_conditions"], dtype=np.float64)
+            t.threshold = np.where(leaf, 0.0, cond)
+            t.value = np.where(leaf, cond, 0.0)  # leaves carry the value
+            t.default_left = np.asarray(
+                tj["default_left"], dtype=np.int64).astype(bool)
+            t.le_split = False  # xgboost routes x < threshold LEFT
+            flat.append(t)
+        model_out = cls(output=out_mode, threshold=threshold,
+                        base_score=base)
+        model_out._trees = flat
+        return model_out
 
     @classmethod
     def load_from_lightgbm_text(cls, model_str: str,

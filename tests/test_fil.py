@@ -500,3 +500,94 @@ def test_fil_codegen_threshold_routes_paths(spark):
     assert "ArrowEvalPython" in plan
     with pytest.raises(ValueError, match="codegen"):
         small.predict(df, ["f0"], "p", codegen="sometimes")
+
+
+def _native_model(objective="binary:logistic", base_score="0.5",
+                  num_class="0", booster="gbtree", categories=None):
+    """Hand-built native save_model JSON equivalent to _TREE0/_TREE1:
+    the flat-array layout xgboost's Booster.save_model('model.json')
+    writes (split_conditions carry leaf values at leaves)."""
+    trees = [
+        {  # tree0: nodes 0,1,2(leaf -0.3),3(leaf .4),4(leaf -.2)
+            "left_children": [1, 3, -1, -1, -1],
+            "right_children": [2, 4, -1, -1, -1],
+            "split_indices": [0, 1, 0, 0, 0],
+            "split_conditions": [1.0, 0.5, -0.3, 0.4, -0.2],
+            "default_left": [1, 1, 0, 0, 0],
+            "categories": categories or [],
+        },
+        {
+            "left_children": [1, -1, -1],
+            "right_children": [2, -1, -1],
+            "split_indices": [1, 0, 0],
+            "split_conditions": [2.0, 0.1, -0.5],
+            "default_left": [1, 0, 0],
+            "categories": [],
+        },
+    ]
+    return {
+        "learner": {
+            "gradient_booster": {"name": booster, "model": {"trees": trees}},
+            "learner_model_param": {"base_score": base_score,
+                                    "num_class": num_class},
+            "objective": {"name": objective},
+        },
+        "version": [2, 0, 0],
+    }
+
+
+def test_fil_xgboost_native_model_matches_dump(tmp_path, points_df):
+    """The native save_model JSON scores identically to the equivalent
+    get_dump trees — same < routing, leaf values from split_conditions —
+    and load() auto-detects the layout by the 'learner' key."""
+    import math
+
+    dump = ForestInference.load_from_xgboost_json(
+        json.dumps([_TREE0, _TREE1]), output="sigmoid")
+    native = ForestInference.load_from_xgboost_model(_native_model())
+    a = {r["id"]: r["p"] for r in dump.predict(
+        points_df, ["f0", "f1"], "p").collect()}
+    b = {r["id"]: r["p"] for r in native.predict(
+        points_df, ["f0", "f1"], "p").collect()}
+    assert a == b  # base_score 0.5 → logit 0 → identical margins
+    path = tmp_path / "model.json"
+    path.write_text(json.dumps(_native_model()))
+    from_file = ForestInference.load(str(path))
+    c = {r["id"]: r["p"] for r in from_file.predict(
+        points_df, ["f0", "f1"], "p").collect()}
+    assert c == b
+    # non-default base_score enters through the logit link (xgboost's
+    # ProbToMargin), NOT as a raw addend
+    shifted = ForestInference.load_from_xgboost_model(
+        _native_model(base_score="0.25"))
+    assert shifted.base_score == pytest.approx(math.log(0.25 / 0.75))
+    d = {r["id"]: r["p"] for r in shifted.predict(
+        points_df, ["f0", "f1"], "p").collect()}
+    for k in b:
+        raw_b = math.log(b[k] / (1 - b[k]))
+        assert d[k] == pytest.approx(
+            1 / (1 + math.exp(-(raw_b + shifted.base_score))), rel=1e-9)
+    # regression objective: identity link, raw output
+    reg = ForestInference.load_from_xgboost_model(
+        _native_model(objective="reg:squarederror", base_score="1.5"))
+    r = {row["id"]: row["p"] for row in reg.predict(
+        points_df, ["f0", "f1"], "p").collect()}
+    pts = {row["id"]: (row["f0"], row["f1"]) for row in points_df.collect()}
+    for k, (x0, x1) in pts.items():
+        assert r[k] == pytest.approx(_manual_score(x0, x1) + 1.5, rel=1e-12)
+
+
+def test_fil_xgboost_native_model_refusals():
+    with pytest.raises(NotImplementedError, match="gblinear"):
+        ForestInference.load_from_xgboost_model(
+            _native_model(booster="gblinear"))
+    with pytest.raises(NotImplementedError, match="multiclass"):
+        ForestInference.load_from_xgboost_model(_native_model(num_class="3"))
+    with pytest.raises(NotImplementedError, match="objective"):
+        ForestInference.load_from_xgboost_model(
+            _native_model(objective="rank:pairwise"))
+    with pytest.raises(NotImplementedError, match="categorical"):
+        ForestInference.load_from_xgboost_model(
+            _native_model(categories=[1]))
+    with pytest.raises(ValueError, match="save_model"):
+        ForestInference.load_from_xgboost_model({"not": "a model"})
