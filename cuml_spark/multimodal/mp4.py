@@ -71,7 +71,17 @@ def parse_mp4(buf: bytes) -> dict:
     → ``{"brand", "movie_timescale", "movie_duration", "tracks": [
     {"track_id", "handler", "codec", "width", "height", "timescale",
     "duration", "n_samples"}, ...]}``.  Raises ``ValueError`` when the
-    bytes are not ISO-BMFF (no ``ftyp``/``moov``)."""
+    bytes are not ISO-BMFF (no ``ftyp``/``moov``) — including when a
+    box is well-sized for the walker but its payload is truncated
+    below the fields read here (struct/index errors would otherwise
+    escape probe_media's ValueError-only filter and kill the task)."""
+    try:
+        return _parse_mp4_inner(buf)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated ISO-BMFF box payload: {e}") from None
+
+
+def _parse_mp4_inner(buf: bytes) -> dict:
     out: dict = {"brand": None, "movie_timescale": None,
                  "movie_duration": None, "tracks": []}
     moov = None

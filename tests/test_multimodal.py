@@ -1365,3 +1365,21 @@ def test_audio_parsers_truncation_and_null_robustness(spark):
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r["media_id"] for r in probe_audio(df).collect()}
     assert got == {0, 3}
+
+
+def test_parse_mp4_truncated_box_payloads_raise_valueerror():
+    """r12: boxes that pass the walker's size check but carry payloads
+    shorter than the fields read from them must raise ValueError —
+    struct.error/IndexError would escape probe_media's filter catch."""
+    import struct
+
+    from cuml_spark.multimodal.mp4 import parse_mp4
+
+    def box(four, payload):
+        return struct.pack(">I", 8 + len(payload)) + four + payload
+
+    for crafted in (box(b"moov", box(b"mvhd", b"\x00" * 4)),
+                    box(b"moov", box(b"mvhd", b"")),
+                    box(b"moov", box(b"trak", box(b"tkhd", b"\x00" * 3)))):
+        with pytest.raises(ValueError, match="truncated ISO-BMFF"):
+            parse_mp4(crafted)
