@@ -6,6 +6,11 @@ from cuml_spark.multimodal.audio import (
     probe_audio,
     probe_stream,
 )
+from cuml_spark.multimodal.h264 import (
+    build_h264,
+    parse_h264,
+    probe_h264,
+)
 from cuml_spark.multimodal.media import (
     MEDIA_SCHEMA,
     decode_audio,
@@ -21,8 +26,11 @@ __all__ = [
     "MEDIA_SCHEMA",
     "build_adts",
     "build_flac",
+    "build_h264",
     "build_mp3",
     "build_ogg",
+    "parse_h264",
+    "probe_h264",
     "probe_audio",
     "probe_stream",
     "decode_audio",

@@ -1383,3 +1383,84 @@ def test_parse_mp4_truncated_box_payloads_raise_valueerror():
                     box(b"moov", box(b"trak", box(b"tkhd", b"\x00" * 3)))):
         with pytest.raises(ValueError, match="truncated ISO-BMFF"):
             parse_mp4(crafted)
+
+
+# ---------------------------------------------------------------------------
+# H.264 Annex-B elementary-stream probing (r12)
+# ---------------------------------------------------------------------------
+
+def test_h264_probe_roundtrip_and_semantics():
+    """build→parse round trips: SPS exp-Golomb fields, crop equations,
+    NAL/frame/IDR counts, emulation-prevention transparency."""
+    from cuml_spark.multimodal.h264 import (_add_emulation,
+                                            _strip_emulation, build_h264,
+                                            parse_h264)
+
+    m = parse_h264(build_h264(8, 6, 10, profile_idc=66, idr_every=4))
+    assert (m["profile"], m["width"], m["height"], m["n_frames"],
+            m["n_idr"], m["n_nal_units"]) == ("baseline", 128, 96, 10, 3, 12)
+    # 1080p needs cropping: 68 mb rows = 1088 luma rows, crop_bottom=4
+    # crop units (4:2:0 progressive → 2 rows each) = 1080
+    m = parse_h264(build_h264(120, 68, 5, profile_idc=100, level_idc=40,
+                              crop_bottom=4))
+    assert (m["profile"], m["level_idc"], m["width"], m["height"]) == (
+        "high", 40, 1920, 1080)
+    # emulation prevention is lossless for every 00 00 0x shape
+    for payload in (b"\x00\x00\x01", b"\x00\x00\x00\x00\x00",
+                    b"\x00\x00\x02\x00\x00\x03", b"\x00" * 7 + b"\x01"):
+        assert _strip_emulation(_add_emulation(payload)) == payload
+
+
+def test_h264_probe_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cuml_spark.multimodal.h264 import build_h264, parse_h264
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        wmbs=st.integers(1, 256), hmbs=st.integers(1, 128),
+        n=st.integers(1, 30), idr=st.integers(1, 10),
+        prof=st.sampled_from([66, 77, 100, 110]),
+        cr=st.integers(0, 7), cb=st.integers(0, 7),
+    )
+    def inner(wmbs, hmbs, n, idr, prof, cr, cb):
+        m = parse_h264(build_h264(wmbs, hmbs, n, profile_idc=prof,
+                                  idr_every=idr, crop_right=cr,
+                                  crop_bottom=cb))
+        assert m["profile_idc"] == prof
+        assert m["width"] == wmbs * 16 - 2 * cr
+        assert m["height"] == hmbs * 16 - 2 * cb
+        assert m["n_frames"] == n
+        assert m["n_idr"] == (n + idr - 1) // idr
+
+    inner()
+
+
+def test_h264_refusals_and_truncation_are_valueerror():
+    from cuml_spark.multimodal.h264 import build_h264, parse_h264
+
+    whole = build_h264(4, 4, 3)
+    with pytest.raises(ValueError):
+        parse_h264(b"\xffnot a stream")
+    with pytest.raises(ValueError):  # slices but no SPS
+        parse_h264(b"\x00\x00\x01\x41" + b"\x01" * 8)
+    # SPS truncated mid-field → ValueError from the bit reader
+    with pytest.raises(ValueError):
+        parse_h264(whole[:8])
+
+
+def test_probe_h264_distributed(spark):
+    from cuml_spark.multimodal.h264 import build_h264, probe_h264
+
+    rows = [(0, bytearray(build_h264(4, 3, 6, idr_every=3))),
+            (1, None),
+            (2, bytearray(b"garbage")),
+            (3, bytearray(build_h264(10, 10, 2, profile_idc=100)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r.asDict() for r in probe_h264(df).collect()}
+    assert set(out) == {0, 3}
+    assert (out[0]["width"], out[0]["height"], out[0]["n_idr"]) == (64, 48, 2)
+    assert out[3]["profile"] == "high"
+    plan = probe_h264(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan
