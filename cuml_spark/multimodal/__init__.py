@@ -11,6 +11,10 @@ from cuml_spark.multimodal.h264 import (
     parse_h264,
     probe_h264,
 )
+from cuml_spark.multimodal.image_probe import (
+    probe_image,
+    probe_image_bytes,
+)
 from cuml_spark.multimodal.media import (
     MEDIA_SCHEMA,
     decode_audio,
@@ -31,6 +35,8 @@ __all__ = [
     "build_ogg",
     "parse_h264",
     "probe_h264",
+    "probe_image",
+    "probe_image_bytes",
     "probe_audio",
     "probe_stream",
     "decode_audio",

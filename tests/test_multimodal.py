@@ -1464,3 +1464,113 @@ def test_probe_h264_distributed(spark):
     assert out[3]["profile"] == "high"
     plan = probe_h264(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# image header probing (r12)
+# ---------------------------------------------------------------------------
+
+def _webp(kind: str, w: int, h: int, alpha: bool = False) -> bytes:
+    import struct
+
+    if kind == "lossy":
+        body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + struct.pack("<HH", w, h))
+        four = b"VP8 "
+    elif kind == "lossless":
+        bits = (w - 1) | ((h - 1) << 14) | (int(alpha) << 28)
+        body = bytes((0x2F,)) + struct.pack("<I", bits)
+        four = b"VP8L"
+    else:
+        body = (bytes((0x10 if alpha else 0,)) + b"\x00" * 3
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        four = b"VP8X"
+    chunk = four + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) % 2 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _avif(w: int, h: int, brand: bytes = b"avif") -> bytes:
+    import struct
+
+    from cuml_spark.multimodal.mp4 import _box
+
+    ispe = _box(b"ispe", struct.pack(">I", 0) + struct.pack(">II", w, h))
+    meta = _box(b"meta", struct.pack(">I", 0)
+                + _box(b"iprp", _box(b"ipco", ispe)))
+    return _box(b"ftyp", brand + struct.pack(">I", 0) + b"avifmif1") + meta
+
+
+def test_probe_image_matches_own_encoders():
+    """Header probing cross-validated against this repo's own encoders:
+    the probe's dimensions must equal what the codec wrote — for PNG
+    (gray + RGB), baseline/progressive/lossless JPEG."""
+    from cuml_spark.multimodal.codecs import encode_png
+    from cuml_spark.multimodal.image_probe import probe_image_bytes
+    from cuml_spark.multimodal.jpeg import encode_jpeg
+    from cuml_spark.multimodal.jpeg_lossless import encode_jpeg_lossless
+    from cuml_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    img = (np.arange(17 * 23) % 251).reshape(23, 17).astype(np.uint8)
+    rgb = np.stack([img] * 3, axis=-1)
+    cases = [
+        (encode_png(img), "png", 1), (encode_png(rgb), "png", 3),
+        (encode_jpeg(img), "jpeg-baseline", 1),
+        (encode_jpeg_progressive(rgb), "jpeg-progressive", 3),
+        (encode_jpeg_lossless(img), "jpeg-lossless", 1),
+    ]
+    for blob, fmt, ch in cases:
+        m = probe_image_bytes(blob)
+        assert (m["format"], m["width"], m["height"], m["channels"]) == (
+            fmt, 17, 23, ch), fmt
+
+
+def test_probe_image_webp_avif_and_misc_formats():
+    import struct
+
+    from cuml_spark.multimodal.image_probe import probe_image_bytes
+
+    m = probe_image_bytes(_webp("lossy", 800, 600))
+    assert (m["format"], m["width"], m["height"]) == ("webp-lossy", 800, 600)
+    m = probe_image_bytes(_webp("lossless", 1920, 1080, alpha=True))
+    assert (m["format"], m["width"], m["height"], m["channels"]) == (
+        "webp-lossless", 1920, 1080, 4)
+    m = probe_image_bytes(_webp("extended", 256, 128, alpha=True))
+    assert (m["format"], m["width"], m["height"]) == (
+        "webp-extended", 256, 128)
+    m = probe_image_bytes(_avif(1024, 768))
+    assert (m["format"], m["width"], m["height"]) == ("avif", 1024, 768)
+    m = probe_image_bytes(_avif(32, 16, brand=b"heic"))
+    assert (m["format"], m["width"], m["height"]) == ("heif", 32, 16)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes((0xF7, 0, 0))
+    assert probe_image_bytes(gif)["width"] == 320
+    ppm = b"P6\n# comment\n640 480\n65535\n"
+    m = probe_image_bytes(ppm)
+    assert (m["width"], m["height"], m["bit_depth"]) == (640, 480, 16)
+    # refusals: garbage, WAV RIFF, JPEG with no SOF — ValueError always
+    for bad in (b"garbage!", b"RIFF\x00\x00\x00\x00WAVEdata",
+                b"\xff\xd8\xff\xd9", _webp("lossy", 8, 8)[:14], b""):
+        with pytest.raises(ValueError):
+            probe_image_bytes(bad)
+
+
+def test_probe_image_distributed(spark):
+    from cuml_spark.multimodal.codecs import encode_png
+    from cuml_spark.multimodal.image_probe import probe_image
+
+    img = np.zeros((6, 9), dtype=np.uint8)
+    rows = [(0, bytearray(encode_png(img))),
+            (1, bytearray(_webp("lossy", 100, 50))),
+            (2, None), (3, bytearray(b"junk")),
+            (4, bytearray(_avif(640, 360)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r.asDict() for r in probe_image(df).collect()}
+    assert set(out) == {0, 1, 4}
+    assert (out[0]["width"], out[0]["height"]) == (9, 6)
+    assert out[1]["format"] == "webp-lossy"
+    assert out[4]["format"] == "avif"
+    plan = probe_image(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan
