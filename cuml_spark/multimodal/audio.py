@@ -29,11 +29,10 @@ has no media tier — this is part of the training-data-pipeline brief.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
+
+from cuml_spark.multimodal.probe_base import probe_map
 
 # ---------------------------------------------------------------------------
 # MP3 (MPEG-1/2/2.5 Layer III) — public header tables
@@ -369,30 +368,19 @@ def probe_stream(buf: bytes) -> dict:
     raise ValueError("unrecognized audio stream")
 
 
+def _rows(mid: int, buf: bytes) -> list[tuple]:
+    meta = probe_stream(buf)
+    return [(mid,) + tuple(meta[c] for c in _PROBE_COLS[1:])]
+
+
 def probe_audio(df: DataFrame, content_col: str = "content",
                 id_col: str = "media_id") -> DataFrame:
     """binary compressed-audio → one metadata row per blob.
 
-    Per-partition ``mapInPandas``; unparseable blobs yield zero rows (the
-    pipeline filter semantic — count in/out to quantify).  Bytes stay on
-    the executors; the plan is map-only."""
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf[id_col], pdf[content_col]):
-                if content is None:
-                    continue  # NULL payload rows filter like garbage ones
-                try:
-                    meta = probe_stream(bytes(content))
-                except ValueError:
-                    continue
-                rows.append((int(mid),) + tuple(
-                    meta[c] for c in _PROBE_COLS[1:]))
-            out = pd.DataFrame(rows, columns=_PROBE_COLS)
-            # nullable int64 so planted-None columns keep integer dtype
-            for c in _PROBE_COLS[3:]:
-                out[c] = out[c].astype("Int64")
-            out["media_id"] = out["media_id"].astype(np.int64)
-            yield out
-
-    return df.mapInPandas(kernel, AUDIO_PROBE_SCHEMA)
+    Per-partition ``mapInPandas``; unparseable and NULL blobs yield zero
+    rows (the probe-tier filter semantic — the shared kernel in
+    :mod:`cuml_spark.multimodal.probe_base`).  Bytes stay on the
+    executors; the plan is map-only."""
+    return probe_map(df, _rows, _PROBE_COLS, AUDIO_PROBE_SCHEMA,
+                     _PROBE_COLS[3:], content_col=content_col,
+                     id_col=id_col)

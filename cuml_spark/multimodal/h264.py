@@ -24,11 +24,9 @@ part of the training-data-pipeline brief.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
+
+from cuml_spark.multimodal.probe_base import probe_map
 
 # NAL unit types (Table 7-1)
 _NAL_SLICE = 1       # coded slice, non-IDR
@@ -287,27 +285,18 @@ _COLS = ["media_id", "profile", "profile_idc", "level_idc", "width",
          "height", "n_nal_units", "n_frames", "n_idr"]
 
 
+def _rows(mid: int, buf: bytes) -> list[tuple]:
+    m = parse_h264(buf)
+    return [(mid, m["profile"], m["profile_idc"], m["level_idc"],
+             m["width"], m["height"], m["n_nal_units"], m["n_frames"],
+             m["n_idr"])]
+
+
 def probe_h264(df: DataFrame, content_col: str = "content",
                id_col: str = "media_id") -> DataFrame:
-    """binary Annex-B H.264 → one metadata row per blob; unparseable or
-    unsupported (interlaced/scaling-matrix) blobs filter.  Map-only."""
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf[id_col], pdf[content_col]):
-                if content is None:
-                    continue
-                try:
-                    m = parse_h264(bytes(content))
-                except (ValueError, NotImplementedError):
-                    continue
-                rows.append((int(mid), m["profile"], m["profile_idc"],
-                             m["level_idc"], m["width"], m["height"],
-                             m["n_nal_units"], m["n_frames"], m["n_idr"]))
-            out = pd.DataFrame(rows, columns=_COLS)
-            for c in _COLS[2:]:
-                out[c] = out[c].astype("Int64")
-            out["media_id"] = out["media_id"].astype(np.int64)
-            yield out
-
-    return df.mapInPandas(kernel, H264_PROBE_SCHEMA)
+    """binary Annex-B H.264 → one metadata row per blob; unparseable,
+    unsupported (interlaced/scaling-matrix) and NULL blobs filter (the
+    shared probe-tier kernel).  Map-only."""
+    return probe_map(df, _rows, _COLS, H264_PROBE_SCHEMA, _COLS[2:],
+                     catch=(ValueError, NotImplementedError),
+                     content_col=content_col, id_col=id_col)

@@ -23,13 +23,11 @@ part of the training-data-pipeline brief.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 
 from cuml_spark.multimodal.mp4 import _find, _walk
+from cuml_spark.multimodal.probe_base import probe_map
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -61,7 +59,7 @@ def _probe_jpeg(buf: bytes) -> dict:
             continue
         (seglen,) = struct.unpack(">H", buf[pos + 2:pos + 4])
         if marker in _JPEG_SOFS:
-            if pos + 9 > len(buf):
+            if pos + 10 > len(buf):  # the unpack below reads [pos+4, pos+10)
                 raise ValueError("truncated SOF segment")
             depth, h, w, ncomp = struct.unpack(
                 ">BHHB", buf[pos + 4:pos + 10])
@@ -85,11 +83,23 @@ def _probe_gif(buf: bytes) -> dict:
 
 
 def _probe_bmp(buf: bytes) -> dict:
-    if buf[:2] != b"BM" or len(buf) < 30:
+    if buf[:2] != b"BM" or len(buf) < 26:
         raise ValueError("not a BMP")
-    w, h = struct.unpack("<ii", buf[18:26])
-    (bpp,) = struct.unpack("<H", buf[28:30])
-    return {"format": "bmp", "width": w, "height": abs(h),
+    # the DIB header SIZE field at 14 selects the layout: 12 = OS/2
+    # BITMAPCOREHEADER (u16 w/h), >= 40 = BITMAPINFOHEADER family
+    # (i32 w/h) — reading core files with the info layout fuses
+    # width|height<<16 into garbage dimensions
+    (dib,) = struct.unpack("<I", buf[14:18])
+    if dib == 12:
+        w, h = struct.unpack("<HH", buf[18:22])
+        (bpp,) = struct.unpack("<H", buf[24:26])
+    elif dib >= 40 and len(buf) >= 30:
+        w, h = struct.unpack("<ii", buf[18:26])
+        h = abs(h)
+        (bpp,) = struct.unpack("<H", buf[28:30])
+    else:
+        raise ValueError(f"unsupported BMP DIB header size {dib}")
+    return {"format": "bmp", "width": w, "height": h,
             "bit_depth": min(bpp, 8) if bpp else None,
             "channels": bpp // 8 if bpp >= 8 else 1}
 
@@ -116,6 +126,9 @@ def _probe_ppm(buf: bytes) -> dict:
             i = j
     if len(toks) < 3:
         raise ValueError("truncated netpbm header")
+    if any(len(t) > 9 for t in toks):  # ASCII fields are unbounded —
+        # a crafted 10^23 "width" must filter, not overflow int64 later
+        raise ValueError("implausible netpbm header field")
     w, h, maxval = (int(t) for t in toks)
     return {"format": "ppm", "width": w, "height": h,
             "bit_depth": 16 if maxval > 255 else 8,
@@ -224,26 +237,17 @@ IMAGE_PROBE_SCHEMA = ("media_id long, format string, width long, "
 _COLS = ["media_id", "format", "width", "height", "bit_depth", "channels"]
 
 
+def _rows(mid: int, buf: bytes) -> list[tuple]:
+    m = probe_image_bytes(buf)
+    return [(mid, m["format"], m["width"], m["height"], m["bit_depth"],
+             m["channels"])]
+
+
 def probe_image(df: DataFrame, content_col: str = "content",
                 id_col: str = "media_id") -> DataFrame:
     """binary image blobs → one (format, width, height, depth, channels)
-    row per parseable blob; NULL/garbage rows filter.  Map-only."""
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf[id_col], pdf[content_col]):
-                if content is None:
-                    continue
-                try:
-                    m = probe_image_bytes(bytes(content))
-                except ValueError:
-                    continue
-                rows.append((int(mid), m["format"], m["width"],
-                             m["height"], m["bit_depth"], m["channels"]))
-            out = pd.DataFrame(rows, columns=_COLS)
-            for c in _COLS[2:]:
-                out[c] = out[c].astype("Int64")
-            out["media_id"] = out["media_id"].astype(np.int64)
-            yield out
-
-    return df.mapInPandas(kernel, IMAGE_PROBE_SCHEMA)
+    row per parseable blob; NULL/garbage rows filter (the shared
+    probe-tier kernel in :mod:`cuml_spark.multimodal.probe_base`).
+    Map-only."""
+    return probe_map(df, _rows, _COLS, IMAGE_PROBE_SCHEMA, _COLS[2:],
+                     content_col=content_col, id_col=id_col)

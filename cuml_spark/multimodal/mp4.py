@@ -24,10 +24,7 @@ no media tier — this is part of the training-data-pipeline brief.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 
 
@@ -202,31 +199,32 @@ _PROBE_SCHEMA = ("media_id long, brand string, movie_timescale long, "
                  "width long, height long, n_samples long, duration long")
 
 
+_PROBE_COLS = ["media_id", "brand", "movie_timescale", "track_id",
+               "handler", "codec", "width", "height", "n_samples",
+               "duration"]
+_PROBE_INT_COLS = ["movie_timescale", "track_id", "width", "height",
+                   "n_samples", "duration"]
+
+
+def _rows(mid: int, buf: bytes) -> list[tuple]:
+    meta = parse_mp4(buf)
+    return [(mid, meta["brand"], meta["movie_timescale"],
+             trk["track_id"], trk["handler"], trk["codec"], trk["width"],
+             trk["height"], trk["n_samples"], trk["duration"])
+            for trk in meta["tracks"]]
+
+
 def probe_media(df: DataFrame, content_col: str = "content",
                 id_col: str = "media_id") -> DataFrame:
     """binary ISO-BMFF → one row per TRACK of container metadata.
 
-    Per-partition ``mapInPandas``; unparseable blobs yield zero rows (the
-    pipeline filter semantic — count in/out to quantify).  Bytes stay on
-    the executors."""
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf[id_col], pdf[content_col]):
-                try:
-                    meta = parse_mp4(bytes(content))
-                except ValueError:
-                    continue
-                for trk in meta["tracks"]:
-                    rows.append((int(mid), meta["brand"],
-                                 meta["movie_timescale"], trk["track_id"],
-                                 trk["handler"], trk["codec"], trk["width"],
-                                 trk["height"], trk["n_samples"],
-                                 trk["duration"]))
-            yield pd.DataFrame(rows, columns=[
-                "media_id", "brand", "movie_timescale", "track_id",
-                "handler", "codec", "width", "height", "n_samples",
-                "duration",
-            ]).astype({"media_id": np.int64})
+    Per-partition ``mapInPandas``; unparseable and NULL blobs yield zero
+    rows (the probe-tier filter semantic — shared kernel in
+    :mod:`cuml_spark.multimodal.probe_base`, which also filters crafted
+    u64 header fields past int64 instead of failing the Arrow cast).
+    Bytes stay on the executors."""
+    from cuml_spark.multimodal.probe_base import probe_map
 
-    return df.mapInPandas(kernel, _PROBE_SCHEMA)
+    return probe_map(df, _rows, _PROBE_COLS, _PROBE_SCHEMA,
+                     _PROBE_INT_COLS, content_col=content_col,
+                     id_col=id_col)

@@ -1574,3 +1574,50 @@ def test_probe_image_distributed(spark):
     assert out[4]["format"] == "avif"
     plan = probe_image(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "Exchange" not in plan
+
+
+def test_probe_tier_review_regressions(spark):
+    """r12 second review pass, pinned: (1) JPEG truncated exactly at the
+    SOF unpack boundary raises ValueError, not struct.error; (2) crafted
+    netpbm/u64 header values past int64 FILTER instead of overflowing
+    the Arrow cast; (3) NULL media_id rows drop in every probe; (4) OS/2
+    BITMAPCOREHEADER BMPs parse their u16 fields correctly."""
+    import struct
+
+    from cuml_spark.multimodal.audio import build_flac, probe_audio
+    from cuml_spark.multimodal.h264 import build_h264, probe_h264
+    from cuml_spark.multimodal.image_probe import (probe_image,
+                                                   probe_image_bytes)
+    from cuml_spark.multimodal.mp4 import _box, probe_media
+
+    # (1) the off-by-one: 9 bytes past the SOF marker
+    trunc = b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x17\x00\x01"
+    with pytest.raises(ValueError):
+        probe_image_bytes(trunc)
+    # (2a) netpbm with a 10^23 width filters
+    with pytest.raises(ValueError):
+        probe_image_bytes(b"P6 99999999999999999999999 10 255 ")
+    # (2b) mp4 with a u64 duration past int64: the blob filters instead
+    # of OverflowError-ing the Int64 cast outside the per-blob try
+    mvhd = _box(b"mvhd", struct.pack(">BxxxQQIQ", 1, 0, 0, 1000, 1 << 63))
+    bomb = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom"
+                ) + _box(b"moov", mvhd)
+    rows = [(0, bytearray(bomb)),
+            (None, bytearray(build_flac(8000, 1, 8, 5))),  # (3) NULL id
+            (2, bytearray(build_flac(8000, 1, 8, 5)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    assert [r["media_id"] for r in probe_media(df).collect()] == []
+    assert [r["media_id"] for r in probe_audio(df).collect()] == [2]
+    h_rows = [(None, bytearray(build_h264(4, 4, 2))),
+              (1, bytearray(build_h264(4, 4, 2)))]
+    hdf = spark.createDataFrame(h_rows, "media_id long, content binary")
+    assert [r["media_id"] for r in probe_h264(hdf).collect()] == [1]
+    i_rows = [(None, bytearray(_webp("lossy", 8, 8))),
+              (1, bytearray(_webp("lossy", 8, 8)))]
+    idf = spark.createDataFrame(i_rows, "media_id long, content binary")
+    assert [r["media_id"] for r in probe_image(idf).collect()] == [1]
+    # (4) OS/2 core-header BMP: u16 width/height at 18/20, bpp at 24
+    core = (b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+            + struct.pack("<HHHH", 100, 50, 1, 24))
+    m = probe_image_bytes(core)
+    assert (m["width"], m["height"], m["channels"]) == (100, 50, 3)
