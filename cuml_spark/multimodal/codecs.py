@@ -54,6 +54,11 @@ def sniff_format(buf: bytes) -> str | None:
         return "gif"
     if buf[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        return "webp"  # dimensions probe-able; pixel decode refused
+    if buf[4:8] == b"ftyp" and buf[8:12] in (b"avif", b"avis", b"heic",
+                                             b"heix", b"mif1"):
+        return "avif"  # dimensions probe-able; pixel decode refused
     return None
 
 

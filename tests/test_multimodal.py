@@ -1621,3 +1621,19 @@ def test_probe_tier_review_regressions(spark):
             + struct.pack("<HHHH", 100, 50, 1, 24))
     m = probe_image_bytes(core)
     assert (m["width"], m["height"], m["channels"]) == (100, 50, 3)
+
+
+def test_sniff_names_webp_avif_and_decode_refusal_names_format(spark):
+    """sniff_format recognizes WebP/AVIF so decode_image's refusal names
+    the real format (probe_image still handles their dimensions)."""
+    from cuml_spark.multimodal import decode_image
+    from cuml_spark.multimodal.codecs import sniff_format
+
+    webp = _webp("lossy", 8, 8)
+    avif = _avif(8, 8)
+    assert sniff_format(webp) == "webp"
+    assert sniff_format(avif) == "avif"
+    df = spark.createDataFrame([(0, bytearray(webp))],
+                               "media_id long, content binary")
+    with pytest.raises(Exception, match="webp"):
+        decode_image(df, decoder="auto").collect()
