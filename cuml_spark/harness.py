@@ -625,7 +625,11 @@ ORACLES.update(ORACLES_STREAMING)
 #       the harness frames at sf0.01 AND sf0.1 (60k + 600k rows,
 #       sorted tuples equal) plus verify_local green, this session.
 #       Deferring one round under the amended rule; it re-enters with
-#       the r10 cohort in r13's window.
+#       the r10 cohort in r13's window.  Late-r12: the probe-kernel
+#       unification (multimodal/probe_base.py) rewired media_probe_mp4
+#       (r10 evidence, owed r13 regardless) and audio_probe_compressed
+#       (in THIS window, so the driver checks the final code) — both
+#       verify_local-green post-migration.
 #   (c) the 3 named r8 deferrals, leading as owed.
 #   (d) all 43 r9-evidence queries (arima_forecast's fill slot went
 #       to the audio_probe_compressed debut — see (a) above).
