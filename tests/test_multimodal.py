@@ -1637,3 +1637,87 @@ def test_sniff_names_webp_avif_and_decode_refusal_names_format(spark):
                                "media_id long, content binary")
     with pytest.raises(Exception, match="webp"):
         decode_image(df, decoder="auto").collect()
+
+
+def test_mp4_roundtrip_property():
+    """Randomized build_mp4 → parse_mp4 agreement over the planted
+    parameter space (brands, track mixes, dimensions, timescales,
+    sample counts) — the property-level counterpart of the planted
+    oracle query."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cuml_spark.multimodal.mp4 import build_mp4, parse_mp4
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def inner(data):
+        n_tracks = data.draw(st.integers(1, 4))
+        brand = data.draw(st.sampled_from(["isom", "mp42", "avc1"]))
+        tracks = []
+        for _ in range(n_tracks):
+            vid = data.draw(st.booleans())
+            tracks.append({
+                "handler": "vide" if vid else "soun",
+                "codec": data.draw(st.sampled_from(
+                    ["avc1", "hvc1", "mp4a", "av01"])),
+                "width": data.draw(st.integers(0, 8192)) if vid else 0,
+                "height": data.draw(st.integers(0, 4320)) if vid else 0,
+                "timescale": data.draw(st.integers(1, 96000)),
+                "duration": data.draw(st.integers(0, 1 << 31)),
+                "n_samples": data.draw(st.integers(0, 1 << 20)),
+            })
+        ts = data.draw(st.integers(1, 1_000_000))
+        dur = data.draw(st.integers(0, 1 << 31))
+        meta = parse_mp4(build_mp4(tracks, movie_timescale=ts,
+                                   movie_duration=dur, brand=brand))
+        assert meta["brand"] == brand
+        assert meta["movie_timescale"] == ts
+        assert meta["movie_duration"] == dur
+        assert len(meta["tracks"]) == n_tracks
+        for spec, got in zip(tracks, meta["tracks"]):
+            assert got["handler"] == spec["handler"]
+            assert got["codec"] == spec["codec"]
+            assert got["width"] == spec["width"]
+            assert got["height"] == spec["height"]
+            assert got["timescale"] == spec["timescale"]
+            assert got["duration"] == spec["duration"]
+            assert got["n_samples"] == spec["n_samples"]
+
+    inner()
+
+
+def test_probe_map_bounds_and_fanout_semantics(spark):
+    """probe_base.probe_map directly: multi-row fan-out per blob, the
+    int64 bounds filter (blob-granular — one bad field drops the whole
+    blob, not just its row), and catch-tuple scoping."""
+    from cuml_spark.multimodal.probe_base import probe_map
+
+    def rows_fn(mid, buf):
+        n = buf[0]
+        if n == 0:
+            raise ValueError("planted refusal")
+        if n == 9:
+            raise KeyError("outside the catch tuple")
+        # fan out n rows; blob 7 plants one beyond-int64 field
+        return [(mid, i, (1 << 63) if (n == 7 and i == 1) else i * 10)
+                for i in range(n)]
+
+    df = spark.createDataFrame(
+        [(1, bytearray([2])), (2, bytearray([0])), (3, bytearray([7])),
+         (4, bytearray([1]))],
+        "media_id long, content binary")
+    out = probe_map(df, rows_fn, ["media_id", "idx", "val"],
+                    "media_id long, idx long, val long", ["idx", "val"])
+    got = sorted((r["media_id"], r["idx"], r["val"])
+                 for r in out.collect())
+    # blob 1 fans out 2 rows; blob 2 refused; blob 3 dropped WHOLE
+    # (one row was in-bounds but the blob carries a bad field); blob 4 ok
+    assert got == [(1, 0, 0), (1, 1, 10), (4, 0, 0)]
+    # an exception outside the catch tuple propagates (not silently eaten)
+    bad = spark.createDataFrame([(5, bytearray([9]))],
+                                "media_id long, content binary")
+    with pytest.raises(Exception):
+        probe_map(bad, rows_fn, ["media_id", "idx", "val"],
+                  "media_id long, idx long, val long",
+                  ["idx", "val"]).collect()
