@@ -66,22 +66,86 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(out: DataFrame, mode: str) -> DataFrame:
+def _backfill_parts(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Scale-adaptive state/shuffle partition count for an availableNow
+    backfill: ~one partition per 32 MB of source parquet, clamped to
+    [2, defaultParallelism].
+
+    Streaming micro-batches get no AQE coalescing, so every stateful
+    operator inherits ``spark.sql.shuffle.partitions`` state stores —
+    each paying a per-batch commit (delta file + rename) and a task
+    launch.  Measured at sf0.1 (streaming_dedup_docs backfill,
+    interleaved ×3): 32 partitions 3.2–3.9 s vs 2 partitions 0.91 s.
+    A 100 TB ingest derives thousands of partitions from the same rule
+    (capped at cluster parallelism), so this is the guide §2.2 "size
+    partitions to the data" rule, not a local[32] constant.
+    ``CUML_SPARK_STREAM_PARTS`` overrides for deployments that pin
+    their state-store count (it must stay FIXED across restarts of a
+    real checkpointed stream — these harness backfills are ephemeral).
+    """
+    import os
+
+    env = os.environ.get("CUML_SPARK_STREAM_PARTS")
+    if env:
+        return max(1, int(env))
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return spark.sparkContext.defaultParallelism
+    return max(2, min(spark.sparkContext.defaultParallelism,
+                      -(-nbytes // (32 << 20))))
+
+
+def _ckpt_base() -> str:
+    """Ephemeral checkpoint root for availableNow→memory-sink backfills.
+
+    These checkpoints live exactly as long as the query (the caller
+    removes them); /dev/shm beats disk for the many tiny state-store
+    commit files when present.  Durable production streams need a real
+    (HDFS/object-store) checkpoint dir instead — override with
+    ``CUML_SPARK_STREAM_CKPT``.
+    """
+    import os
+    import tempfile
+
+    base = os.environ.get("CUML_SPARK_STREAM_CKPT")
+    if base:
+        return base
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+
+
+def _run_to_memory(out: DataFrame, mode: str, parts: int | None = None) -> DataFrame:
+    import shutil
+    import tempfile
+
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return out.sparkSession.table(name)
+    spark = out.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=_ckpt_base())
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # restore BEFORE the caller plans its batch aggregation over the
+        # sink, so only the stream's state partitioning is affected
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
 
 
 def q_streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
-    survivors = _run_to_memory(streaming_dedup(stream), "append")
+    survivors = _run_to_memory(streaming_dedup(stream), "append",
+                               parts=_backfill_parts(spark, sf_dir, "documents"))
     return (
         survivors.groupBy(F.substring("fingerprint", 1, 1).alias("prefix"))
         .agg(
@@ -117,7 +181,8 @@ def q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # complete mode so every window (including the still-open last one) is
     # in the sink — the backfill answer must equal the batch GROUP BY
-    sink = _run_to_memory(out, "complete")
+    sink = _run_to_memory(out, "complete",
+                          parts=_backfill_parts(spark, sf_dir, "events"))
     return sink.select(
         F.datediff(F.col("window_start").cast("date"), F.to_date(F.lit("1970-01-01")))
         .cast("long").alias("day_idx"),
@@ -149,7 +214,8 @@ def q_streaming_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint carries identical token counts and language — the
     per-language budget below is deterministic and replayable."""
     stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
-    sink = _run_to_memory(streaming_clean_corpus(stream), "append")
+    sink = _run_to_memory(streaming_clean_corpus(stream), "append",
+                          parts=_backfill_parts(spark, sf_dir, "documents"))
     return sink.groupBy("pred_lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -179,7 +245,8 @@ def q_streaming_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
     chunks = chunk_documents(stream, 40, overlap=8)
-    sink = _run_to_memory(chunks, "append")
+    sink = _run_to_memory(chunks, "append",
+                          parts=_backfill_parts(spark, sf_dir, "documents"))
     return sink.select(
         "doc_id",
         F.col("chunk_id").cast("long").alias("chunk_id"),
@@ -212,7 +279,8 @@ def q_streaming_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = {_qf_bucket(t): w for t, w in _QF_TOKEN_WEIGHTS}
     scored = score_linear_bow_inline(
         stream, weights, bias=_QF_BIAS, num_buckets=_QF_NUM_BUCKETS)
-    sink = _run_to_memory(scored, "append")
+    sink = _run_to_memory(scored, "append",
+                          parts=_backfill_parts(spark, sf_dir, "documents"))
     return sink.select(
         "doc_id",
         F.round("score", 6).alias("score"),
@@ -239,7 +307,8 @@ def q_streaming_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
     flags = gopher_quality_flags(stream, min_stopword_hits=1)
-    return _run_to_memory(flags, "append")
+    return _run_to_memory(flags, "append",
+                          parts=_backfill_parts(spark, sf_dir, "documents"))
 
 
 def _sql_streaming_gopher_gate() -> str:
@@ -285,7 +354,8 @@ def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = _dsir_gate_model(spark, sf_dir)
     stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
     scored = model.log_weights_inline(stream)
-    sink = _run_to_memory(scored, "append")
+    sink = _run_to_memory(scored, "append",
+                          parts=_backfill_parts(spark, sf_dir, "documents"))
     return sink.select(
         "doc_id", F.round("log_weight", 6).alias("log_weight"))
 
@@ -331,7 +401,8 @@ def q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = _bloom_gate_model(spark, sf_dir)
     stream = _read_stream(spark, sf_dir, "documents", _DOCS_SCHEMA)
     probed = bloom_probe(stream, model, "text")
-    sink = _run_to_memory(probed, "append")
+    sink = _run_to_memory(probed, "append",
+                          parts=_backfill_parts(spark, sf_dir, "documents"))
     return sink.select("doc_id", "maybe_seen")
 
 
@@ -444,7 +515,8 @@ def q_streaming_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = cdc_chunks(stream, window=16, mask_bits=6).select(
         "doc_id", "chunk_id", "start", "chunk_len", "chunk_md5")
-    return _run_to_memory(chunks, "append")
+    return _run_to_memory(chunks, "append",
+                          parts=_backfill_parts(spark, sf_dir, "documents"))
 
 
 def _sql_streaming_cdc_chunks() -> str:
@@ -467,7 +539,8 @@ def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_stream(spark, sf_dir)
     regs = streaming_hll_registers(stream, value_col="user_id", b=10)
-    sink = _run_to_memory(regs, "complete")
+    sink = _run_to_memory(regs, "complete",
+                          parts=_backfill_parts(spark, sf_dir, "events"))
     day = F.datediff(F.col("window_start").cast("date"),
                      F.to_date(F.lit("1970-01-01"))).cast("long")
     est = hll_estimate_from_registers(

@@ -137,6 +137,16 @@ def winnow_overlap(
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     docs_fp = fps.select(F.col(id_col), "fp").distinct()
+    # materialize the distinct (doc, fp) table ONCE: it feeds three
+    # consumers (df_counts, and both sides of the pair join), and the
+    # producer above it is the md5-per-gram fingerprint pass — without
+    # this the optimizer evaluates that pass twice (AQE exchange reuse
+    # only recovers the third copy; measured plan: two full
+    # Scan→Generate→md5 subtrees).  localCheckpoint truncates the
+    # lineage to the ~2/(w+1)-density (id, fp) longs — at any scale the
+    # checkpoint is orders of magnitude smaller than re-hashing the
+    # corpus (guide §3.3/§5: materialise a reused intermediate)
+    docs_fp = docs_fp.localCheckpoint(eager=True)
     df_counts = docs_fp.groupBy("fp").agg(F.count("*").alias("__df"))
     kept = docs_fp.join(
         df_counts.where(F.col("__df") <= max_df).select("fp"), "fp"

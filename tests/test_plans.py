@@ -618,21 +618,31 @@ def test_bloom_probe_zero_shuffle_no_udf(spark):
 
 def test_winnow_fingerprints_map_only_overlap_bounded(spark):
     """Winnowing selection is IN-ROW (zero shuffles — text never leaves
-    its scan partition); the overlap join shuffles only (doc, fp) longs:
-    distinct + df-count + count-per-pair, no cartesian product."""
+    its scan partition, and the scan prunes to id+text); the overlap
+    join shuffles only (doc, fp) longs: distinct + df-count +
+    count-per-pair, no cartesian product.  r12: the distinct (doc, fp)
+    table is localCheckpointed before fanning out to its three
+    consumers, so the md5-per-gram fingerprint pass is evaluated ONCE —
+    the overlap plan itself must contain no md5/Generate work, only
+    scans of the materialized checkpoint."""
     from cuml_spark.text.winnow import winnow_fingerprints, winnow_overlap
 
     documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     fps = winnow_fingerprints(documents, k=4, w=5)
     assert _n_shuffles(fps) == 0
     assert "EvalPython" not in _plan(fps)
+    schemas = _read_schemas(fps)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas)
     out = winnow_overlap(fps, max_df=50, min_shared=2)
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
-    # text is not among the shuffled columns: every exchange key/row is ids+fp
-    schemas = _read_schemas(out)
-    assert schemas and all("lang" not in s and "source" not in s for s in schemas)
+    # the expensive fingerprint subtree lives ONLY in the checkpoint:
+    # no gram hashing (md5) and no explode (Generate) may reappear in
+    # the consuming plan, which reads the checkpointed RDD instead
+    assert "md5" not in plan
+    assert "Generate" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
 
 
 def test_hll_registers_single_bounded_shuffle(spark):

@@ -259,3 +259,40 @@ def test_streaming_fil_inference_matches_batch(spark, tmpdir):
     np.testing.assert_allclose(
         got["prediction"].to_numpy(), want["prediction"].to_numpy(), rtol=0
     )
+
+
+def test_backfill_parts_scale_law(spark, tmpdir, monkeypatch):
+    """r12: availableNow backfills derive their state/shuffle partition
+    count from the SOURCE SIZE (~32 MB per partition, clamped to
+    [2, defaultParallelism]) instead of inheriting the session's full
+    shuffle parallelism — streaming micro-batches get no AQE coalescing,
+    so every extra state store is a per-batch commit for nothing.
+    Measured at sf0.1: 32 partitions 3.2 s vs 2 partitions 0.91 s per
+    backfill (interleaved)."""
+    from cuml_spark.harness_streaming import _backfill_parts
+
+    para = spark.sparkContext.defaultParallelism
+
+    # tiny source -> floor of 2
+    (tmpdir / "documents.parquet").write_bytes(b"x" * 1024)
+    assert _backfill_parts(spark, str(tmpdir), "documents") == 2
+    # missing source -> full parallelism (no size signal)
+    assert _backfill_parts(spark, str(tmpdir), "nope") == para
+    # env override wins
+    monkeypatch.setenv("CUML_SPARK_STREAM_PARTS", "7")
+    assert _backfill_parts(spark, str(tmpdir), "documents") == 7
+    monkeypatch.delenv("CUML_SPARK_STREAM_PARTS")
+    # the 32 MB law, pre-clamp: ceil(bytes / 32MB) capped at parallelism
+    import cuml_spark.harness_streaming as hs
+    import os as _os
+
+    real_getsize = _os.path.getsize
+    monkeypatch.setattr(
+        _os.path, "getsize", lambda p: 96 << 20
+    )  # 96 MB -> 3 parts
+    try:
+        assert _backfill_parts(spark, str(tmpdir), "documents") == min(3, para)
+        monkeypatch.setattr(_os.path, "getsize", lambda p: 1 << 40)  # 1 TB
+        assert _backfill_parts(spark, str(tmpdir), "documents") == para
+    finally:
+        monkeypatch.setattr(_os.path, "getsize", real_getsize)
