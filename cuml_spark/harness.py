@@ -179,8 +179,8 @@ def q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers exactly — values are order statistics (elements of the
     data), no rounding ambiguity beyond the 6dp report convention.
     The two tiers run as two operator calls ON PURPOSE: the query is
-    the driver's only evidence for BOTH exact_quantiles (the
-    TakeOrdered final-selection path) and grouped_exact_quantiles (the
+    the driver's only evidence for BOTH exact_quantiles (the batched
+    window final-selection path, r12) and grouped_exact_quantiles (the
     windowed per-group path); a user wanting both results in one job
     would union a lit('global') scope into the grouped call instead
     (same scan count at 2x rows)."""

@@ -35,9 +35,12 @@ _TREES = [
 
 
 def q_fil_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cuml_spark.core.session import ensure_parallelism
-
-    li = ensure_parallelism(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    # no ensure_parallelism: FIL scoring compiles to a map-only CASE WHEN
+    # projection (zero Python boundary), so injecting a round-robin
+    # repartition only adds a full-frame Exchange before a projection the
+    # scan can feed directly (guide §2.4; interleaved ×4 at sf0.1:
+    # 3.85 s with the shuffle vs 3.43 s without, B faster in all pairs)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     feats = li.select(
         "l_orderkey", "l_linenumber",
         (F.col("l_quantity") / 10.0).alias("f0"),
@@ -121,9 +124,8 @@ def q_fil_lightgbm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing and the binary objective's sigmoid, both of which the
     oracle replays as CASE expressions on rows that sit exactly ON the
     thresholds."""
-    from cuml_spark.core.session import ensure_parallelism
-
-    li = ensure_parallelism(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    # map-only scoring — same no-repartition rationale as q_fil_score
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     feats = li.select(
         "l_orderkey", "l_linenumber",
         (F.col("l_quantity") / 10.0).alias("f0"),

@@ -25,10 +25,12 @@ oracle can twin it):
    cell width;
 3. once a rank's live interval holds ≤ ``collect_threshold`` rows (or
    collapses to a point / stops splitting at double resolution), the
-   remaining selection is ``orderBy(col).limit(needed)`` over the
-   interval — Spark plans it as TakeOrderedAndProject (per-partition
-   top-k, never a global sort), and the needed-th smallest is the max
-   of that bounded prefix.
+   remaining selection for ALL ranks runs as ONE job (r12 — previously
+   one TakeOrdered job per rank): a broadcast intervals table tags each
+   interval-resident row with its rank id and ``row_number`` over a
+   window hash-partitioned by rank id (never range-partitioned — no
+   global sort) picks each rank's needed-th smallest; only
+   interval-resident rows (≤ ranks × collect_threshold) ever shuffle.
 
 Determinism: counts are exact integers; cell identity is one pure
 double expression of (value, lo, width) evaluated only on executors;
@@ -51,8 +53,8 @@ Worst case: values concentrated so a cell never shrinks below the
 threshold (massive duplicate mass) — then the interval collapses to a
 single point in ≤ 1 extra pass (duplicates ARE the answer) since equal
 values all land in one cell of zero width.  ``max_passes`` guards the
-loop; on exhaustion the final TakeOrdered runs with whatever interval
-remains (still exact, just a bigger limit).
+loop; on exhaustion the final selection runs with whatever interval
+remains (still exact, just a bigger shuffle).
 
 No cuML counterpart (dense-matrix data model); first-class here like
 the sketch tier (ops/hll.py, ops/cms.py).
@@ -204,8 +206,21 @@ def exact_quantiles(
                 cum += ci
             else:  # pragma: no cover — counts must reach k by construction
                 raise AssertionError("rank fell outside its interval")
-    out = []
-    for p in probs:
+    # final selection: ALL ranks resolve in ONE distributed-selection job
+    # (r12 — previously one TakeOrderedAndProject job PER rank, i.e. one
+    # extra full scan per prob): a broadcast intervals table tags each
+    # interval-resident row with its rank id, and row_number over a
+    # window hash-partitioned by rank id picks each rank's needed-th
+    # smallest — the grouped twin's final-selection shape.  Only
+    # interval-resident rows (<= len(probs) × collect_threshold by the
+    # loop invariant) ever shuffle; ties order arbitrarily under
+    # row_number but the VALUE at the needed-th position is a property
+    # of the multiset, so the result is deterministic.  The comparison
+    # semantics are unchanged: the same (__v >= lo) & (__v <= hi)
+    # predicate as before, with lo/hi double literals.
+    resolved: dict[float, object] = {}
+    sel_rows = []
+    for j, p in enumerate(probs):
         k, lo, hi, below, cnt, frozen = state[p]
         needed = k - below
         rng = (F.col("__v") >= lo) & (F.col("__v") <= hi)
@@ -216,7 +231,7 @@ def exact_quantiles(
             # when frozen (for integral columns a few double-ulps still
             # bound it: <= ~n_buckets × ulp(lo) longs, e.g. ~64k at
             # magnitude 2^62) — resolve by a bounded value histogram
-            # instead of a needed-sized TakeOrdered
+            # instead of a needed-sized selection
             rows = sorted(
                 (r["__v"], r["c"])
                 for r in base.where(rng)
@@ -231,19 +246,34 @@ def exact_quantiles(
                     v = val
                     break
                 cum += c2
-            out.append((p, v))
+            resolved[p] = v
             continue
-        # needed-th smallest inside [lo, hi] = max of the first `needed`
-        # ascending values — TakeOrderedAndProject over a bounded prefix
-        v = (
-            base.where(rng)
-            .orderBy(F.col("__v").asc())
-            .limit(int(needed))
-            .agg(F.max("__v").alias("q"))
-            .first()["q"]
+        sel_rows.append((j, float(lo), float(hi), int(needed)))
+    if sel_rows:
+        from pyspark.sql.window import Window
+
+        spark = df.sparkSession
+        iv = F.broadcast(spark.createDataFrame(
+            sel_rows, "__j int, __lo double, __hi double, __needed long"
+        ))
+        w = Window.partitionBy("__j").orderBy(F.col("__v").asc())
+        hits = (
+            base.join(
+                iv,
+                (F.col("__v") >= F.col("__lo"))
+                & (F.col("__v") <= F.col("__hi")),
+            )
+            .select("__j", "__v", "__needed")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == F.col("__needed"))
+            .select("__j", "__v")
+            .collect()
         )
-        out.append((p, v))
-    return out
+        by_j = {r["__j"]: r["__v"] for r in hits}
+        for j, p in enumerate(probs):
+            if p not in resolved:
+                resolved[p] = by_j.get(j)
+    return [(p, resolved[p]) for p in probs]
 
 
 def grouped_exact_quantiles(
