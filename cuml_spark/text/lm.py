@@ -393,6 +393,18 @@ def bigram_lm_scores(
     token_sep = " " if token_sep is None else token_sep
     src = lm_corpus if lm_corpus is not None else df
     model_pairs = _bigram_rows(src, text_col, id_col, token_sep)
+    score_pairs = _bigram_rows(df, text_col, id_col, token_sep)
+    if lm_corpus is None:
+        # self-scoring: the fit and the scoring pass consume the SAME
+        # per-occurrence bigram frame — materialize it once instead of
+        # re-tokenizing and re-exploding the corpus for each consumer
+        # (r12; measured plan: two identical Scan→Generate subtrees).
+        # The checkpoint is the same order as the bigram shuffle the fit
+        # already pays, traded against a full second tokenize+explode
+        # pass; the true 100 TB serving path remains the broadcast
+        # ``model=`` scorer, which never takes this branch.
+        model_pairs = model_pairs.localCheckpoint(eager=False)
+        score_pairs = model_pairs
     bgc = model_pairs.groupBy("__w1", "__w2").agg(F.count("*").alias("__cbg"))
     # context counts c(w1·) re-aggregate the collapsed bigram table — no
     # second pass over the corpus
@@ -403,7 +415,7 @@ def bigram_lm_scores(
     )
     k = float(add_k)
     scored = (
-        _bigram_rows(df, text_col, id_col, token_sep)
+        score_pairs
         .join(bgc, ["__w1", "__w2"], "left")
         .join(ctx, ["__w1"], "left")
         .crossJoin(F.broadcast(vocab_n))
