@@ -27,6 +27,9 @@ _DAY_NS = 86_400_000_000_000
 
 _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
+# (session, sf_dir) -> resolved events `ts` dtype (see _events_stream)
+_TS_TYPE_CACHE: dict[tuple, str] = {}
+
 
 def _read_stream(spark: SparkSession, sf_dir: str, table: str, schema: str) -> DataFrame:
     # the file stream source requires a directory basePath; the sf dir holds
@@ -46,9 +49,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) surfaces as long under nanosAsLong; micro/milli
     timestamps stream directly."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts_type = dict(
-        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
-    )["ts"]
+    # footer-only schema probe, but it re-reads the footer on every
+    # invocation of every events-backed streaming query — memoize the
+    # resolved dtype per (live session, sf_dir)  (r12)
+    key = (id(spark), sf_dir)
+    ts_type = _TS_TYPE_CACHE.get(key)
+    if ts_type is None:
+        ts_type = dict(
+            spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+        )["ts"]
+        _TS_TYPE_CACHE.clear()  # one live session at a time — no leak
+        _TS_TYPE_CACHE[key] = ts_type
     if ts_type in ("bigint", "long"):
         raw = _read_stream(
             spark, sf_dir, "events",
