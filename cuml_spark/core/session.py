@@ -127,3 +127,45 @@ def ensure_parallelism(df, min_parts: int | None = None):
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def run_overlapped(*thunks):
+    """Run independent driver-coordinated chains concurrently and return
+    their results in argument order (guide §2.6 "overlap independent
+    jobs").
+
+    Spark's scheduler happily runs several jobs at once; chains of small
+    driver-blocking actions (iterative fits, multi-pass refinements,
+    scoring aggregates) are only sequential because the driver calls them
+    sequentially.  Each thunk runs in a ``pyspark.inheritable_thread_target``
+    thread so job groups/descriptions propagate; the first exception (if
+    any) re-raises in the caller after all threads finish, so failure
+    semantics match the serial code.  Use ONLY for chains with no data
+    dependency — results must be identical to running the thunks in order.
+    """
+    import threading
+
+    from pyspark import inheritable_thread_target
+
+    results = [None] * len(thunks)
+    errors: list[BaseException] = []
+
+    def runner(i, fn):
+        def call():
+            try:
+                results[i] = fn()
+            except BaseException as e:
+                errors.append(e)
+        return call
+
+    threads = [
+        threading.Thread(target=inheritable_thread_target(runner(i, fn)))
+        for i, fn in enumerate(thunks)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return results

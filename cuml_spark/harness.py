@@ -188,9 +188,24 @@ def q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           grouped_exact_quantiles)
 
     li = _t(spark, sf_dir, "lineitem")
-    qs = exact_quantiles(
-        li, "l_extendedprice", list(_QUANTILE_PROBS),
-        n_buckets=64, collect_threshold=10_000,
+    # the two tiers are INDEPENDENT chains of small driver-coordinated
+    # jobs (stats pass → refinement pass(es) → final selection, each a
+    # near-single-task job over the column) — run them from two driver
+    # threads so one tier's jobs back-fill the cluster while the other
+    # waits on its collect (guide §2.6 overlap-independent-jobs; r12,
+    # interleaved A/B below).  Results are unchanged: each tier computes
+    # exactly what it computed serially; only the wall-clock overlaps.
+    from cuml_spark.core.session import run_overlapped
+
+    qs, grp_raw = run_overlapped(
+        lambda: exact_quantiles(
+            li, "l_extendedprice", list(_QUANTILE_PROBS),
+            n_buckets=64, collect_threshold=10_000,
+        ),
+        lambda: grouped_exact_quantiles(
+            li, "l_extendedprice", list(_QUANTILE_PROBS), ["l_returnflag"],
+            n_buckets=64, collect_threshold=10_000,
+        ),
     )
     # both tiers round through F.round (HALF_UP, DuckDB's mode) — a
     # python round() here would diverge half-even on exact decimal ties
@@ -202,10 +217,7 @@ def q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          for p, v in qs],
         "scope string, p double, value double",
     ).select("scope", "p", F.round("value", 6).alias("value"))
-    grp = grouped_exact_quantiles(
-        li, "l_extendedprice", list(_QUANTILE_PROBS), ["l_returnflag"],
-        n_buckets=64, collect_threshold=10_000,
-    ).select(
+    grp = grp_raw.select(
         F.col("l_returnflag").alias("scope"),
         "p",
         F.round("value", 6).alias("value"),

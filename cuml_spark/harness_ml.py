@@ -331,28 +331,43 @@ def q_mbsgd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuml_spark.linear_model.mbsgd import MBSGDClassifier, MBSGDRegressor
     from cuml_spark.metrics.regression import r2_score
 
+    from cuml_spark.core.session import run_overlapped
+
     li = _ml_base(spark, sf_dir)
     cols = ["l_quantity", "l_discount", "l_tax"]
     train = li.filter(F.xxhash64("l_orderkey", "l_linenumber", F.lit(7)) % 4 == 0)
-    # 8 epochs: accuracy is bit-identical to 12 at both SFs (0.7204/0.7208
-    # measured) — the extra epochs bought only scheduling overhead
-    clf = MBSGDClassifier(loss="hinge", epochs=8, eta0=0.2, alpha=1e-4,
-                          batch_fraction=0.5, seed=11).fit(train, cols, "is_high")
-    acc = (
-        clf.predict(li)
-        .selectExpr("avg(cast(prediction = is_high as double)) as acc")
-        .first()["acc"]
-    )
-    dfr = li.withColumn("qn", F.col("l_quantity") / 50.0).withColumn(
-        "yl", 3 * F.col("qn") + 0.1
-    )
-    dfr_train = dfr.filter(
-        F.xxhash64("l_orderkey", "l_linenumber", F.lit(11)) % 4 == 0
-    )
-    reg = MBSGDRegressor(epochs=20, eta0=0.5, alpha=1e-4,
-                         batch_fraction=0.5, seed=11).fit(dfr_train, ["qn"], "yl")
-    r2 = r2_score(reg.predict(dfr), "yl", "prediction")
-    n = li.count()
+
+    # the classifier branch (8 per-step hinge jobs + one scoring agg) and
+    # the regressor branch (fused squared-loss fit + R² pass) are fully
+    # independent chains of small jobs over the shared cached frame — run
+    # them overlapped so one branch's jobs back-fill while the other waits
+    # on its collect (guide §2.6; r12).  Each branch computes exactly what
+    # it computed serially.
+    def _clf_branch() -> float:
+        # 8 epochs: accuracy is bit-identical to 12 at both SFs
+        # (0.7204/0.7208 measured) — extra epochs bought only scheduling
+        clf = MBSGDClassifier(loss="hinge", epochs=8, eta0=0.2, alpha=1e-4,
+                              batch_fraction=0.5, seed=11).fit(
+            train, cols, "is_high")
+        return (
+            clf.predict(li)
+            .selectExpr("avg(cast(prediction = is_high as double)) as acc")
+            .first()["acc"]
+        )
+
+    def _reg_branch() -> float:
+        dfr = li.withColumn("qn", F.col("l_quantity") / 50.0).withColumn(
+            "yl", 3 * F.col("qn") + 0.1
+        )
+        dfr_train = dfr.filter(
+            F.xxhash64("l_orderkey", "l_linenumber", F.lit(11)) % 4 == 0
+        )
+        reg = MBSGDRegressor(epochs=20, eta0=0.5, alpha=1e-4,
+                             batch_fraction=0.5, seed=11).fit(
+            dfr_train, ["qn"], "yl")
+        return r2_score(reg.predict(dfr), "yl", "prediction")
+
+    acc, r2, n = run_overlapped(_clf_branch, _reg_branch, li.count)
     return spark.createDataFrame(
         [(int(n), bool(acc >= 0.65), bool(r2 >= 0.5))],
         "n_scored long, acc_ge_065 boolean, r2_ge_05 boolean",
