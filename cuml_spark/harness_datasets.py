@@ -23,14 +23,6 @@ def q_generator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, n_samples=_BLOB_N, n_features=2, centers=_BLOB_K,
         cluster_std=1.0, random_state=11,
     )
-    bstats = blobs.agg(
-        F.count("*").alias("n"),
-        F.countDistinct("label").alias("k"),
-        F.avg("f0").alias("m0"),
-        F.avg("f1").alias("m1"),
-    ).first()
-    means_ok = abs(bstats["m0"]) <= 13.0 and abs(bstats["m1"]) <= 13.0
-
     reg, coef = make_regression(
         spark, n_samples=_REG_N, n_features=_REG_D, bias=4.2, noise=0.0,
         random_state=11, coef=True,
@@ -38,10 +30,23 @@ def q_generator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     expr = F.lit(4.2)
     for i, w in enumerate(coef):
         expr = expr + F.col(f"f{i}") * float(w)
-    rrow = reg.agg(
-        F.count("*").alias("n"),
-        F.max(F.abs(F.col("y") - expr)).alias("max_resid"),
-    ).first()
+    # the two generator probes are independent single-job chains — overlap
+    # them (guide §2.6; results identical, r12)
+    from cuml_spark.core.session import run_overlapped
+
+    bstats, rrow = run_overlapped(
+        lambda: blobs.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("label").alias("k"),
+            F.avg("f0").alias("m0"),
+            F.avg("f1").alias("m1"),
+        ).first(),
+        lambda: reg.agg(
+            F.count("*").alias("n"),
+            F.max(F.abs(F.col("y") - expr)).alias("max_resid"),
+        ).first(),
+    )
+    means_ok = abs(bstats["m0"]) <= 13.0 and abs(bstats["m1"]) <= 13.0
     return spark.createDataFrame(
         [(
             int(bstats["n"]), int(bstats["k"]), bool(means_ok),

@@ -140,13 +140,21 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     q = emb.filter(F.col("vec_id") % 100 == 0)
     brute = knn_join(emb, q, k=10)
-    bset = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
-    nn = NearestNeighbors(
-        n_neighbors=10, algorithm="lsh", n_planes=4, n_tables=8, seed=7
-    ).fit(emb)
-    got = {(r["query_id"], r["neighbor_id"]) for r in nn.kneighbors(q).collect()}
+    # brute-force truth, the LSH fit+probe, and the query count are
+    # independent chains over the (warm-rep-cached) embeddings — overlap
+    # them (guide §2.6; results identical, r12)
+    from cuml_spark.core.session import run_overlapped
+
+    brows, grows, n_queries = run_overlapped(
+        brute.collect,
+        lambda: NearestNeighbors(
+            n_neighbors=10, algorithm="lsh", n_planes=4, n_tables=8, seed=7
+        ).fit(emb).kneighbors(q).collect(),
+        q.count,
+    )
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brows}
+    got = {(r["query_id"], r["neighbor_id"]) for r in grows}
     recall = len(got & bset) / max(len(bset), 1)
-    n_queries = q.count()
     return spark.createDataFrame(
         [(int(n_queries), bool(recall >= 0.5))],
         "n_queries long, recall_ge_05 boolean",
@@ -215,38 +223,44 @@ def q_prims_matrix_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("p_mod", (F.col("p_partkey") % 97).cast("double"))
     cols3 = ["p_retailprice", "p_size", "p_mod"]
 
-    med_sum = (
-        sort_cols_per_row(part, cols3, "s")
-        .select(F.sum(F.col("s")[1]).alias("v")).first()["v"]
-    )
-    sqrt_sum = (
-        matrix_math(part, ["p_retailprice"], "sqrt")
-        .select(F.sum("p_retailprice").alias("v")).first()["v"]
-    )
-    red = reduce_cols_by_key(part, cols3, [0, 1, 0]).select(
-        F.sum("k0").alias("k0"), F.sum("k1").alias("k1")
-    ).first()
     idx = spark.range(1, 51).select(F.col("id").alias("idx")).union(
         spark.createDataFrame([(7,)], "idx long")
     )
-    g = gather(part, idx, "p_partkey").select(
-        F.count("*").alias("n"), F.sum("p_partkey").alias("s")
-    ).first()
-    # keyed draws (id_cols): a pure function of p_partkey, so the moment
-    # gates are the same fixed numbers in any session/partitioning
-    u = rng_uniform(part, "u", seed=7, id_cols=["p_partkey"]).select(
-        F.avg("u").alias("m"), F.stddev("u").alias("s")
-    ).first()
-    nm = rng_normal(part, "z", seed=9, id_cols=["p_partkey"]).select(
-        F.avg("z").alias("m"), F.stddev("z").alias("s")
-    ).first()
-    n = part.count()
-    pm = permute(part, ["p_partkey"], seed=5).select(
-        F.count(F.col("pos")).alias("cnt"),
-        F.sum("pos").alias("possum"),
-        F.avg(F.when(F.col("pos") != F.col("p_partkey"), 1.0)
-              .otherwise(0.0)).alias("moved"),
-    ).first()
+    # the eight probe aggregates are INDEPENDENT single-job chains over the
+    # same tiny scan — run them from driver threads so each job back-fills
+    # the others' scheduling gaps instead of serializing eight job launches
+    # (guide §2.6 overlap-independent-jobs; results identical, r12).
+    from cuml_spark.core.session import run_overlapped
+
+    med_row, sqrt_row, red, g, u, nm, n, pm = run_overlapped(
+        lambda: sort_cols_per_row(part, cols3, "s")
+        .select(F.sum(F.col("s")[1]).alias("v")).first(),
+        lambda: matrix_math(part, ["p_retailprice"], "sqrt")
+        .select(F.sum("p_retailprice").alias("v")).first(),
+        lambda: reduce_cols_by_key(part, cols3, [0, 1, 0]).select(
+            F.sum("k0").alias("k0"), F.sum("k1").alias("k1")
+        ).first(),
+        lambda: gather(part, idx, "p_partkey").select(
+            F.count("*").alias("n"), F.sum("p_partkey").alias("s")
+        ).first(),
+        # keyed draws (id_cols): a pure function of p_partkey, so the moment
+        # gates are the same fixed numbers in any session/partitioning
+        lambda: rng_uniform(part, "u", seed=7, id_cols=["p_partkey"]).select(
+            F.avg("u").alias("m"), F.stddev("u").alias("s")
+        ).first(),
+        lambda: rng_normal(part, "z", seed=9, id_cols=["p_partkey"]).select(
+            F.avg("z").alias("m"), F.stddev("z").alias("s")
+        ).first(),
+        part.count,
+        lambda: permute(part, ["p_partkey"], seed=5).select(
+            F.count(F.col("pos")).alias("cnt"),
+            F.sum("pos").alias("possum"),
+            F.avg(F.when(F.col("pos") != F.col("p_partkey"), 1.0)
+                  .otherwise(0.0)).alias("moved"),
+        ).first(),
+    )
+    med_sum = med_row["v"]
+    sqrt_sum = sqrt_row["v"]
     return spark.createDataFrame(
         [(
             round(float(med_sum), 4), round(float(sqrt_sum), 4),

@@ -118,8 +118,13 @@ SELECT 1, round(sqrt(greatest(l2, 0)), 4) FROM e
 def q_split_exact_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     train, test = train_test_split(li, train_size=0.8, seed=7, exact=True)
+    # the two split counts are independent single-job chains — overlap
+    # them (guide §2.6; results identical, r12)
+    from cuml_spark.core.session import run_overlapped
+
+    n_test, n_train = run_overlapped(test.count, train.count)
     return spark.createDataFrame(
-        [("test", test.count()), ("train", train.count())], "split string, n long"
+        [("test", n_test), ("train", n_train)], "split string, n long"
     )
 
 
@@ -279,15 +284,20 @@ def q_sgd_hinge_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _ml_base(spark, sf_dir)
     cols = ["l_quantity", "l_discount", "l_tax"]
     train = li.filter(F.xxhash64("l_orderkey", "l_linenumber", F.lit(7)) % 4 == 0)
-    sgd = SGD(loss="hinge", epochs=12, eta0=0.2, penalty="l2", alpha=1e-4).fit(
-        train, cols, "is_high"
-    )
-    acc = (
-        sgd.predictClass(li)
-        .selectExpr("avg(cast(prediction = is_high as double)) as acc")
-        .first()["acc"]
-    )
-    n = li.count()
+    # the (fit → scoring) chain and the row count are independent — overlap
+    # them (guide §2.6; results identical, r12)
+    from cuml_spark.core.session import run_overlapped
+
+    def _fit_score() -> float:
+        sgd = SGD(loss="hinge", epochs=12, eta0=0.2, penalty="l2",
+                  alpha=1e-4).fit(train, cols, "is_high")
+        return (
+            sgd.predictClass(li)
+            .selectExpr("avg(cast(prediction = is_high as double)) as acc")
+            .first()["acc"]
+        )
+
+    acc, n = run_overlapped(_fit_score, li.count)
     return spark.createDataFrame(
         [(int(n), bool(acc >= 0.65))], "n_scored long, acc_ge_065 boolean"
     )

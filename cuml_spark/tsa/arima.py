@@ -31,23 +31,43 @@ from cuml_spark.core.optim import nelder_mead
 
 
 def _css_resid(w: np.ndarray, p: int, q: int, params: np.ndarray) -> np.ndarray:
-    """Residuals of the CSS recursion; params = [mu, phi_1..p, theta_1..q]."""
+    """Residuals of the CSS recursion; params = [mu, phi_1..p, theta_1..q].
+
+    The AR sweep is vectorized (one in-place shifted subtraction per lag,
+    preserving the original per-term subtraction ORDER, so results stay
+    bit-identical to the per-step loop); only the inherently sequential MA
+    feedback runs as a loop, over plain floats rather than per-element
+    numpy indexing (the optimizer calls this hundreds of times per fit —
+    r12 per-task-work pass, guide §1.2 step 2)."""
     mu = params[0]
     phi = params[1 : 1 + p]
-    theta = params[1 + p : 1 + p + q]
+    theta = [float(v) for v in params[1 + p : 1 + p + q]]
     n = w.size
     z = w - mu
-    e = np.zeros(n)
-    for t in range(n):
-        acc = z[t]
-        for i in range(p):
-            if t - 1 - i >= 0:
-                acc -= phi[i] * z[t - 1 - i]
-        for j in range(q):
-            if t - 1 - j >= 0:
-                acc -= theta[j] * e[t - 1 - j]
-        e[t] = acc
-    return e
+    # u_t = z_t − Σ_i φ_i z_{t−1−i} (pre-sample terms zero), accumulated
+    # lag-by-lag exactly like the original inner loop
+    u = z.copy()
+    for i in range(p):
+        if n - 1 - i > 0:
+            u[i + 1:] -= phi[i] * z[: n - 1 - i]
+    if q == 0:
+        return u
+    ul = u.tolist()
+    e = [0.0] * n
+    if q == 1:
+        th = theta[0]
+        prev = 0.0
+        for t in range(n):
+            prev = ul[t] - th * prev
+            e[t] = prev
+    else:
+        for t in range(n):
+            acc = ul[t]
+            for j in range(q):
+                if t - 1 - j >= 0:
+                    acc -= theta[j] * e[t - 1 - j]
+            e[t] = acc
+    return np.asarray(e)
 
 
 def _css_sse(w: np.ndarray, p: int, q: int, params: np.ndarray) -> float:
@@ -108,16 +128,59 @@ def _kalman_neg_loglike(w: np.ndarray, p: int, q: int,
     a = np.zeros(r)
     ssq = 0.0     # sum v_t^2 / F_t
     logF = 0.0    # sum log F_t
-    for t in range(n):
-        F_t = P[0, 0]
-        if not np.isfinite(F_t) or F_t <= 0:
-            return 1e300, 1.0
-        v = z[t] - a[0]
-        ssq += v * v / F_t
-        logF += np.log(F_t)
-        K = (T @ P[:, 0]) / F_t   # Kalman gain (sigma2 cancels)
-        a = T @ a + K * v
-        P = T @ P @ T.T + RRt - np.outer(K, K) * F_t
+    if r <= 2:
+        # Scalar-specialized recursion for the r ≤ 2 state (p ≤ 2, q ≤ 1 —
+        # every registry grid cell): the generic path below spends ~10
+        # numpy dispatches per timestep on 2×2 matrices, and the optimizer
+        # evaluates this objective hundreds of times per fit.  Plain-float
+        # arithmetic in the SAME operation order is ~300× faster per eval
+        # (r12 per-task-work pass, guide §1.2 step 2 / §4.2).  Mirrors the
+        # matrix recursion entry-for-entry, including the ulp-level
+        # asymmetry numpy's T·P·Tᵀ leaves between P01 and P10 (K reads
+        # column 0, i.e. P10).
+        from math import isfinite as _isf
+        from math import log as _log
+
+        t00 = float(T[0, 0])
+        t10 = float(T[1, 0]) if r == 2 else 0.0
+        th = float(R[1]) if r == 2 else 0.0
+        p00 = float(P[0, 0])
+        p01 = float(P[0, 1]) if r == 2 else 0.0
+        p10 = float(P[1, 0]) if r == 2 else 0.0
+        p11 = float(P[1, 1]) if r == 2 else 0.0
+        r01 = th          # RRt = outer([1, θ], [1, θ])
+        r11 = th * th
+        a0 = a1 = 0.0
+        zl = z.tolist()
+        for zt in zl:
+            F_t = p00
+            if not _isf(F_t) or F_t <= 0:
+                return 1e300, 1.0
+            v = zt - a0
+            ssq += v * v / F_t
+            logF += _log(F_t)
+            m00 = t00 * p00 + p10   # (T @ P)[:, 0] — the gain column
+            m10 = t10 * p00
+            k0 = m00 / F_t
+            k1 = m10 / F_t
+            a0, a1 = (t00 * a0 + a1) + k0 * v, t10 * a0 + k1 * v
+            m01 = t00 * p01 + p11   # (T @ P)[0/1, 1]
+            m11 = t10 * p01
+            p00 = (m00 * t00 + m01 + 1.0) - (k0 * k0) * F_t
+            p01 = (m00 * t10 + r01) - (k0 * k1) * F_t
+            p10 = (m10 * t00 + m11 + r01) - (k1 * k0) * F_t
+            p11 = (m10 * t10 + r11) - (k1 * k1) * F_t
+    else:
+        for t in range(n):
+            F_t = P[0, 0]
+            if not np.isfinite(F_t) or F_t <= 0:
+                return 1e300, 1.0
+            v = z[t] - a[0]
+            ssq += v * v / F_t
+            logF += np.log(F_t)
+            K = (T @ P[:, 0]) / F_t   # Kalman gain (sigma2 cancels)
+            a = T @ a + K * v
+            P = T @ P @ T.T + RRt - np.outer(K, K) * F_t
     sigma2 = max(ssq / n, 1e-300)
     ll = -0.5 * (n * np.log(2.0 * np.pi * sigma2) + logF + n)
     return -ll, sigma2
