@@ -207,8 +207,13 @@ def cms_estimate_col(model: CountMinSketch, key: Column) -> Column:
         # ONE array Literal, not CreateArray(width literals): a w-child
         # CreateArray generates w codegen assignments per evaluation —
         # measured 7.5 s vs 0.5 s at width=1024 — while a Literal is a
-        # single constant reference
-        row_lit = F.lit([int(c) for c in model.counts[i]])
+        # single constant reference.  Built by expression-string parse,
+        # not F.lit(list): per-element py4j conversion cost 2.3 s of
+        # every query CONSTRUCTION at d×w=4096 (core/exprs.py; the
+        # parsed CreateArray constant-folds to the identical Literal).
+        from cuml_spark.core.exprs import long_array_lit
+
+        row_lit = long_array_lit(model.counts[i])
         if sliced:
             b = _sliced_bucket(digest, i, model.width)
         else:

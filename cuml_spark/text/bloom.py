@@ -135,8 +135,13 @@ def bloom_probe(
     # ONE array Literal, not CreateArray(n literals) — a wide CreateArray
     # costs one codegen assignment per word per evaluation (the ops/cms.py
     # lesson); a Literal is a single constant reference, so big filters
-    # stay cheap
-    words_lit = F.lit([int(w) for w in model.words])
+    # stay cheap.  Built by expression-string parse, not F.lit(list):
+    # per-element py4j conversion costs ~0.5 ms/word on the driver at
+    # every probe construction (core/exprs.py — the default 1M-bit
+    # filter is 16384 words ≈ 8 s of pure F.lit overhead otherwise).
+    from cuml_spark.core.exprs import long_array_lit
+
+    words_lit = long_array_lit(model.words)
     key = F.col(key_col)
     checks = []
     for pos in bloom_positions(key, model.num_bits, model.num_hashes):
