@@ -167,9 +167,12 @@ def score_linear_bow_inline(
                 f"weight bucket {b} outside [0, {num_buckets})")
     toks = _token_array(text_col, token_sep)
     if weights:
-        wmap = F.create_map(
-            *[F.lit(v) for bk, w in sorted(weights.items())
-              for v in (int(bk), float(w))])
+        # ONE parsed map literal, not create_map(*[F.lit(...)]): the
+        # per-element py4j conversion cost ~0.9 s per query construction
+        # at 512 weights (core/exprs.py; values round-trip bit-exactly)
+        from cuml_spark.core.exprs import int_double_map_lit
+
+        wmap = int_double_map_lit(weights)
         folded = F.aggregate(
             F.transform(toks, lambda t: token_bucket(t, num_buckets)),
             F.lit(float(bias)),
