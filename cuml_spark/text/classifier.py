@@ -66,10 +66,18 @@ def hashed_token_counts(
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
     toks = _token_array(text_col, token_sep)
+    # coalesce(bucket, -1): exploded tokens are never null, so the branch
+    # is dead — but it makes the column PROVABLY non-nullable, which
+    # stops the downstream equi-join from inserting an
+    # isnotnull(<bucket expr>) filter that re-evaluates the md5 per
+    # token occurrence (measured: one extra md5 per token in
+    # quality_filter_scores' plan; r12, guide §4.4's duplicated-
+    # evaluation trap in constraint-inference form)
     return (
         df.select(F.col(id_col), F.explode(toks).alias("__tok"))
-        .select(id_col, token_bucket(F.col("__tok"), num_buckets)
-                .alias("bucket"))
+        .select(id_col, F.coalesce(
+            token_bucket(F.col("__tok"), num_buckets), F.lit(-1)
+        ).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("tf"))
     )

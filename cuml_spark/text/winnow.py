@@ -91,14 +91,24 @@ def winnow_fingerprints(
     # O(windows × grams) md5 evaluations per doc — measured 78 s vs
     # 3.8 s at sf0.1.  Catalyst's CollapseProject keeps these separate
     # because collapsing would duplicate a non-cheap producer.
-    base = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), hs.alias("__hs")
-    )
+    # The emit condition "at least one gram" is size(__hs) >= 1, but
+    # filtering on the DERIVED column would substitute the md5-per-gram
+    # transform into the predicate, which Catalyst then pushes below the
+    # repartition exchange into the (possibly single-split) scan stage —
+    # measured: the whole corpus's gram hashing ran TWICE, once of it
+    # serialized in a 1-task stage (50 s under load vs the 32-way 10 s
+    # stage above the exchange).  size(__hs) >= 1 ⟺ the doc has >= k
+    # tokens, so filter on the RAW token count instead: an equivalent,
+    # md5-free predicate that is cheap wherever the optimizer places it
+    # (r12; guide §4.4's duplicated-evaluation trap, expression form).
+    base = df.where(F.col(text_col).isNotNull()).where(
+        F.size(toks) >= k
+    ).select(F.col(id_col), hs.alias("__hs"))
     m = F.size(F.col("__hs"))
     # window starts 1 .. max(1, m-w+1); slice() tolerates short tails,
     # which only occur in the m < w single-window case
     starts = F.sequence(F.lit(1), F.greatest(F.lit(1), m - w + 1))
-    wins = base.where(m >= 1).select(
+    wins = base.select(
         id_col,
         F.transform(starts, lambda j: F.slice(F.col("__hs"), j, w)).alias("__wins"),
     )
