@@ -84,6 +84,39 @@ def session_cached(cache: dict, spark: SparkSession, sf_dir: str, build,
     return out
 
 
+_TABLE_HANDLES: dict = {}
+
+
+def read_table(spark: SparkSession, path: str):
+    """Memoized immutable DataFrame handle for one parquet path.
+
+    ``spark.read.parquet(path)`` re-runs schema inference (footer read +
+    file listing) on EVERY call — measured ~0.12 s per call, and the
+    harness reads each table 1–3× per query construction, so a full
+    bench sweep spent tens of seconds re-reading the same footers (r12).
+    A DataFrame is an immutable plan handle, so reuse across queries is
+    safe; the cache keys on the LIVE session (id — the session_cached
+    convention) and the file's (size, mtime), so a restarted session or
+    a regenerated file gets a fresh handle, and stale keys for the same
+    path are evicted eagerly.
+    """
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        state = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        state = None
+    key = (id(spark), path, state)
+    df = _TABLE_HANDLES.get(key)
+    if df is None:
+        for k in [k for k in _TABLE_HANDLES if k[1] == path]:
+            del _TABLE_HANDLES[k]
+        df = spark.read.parquet(path)
+        _TABLE_HANDLES[key] = df
+    return df
+
+
 def right_size(df, target_bytes: int = 16 << 20, floor: int = 4):
     """Coalesce a SMALL working set so pure-JVM iterative jobs stop paying
     per-task overheads for near-empty partitions.
@@ -124,7 +157,13 @@ def ensure_parallelism(df, min_parts: int | None = None):
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # probe the partition count JVM-side: python-side ``df.rdd`` builds a
+    # pickle-serialized PythonRDD wrapper (~0.15 s per call, ~40 call
+    # sites × every query construction) and under AQE eagerly EXECUTES
+    # any exchange stages in the plan just to learn the count (r12).
+    # javaRDD() still finalizes AQE stages, but every caller here feeds a
+    # scan-shaped frame (no exchanges), where it is a pure plan walk.
+    if df._jdf.javaRDD().getNumPartitions() < target:
         return df.repartition(target)
     return df
 

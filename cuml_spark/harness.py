@@ -30,12 +30,13 @@ from cuml_spark.ops import (
     weighted_mean,
 )
 from cuml_spark.ops.labels import label_dictionary
+from cuml_spark.core.session import read_table
 
 LI_NUM_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 # --------------------------------------------------------------------------

@@ -15,13 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cuml_spark.cluster import DBSCAN
+from cuml_spark.core.session import read_table
 
 _EPS, _MIN_SAMPLES = 0.35, 5
 _FIT_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = read_table(spark, f"{sf_dir}/customer.parquet")
     return cust.select(
         F.col("c_custkey").alias("pid"),
         (F.col("c_acctbal") / 1000.0).alias("x1"),
@@ -132,7 +133,7 @@ def q_spectral_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     landmark path (max_exact=2000)."""
     from cuml_spark.cluster import SpectralClustering
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = read_table(spark, f"{sf_dir}/customer.parquet")
     pts = cust.select(
         F.col("c_custkey").alias("pid"),
         (F.col("c_acctbal") / 1000.0 + 25.0 * (F.col("c_custkey") % 3)).alias("x1"),

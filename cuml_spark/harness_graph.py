@@ -19,10 +19,11 @@ from pyspark.sql import functions as F
 from cuml_spark.functions import sigmoid, soft_threshold
 from cuml_spark.metrics.dispersion import cluster_dispersion_df
 from cuml_spark.ops.sparse import connected_components, row_normalize_l1
+from cuml_spark.core.session import read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,12 +13,13 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from cuml_spark.core.session import read_table
 
 _QR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 def q_qr_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,7 +312,7 @@ def q_zorder_keys(spark, sf_dir):
 
     from cuml_spark.ops.zorder import zorder_key
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_table(spark, f"{sf_dir}/lineitem.parquet")
     out = zorder_key(li, ["l_extendedprice", "l_quantity"], bits=8)
     return out.select(
         "l_orderkey",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cuml_spark.linear_model import ElasticNet, Lasso, LogisticRegression, Ridge
+from cuml_spark.core.session import read_table
 
 _RIDGE_ALPHA = 1.0e6
 _LASSO_ALPHA = 100.0
@@ -31,7 +32,7 @@ _EN_L1_RATIO = 0.4
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _coef_df(spark: SparkSession, model) -> DataFrame:

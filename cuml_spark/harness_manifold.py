@@ -12,10 +12,11 @@ from pyspark.sql import functions as F
 
 from cuml_spark.manifold import TSNE, UMAP
 from cuml_spark.metrics import trustworthiness
+from cuml_spark.core.session import read_table
 
 
 def _sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
     return emb.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("pid"),
         F.col("embedding").cast("array<double>").alias("x"),
@@ -69,7 +70,7 @@ def q_umap_transform_oos(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _sampled(spark, sf_dir)
     um = UMAP(n_neighbors=10, n_epochs=50, init="random", random_state=7)
     um.fit(pts, vec_col="x", id_col="pid")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
     oos = emb.filter(F.col("vec_id") % 10 != 0).select(
         F.col("vec_id").alias("pid"),
         F.col("embedding").cast("array<double>").alias("x"),

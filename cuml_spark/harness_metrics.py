@@ -16,6 +16,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cuml_spark.core.session import read_table
 from cuml_spark.metrics import (
     adjusted_rand_score,
     homogeneity_completeness_v_measure,
@@ -30,7 +31,7 @@ from cuml_spark.metrics import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:

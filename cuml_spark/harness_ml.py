@@ -18,12 +18,13 @@ from cuml_spark.cluster import KMeans
 from cuml_spark.decomposition import PCA, TruncatedSVD
 from cuml_spark.ensemble import RandomForestClassifier
 from cuml_spark.preprocessing import StandardScaler, train_test_split
+from cuml_spark.core.session import read_table
 
 PCA_COLS = ["l_quantity", "l_tax"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 _ML_BASE_CACHE: dict[tuple[int, str], DataFrame] = {}

@@ -14,12 +14,13 @@ from pyspark.sql import functions as F
 
 from cuml_spark.decomposition import GaussianRandomProjection
 from cuml_spark.metrics import silhouette_samples, trustworthiness
+from cuml_spark.core.session import read_table
 
 _RP_K, _RP_SEED = 4, 3
 
 
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     rp = GaussianRandomProjection(n_components=_RP_K, random_state=_RP_SEED).fit(
@@ -53,7 +54,7 @@ def q_silhouette_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract for this O(N²) metric: inactive at the sf0.01 correctness scale
     (1,500 customers → exact, matching the SQL oracle row-for-row), active at
     bench/production scales so the quadratic stage stays bounded."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = read_table(spark, f"{sf_dir}/customer.parquet")
     pts = cust.select(
         "c_custkey",
         (F.col("c_acctbal") / 1000.0).alias("x1"),
@@ -96,7 +97,7 @@ FROM ab
 
 
 def q_trustworthiness_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
     orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
     sliced = emb.select(
         "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 2).alias("x")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cuml_spark.similarity import IVFIndex, embedding_near_duplicates
+from cuml_spark.core.session import read_table
 
 _TH = 0.35
 # the grouping query uses a tighter cosine threshold: 0.35 sits below this
@@ -22,7 +23,7 @@ _TH_GROUP = 0.45
 
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
     pairs = embedding_near_duplicates(emb, threshold=_TH, method="brute")
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
@@ -47,7 +48,7 @@ def q_pipeline_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a recursive-CTE reachability closure over the same pair set."""
     from cuml_spark.similarity.neardup import near_dup_groups
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
     pairs = embedding_near_duplicates(emb, threshold=_TH_GROUP, method="brute")
     groups = near_dup_groups(pairs)
     return groups.groupBy("group_id").agg(
@@ -88,7 +89,7 @@ FROM lbl GROUP BY 1
 
 
 def q_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 20)
@@ -134,7 +135,7 @@ def q_pq_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cuml_spark.similarity.pq import PQIndex
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.expr(
             "transform(cast(embedding as array<double>), "
@@ -183,7 +184,7 @@ def q_ivfpq_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     same exact-KNN SQL as `pq_search_exact`."""
     from cuml_spark.similarity import IVFPQIndex
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.expr(
             "transform(cast(embedding as array<double>), "
@@ -210,7 +211,7 @@ def q_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuml_spark.preprocessing import group_aware_split
     from cuml_spark.similarity.neardup import near_dup_groups
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
     pairs = embedding_near_duplicates(emb, threshold=_TH_GROUP, method="brute")
     groups = near_dup_groups(pairs)
     out = group_aware_split(emb, "vec_id", groups, test_frac=0.25, seed=9)
@@ -276,7 +277,7 @@ def q_semdedup_prune(spark, sf_dir):
 
     from cuml_spark.similarity import semantic_prune
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("label").alias("cluster"), "embedding")
     out = semantic_prune(emb, 0.3)
     return out.select(
@@ -338,7 +339,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain of 5 CTEs replays the selection value-for-value."""
     from cuml_spark.similarity.kcenter import kcenter_select
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
     return kcenter_select(emb, 5)
 
 
@@ -398,7 +399,7 @@ def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = jaccard_pairs_cached(spark, sf_dir).where(
         F.round(F.col("jaccard"), 6) >= 0.8)
     groups = near_dup_groups(edges)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
     best = keep_best_in_groups(groups, docs.select("doc_id", "n_chars"),
                                score_col="n_chars")
     sums = groups.groupBy("group_id").agg(

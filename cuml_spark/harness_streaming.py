@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cuml_spark.core.session import read_table
 from cuml_spark.streaming import (streaming_clean_corpus, streaming_dedup,
                                   streaming_windowed_stats)
 
@@ -56,7 +57,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = _TS_TYPE_CACHE.get(key)
     if ts_type is None:
         ts_type = dict(
-            spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+            read_table(spark, f"{sf_dir}/events.parquet").dtypes
         )["ts"]
         _TS_TYPE_CACHE.clear()  # one live session at a time — no leak
         _TS_TYPE_CACHE[key] = ts_type
@@ -345,7 +346,7 @@ def _dsir_gate_model(spark: SparkSession, sf_dir: str):
 
     def build():
         batch = ensure_parallelism(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            read_table(spark, f"{sf_dir}/documents.parquet"))
         return fit_dsir_subset(batch, F.col("lang") == "fr",
                                num_buckets=512)
 
@@ -392,7 +393,7 @@ def _bloom_gate_model(spark: SparkSession, sf_dir: str):
 
     def build():
         batch = ensure_parallelism(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"))
+            read_table(spark, f"{sf_dir}/documents.parquet"))
         return fit_bloom(batch.where(F.col("doc_id") % 7 == 0), "text",
                          num_bits=8192, num_hashes=5)
 
@@ -559,7 +560,7 @@ def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["day_idx"], b=10)
     from cuml_spark.tsa.sessions import _ts_micros
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
     exact = (ev.select(_ts_micros(ev, "ts").alias("__tus"), "user_id")
              .groupBy(F.expr("__tus div 86400000000").cast("long").alias("day_idx"))
              .agg(F.count_distinct("user_id").alias("exact_distinct")))

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from cuml_spark.fil import ForestInference
 from cuml_spark.svm import SVC
+from cuml_spark.core.session import read_table
 
 # tree0: f0 < 2.5 ? (f1 < 0.5 ? +0.4 : -0.2) : -0.3 ; tree1: f1 < 2.0 ? +0.1 : -0.5
 _TREES = [
@@ -40,7 +41,7 @@ def q_fil_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition only adds a full-frame Exchange before a projection the
     # scan can feed directly (guide §2.4; interleaved ×4 at sf0.1:
     # 3.85 s with the shuffle vs 3.43 s without, B faster in all pairs)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_table(spark, f"{sf_dir}/lineitem.parquet")
     feats = li.select(
         "l_orderkey", "l_linenumber",
         (F.col("l_quantity") / 10.0).alias("f0"),
@@ -125,7 +126,7 @@ def q_fil_lightgbm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays as CASE expressions on rows that sit exactly ON the
     thresholds."""
     # map-only scoring — same no-repartition rationale as q_fil_score
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_table(spark, f"{sf_dir}/lineitem.parquet")
     feats = li.select(
         "l_orderkey", "l_linenumber",
         (F.col("l_quantity") / 10.0).alias("f0"),
@@ -162,7 +163,7 @@ def q_svc_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear rule on customer features.  A-class fit; D-class projection:
     exact scored-row count + fixed accuracy floor (0.98 observed; a broken
     SMO or kernel regresses toward the 0.5 base rate)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = read_table(spark, f"{sf_dir}/customer.parquet")
     pts = cust.select(
         "c_custkey",
         (F.col("c_acctbal") / 1000.0).alias("x1"),

@@ -24,10 +24,11 @@ from cuml_spark.text import (
 from cuml_spark.text.dedup import _A, _B, MINHASH_PRIME, N_BANDS, N_HASHES
 from cuml_spark.text.quality import LANG_STOPWORDS, bpe_ish_token_count, token_count
 from cuml_spark.tsa import kpss_statistic
+from cuml_spark.core.session import read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 # --------------------------------------------------------------------------

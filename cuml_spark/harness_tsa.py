@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cuml_spark.tsa import ARIMA, ExponentialSmoothing, grid_search, kalman_filter_series
+from cuml_spark.core.session import read_table
 
 _DAY_NS = 86_400_000_000_000
 _KF_Q, _KF_R, _KF_P0 = 0.01, 1.0, 1e6
@@ -31,7 +32,7 @@ def _day_index(ev: DataFrame) -> F.Column:
 
 
 def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
     return ev.groupBy(
         F.col("event_type").alias("series_id"),
         _day_index(ev).alias("t"),
@@ -148,7 +149,7 @@ def q_pipeline_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter and one more tiny aggregation.  No UDFs, no collects."""
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
     stats = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.avg("value").alias("mu"),
@@ -273,7 +274,7 @@ def q_event_sessions(spark, sf_dir):
 
     from cuml_spark.tsa.sessions import session_stats
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
     out = session_stats(ev, gap_s=1800.0)
     return out.select(
         "user_id", "session_idx",
@@ -315,7 +316,7 @@ def q_asof_join_events(spark, sf_dir):
     from cuml_spark.ops.joins import asof_join
     from cuml_spark.tsa.sessions import _ts_micros
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
     ev = ev.withColumn("ts_us", _ts_micros(ev, "ts"))
     left = ev.select("event_id", "user_id", "ts_us")
     right = ev.where(F.col("event_type") == "purchase").select(
@@ -358,7 +359,7 @@ def q_range_join_sessions(spark, sf_dir):
     from cuml_spark.ops.joins import range_join_points
     from cuml_spark.tsa.sessions import _ts_micros, session_stats
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
     ivals = session_stats(ev, gap_s=7200.0).select(
         "user_id", "session_idx", "start_us",
         (F.col("start_us") + F.col("duration_us")).alias("end_us"))
@@ -407,7 +408,7 @@ def q_hypertable_rollup(spark, sf_dir):
 
     from cuml_spark.tsa.rollup import rollup_partials, rollup_reaggregate
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
     hourly = rollup_partials(ev, bucket_s=3600, keys=["event_type"])
     daily = rollup_reaggregate(
         hourly, fine_bucket_s=3600, coarse_bucket_s=86400,
