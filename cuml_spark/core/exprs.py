@@ -20,7 +20,7 @@ from collections.abc import Iterable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["int_double_map_lit", "long_array_lit"]
+__all__ = ["double_array_lit", "int_double_map_lit", "long_array_lit"]
 
 
 def long_array_lit(values: Iterable[int]) -> Column:
@@ -35,6 +35,22 @@ def long_array_lit(values: Iterable[int]) -> Column:
     if not vals:
         return F.lit([]).cast("array<bigint>")
     return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+
+
+def double_array_lit(values: Iterable[float]) -> Column:
+    """``array<double>`` literal via one expression-string parse (same
+    rationale and round-trip guarantee as :func:`int_double_map_lit`;
+    k-center's per-round center vectors cost O(k²·d) driver py4j calls
+    through ``F.array(*[F.lit(x)])``).  Non-finite values rejected."""
+    import math
+
+    vals = [float(v) for v in values]
+    for v in vals:
+        if not math.isfinite(v):
+            raise ValueError(f"array literal value {v!r} is not finite")
+    if not vals:
+        return F.lit([]).cast("array<double>")
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 
 
 def int_double_map_lit(d: dict) -> Column:

@@ -45,7 +45,13 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
+    # one parsed literal, not F.array(*[F.lit(x)]): the greedy loop embeds
+    # O(k²) center vectors across its rounds, and per-element py4j
+    # conversion made the DRIVER the bottleneck between rounds (~1.3 s of
+    # a 1.9 s query; core/exprs.py, r12)
+    from cuml_spark.core.exprs import double_array_lit
+
+    return double_array_lit(vals)
 
 
 def kcenter_select(
