@@ -997,16 +997,42 @@ WHERE d.n_chars <= c.cap
 """
 
 
+_LM_SCORED_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _lm_scored_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-scored add-1 bigram-LM frame (doc_id, lang, n_bigrams,
+    avg_logp), fit once per (session, sf_dir) — the shared upstream of
+    ``doc_perplexity`` and both CCNet bucket splits (one LM, three
+    consumers — the ``_sigs_cached`` pattern; each query previously
+    re-fit the identical LM).  ``lang`` rides the scoring pass's final
+    projection (keep_cols), so consumers that ignore it pay nothing;
+    avg_logp is identical with or without it.  Keyed on the source
+    file's state like the CMS model so a regenerated corpus refits."""
+    import os as _os
+
+    from cuml_spark.core.session import ensure_parallelism, session_cached
+    from cuml_spark.text.lm import bigram_lm_scores
+
+    st = _os.stat(f"{sf_dir}/documents.parquet")
+
+    def build() -> DataFrame:
+        docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+        return bigram_lm_scores(
+            docs, "text", "doc_id", add_k=1.0, keep_cols=["lang"]
+        ).cache()
+
+    return session_cached(_LM_SCORED_CACHE, spark, sf_dir, build,
+                          state=f"{st.st_size}|{st.st_mtime_ns}")
+
+
 def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style count-LM quality scoring (text/lm.py): self-trained
     add-1 bigram LM, per-doc average log-probability.  All probabilities
     are integer-count ratios, so the DuckDB oracle reproduces the scores
     to rounding precision.  (Registered r7; queues for the r8 driver
     window — the 50-slot r7 window is full of never-verified r7 ops.)"""
-    from cuml_spark.text.lm import bigram_lm_scores
-
-    docs = _t(spark, sf_dir, "documents")
-    out = bigram_lm_scores(docs, "text", "doc_id", add_k=1.0)
+    out = _lm_scored_cached(spark, sf_dir)
     return out.select(
         "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
     )
@@ -1184,11 +1210,9 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in one aggregation and broadcast; >= on the upper cut puts
     boundary docs in the better bucket in both engines.  Unscored
     (sub-2-token) docs bucket null."""
-    from cuml_spark.core.session import ensure_parallelism
-    from cuml_spark.text.lm import bigram_lm_scores, perplexity_buckets
+    from cuml_spark.text.lm import perplexity_buckets
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    scored = bigram_lm_scores(docs, "text", "doc_id", add_k=1.0).select(
+    scored = _lm_scored_cached(spark, sf_dir).select(
         "doc_id", F.round("avg_logp", 6).alias("avg_logp"))
     return perplexity_buckets(scored)
 
@@ -1226,13 +1250,10 @@ def q_ccnet_buckets_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcast back as a local relation, joined null-safely (an
     unknown language is its own stratum).  At 100 TB: one scoring
     pass + one ≤#langs-row reduction + a map-only broadcast probe."""
-    from cuml_spark.core.session import ensure_parallelism
-    from cuml_spark.text.lm import bigram_lm_scores, perplexity_buckets
+    from cuml_spark.text.lm import perplexity_buckets
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    scored = bigram_lm_scores(
-        docs, "text", "doc_id", add_k=1.0, keep_cols=["lang"],
-    ).select("doc_id", "lang", F.round("avg_logp", 6).alias("avg_logp"))
+    scored = _lm_scored_cached(spark, sf_dir).select(
+        "doc_id", "lang", F.round("avg_logp", 6).alias("avg_logp"))
     return perplexity_buckets(scored, group_cols=["lang"])
 
 
