@@ -170,9 +170,15 @@ def q_svc_rule_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") % 89) / 8.9).alias("x2"),
     ).withColumn("y", ((F.col("x1") + F.col("x2")) > 9.0).cast("double"))
     train = pts.filter(F.col("c_custkey") % 5 == 0)  # bounded deterministic sample
-    svc = SVC(kernel="linear", C=1.0, max_iter=60).fit(train, ["x1", "x2"], "y")
-    acc = svc.score(pts, ["x1", "x2"], "y")
-    n = pts.count()
+    # the (fit → score) chain and the row count are independent — overlap
+    # them (guide §2.6; results identical, r12)
+    from cuml_spark.core.session import run_overlapped
+
+    acc, n = run_overlapped(
+        lambda: SVC(kernel="linear", C=1.0, max_iter=60)
+        .fit(train, ["x1", "x2"], "y").score(pts, ["x1", "x2"], "y"),
+        pts.count,
+    )
     return spark.createDataFrame(
         [(int(n), bool(acc >= 0.9))], "n_scored long, acc_ge_090 boolean"
     )

@@ -62,10 +62,17 @@ def _smo(K: np.ndarray, y: np.ndarray, C: float, tol: float, max_passes: int,
     rng = np.random.RandomState(seed)
     passes = 0
     it = 0
-    Ky = K * y[None, :]
+    # error cache: Fv[i] tracks Σ_j α_j y_j K[i,j], updated incrementally
+    # on each (i, j) step — two O(n) vector updates per CHANGED pair
+    # instead of one O(n) dot per VISITED point (the per-eval trap the
+    # arima kernels had; r12 per-task-work pass).  Same dual updates,
+    # same schedule; only the fp accumulation order of f(·) differs
+    # (KKT/separation tests and the harness accuracy floor are
+    # tolerance-based by design).
+    Fv = np.zeros(n)
 
     def f(i):
-        return float(Ky[i] @ alpha + b)
+        return float(Fv[i] + b)
 
     while passes < max_passes and it < max_iter:
         it += 1
@@ -93,6 +100,7 @@ def _smo(K: np.ndarray, y: np.ndarray, C: float, tol: float, max_passes: int,
                     continue
                 ai = ai_old + y[i] * y[j] * (aj_old - aj)
                 alpha[i], alpha[j] = ai, aj
+                Fv += (y[i] * (ai - ai_old)) * K[i] + (y[j] * (aj - aj_old)) * K[j]
                 b1 = b - Ei - y[i] * (ai - ai_old) * K[i, i] - y[j] * (aj - aj_old) * K[i, j]
                 b2 = b - Ej - y[i] * (ai - ai_old) * K[i, j] - y[j] * (aj - aj_old) * K[j, j]
                 if 0 < ai < C:
