@@ -113,17 +113,54 @@ _BENCH_ORDER = [
 # appended to the immutable bench_history.jsonl.
 _PRINT_BUDGET = 1850
 
+# The query set printed on the r12 BENCH line, PINNED (r13; VERDICT r12
+# What's-wrong #5 / next-round #9): the old purely cost-sorted truncation
+# made queries fall OFF the printed line when they merely got faster, so
+# the driver's round-over-round diff reported improved queries as
+# "dropped_from_bench".  Pinning keeps the printed set stable: these
+# queries print first (they are the round-over-round comparison basis);
+# whatever budget remains goes to the most expensive unpinned queries.
+# Full per-query maps still always land in bench_results.json /
+# bench_history.jsonl.
+_PRINT_PINNED = frozenset([
+    "pipeline_clean_corpus", "streaming_clean_corpus",
+    "pipeline_neardup_groups", "logreg_rule_accuracy", "regression_metrics",
+    "prob_metrics", "generator_checks", "prims_matrix_rng", "qr_factor",
+    "rsvd_agreement", "ann_lsh_recall", "streaming_dedup_docs",
+    "graph_connected_components", "umap_trust", "umap_supervised_trust",
+    "umap_transform_oos", "tsne_trust", "spectral_blobs",
+    "trustworthiness_slice", "silhouette_customers", "ivf_search_exact",
+    "rf_accuracy", "rf_regression", "rf_mae_regression",
+    "kmeans_cluster_sizes", "fil_score", "svc_rule_accuracy",
+    "sgd_hinge_accuracy", "mbsgd_fit", "topk_revenue_by_flag",
+    "simhash_docs", "split_exact_sizes", "arima_grid_aic",
+    "bm25_topk_analyzed", "pipeline_retrieval_hybrid",
+    "quality_filter_scores", "gopher_quality", "fuzzy_contamination",
+    "doc_keywords", "substr_dedup", "semdedup_prune", "bm25_topk",
+    "hybrid_rrf", "doc_perplexity_pretrained", "neardup_safe_split",
+    "ivfpq_search_exact", "arima_ml_aic", "streaming_chunk_docs",
+    "streaming_gopher_gate", "text_neardup_groups", "dsir_weights",
+    "neardup_keep_best", "streaming_dsir_gate", "kcenter_coreset",
+    "pipeline_curation_dsir", "cosine_topk_int8", "winnow_overlap",
+    "hll_distinct_tokens", "tfidf_cosine_pairs", "cdc_chunks",
+    "streaming_cdc_chunks", "mink_prob_members", "zorder_keys",
+    "asof_join_events", "range_join_sessions", "streaming_hll_users",
+    "quantile_report", "fil_lightgbm_score", "domain_length_caps",
+])
+
 
 def _fit_line(total: float, timings: dict[str, float], sf) -> str:
     """Compact JSON line <= _PRINT_BUDGET chars: all queries if they fit,
-    else the most expensive ones (which carry the total) until the budget
-    is reached, with `queries_omitted` recording what was cut."""
+    else the pinned comparison set first (then the most expensive of the
+    rest), dropping from the cheap unpinned end until it fits, with
+    `queries_omitted`/`n_queries` recording what was cut."""
 
     def build(q: dict[str, float], omitted: int) -> str:
         body = {
             "metric": "total_query_wall_time",
             "value": total,
             "unit": "sec",
+            "n_queries": len(timings),
             "queries": q,
             "sf": sf,
         }
@@ -136,11 +173,16 @@ def _fit_line(total: float, timings: dict[str, float], sf) -> str:
     line = build(q2, 0)
     if len(line) <= _PRINT_BUDGET:
         return line
-    # keep the expensive queries, drop from the cheap end until it fits
-    by_cost = sorted(q2, key=lambda k: -q2[k])
-    keep = dict.fromkeys(by_cost)
+    # pinned queries first, then expensive unpinned; drop from the cheap
+    # unpinned end, and only then from the cheap pinned end
+    pinned = sorted((k for k in q2 if k in _PRINT_PINNED),
+                    key=lambda k: -q2[k])
+    extras = sorted((k for k in q2 if k not in _PRINT_PINNED),
+                    key=lambda k: -q2[k])
+    order_pref = pinned + extras
+    keep = dict.fromkeys(order_pref)
     while len(keep) > 1:
-        dropped = by_cost[len(keep) - 1]
+        dropped = next(reversed(keep))
         del keep[dropped]
         q = {k: q2[k] for k in timings if k in keep}  # registry order
         line = build(q, len(timings) - len(keep))

@@ -159,6 +159,11 @@ def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").alias("mn"), F.max("c_custkey").alias("mx")
     ).first()
     targets = [mm["mn"] + ((mm["mx"] - mm["mn"]) * i) // 4 for i in range(4)]
+    # NOTE (r13): merging the two probes below into one min_by(struct)
+    # aggregate (keys + feature fetch in a single job) was A/B'd and came
+    # out ~0.1–0.4 s SLOWER in both interleaved pairs (the struct-min_by
+    # aggregate codegen costs more than the 0.05 s collect it saves over
+    # the cached 15 k-row frame) — kept as two jobs on that evidence.
     keys = scaled.agg(
         *[
             F.min(F.when(F.col("c_custkey") >= t, F.col("c_custkey"))).alias(f"k{i}")

@@ -997,33 +997,27 @@ WHERE d.n_chars <= c.cap
 """
 
 
-_LM_SCORED_CACHE: dict[tuple, DataFrame] = {}
+def _lm_scored(spark: SparkSession, sf_dir: str,
+               keep_cols: list[str] | None = None) -> DataFrame:
+    """Self-scored add-1 bigram-LM frame (doc_id[, keep_cols], n_bigrams,
+    avg_logp) — the shared upstream of ``doc_perplexity`` and both CCNet
+    bucket splits, built FRESH per invocation.
 
-
-def _lm_scored_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-scored add-1 bigram-LM frame (doc_id, lang, n_bigrams,
-    avg_logp), fit once per (session, sf_dir) — the shared upstream of
-    ``doc_perplexity`` and both CCNet bucket splits (one LM, three
-    consumers — the ``_sigs_cached`` pattern; each query previously
-    re-fit the identical LM).  ``lang`` rides the scoring pass's final
-    projection (keep_cols), so consumers that ignore it pay nothing;
-    avg_logp is identical with or without it.  Keyed on the source
-    file's state like the CMS model so a regenerated corpus refits."""
-    import os as _os
-
-    from cuml_spark.core.session import ensure_parallelism, session_cached
+    r12 session-cached the fully-scored frame across the three consumer
+    queries; under the bench protocol the timed reps then measured an
+    InMemoryRelation read instead of the declared fit+score computation,
+    which VERDICT r12 struck as bench-inflating (What's-wrong #1).
+    Reverted here (r13 item #2): every invocation re-fits from parquet, so
+    each query's timed reps pay their own materialization.  The REAL r12
+    win stays: inside one invocation the per-occurrence bigram frame is
+    localCheckpoint-shared by the fit and the probe join
+    (text/lm.py bigram_lm_scores, change r12 #5)."""
+    from cuml_spark.core.session import ensure_parallelism
     from cuml_spark.text.lm import bigram_lm_scores
 
-    st = _os.stat(f"{sf_dir}/documents.parquet")
-
-    def build() -> DataFrame:
-        docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-        return bigram_lm_scores(
-            docs, "text", "doc_id", add_k=1.0, keep_cols=["lang"]
-        ).cache()
-
-    return session_cached(_LM_SCORED_CACHE, spark, sf_dir, build,
-                          state=f"{st.st_size}|{st.st_mtime_ns}")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return bigram_lm_scores(
+        docs, "text", "doc_id", add_k=1.0, keep_cols=keep_cols or [])
 
 
 def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1032,7 +1026,7 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integer-count ratios, so the DuckDB oracle reproduces the scores
     to rounding precision.  (Registered r7; queues for the r8 driver
     window — the 50-slot r7 window is full of never-verified r7 ops.)"""
-    out = _lm_scored_cached(spark, sf_dir)
+    out = _lm_scored(spark, sf_dir)
     return out.select(
         "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
     )
@@ -1212,7 +1206,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sub-2-token) docs bucket null."""
     from cuml_spark.text.lm import perplexity_buckets
 
-    scored = _lm_scored_cached(spark, sf_dir).select(
+    scored = _lm_scored(spark, sf_dir).select(
         "doc_id", F.round("avg_logp", 6).alias("avg_logp"))
     return perplexity_buckets(scored)
 
@@ -1252,7 +1246,7 @@ def q_ccnet_buckets_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass + one ≤#langs-row reduction + a map-only broadcast probe."""
     from cuml_spark.text.lm import perplexity_buckets
 
-    scored = _lm_scored_cached(spark, sf_dir).select(
+    scored = _lm_scored(spark, sf_dir, keep_cols=["lang"]).select(
         "doc_id", "lang", F.round("avg_logp", 6).alias("avg_logp"))
     return perplexity_buckets(scored, group_cols=["lang"])
 
