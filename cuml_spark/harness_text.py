@@ -1962,6 +1962,8 @@ def q_pipeline_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuml_spark.core.session import ensure_parallelism
     from cuml_spark.text.retrieval import bm25_topk, chunk_documents, rrf_fuse
 
+    from cuml_spark.text.lm import _token_array
+
     raw = _t(spark, sf_dir, "documents")
     docs = ensure_parallelism(raw)
     emb = _t(spark, sf_dir, "embeddings")
@@ -1972,8 +1974,33 @@ def q_pipeline_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = raw.filter(F.col("doc_id") < 4).select(
         F.col("doc_id").alias("query_id"), "text")
+    # chunk-corpus BM25 stats WITHOUT a second chunk pass (r13; the r12
+    # plan ran the full Scan→repartition→posexplode→slice chunk subtree
+    # TWICE — once inside the checkpointed postings, once for this
+    # (count, avgdl) aggregate).  For stride chunking (max_tokens=40,
+    # step=32) every chunk but a doc's last is exactly 40 tokens, so with
+    # n = the doc's token count (same tokenizer as chunk_documents):
+    #   chunks(n)  c = floor((greatest(n-8, 1) - 1) / 32) + 1
+    #   Σ chunk dl   = n + 8·(c - 1)        (40·(c-1) + last = n - 32·(c-1))
+    # Both corpus totals are exact integers < 2^53, so the final division
+    # is order-independent and bit-identical to the aggregate it replaces
+    # (avg of small-int dl sums exactly in double); docs with n = 0 emit
+    # no chunks in both forms.  One split+size pass over the corpus — no
+    # explode, no slice, no re-join.
+    _n = F.size(_token_array("text", " "))
+    _c = (F.floor((F.greatest(_n - 8, F.lit(1)) - 1) / 32) + 1).cast("long")
+    chunk_stats = (
+        docs.select(_n.alias("__nt"), _c.alias("__nc"))
+        .filter(F.col("__nt") >= 1)
+        .agg(
+            F.sum("__nc").alias("__n"),
+            F.sum(F.col("__nt") + 8 * (F.col("__nc") - 1)).alias("__sd"),
+        )
+        .select("__n", (F.col("__sd") / F.col("__n")).alias("__avgdl"))
+    )
     lex_chunks = bm25_topk(
-        chunk_docs, qs, k=40, id_col="ck", score_decimals=6)
+        chunk_docs, qs, k=40, id_col="ck", score_decimals=6,
+        corpus_stats=chunk_stats)
     lex_docs = (
         lex_chunks
         .select("query_id", (F.col("ck") / _CHUNK_KEY_MULT)

@@ -80,6 +80,7 @@ def bm25_topk(
     score_decimals: int | None = 6,
     lowercase: bool = False,
     stopwords: list[str] | None = None,
+    corpus_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query BM25 top-k: → (query_id, doc_id, score,
     n_terms_matched, rank ≤ k).
@@ -97,6 +98,15 @@ def bm25_topk(
     tokens AFTER folding (supply them already-lowercased when
     ``lowercase`` is on), so document length, tf, and df all reflect the
     analyzed token stream, the way a real index is built.
+
+    ``corpus_stats``: optional one-row (``__n`` count, ``__avgdl`` avg
+    analyzed length) frame for callers that can derive the corpus stats
+    cheaper than the default full-tokenize aggregate (e.g. the chunked
+    retrieval pipeline, where chunk count and total chunk length are
+    closed forms of each document's token count — r13).  The caller
+    GUARANTEES value equality with the default aggregate; both n and the
+    summed lengths are exact integers below 2^53, so sum/count division
+    is order-independent and bit-identical however they are derived.
     """
     if stopwords is not None:
         stopwords = [str(s) for s in stopwords]
@@ -113,7 +123,7 @@ def bm25_topk(
         F.coalesce(F.size("__t"), F.lit(0)).alias("__dl"),
         F.col("__t"),
     )
-    stats = base.agg(
+    stats = corpus_stats if corpus_stats is not None else base.agg(
         F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl"))
     postings = (
         base.select(id_col, "__dl", F.explode("__t").alias("__term"))

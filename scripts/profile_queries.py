@@ -12,7 +12,7 @@ into three measured components:
 ``collect - noop`` approximates the pinned row-transfer cost the bench
 methodology charges the query; optimization effort belongs on queries where
 ``build + noop`` dominates.  Also writes .explain("formatted") to
-plans/r12/<query>_<tag>.txt when --plans <tag> is given.
+plans/$CUML_SPARK_PLANS_ROUND (default r13)/<query>_<tag>.txt when --plans <tag> is given.
 
 Usage: python scripts/profile_queries.py [--plans before] [query ...]
 """
@@ -51,7 +51,8 @@ def main() -> None:
     docs.count()
 
     names = args or list(QUERIES)
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+        "CUML_SPARK_PLANS_ROUND", "r13")
     out = {}
     for name in names:
         fn = QUERIES[name]
