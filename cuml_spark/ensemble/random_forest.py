@@ -103,7 +103,12 @@ class _RFBase(Base):
         # MLlib's level-wise growth runs one JVM aggregation job per level
         # over its internally-cached frame — right-size small inputs so
         # those jobs aren't sliced into near-empty tasks (no-op at scale)
-        data = right_size(check_features(df, [*feature_cols, label_col]))
+        # project to the fit columns before the right_size coalesce and
+        # MLlib's internal persist (guide §2.3 — callers hand wide frames)
+        data = right_size(
+            check_features(df, [*feature_cols, label_col])
+            .select(*feature_cols, label_col)
+        )
         assembled = VectorAssembler(inputCols=feature_cols, outputCol="__features").transform(data)
         est = self._ml_cls(
             featuresCol="__features", labelCol=label_col,

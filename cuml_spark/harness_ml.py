@@ -251,10 +251,17 @@ def q_rf_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 trees / depth 7: accuracy saturates at 0.72 on these three weak
     # features from 6 trees up (measured at sf0.01 and sf0.1) — the extra
     # capacity bought nothing but fit time
-    rf = RandomForestClassifier(n_estimators=8, max_depth=7, n_bins=16, random_state=7)
-    rf.fit(train, ["l_quantity", "l_discount", "l_tax"], "is_high")
-    acc = rf.score(li, ["l_quantity", "l_discount", "l_tax"], "is_high")
-    n = li.count()
+    # the (fit → scoring) chain and the row count are independent — overlap
+    # them (guide §2.6; same shape as sgd_hinge_accuracy, r13)
+    from cuml_spark.core.session import run_overlapped
+
+    def _fit_score() -> float:
+        rf = RandomForestClassifier(n_estimators=8, max_depth=7, n_bins=16,
+                                    random_state=7)
+        rf.fit(train, ["l_quantity", "l_discount", "l_tax"], "is_high")
+        return rf.score(li, ["l_quantity", "l_discount", "l_tax"], "is_high")
+
+    acc, n = run_overlapped(_fit_score, li.count)
     return spark.createDataFrame(
         [(int(n), bool(acc >= 0.65))], "n_scored long, acc_ge_065 boolean"
     )
@@ -325,11 +332,16 @@ def q_rf_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _ml_base(spark, sf_dir)
     cols = ["l_quantity", "l_discount", "l_tax"]
     train = li.filter(F.xxhash64("l_orderkey", "l_linenumber", F.lit(7)) % 4 == 0)
-    rf = RandomForestRegressor(n_estimators=10, max_depth=8, n_bins=16,
-                               random_state=7)
-    rf.fit(train, cols, "y")
-    r2 = rf.score(li, cols, "y")
-    n = li.count()
+    # fit→score chain ∥ row count (guide §2.6, r13)
+    from cuml_spark.core.session import run_overlapped
+
+    def _fit_score() -> float:
+        rf = RandomForestRegressor(n_estimators=10, max_depth=8, n_bins=16,
+                                   random_state=7)
+        rf.fit(train, cols, "y")
+        return rf.score(li, cols, "y")
+
+    r2, n = run_overlapped(_fit_score, li.count)
     return spark.createDataFrame(
         [(int(n), bool(r2 >= 0.5))], "n_scored long, r2_ge_05 boolean"
     )
@@ -407,11 +419,18 @@ def q_rf_mae_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _ml_base(spark, sf_dir)
     cols = ["l_quantity", "l_discount", "l_tax"]
     train = li.filter(F.xxhash64("l_orderkey", "l_linenumber", F.lit(7)) % 8 == 0)
-    rf = RandomForestRegressor(split_criterion=3, n_estimators=4, max_depth=4,
-                               n_bins=16, random_state=7)
-    rf.fit(train, cols, "y")
-    r2 = rf.score(li, cols, "y")
-    n = li.count()
+    # fit→score chain ∥ row count (guide §2.6, r13): the MAE fit is ~7
+    # sequential small jobs (edges, 4 level histograms, leaves) — the
+    # independent count back-fills its stage tails
+    from cuml_spark.core.session import run_overlapped
+
+    def _fit_score() -> float:
+        rf = RandomForestRegressor(split_criterion=3, n_estimators=4,
+                                   max_depth=4, n_bins=16, random_state=7)
+        rf.fit(train, cols, "y")
+        return rf.score(li, cols, "y")
+
+    r2, n = run_overlapped(_fit_score, li.count)
     return spark.createDataFrame(
         [(int(n), bool(r2 >= 0.5))], "n_scored long, r2_ge_05 boolean"
     )

@@ -63,6 +63,14 @@ class LogisticRegression(Base):
         # frame — right-size small inputs so each iteration isn't sliced
         # into near-empty tasks (measured 4.3s @ 8 parts vs 4.8s @ 32 in
         # SCALE.md; no-op at scale)
+        # NOTE (r13): an explicit select(*feature_cols, label) here was
+        # A/B'd consistently SLOWER (3.6-3.9 -> 3.9-4.6 s on
+        # logreg_rule_accuracy in 3/3 interleaved pairs): the projection
+        # shrinks right_size's sizeInBytes estimate and over-coalesces the
+        # frame the ~20 OWL-QN treeAggregate jobs iterate over, and MLlib
+        # already projects to (label, weight, features) before its
+        # internal persist — so the wide frame never reaches the cache
+        # anyway.  Left unprojected on that evidence.
         data = right_size(
             check_features(df, [*feature_cols, label_col])
         ).withColumnRenamed(label_col, "__label")
