@@ -44,12 +44,27 @@ def get_spark(app_name: str = "cuml_spark", shuffle_partitions: int | None = Non
     return builder.getOrCreate()
 
 
+def _session_token(spark: SparkSession) -> str:
+    """Session-unique cache-key token (ADVICE r12): ``id(spark)`` could in
+    principle be reused by CPython for a NEW session object after the old
+    one is garbage-collected, serving a DataFrame bound to a dead session.
+    The applicationId ("local-<startTimeMs>") is unique per application;
+    it is memoized on the session object so the py4j round trip is paid
+    once per session, and a fresh session object never inherits it."""
+    tok = getattr(spark, "_cuml_session_token", None)
+    if tok is None:
+        tok = spark.sparkContext.applicationId
+        spark._cuml_session_token = tok
+    return tok
+
+
 def session_cached(cache: dict, spark: SparkSession, sf_dir: str, build,
                    *, state: str | None = None):
     """Memoize ``build()`` per (LIVE session, sf_dir[, state]) in
     ``cache``.
 
-    Keying on ``id(spark)`` keeps a restart (or regenerated testdata at
+    Keying on the session token (applicationId — see
+    :func:`_session_token`) keeps a restart (or regenerated testdata at
     the same path) from serving a plan/model bound to a dead session;
     entries for the same sf_dir under a superseded session OR a
     superseded ``state`` are evicted eagerly so their cached blocks can
@@ -63,7 +78,7 @@ def session_cached(cache: dict, spark: SparkSession, sf_dir: str, build,
     the lineitem feature frame, the DSIR gate model) — one
     implementation, one place to fix the keying.
     """
-    key = (id(spark), sf_dir, state)
+    key = (_session_token(spark), sf_dir, state)
     out = cache.get(key)
     if out is None:
         for k in [k for k in cache if k[1] == sf_dir]:
@@ -107,7 +122,7 @@ def read_table(spark: SparkSession, path: str):
         state = (st.st_size, st.st_mtime_ns)
     except OSError:
         state = None
-    key = (id(spark), path, state)
+    key = (_session_token(spark), path, state)
     df = _TABLE_HANDLES.get(key)
     if df is None:
         for k in [k for k in _TABLE_HANDLES if k[1] == path]:
@@ -161,8 +176,12 @@ def ensure_parallelism(df, min_parts: int | None = None):
     # pickle-serialized PythonRDD wrapper (~0.15 s per call, ~40 call
     # sites × every query construction) and under AQE eagerly EXECUTES
     # any exchange stages in the plan just to learn the count (r12).
-    # javaRDD() still finalizes AQE stages, but every caller here feeds a
-    # scan-shaped frame (no exchanges), where it is a pure plan walk.
+    # javaRDD() still finalizes AQE stages; harness call sites feed
+    # scan-shaped frames (no exchanges), where it is a pure plan walk.
+    # Library entry points are the exception (ADVICE r12): DBSCAN.fit
+    # applies this to an arbitrary caller frame, where an exchange-
+    # bearing plan still triggers eager stage execution here — not a
+    # regression vs df.rdd, just not free.
     if df._jdf.javaRDD().getNumPartitions() < target:
         return df.repartition(target)
     return df

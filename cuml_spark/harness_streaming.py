@@ -53,7 +53,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # footer-only schema probe, but it re-reads the footer on every
     # invocation of every events-backed streaming query — memoize the
     # resolved dtype per (live session, sf_dir)  (r12)
-    key = (id(spark), sf_dir)
+    from cuml_spark.core.session import _session_token
+
+    key = (_session_token(spark), sf_dir)
     ts_type = _TS_TYPE_CACHE.get(key)
     if ts_type is None:
         ts_type = dict(

@@ -48,7 +48,10 @@ def _lit_vec(vals: list[float]) -> Column:
     # one parsed literal, not F.array(*[F.lit(x)]): the greedy loop embeds
     # O(k²) center vectors across its rounds, and per-element py4j
     # conversion made the DRIVER the bottleneck between rounds (~1.3 s of
-    # a 1.9 s query; core/exprs.py, r12)
+    # a 1.9 s query; core/exprs.py, r12).  Fail-fast note (ADVICE r12):
+    # double_array_lit REJECTS NaN/Inf where F.lit would embed them — a
+    # degenerate center (e.g. from all-zero embeddings) now raises at
+    # query construction instead of silently propagating NaN distances.
     from cuml_spark.core.exprs import double_array_lit
 
     return double_array_lit(vals)

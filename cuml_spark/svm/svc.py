@@ -65,10 +65,13 @@ def _smo(K: np.ndarray, y: np.ndarray, C: float, tol: float, max_passes: int,
     # error cache: Fv[i] tracks Σ_j α_j y_j K[i,j], updated incrementally
     # on each (i, j) step — two O(n) vector updates per CHANGED pair
     # instead of one O(n) dot per VISITED point (the per-eval trap the
-    # arima kernels had; r12 per-task-work pass).  Same dual updates,
-    # same schedule; only the fp accumulation order of f(·) differs
-    # (KKT/separation tests and the harness accuracy floor are
-    # tolerance-based by design).
+    # arima kernels had; r12 per-task-work pass).  Same dual updates;
+    # the fp accumulation order of f(·) differs from the exact dot, so
+    # the KKT threshold test can in principle flip for points sitting
+    # within a few ulps of the boundary and nudge the visit SCHEDULE —
+    # acceptable because every consumer contract (KKT/separation tests,
+    # the harness accuracy floor) is tolerance-based by design, and the
+    # solver converges to the same optimum either way (ADVICE r12).
     Fv = np.zeros(n)
 
     def f(i):

@@ -177,7 +177,10 @@ def score_linear_bow_inline(
     if weights:
         # ONE parsed map literal, not create_map(*[F.lit(...)]): the
         # per-element py4j conversion cost ~0.9 s per query construction
-        # at 512 weights (core/exprs.py; values round-trip bit-exactly)
+        # at 512 weights (core/exprs.py; values round-trip bit-exactly).
+        # Fail-fast note (ADVICE r12): int_double_map_lit REJECTS
+        # NaN/Inf weights where F.lit would embed them — a NaN weight
+        # now raises at construction instead of NaN-ing every score.
         from cuml_spark.core.exprs import int_double_map_lit
 
         wmap = int_double_map_lit(weights)
