@@ -146,14 +146,22 @@ def q_spectral_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sc.fit_predict(pts, ["x1", "x2"], "pid")
     joined = pts.join(out, "pid").cache()
-    n_labels = joined.select("label").distinct().count()
+    # labels_total rides the final plan as a broadcast one-row aggregate
+    # instead of a separate eager count job (r13, §2.6 job-floor): the
+    # expression is EXACTLY the old `distinct().count()` (count(*) over
+    # the distinct label set, so a hypothetical null label still counts),
+    # collected in the same job as the group aggregate.
+    labels_total = (
+        joined.select("label").distinct()
+        .agg(F.count("*").cast("int").alias("labels_total"))
+    )
     return (
         joined.groupBy("grp")
         .agg(
             F.count("*").alias("n_members"),
             (F.countDistinct("label") == 1).alias("single_label"),
         )
-        .withColumn("labels_total", F.lit(int(n_labels)))
+        .crossJoin(F.broadcast(labels_total))
         .select(F.col("grp").cast("int").alias("grp"), "n_members",
                 "single_label", "labels_total")
     )
