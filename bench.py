@@ -111,7 +111,10 @@ _BENCH_ORDER = [
 # queries).  Budget the printed line to fit WITH margin; the full-precision
 # per-query map + both raw runs always land in bench_results.json and are
 # appended to the immutable bench_history.jsonl.
-_PRINT_BUDGET = 1850
+_PRINT_BUDGET = 1900  # r13: the pinned 69-query line measures ~1843
+# chars; 1900 keeps every pinned query on the line even if a few values
+# gain a digit (spikes), while still leaving 100 chars of the driver's
+# 2000-char archive window for the trailing newline
 
 # The query set printed on the r12 BENCH line, PINNED (r13; VERDICT r12
 # What's-wrong #5 / next-round #9): the old purely cost-sorted truncation
